@@ -1,0 +1,447 @@
+"""Question prompt matcher (operator C3, SURVEY.md §2.10).
+
+Faithful reimplementation of ``_match_questions_like_labels`` and the
+question half of ``match_sections_and_questions`` (reference
+``response_extractor.py:238-612`` and ``618-790``):
+
+* all same-line full matches per question (``find_all_full_in_line``),
+  with a startswith rule on the first expected word so matches cannot
+  start mid-token (``response_extractor.py:382-386``);
+* one multiline hit via sibling-y-group lookahead (``try_multiline``);
+* y-band attribution with a post-anchor minimum start y;
+* band-crop retry for missed questions (V5 analog — the reference
+  re-OCRs the section band; here the band's tokens are re-matched in
+  crop space, the deterministic stand-in for that second OCR pass);
+* cross-page fallback appending the next page's head line-groups;
+* k-th-occurrence claiming for duplicated question texts (D4).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .lines import Line, Token, group_lines, head_line_groups, offset_tokens
+from .normalize import expected, ocr_norm
+
+from ..core.constants import (
+    ANCHOR_OFFSET_PX,
+    LABEL_MULTILINE_BASE_X_TOLERANCE,
+    LABEL_MULTILINE_MAX_LOOKAHEAD,
+)
+
+Hit = dict[str, Any]
+
+
+def _best_span_in_line(words: list[dict], lbl_words: list[str]) -> tuple[int | None, int]:
+    """Reference ``response_extractor.py:365-397``."""
+    exp_concat = expected(" ".join(lbl_words))
+    exps = [expected(w) for w in lbl_words]
+    best_start = None
+    best_matched_here = 0
+    for start_idx in range(len(words)):
+        tok0_clean = ocr_norm(words[start_idx]["text"])
+        if exp_concat.startswith(tok0_clean):
+            return start_idx, len(lbl_words)
+        matched_here = 0
+        k = start_idx
+        for lbl_idx in range(len(lbl_words)):
+            if k >= len(words):
+                break
+            tok_clean = ocr_norm(words[k]["text"])
+            ok = (
+                exps[lbl_idx].startswith(tok_clean)
+                if lbl_idx == 0
+                else exps[lbl_idx].contains(tok_clean)
+            )
+            if ok:
+                matched_here += 1
+                k += 1
+            else:
+                break
+        if matched_here > best_matched_here:
+            best_matched_here = matched_here
+            best_start = start_idx
+        if matched_here == len(lbl_words):
+            break
+    return best_start, best_matched_here
+
+
+def find_all_full_in_line(words: list[dict], lbl_words: list[str]) -> list[dict]:
+    """All same-line full matches on one line
+    (reference ``response_extractor.py:399-445``)."""
+    segments: list[dict] = []
+    if not words:
+        return segments
+    exp_concat = expected(" ".join(lbl_words))
+    exps = [expected(w) for w in lbl_words]
+    for start_idx in range(len(words)):
+        tok0_clean = ocr_norm(words[start_idx]["text"])
+        if exp_concat.startswith(tok0_clean):
+            seg_tokens = [words[start_idx]]
+            segments.append(_segment(seg_tokens, len(lbl_words)))
+            continue
+        matched_here = 0
+        k = start_idx
+        for lbl_idx in range(len(lbl_words)):
+            if k >= len(words):
+                matched_here = 0
+                break
+            tok_clean = ocr_norm(words[k]["text"])
+            ok = (
+                exps[lbl_idx].startswith(tok_clean)
+                if lbl_idx == 0
+                else exps[lbl_idx].contains(tok_clean)
+            )
+            if ok:
+                matched_here += 1
+                k += 1
+            else:
+                matched_here = 0
+                break
+        if matched_here == len(lbl_words):
+            seg_tokens = words[start_idx : start_idx + matched_here]
+            segments.append(_segment(seg_tokens, matched_here))
+    return segments
+
+
+def _segment(seg_tokens: list[dict], count: int) -> dict:
+    return {
+        "line_y": int(min(t["y"] for t in seg_tokens)),
+        "start_x": seg_tokens[0]["x"],
+        "end_x": seg_tokens[-1]["x"] + seg_tokens[-1].get("w", 0),
+        "count": count,
+        "tokens": [t["text"] for t in seg_tokens],
+    }
+
+
+def try_multiline(lines: list[Line], lbl_words_seq: list[str]) -> dict | None:
+    """Multiline question search over sibling y-groups
+    (reference ``response_extractor.py:450-570``)."""
+    base_x_tolerance = LABEL_MULTILINE_BASE_X_TOLERANCE
+    max_lookahead = LABEL_MULTILINE_MAX_LOOKAHEAD
+    n_lbl = len(lbl_words_seq)
+    for i, line in enumerate(lines):
+        words = line["words"]
+        if not words:
+            continue
+        best_start, matched_here = _best_span_in_line(words, lbl_words_seq)
+        if matched_here == 0:
+            continue
+        start_x = words[best_start]["x"]
+        start_y = words[best_start]["y"]
+        x_ref = start_x
+        curr_lbl_idx = matched_here
+        curr_idx = i
+        matched_all = curr_lbl_idx == n_lbl
+        lookahead_used = 0
+        seg_words = words[best_start : best_start + matched_here]
+        last_idx = min(best_start + max(0, matched_here - 1), len(words) - 1)
+        segments = [
+            {
+                "line_y": int(
+                    min(t["y"] for t in seg_words) if matched_here > 0 else line.get("y", 0)
+                ),
+                "start_x": start_x,
+                "end_x": words[last_idx]["x"] + words[last_idx].get("w", 0),
+                "count": matched_here,
+                "tokens": [t["text"] for t in seg_words],
+            }
+        ]
+        while not matched_all and lookahead_used < max_lookahead:
+            j = curr_idx + 1
+            curr_y = lines[curr_idx]["y"] if curr_idx < len(lines) else None
+            while j < len(lines) and curr_y is not None and lines[j]["y"] <= curr_y:
+                j += 1
+            if j >= len(lines):
+                break
+            next_y = lines[j]["y"]
+            group_indices = []
+            kidx = j
+            while kidx < len(lines) and lines[kidx]["y"] == next_y:
+                group_indices.append(kidx)
+                kidx += 1
+            exp_next = expected(lbl_words_seq[curr_lbl_idx])
+            best_overall = 0
+            best_overall_idx = None
+            best_overall_segtoks = None
+            for li in group_indices:
+                line_tokens = lines[li]["words"]
+                if not line_tokens:
+                    continue
+                candidate_indices = [
+                    idx
+                    for idx, tok in enumerate(line_tokens)
+                    if abs(tok["x"] - x_ref) <= base_x_tolerance
+                    and exp_next.startswith(ocr_norm(tok["text"]))
+                ]
+                if not candidate_indices:
+                    candidate_indices = [
+                        idx
+                        for idx, tok in enumerate(line_tokens)
+                        if exp_next.startswith(ocr_norm(tok["text"]))
+                    ]
+                if not candidate_indices:
+                    candidate_indices = [
+                        idx
+                        for idx, tok in enumerate(line_tokens)
+                        if abs(tok["x"] - x_ref) <= base_x_tolerance
+                        and exp_next.contains(ocr_norm(tok["text"]))
+                    ]
+                if not candidate_indices:
+                    continue
+                best_line_match = 0
+                best_line_segtoks = None
+                for ci in candidate_indices:
+                    matched_in_line = 0
+                    k = ci
+                    while k < len(line_tokens) and (curr_lbl_idx + matched_in_line) < n_lbl:
+                        exp2 = expected(lbl_words_seq[curr_lbl_idx + matched_in_line])
+                        tok_clean = ocr_norm(line_tokens[k]["text"])
+                        ok2 = (
+                            exp2.startswith(tok_clean)
+                            if matched_in_line == 0
+                            else exp2.contains(tok_clean)
+                        )
+                        if ok2:
+                            matched_in_line += 1
+                            k += 1
+                        else:
+                            break
+                    if matched_in_line > best_line_match:
+                        best_line_match = matched_in_line
+                        best_line_segtoks = line_tokens[ci : ci + matched_in_line]
+                if best_line_match > best_overall:
+                    best_overall = best_line_match
+                    best_overall_idx = li
+                    best_overall_segtoks = best_line_segtoks
+            if best_overall == 0 or best_overall_idx is None or best_overall_segtoks is None:
+                break
+            seg_tokens = best_overall_segtoks
+            next_line = lines[best_overall_idx]
+            segments.append(
+                {
+                    "line_y": int(
+                        min(t["y"] for t in seg_tokens) if seg_tokens else next_line.get("y", 0)
+                    ),
+                    "start_x": seg_tokens[0]["x"],
+                    "end_x": seg_tokens[-1]["x"] + seg_tokens[-1].get("w", 0),
+                    "count": best_overall,
+                    "tokens": [t["text"] for t in seg_tokens],
+                }
+            )
+            curr_lbl_idx += best_overall
+            curr_idx = best_overall_idx
+            lookahead_used += 1
+            x_ref = seg_tokens[0]["x"]
+            matched_all = curr_lbl_idx == n_lbl
+        if matched_all:
+            return {"start": (start_x, start_y), "segments": segments}
+    return None
+
+
+def match_questions_like_labels(
+    tokens: list[Token],
+    questions: list[str],
+    next_page_tokens: list[Token] | None = None,
+    page_height: int = 10000,
+    next_page_head_lines: int = 5,
+    lines: list[Line] | None = None,
+) -> dict[str, list[Hit]]:
+    """Reference ``response_extractor.py:238-612``. Returns, per unique
+    question text, the list of match hits ``{x, y, segments}``.
+
+    ``lines`` may carry the page's precomputed line groups (grouping is
+    pure, so reusing it across the per-section calls is
+    semantics-preserving — the reference regroups on every call).
+    """
+    if lines is None:
+        lines = group_lines(tokens)
+    if next_page_tokens is not None:
+        next_lines = group_lines(offset_tokens(next_page_tokens, page_height))
+        lines = lines + head_line_groups(next_lines, next_page_head_lines)
+
+    results: dict[str, list[Hit]] = {}
+    unique_questions: list[str] = []
+    seen_qtexts: set[str] = set()
+    for q in questions:
+        if q not in seen_qtexts:
+            unique_questions.append(q)
+            seen_qtexts.add(q)
+    for q in unique_questions:
+        q_words = [w for w in q.split() if w]
+        if not q_words:
+            continue
+        seen_starts: set[tuple[int, int]] = set()
+        for line in lines:
+            for seg in find_all_full_in_line(line["words"], q_words):
+                key = (int(seg["start_x"]), int(seg["line_y"]))
+                if key in seen_starts:
+                    continue
+                seen_starts.add(key)
+                results.setdefault(q, []).append(
+                    {"x": key[0], "y": key[1], "segments": [seg]}
+                )
+        hit = try_multiline(lines, q_words)
+        if hit is not None:
+            key = (int(hit["start"][0]), int(hit["start"][1]))
+            if key not in seen_starts:
+                results.setdefault(q, []).append(
+                    {"x": key[0], "y": key[1], "segments": hit["segments"]}
+                )
+    return results
+
+
+def crop_tokens(tokens: list[Token], y1: int, y2: int) -> list[Token]:
+    """Tokens inside a horizontal band, shifted into crop space — the
+    deterministic analog of re-OCRing a band crop
+    (reference ``try_crop``, ``response_extractor.py:715-732``)."""
+    out = []
+    for t in tokens:
+        y = int(t.get("y", 0))
+        if y1 <= y < y2:
+            t2 = dict(t)
+            t2["y"] = y - y1
+            out.append(t2)
+    return out
+
+
+def match_sections_and_questions(
+    tokens: list[Token],
+    sections: list[dict],
+    section_regions: dict[str, dict[str, int]],
+    next_page_tokens: list[Token] | None = None,
+    page_width: int = 2000,
+    page_height: int = 3000,
+) -> list[dict[str, Any]]:
+    """Reference ``match_sections_and_questions``
+    (``response_extractor.py:618-790``), regions-provided path (the
+    extractor always passes ``section_regions``)."""
+    anchors: dict[str, int] = {}
+    bands: dict[str, tuple[int, int]] = {}
+    for sec in sections:
+        name = sec["section_name"]
+        reg = section_regions.get(name)
+        if not reg:
+            continue
+        anchors[name] = reg.get("y1")
+    ordered = sorted(
+        [(n, y) for n, y in anchors.items() if y is not None], key=lambda t: t[1]
+    )
+    name_to_next_anchor: dict[str, int] = {}
+    for idx, (name, y1) in enumerate(ordered):
+        next_y = ordered[idx + 1][1] - 1 if (idx + 1) < len(ordered) else page_height
+        name_to_next_anchor[name] = next_y
+    for name, anchor_y in ordered:
+        reg = section_regions.get(name) or {}
+        region_y2 = reg.get("y2")
+        next_anchor_bottom = name_to_next_anchor.get(name, page_height)
+        if isinstance(region_y2, (int, float)):
+            bands[name] = (anchor_y, min(int(region_y2), next_anchor_bottom))
+        else:
+            bands[name] = (anchor_y, next_anchor_bottom)
+
+    page_lines = group_lines(tokens)
+    out: list[dict[str, Any]] = []
+    for sec in sections:
+        sec_name = sec["section_name"]
+        qs = sec.get("questions") or []
+        if not qs:
+            continue
+        qhits = match_questions_like_labels(tokens, qs, lines=page_lines)
+        sec_hits: list[dict[str, Any]] = []
+        claimed_by_q: dict[str, set[tuple[int, int]]] = {}
+        yband = bands.get(sec_name)
+        sec_anchor_y = anchors.get(sec_name)
+        min_start_y = (
+            int(sec_anchor_y) + ANCHOR_OFFSET_PX
+            if isinstance(sec_anchor_y, (int, float))
+            else None
+        )
+        for q in qs:
+            hits = [h for h in qhits.get(q, []) if not h.get("skipped")]
+            if yband:
+                y1, y2 = yband
+                hits = [
+                    h
+                    for h in hits
+                    if y1 <= h.get("y", 0) <= y2
+                    and (min_start_y is None or h.get("y", 0) >= min_start_y)
+                ]
+            # Band-crop retry (V5 analog, response_extractor.py:700-748).
+            if not hits and yband:
+                y1, y2 = yband
+                y1_effective = int(y1)
+                if isinstance(sec_anchor_y, (int, float)):
+                    y1_effective = max(y1_effective, int(sec_anchor_y) + ANCHOR_OFFSET_PX)
+                y1c = max(0, y1_effective)
+                y2c_primary = max(y1c + 1, int(min(page_height, y2)))
+
+                def try_crop(y2c_local: int) -> list[Hit]:
+                    local_hits = []
+                    band = crop_tokens(tokens, y1c, y2c_local)
+                    bhits = match_questions_like_labels(band, [q]).get(q, [])
+                    for bh in bhits:
+                        bh["y"] = int(bh.get("y", 0)) + y1c
+                        for seg in bh.get("segments", []):
+                            if isinstance(seg, dict) and "line_y" in seg:
+                                seg["line_y"] = int(seg["line_y"]) + y1c
+                        if (min_start_y is None) or (bh.get("y", 0) >= min_start_y):
+                            local_hits.append(bh)
+                    return local_hits
+
+                band_hits = try_crop(y2c_primary)
+                if not band_hits and section_regions and sec_name in anchors:
+                    idx = next(
+                        (i for i, (n, _) in enumerate(ordered) if n == sec_name), None
+                    )
+                    if idx is not None:
+                        next_anchor_bottom = (
+                            ordered[idx + 1][1] - 1
+                            if (idx + 1) < len(ordered)
+                            else page_height
+                        )
+                        y2c_wide = max(y1c + 1, int(min(page_height, next_anchor_bottom)))
+                        if y2c_wide > y2c_primary:
+                            band_hits = try_crop(y2c_wide)
+                hits.extend(band_hits)
+            # Cross-page fallback (response_extractor.py:751-766).
+            if not hits and next_page_tokens is not None:
+                xhits = match_questions_like_labels(
+                    tokens, [q], next_page_tokens=next_page_tokens, page_height=page_height
+                ).get(q, [])
+                if yband:
+                    y1, y2 = yband
+                    xhits = [
+                        h
+                        for h in xhits
+                        if y1 <= h.get("y", 0) <= y2
+                        and (min_start_y is None or h.get("y", 0) >= min_start_y)
+                    ]
+                hits.extend(xhits)
+            if not hits:
+                continue
+            # K-th occurrence claiming (D4, response_extractor.py:770-782).
+            claimed = claimed_by_q.setdefault(q, set())
+            for chosen in sorted(hits, key=lambda h: (h.get("y", 0), h.get("x", 0))):
+                key = (int(chosen.get("x", 0)), int(chosen.get("y", 0)))
+                if key in claimed:
+                    continue
+                claimed.add(key)
+                sec_hits.append(
+                    {
+                        "question": q,
+                        "position": [key[0], key[1]],
+                        "segments": chosen.get("segments", []),
+                        "skipped": chosen.get("skipped"),
+                    }
+                )
+                break
+        if sec_hits:
+            out.append(
+                {
+                    "section": sec_name,
+                    "anchor_y": anchors.get(sec_name),
+                    "questions": sec_hits,
+                }
+            )
+    return out
