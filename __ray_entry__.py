@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native extraction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) initialises or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship extraction pipeline on sf0.001: documents →
+  deterministic synthesized span corpus → per-document parse →
+  exploded output span table.
+* ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 inventory + the large-scale data-pipeline extras).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every
+  SQL-expressible query (money as exact integer cents so distributed
+  sums hash-match the oracle bit-for-bit). Geometric span extraction
+  and sketch-based ops are rows-only by design.
 """
 
 from __future__ import annotations
@@ -20,25 +21,72 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    from pdf_parser_ray.pipelines.extract import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_parser_ray.relational.ops import QUERIES as REL
+    from pdf_parser_ray.pipelines.extract import flagship
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = dict(REL)
+    out["extract_spans"] = lambda sf_dir: flagship(sf_dir)
+
+    try:
+        from pdf_parser_ray.stages.textstats import QUERIES as TEXT
+
+        out.update(TEXT)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.stages.dedup import QUERIES as DEDUP
+
+        out.update(DEDUP)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.stages.embed import QUERIES as EMBED
+
+        out.update(EMBED)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.stages.boilerplate import QUERIES as BOILER
+
+        out.update(BOILER)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.stages.media import QUERIES as MEDIA
+
+        out.update(MEDIA)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_parser_ray.relational.ops import ORACLE_SQL as REL
+
+    out = dict(REL)
+    try:
+        from pdf_parser_ray.stages.textstats import ORACLE_SQL as TEXT
+
+        out.update(TEXT)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.stages.dedup import ORACLE_SQL as DEDUP
+
+        out.update(DEDUP)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.stages.embed import ORACLE_SQL as EMBED
+
+        out.update(EMBED)
+    except ImportError:
+        pass
+    return out

@@ -209,8 +209,14 @@ def _emit_spans(doc_id: str, pages: list[_PageBuilder]) -> list[dict]:
     return spans
 
 
-def gen_document(doc_id: str, seed: int = 42) -> list[dict]:
-    """Generate one synthetic form document's span sequence."""
+def gen_document(doc_id: str, seed: int = 42, vocab: list[str] | None = None) -> list[dict]:
+    """Generate one synthetic form document's span sequence.
+
+    ``vocab`` (e.g. the words of a source document's text) replaces the
+    default answer/narrative word pools, making the generated form —
+    and therefore the extraction output — depend on the source row's
+    content, not just its id.
+    """
     rng = random.Random(f"{seed}:{doc_id}")
     form_type = "male" if rng.random() < 0.4 else "female"
     sections = MALE_SECTIONS if form_type == "male" else BASE_SECTIONS
@@ -276,14 +282,14 @@ def gen_document(doc_id: str, seed: int = 42) -> list[dict]:
                 (qx1, qy1) = pb.add_line(q.split(), x=150)
                 (qx2, qy2) = pb.add_line(q2.split(), x=1100, y=qy1)
                 pb.advance(40)
-                _gen_answer(pb, rng, q, qx1, qy1, right=1000)
-                _gen_answer(pb, rng, q2, qx2, qy2, right=PAGE_W - 40)
+                _gen_answer(pb, rng, q, qx1, qy1, right=1000, vocab=vocab)
+                _gen_answer(pb, rng, q2, qx2, qy2, right=PAGE_W - 40, vocab=vocab)
                 pb.advance(130)
                 qi += 2
             else:
                 (qx, qy) = pb.add_line(q.split(), x=150)
                 pb.advance(40)
-                _gen_answer(pb, rng, q, qx, qy, right=PAGE_W - 40)
+                _gen_answer(pb, rng, q, qx, qy, right=PAGE_W - 40, vocab=vocab)
                 pb.advance(130)
                 qi += 1
         pb.advance(60)
@@ -292,11 +298,14 @@ def gen_document(doc_id: str, seed: int = 42) -> list[dict]:
 
 
 def _gen_answer(
-    pb: _PageBuilder, rng: random.Random, q: str, qx: int, qy: int, right: int
+    pb: _PageBuilder, rng: random.Random, q: str, qx: int, qy: int, right: int,
+    vocab: list[str] | None = None,
 ) -> None:
     """Place an answer for question ``q`` whose prompt line sits at
     ``(qx, qy)`` — inside the band ``[qy+40, qy+80]`` the collector
     scans, within the ``[qx-30, right]`` window."""
+    answer_words = vocab if vocab else _ANSWER_WORDS
+    narrative_words = vocab if vocab else _NARRATIVE_WORDS
     ay = qy + 40 + rng.randint(0, 35)
     ql = q.lower()
     r = rng.random()
@@ -307,11 +316,11 @@ def _gen_answer(
         pb.add_line(words, x=qx + 10, y=ay)
     elif "medical conditions" in ql:
         n = rng.randint(3, 6)
-        words = [rng.choice(_NARRATIVE_WORDS) for _ in range(n)]
+        words = [rng.choice(narrative_words) for _ in range(n)]
         pb.add_line(words, x=qx + 10, y=ay)
         if rng.random() < 0.5:
             # wrapped continuation inside (ay+10, ay+50]
-            cont = [rng.choice(_NARRATIVE_WORDS) for _ in range(rng.randint(2, 4))]
+            cont = [rng.choice(narrative_words) for _ in range(rng.randint(2, 4))]
             pb.add_line(cont, x=qx + 10, y=ay + 45)
     elif "reminders" in ql:
         if r < 0.3:
@@ -331,7 +340,7 @@ def _gen_answer(
             pb.add_highlight(qx + 30, ay, "Yes" if rng.random() < 0.5 else "No")
     else:
         n = rng.randint(1, 3)
-        words = [rng.choice(_ANSWER_WORDS) for _ in range(n)]
+        words = [rng.choice(answer_words) for _ in range(n)]
         pb.add_line(words, x=qx + 10, y=ay)
         if rng.random() < 0.15:
             # duplicate consecutive line (exercises D6 collapse)

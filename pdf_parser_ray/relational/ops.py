@@ -1,0 +1,668 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+Each query here exists to exercise one engine capability (filter,
+projection, grouped aggregation with partial combine, sort/top-k,
+distinct, broadcast join, partitioned hash join, semi/anti join,
+windowed aggregation, sessionization, as-of join) as an idiomatic Ray
+Data pipeline, paired with an ANSI-SQL oracle (see ``ORACLE_SQL``) the
+driver runs on DuckDB.
+
+Design rules:
+
+* **Prune at the read** — every ``read_parquet`` passes ``columns=``.
+* **Exact arithmetic** — money flows as integer cents
+  (``round(x*100)``; prices/discounts carry exactly two decimals), so
+  distributed sums are order-independent and hash-identical to the
+  oracle. Float sums would differ in the last ulp across block orders.
+* **Broadcast the small side** — dimension tables ride to workers as
+  plain dicts captured in the batch fn (Ray serializes them once per
+  task/actor, the object store dedupes); no shuffle.
+* **Pre-aggregate before the shuffle** — per-batch partial combine
+  inside ``map_batches``, then a small ``groupby`` over partials.
+* **Salt nothing silently** — the partitioned hash join shows the
+  explicit bucket pattern used when both sides are large.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """double dollars → exact int64 cents (values carry 2 decimals)."""
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    return pa.array(np.rint(np_arr * 100).astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Q1 — grouped aggregation with partial per-batch combine (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """lineitem → per (returnflag, linestatus): counts and exact cent
+    sums. Partial aggregation happens inside ``map_batches`` (one row
+    per key per batch), so the shuffle moves O(keys × blocks) rows, not
+    O(rows) — the pattern that keeps a 100 TB groupby cheap."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        disc_price = price_c * (100 - disc_c)  # cents × 100, exact
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "qty": qty,
+                "price_c": price_c,
+                "disc_price_c2": disc_price,
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("qty", "sum"),
+                sum_base_cents=("price_c", "sum"),
+                sum_disc_cents2=("disc_price_c2", "sum"),
+                count_order=("qty", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents2", alias_name="sum_disc_cents2"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    return out
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_cents2,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — vectorized filter + projection (predicate inside map_batches)
+# ---------------------------------------------------------------------------
+
+def q_filter_project(sf_dir: str):
+    """Shipped-1995+ large lineitems with exact revenue cents; the
+    filter is a pyarrow kernel inside map_batches (not per-row
+    ``ds.filter``)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    cutoff = pa.scalar(np.datetime64("1995-01-01", "us"), pa.timestamp("us"))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], cutoff),
+            pc.greater(batch["l_quantity"], 30.0),
+        )
+        t = batch.filter(mask)
+        price_c = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = pa.array(price_c * (100 - disc_c))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue_cents2": rev,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+_SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS revenue_cents2
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — global sort + top-k
+# ---------------------------------------------------------------------------
+
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "total_cents": _cents(batch["o_totalprice"]),
+                "o_orderdate": batch["o_orderdate"],
+            }
+        )
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    return ds.sort(["total_cents", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+_SQL_TOP_ORDERS = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents, o_orderdate
+FROM orders
+ORDER BY total_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 — distinct over two columns
+# ---------------------------------------------------------------------------
+
+def q_distinct_flags(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    from ray.data.aggregate import Count
+
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="_n"))
+    return out.select_columns(["l_returnflag", "l_linestatus"])
+
+
+_SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# Q5 — broadcast join chain (dimension tables ride with the task)
+# ---------------------------------------------------------------------------
+
+def q_region_customers(sf_dir: str):
+    """customer ⋈ nation ⋈ region (both dims tiny) → customers per
+    region. The dims are read once on the driver and captured in the
+    batch fn — a broadcast join; the only shuffle is the final tiny
+    groupby over per-batch partials."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    nk_to_rk = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    rk_to_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nk_to_name = {nk: rk_to_name[rk] for nk, rk in nk_to_rk.items()}
+
+    ds = _read(sf_dir, "customer", ["c_nationkey"])
+
+    max_nk = max(nk_to_name) if nk_to_name else 0
+    lut = np.array([nk_to_name.get(i, "") for i in range(max_nk + 1)], dtype=object)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = lut[nk]
+        vc = pd.Series(names).value_counts()
+        return pa.table(
+            {"r_name": pa.array(vc.index.astype(str)), "n_customers": pa.array(vc.values.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"))
+
+
+_SQL_REGION_CUSTOMERS = """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 — partitioned hash join (both sides "large"): explicit bucket join
+# ---------------------------------------------------------------------------
+
+def q_segment_revenue(sf_dir: str, n_buckets: int = 16):
+    """orders ⋈ customer on custkey → revenue per market segment.
+
+    The explicit bucket pattern: both sides gain ``bucket =
+    key % B``; per-bucket groups join pairwise inside ``map_groups``.
+    At cluster scale B is sized so one bucket's build side fits a
+    worker's heap, and hot keys get salted into sub-buckets; here the
+    key is near-uniform so no salting is needed (documented
+    partitioning assumption)."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["o_custkey"],
+                "total_cents": _cents(b["o_totalprice"]),
+                "bucket": pc.cast(
+                    pc.bit_wise_and(b["o_custkey"], n_buckets - 1), pa.int64()
+                ),
+                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+                "seg": pa.nulls(b.num_rows, pa.string()),
+            }
+        )
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["c_custkey"],
+                "total_cents": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "bucket": pc.cast(
+                    pc.bit_wise_and(b["c_custkey"], n_buckets - 1), pa.int64()
+                ),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                "seg": b["c_mktsegment"],
+            }
+        )
+
+    both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
+        customer.map_batches(prep_cust, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        build = g[g["side"] == 1][["key", "seg"]]
+        probe = g[g["side"] == 0][["key", "total_cents"]]
+        j = probe.merge(build, on="key", how="inner")
+        out = j.groupby("seg", as_index=False)["total_cents"].sum()
+        out.columns = ["c_mktsegment", "revenue_cents"]
+        return out
+
+    from ray.data.aggregate import Sum
+
+    per_bucket = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    return per_bucket.groupby("c_mktsegment").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents")
+    )
+
+
+_SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7/Q8 — semi / anti join via broadcast key set
+# ---------------------------------------------------------------------------
+
+def _customer_order_filter(sf_dir: str, keep_with_orders: bool, min_total: float | None = None):
+    import pyarrow.parquet as pq
+
+    cols = ["o_custkey"] + (["o_totalprice"] if min_total is not None else [])
+    okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=cols)
+    if min_total is not None:
+        okeys = okeys.filter(pc.greater(okeys["o_totalprice"], min_total))
+    keyset = set(okeys["o_custkey"].to_pylist())
+    key_arr = np.array(sorted(keyset), dtype=np.int64)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(key_arr, ck)
+        idx = np.clip(idx, 0, len(key_arr) - 1)
+        present = key_arr[idx] == ck if len(key_arr) else np.zeros(len(ck), bool)
+        mask = present if keep_with_orders else ~present
+        t = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "acctbal_cents": _cents(t["c_acctbal"]),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+def q_customers_with_orders(sf_dir: str):
+    """Semi join: broadcast the (sorted) order-custkey set; membership
+    test is a vectorized searchsorted — no shuffle."""
+    return _customer_order_filter(sf_dir, True)
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti join: customers with no order above $450k — same broadcast
+    key-set pattern, negated mask (the filter keeps the broadcast side
+    small and the result non-empty at every sf)."""
+    return _customer_order_filter(sf_dir, False, min_total=450000.0)
+
+
+_SQL_SEMI = """
+SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+_SQL_ANTI = """
+SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — event aggregation (count / exact cent sum / min / max)
+# ---------------------------------------------------------------------------
+
+def q_events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value_cents": _cents(batch["value"]),
+            }
+        )
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+            Min("value_cents", alias_name="min_value_cents"),
+            Max("value_cents", alias_name="max_value_cents"),
+        )
+    )
+
+
+_SQL_EVENTS_BY_TYPE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       CAST(MIN(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS min_value_cents,
+       CAST(MAX(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS max_value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — tumbling window aggregate (event-time hour buckets)
+# ---------------------------------------------------------------------------
+
+def q_hourly_events(sf_dir: str):
+    """Tumbling 1-hour window per event type. Ray Data has no
+    event-time windows; the window IS the group key (epoch-hour int),
+    computed vectorized — the batch-engine expression of a streaming
+    windowed aggregate (SURVEY.md §2.11 note)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        return pa.table({"event_type": batch["event_type"], "hour_bucket": hour})
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+_SQL_HOURLY = """
+SELECT event_type,
+       CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — sessionization via groupby().map_groups (ordered per-key scan)
+# ---------------------------------------------------------------------------
+
+def q_user_sessions(sf_dir: str, gap_s: int = 1800):
+    """Per-user session count with a 30-minute inactivity gap. The
+    per-key ordered scan runs inside ``map_groups`` (pandas sort within
+    the group); the shuffle key is user_id. Ordering assumption: ties
+    on ts break by event_id — stated here and in the oracle."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    gap_us = gap_s * 1_000_000
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64")
+        gaps = us.diff()
+        n_sessions = int(1 + (gaps > gap_us).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": np.array([len(g)], dtype=np.int64),
+                "n_sessions": np.array([n_sessions], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
+_SQL_SESSIONS = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(1 + SUM(CASE WHEN prev_us IS NOT NULL AND epoch_us(ts) - prev_us > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+    SELECT user_id, ts,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+)
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — top-N customers by order count (groupby → sort → limit)
+# ---------------------------------------------------------------------------
+
+def q_top_customers(sf_dir: str, n: int = 10):
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": batch["o_custkey"], "total_cents": _cents(batch["o_totalprice"])}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
+    )
+    return agg.sort(["n_orders", "total_cents", "o_custkey"], descending=[True, True, False]).limit(n)
+
+
+_SQL_TOP_CUSTOMERS = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_custkey
+ORDER BY n_orders DESC, total_cents DESC, o_custkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — built-in Dataset.join (hash-partitioned) : lineitem ⋈ part
+# ---------------------------------------------------------------------------
+
+def q_brand_revenue(sf_dir: str):
+    """lineitem ⋈ part via ``Dataset.join`` (Ray's hash-partitioned
+    join operator — the managed counterpart of Q6's explicit bucket
+    pattern), then revenue per brand."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "revenue_cents2": pa.array(price_c * (100 - disc_c)),
+            }
+        )
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+    from ray.data.aggregate import Sum
+
+    return joined.groupby("p_brand").aggregate(Sum("revenue_cents2", alias_name="revenue_cents2"))
+
+
+_SQL_BRAND_REVENUE = """
+SELECT p_brand,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cents2
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 — as-of join (latest order date at or before each event)
+# ---------------------------------------------------------------------------
+
+def q_last_order_before_event(sf_dir: str):
+    """For each event, the most recent order date of the same customer
+    at or before the event time. Orders (small side) broadcast as
+    per-key sorted arrays; the probe is a vectorized searchsorted per
+    batch — the as-of join pattern for a small build side. With two
+    large sides this becomes bucket-partitioned ``merge_asof`` inside
+    ``map_groups``."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    ck = orders["o_custkey"].to_numpy(zero_copy_only=False)
+    od = orders["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order_idx = np.lexsort((od, ck))
+    ck_sorted, od_sorted = ck[order_idx], od[order_idx]
+    # per-key slices
+    uniq, starts = np.unique(ck_sorted, return_index=True)
+    ends = np.append(starts[1:], len(ck_sorted))
+    slices = {int(k): (int(s), int(e)) for k, s, e in zip(uniq, starts, ends)}
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out = np.full(len(uid), np.iinfo(np.int64).min, dtype=np.int64)
+        has = np.zeros(len(uid), dtype=bool)
+        for i in range(len(uid)):
+            sl = slices.get(int(uid[i]))
+            if sl is None:
+                continue
+            s, e = sl
+            j = np.searchsorted(od_sorted[s:e], ts[i], side="right")
+            if j > 0:
+                out[i] = od_sorted[s + j - 1]
+                has[i] = True
+        import pandas as pd
+
+        date_arr = pa.array(
+            pd.Series(out.view("datetime64[us]")).where(pd.Series(has), pd.NaT),
+            type=pa.timestamp("us"),
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "last_order_date": date_arr,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+_SQL_ASOF = """
+SELECT e.event_id, e.user_id,
+       (SELECT MAX(o.o_orderdate) FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_order_date
+FROM events e
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "filter_project": q_filter_project,
+    "top_orders": q_top_orders,
+    "distinct_flags": q_distinct_flags,
+    "region_customers": q_region_customers,
+    "segment_revenue": q_segment_revenue,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "events_by_type": q_events_by_type,
+    "hourly_events": q_hourly_events,
+    "user_sessions": q_user_sessions,
+    "top_customers": q_top_customers,
+    "brand_revenue": q_brand_revenue,
+    "last_order_before_event": q_last_order_before_event,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": _SQL_PRICING,
+    "filter_project": _SQL_FILTER_PROJECT,
+    "top_orders": _SQL_TOP_ORDERS,
+    "distinct_flags": _SQL_DISTINCT,
+    "region_customers": _SQL_REGION_CUSTOMERS,
+    "segment_revenue": _SQL_SEGMENT_REVENUE,
+    "customers_with_orders": _SQL_SEMI,
+    "customers_without_orders": _SQL_ANTI,
+    "events_by_type": _SQL_EVENTS_BY_TYPE,
+    "hourly_events": _SQL_HOURLY,
+    "user_sessions": _SQL_SESSIONS,
+    "top_customers": _SQL_TOP_CUSTOMERS,
+    "brand_revenue": _SQL_BRAND_REVENUE,
+    "last_order_before_event": _SQL_ASOF,
+}

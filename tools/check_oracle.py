@@ -1,0 +1,108 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every ``__ray_entry__.queries()`` entry and its ``oracle_sql()``
+side by side on a chosen sf dir, compares row count, column names, and
+an order-insensitive value hash (columns sorted by name, rows sorted,
+values stringified with float rounding). Usage::
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == "float64" or df[c].dtype == "float32":
+            df[c] = df[c].round(6)
+    rows = sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False))
+    import hashlib
+
+    return hashlib.md5(str(rows).encode()).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            mine = to_pandas(fn(sf_dir))
+        except Exception as e:
+            print(f"[ERR ] {name}: query raised {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"[rows] {name}: {len(mine)} rows (no oracle)")
+            continue
+        try:
+            ref = con.sql(sql).df()
+        except Exception as e:
+            print(f"[ERR ] {name}: oracle raised {e}")
+            failures.append(name)
+            continue
+        ok_rows = len(mine) == len(ref)
+        ok_cols = sorted(mine.columns) == sorted(ref.columns)
+        ok_hash = ok_cols and canon(mine) == canon(ref)
+        status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        print(f"[{status}] {name}: rows {len(mine)}/{len(ref)} cols_ok={ok_cols} hash_ok={ok_hash}")
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_cols:
+                print("   mine:", list(mine.columns), " ref:", list(ref.columns))
+            else:
+                m = mine[sorted(mine.columns)].sort_values(sorted(mine.columns)).head(3)
+                r = ref[sorted(ref.columns)].sort_values(sorted(ref.columns)).head(3)
+                print("   mine:\n", m.to_string(), "\n   ref:\n", r.to_string())
+    ray.shutdown()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all checks passed")
+
+
+if __name__ == "__main__":
+    main()
