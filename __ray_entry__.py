@@ -89,4 +89,16 @@ def oracle_sql() -> dict[str, str]:
         out.update(EMBED)
     except ImportError:
         pass
+    try:
+        from pdf_parser_ray.stages.boilerplate import ORACLE_SQL as BOILER
+
+        out.update(BOILER)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.stages.media import ORACLE_SQL as MEDIA
+
+        out.update(MEDIA)
+    except ImportError:
+        pass
     return out

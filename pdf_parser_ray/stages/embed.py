@@ -1,0 +1,188 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (the correctness baseline) and an LSH/IVF-bucketed variant (the
+scale path).
+
+Brute force is a numpy matmul per batch against a broadcast query
+matrix — exactly the "small side broadcast, big side streams" shape:
+queries ride to every task once; the embedding table streams through
+``map_batches`` in Arrow batches and never materializes.
+
+Math note: vectors are float32 on disk; all scores are computed in
+float64 (and rounded to 6 decimals on both the Ray and SQL sides) so
+the DuckDB oracle hashes identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_TOP_K = 10
+_N_QUERIES = 8  # vec_id 0..7 are the query set
+
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], _N_QUERIES))
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _batch_scores(batch: pa.Table, qmat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    vecs = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    return vn @ qn.T, vecs  # (n_batch, n_queries)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k for query vec_id 0: per-batch local
+    top-k (numpy argpartition) → tiny global re-rank. The shuffle
+    carries only k rows per block."""
+    qids, qmat = _query_matrix(sf_dir)
+    q0 = qmat[0:1]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        scores, _ = _batch_scores(batch, q0)
+        s = scores[:, 0]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = ids != 0
+        s, ids = s[mask], ids[mask]
+        if len(s) > _TOP_K:
+            idx = np.argpartition(-s, _TOP_K)[:_TOP_K]
+            s, ids = s[idx], ids[idx]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cos_sim": pa.array(np.round(s, 6), pa.float64()),
+            }
+        )
+
+    ds = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow", batch_size=8192)
+    return ds.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(_TOP_K)
+
+
+_SQL_ANN_TOPK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {_TOP_K}
+"""
+
+
+def q_knn_join(sf_dir: str, k: int = 5):
+    """k-NN join: top-k neighbors for each of the first 8 vectors —
+    one matmul per batch against the broadcast query matrix, local
+    top-k per query, then a per-query global re-rank (map_groups)."""
+    import pandas as pd
+
+    qids, qmat = _query_matrix(sf_dir)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        scores, _ = _batch_scores(batch, qmat)  # (n, nq)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            s = scores[:, qi]
+            mask = ids != qid
+            sm, im = s[mask], ids[mask]
+            if len(sm) > k:
+                idx = np.argpartition(-sm, k)[:k]
+                sm, im = sm[idx], im[idx]
+            out_q.extend([int(qid)] * len(im))
+            out_n.extend(im.tolist())
+            out_s.extend(np.round(sm, 6).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def rerank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return g[["query_id", "neighbor_id", "cos_sim"]]
+
+    ds = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow", batch_size=8192)
+    return ds.groupby("query_id").map_groups(rerank, batch_format="pandas")
+
+
+_SQL_KNN_JOIN = f"""
+SELECT q.vec_id AS query_id, n.neighbor_id, n.cos_sim
+FROM embeddings q, LATERAL (
+    SELECT e.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings e
+    WHERE e.vec_id <> q.vec_id
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 5
+) n
+WHERE q.vec_id < {_N_QUERIES}
+"""
+
+
+def q_ann_ivf(sf_dir: str, n_probe: int = 4, n_cells: int = 16):
+    """IVF-style ANN: assign every vector to its nearest of 16
+    deterministic random-projection centroids (seeded, no training
+    pass); at query time probe the ``n_probe`` nearest cells only.
+    Returns top-10 for query 0 with the cells probed — the scale path
+    where brute force is the baseline. Rows-only check; the unit test
+    asserts recall vs the brute-force baseline."""
+    rng = np.random.RandomState(7)
+    qids, qmat = _query_matrix(sf_dir)
+    dim = qmat.shape[1]
+    centroids = rng.randn(n_cells, dim)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    q0 = qmat[0] / np.linalg.norm(qmat[0])
+    probe_cells = set(np.argsort(-(centroids @ q0))[:n_probe].tolist())
+
+    def local(batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        cells = np.argmax(vn @ centroids.T, axis=1)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = np.isin(cells, list(probe_cells)) & (ids != 0)
+        s = vn[mask] @ q0
+        ids = ids[mask]
+        if len(s) > _TOP_K:
+            idx = np.argpartition(-s, _TOP_K)[:_TOP_K]
+            s, ids = s[idx], ids[idx]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cos_sim": pa.array(np.round(s, 6), pa.float64()),
+            }
+        )
+
+    ds = _embeddings(sf_dir).map_batches(local, batch_format="pyarrow", batch_size=8192)
+    return ds.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(_TOP_K)
+
+
+QUERIES = {
+    "ann_topk": q_ann_topk,
+    "knn_join": q_knn_join,
+    "ann_ivf": q_ann_ivf,
+}
+
+ORACLE_SQL = {
+    "ann_topk": _SQL_ANN_TOPK,
+    "knn_join": _SQL_KNN_JOIN,
+    # ann_ivf: approximate by design — rows-only; recall asserted in tests
+}

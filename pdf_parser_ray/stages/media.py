@@ -1,0 +1,114 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata;
+decode / feature-extract stages are actor-pool ``map_batches`` stages
+whose *plumbing* (schema, batch sizing, actor signature, output
+layout) is real while the codec itself is stubbed — the image/audio
+libraries are not in this container, so ``use_real_codecs=True``
+raises ``NotImplementedError`` at the exact point a production build
+would call the decoder.
+
+Batch-size note: binary rows are wide — the media stages default to
+small ``batch_size`` so batch × concurrency stays inside a worker's
+heap; blocks of large payloads should flow with
+``DataContext.target_max_block_size`` raised rather than split into
+absurdly small chunks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("media_type", pa.string()),
+        pa.field("payload", pa.large_binary()),
+    ]
+)
+
+
+def synth_media_corpus(sf_dir: str):
+    """Deterministic binary payloads derived from each document's text
+    (stand-in for real image bytes; built inside map_batches)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads = [(t or "").encode("utf-8") for t in texts]
+        types = ["image" if i % 3 else "audio" for i in ids]
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "media_type": types, "payload": payloads},
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+class MediaDecodeStub:
+    """Actor-pool decode/feature stage. ``__init__`` is where a real
+    build loads codecs/models once per actor; ``__call__`` extracts
+    per-payload features. The stub derives deterministic pseudo
+    dimensions from the payload; the real path raises at the decoder
+    call site."""
+
+    def __init__(self, use_real_codecs: bool = False):
+        self.use_real_codecs = use_real_codecs
+        if use_real_codecs:
+            # Production: import PIL / torchaudio / decord here.
+            raise NotImplementedError(
+                "real media codecs are not available in this environment; "
+                "run with use_real_codecs=False for the deterministic stub"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n_bytes = np.array([len(p) for p in payloads], dtype=np.int64)
+        sha = [hashlib.sha256(p).hexdigest() for p in payloads]
+        width = (n_bytes % 64 + 1).astype(np.int64)
+        height = (n_bytes % 48 + 1).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_type": batch["media_type"],
+                "n_bytes": pa.array(n_bytes),
+                "sha256": pa.array(sha, pa.string()),
+                "width": pa.array(width),
+                "height": pa.array(height),
+            }
+        )
+
+
+def q_media_features(sf_dir: str):
+    """Binary corpus → actor-pool decode stub → per-item features.
+    The sha256/width/height derivations are SQL-reproducible, giving
+    the media plumbing a full oracle even though decode is stubbed."""
+    ds = synth_media_corpus(sf_dir)
+    return ds.map_batches(
+        MediaDecodeStub,
+        fn_constructor_kwargs={"use_real_codecs": False},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+_SQL_MEDIA = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 <> 0 THEN 'image' ELSE 'audio' END AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(strlen(text) % 64 + 1 AS BIGINT) AS width,
+       CAST(strlen(text) % 48 + 1 AS BIGINT) AS height
+FROM documents
+"""
+
+QUERIES = {"media_features": q_media_features}
+ORACLE_SQL = {"media_features": _SQL_MEDIA}

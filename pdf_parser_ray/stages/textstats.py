@@ -1,0 +1,205 @@
+"""Text-analysis operators over the ``documents`` table: token
+counting, quality scoring, language ID, and document fingerprinting —
+the per-document text stages a large-scale training-data pipeline runs
+before/alongside extraction.
+
+All hot paths are vectorized pyarrow compute kernels (RE2 regexes —
+the same engine DuckDB uses, so the SQL oracles match exactly);
+the only per-row Python is the md5 fingerprint loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _docs(sf_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace tokens + a BPE-ish word/punct split)
+# ---------------------------------------------------------------------------
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_token_count(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ws = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())
+        bpe = pc.cast(pc.count_substring_regex(batch["text"], _BPE_ISH), pa.int64())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": ws, "n_subtokens": bpe}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+_SQL_TOKEN_COUNT = rf"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_subtokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / character-class ratios)
+# ---------------------------------------------------------------------------
+
+def q_quality_score(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        n_alpha = pc.cast(pc.count_substring_regex(batch["text"], "[A-Za-z]"), pa.int64())
+        n_digit = pc.cast(pc.count_substring_regex(batch["text"], "[0-9]"), pa.int64())
+        n_space = pc.cast(pc.count_substring_regex(batch["text"], r"\s"), pa.int64())
+        denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+        ratio = pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(denom, pa.float64()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_t": n_chars,
+                "n_alpha": n_alpha,
+                "n_digit": n_digit,
+                "n_space": n_space,
+                "alpha_ratio": ratio,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+_SQL_QUALITY = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_t,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+       CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+       CAST(length(regexp_extract_all(text, '\s')) AS BIGINT) AS n_space,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+         / CAST(GREATEST(length(text), 1) AS DOUBLE) AS alpha_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-profile heuristic; ties broken by fixed priority)
+# ---------------------------------------------------------------------------
+
+_LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|in|is|you|that|it|for)\b",
+    "es": r"\b(el|la|de|que|y|en|un|los|se|no)\b",
+    "de": r"\b(der|die|und|das|ist|nicht|ein|zu|mit|den)\b",
+    "fr": r"\b(le|les|des|et|est|une|dans|que|pour|pas)\b",
+}
+_LANG_PRIORITY = ["en", "es", "de", "fr"]
+
+
+def q_lang_id(sf_dir: str):
+    """N-gram/stopword language ID. Scores are RE2 stopword hit counts
+    per language profile; the argmax (priority order en>es>de>fr on
+    ties, 'und' when all zero) is fully reproducible in SQL."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        scores = {
+            lang: pc.cast(pc.count_substring_regex(low, pat), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            for lang, pat in _LANG_PATTERNS.items()
+        }
+        n = len(batch)
+        lang = np.full(n, "und", dtype=object)
+        best = np.zeros(n, dtype=np.int64)
+        for lg in reversed(_LANG_PRIORITY):
+            s = scores[lg]
+            take = s >= best
+            lang[take & (s > 0)] = lg
+            best = np.maximum(best, s)
+        # reversed-priority sweep with >= gives earliest-priority winner
+        cols = {"doc_id": batch["doc_id"], "lang_pred": pa.array(lang, pa.string())}
+        for lg in _LANG_PRIORITY:
+            cols[f"s_{lg}"] = pa.array(scores[lg])
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+_SQL_LANG = rf"""
+WITH s AS (
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["en"]}')) AS BIGINT) AS s_en,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["es"]}')) AS BIGINT) AS s_es,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["de"]}')) AS BIGINT) AS s_de,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["fr"]}')) AS BIGINT) AS s_fr
+    FROM documents
+)
+SELECT doc_id, s_en, s_es, s_de, s_fr,
+       CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+def md5_hex(values: list[str]) -> list[str]:
+    return [hashlib.md5((v or "").encode("utf-8")).hexdigest() for v in values]
+
+
+def q_fingerprint(sf_dir: str):
+    """Content fingerprint: md5 of the raw text plus a
+    whitespace-normalized variant (the canonical key exact dedup
+    partitions on)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        norm = [" ".join((t or "").split()) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fp": pa.array(md5_hex(texts)),
+                "fp_norm": pa.array(md5_hex(norm)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+_SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(text) AS fp,
+       md5(array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS fp_norm
+FROM documents
+"""
+
+
+QUERIES = {
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+}
+
+ORACLE_SQL = {
+    "token_count": _SQL_TOKEN_COUNT,
+    "quality_score": _SQL_QUALITY,
+    "lang_id": _SQL_LANG,
+    "fingerprint": _SQL_FINGERPRINT,
+}
