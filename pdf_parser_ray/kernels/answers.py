@@ -400,6 +400,15 @@ def augment_answers(
     # Strict horizontal pruning (V6 analog,
     # reference response_extractor.py:1450-1489): tokens of the page
     # filtered to the final window stand in for the re-OCR of the crop.
+    # Tokens are pre-sorted by (y, x) once; each window is a bisected
+    # y-slice + x filter (already in OCR reading order).
+    from bisect import bisect_left, bisect_right
+
+    toks_sorted = sorted(
+        (t for t in tokens if (t.get("text") or "").strip()),
+        key=lambda t: (int(t.get("y", 0)), int(t.get("x", 0))),
+    )
+    tok_ys = [int(t.get("y", 0)) for t in toks_sorted]
     for sec in matches:
         for q in sec.get("questions", []):
             aw = q.get("answer_window")
@@ -410,15 +419,13 @@ def augment_answers(
             y0, y1 = aw.get("y_start"), aw.get("y_end")
             if None in (x0, x1, y0, y1):
                 continue
-            in_window = [
-                t
-                for t in tokens
-                if (t.get("text") or "").strip()
-                and x0 <= int(t.get("x", 0)) <= x1
-                and y0 <= int(t.get("y", 0)) <= y1
+            lo = bisect_left(tok_ys, y0)
+            hi = bisect_right(tok_ys, y1)
+            kept_tokens = [
+                t["text"].strip()
+                for t in toks_sorted[lo:hi]
+                if x0 <= int(t.get("x", 0)) <= x1
             ]
-            in_window.sort(key=lambda t: (int(t.get("y", 0)), int(t.get("x", 0))))
-            kept_tokens = [t["text"].strip() for t in in_window]
             if not kept_tokens:
                 continue
             orig_tokens = ans.split()

@@ -31,25 +31,31 @@ def group_lines(tokens: Iterable[Token]) -> list[Line]:
     """
     lines: dict[tuple, Line] = {}
     for tok in tokens:
-        word = (tok.get("text") or "").strip()
+        text = tok.get("text") or ""
+        word = text.strip()
         if not word:
             continue
         key = (tok.get("block", 0), tok.get("par", 0), tok.get("line", 0))
         entry = lines.get(key)
-        w = {
-            "text": word,
-            "x": int(tok.get("x", 0)),
-            "y": int(tok.get("y", 0)),
-            "w": int(tok.get("w", 0)),
-            "h": int(tok.get("h", 0)),
-        }
+        if word is text:
+            # already-clean token dicts are reused as-is (never mutated
+            # downstream) — avoids one dict per token per grouping pass
+            w = tok
+        else:
+            w = {
+                "text": word,
+                "x": int(tok.get("x", 0)),
+                "y": int(tok.get("y", 0)),
+                "w": int(tok.get("w", 0)),
+                "h": int(tok.get("h", 0)),
+            }
         if entry is None:
             lines[key] = {
                 "block": key[0],
                 "par": key[1],
                 "line_num": key[2],
                 "words": [w],
-                "y": w["y"],
+                "y": int(w["y"]),
             }
         else:
             entry["words"].append(w)
@@ -67,23 +73,27 @@ def group_lines_with_height(tokens: Iterable[Token]) -> list[Line]:
     """
     lines: dict[tuple, Line] = {}
     for tok in tokens:
-        word = (tok.get("text") or "").strip()
+        text = tok.get("text") or ""
+        word = text.strip()
         if not word:
             continue
         key = (tok.get("block", 0), tok.get("par", 0), tok.get("line", 0))
-        w = {
-            "text": word,
-            "x": int(tok.get("x", 0)),
-            "y": int(tok.get("y", 0)),
-            "w": int(tok.get("w", 0)),
-            "h": int(tok.get("h", 0)),
-        }
+        if word is text:
+            w = tok
+        else:
+            w = {
+                "text": word,
+                "x": int(tok.get("x", 0)),
+                "y": int(tok.get("y", 0)),
+                "w": int(tok.get("w", 0)),
+                "h": int(tok.get("h", 0)),
+            }
         entry = lines.get(key)
         if entry is None:
-            lines[key] = {"words": [w], "y": w["y"], "h": w["h"]}
+            lines[key] = {"words": [w], "y": int(w["y"]), "h": int(w.get("h", 0))}
         else:
             entry["words"].append(w)
-            entry["h"] = max(entry["h"], w["h"])
+            entry["h"] = max(entry["h"], int(w.get("h", 0)))
     out = sorted(lines.values(), key=lambda ln: ln["y"])
     for ln in out:
         ln["words"].sort(key=lambda t: t["x"])

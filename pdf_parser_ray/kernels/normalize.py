@@ -99,7 +99,7 @@ class Expected:
     ``e != c.upper()`` per-character rule.
     """
 
-    __slots__ = ("expected_s", "i_mask", "_full", "_search", "_prefix")
+    __slots__ = ("expected_s", "i_mask", "_full", "_search", "_prefix", "_pat_src", "_nl_prefix")
 
     def __init__(self, text: str):
         t = _drop_control(text)
@@ -120,9 +120,11 @@ class Expected:
             else:
                 parts.append(re.escape(ch))
         pat = "".join(parts)
+        self._pat_src = pat
         self._full = re.compile(pat + r"\Z")
         self._search = re.compile(pat)
         self._prefix = re.compile(pat)
+        self._nl_prefix = None
 
     def equal(self, candidate: str) -> bool:
         """``flex_equal`` (reference ``response_extractor.py:65-76``)."""
@@ -141,6 +143,17 @@ class Expected:
         if not self.expected_s:
             return True
         return self._prefix.match(haystack) is not None
+
+    def prefix_positions(self, blob: str) -> list[int]:
+        """Char positions in a ``"\\n" + "\\n".join(tokens)`` blob where
+        a token *starts with* this expected string — one C-level regex
+        scan replacing a per-token Python ``startswith`` loop. Patterns
+        cannot cross token boundaries (``\\n`` matches no pattern
+        class), so each hit is a token-start prefix match, exactly the
+        set of candidate starts the matchers consider."""
+        if self._nl_prefix is None:
+            self._nl_prefix = re.compile(r"(?<=\n)" + self._pat_src)
+        return [m.start() for m in self._nl_prefix.finditer(blob)]
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Expected({self.expected_s!r})"

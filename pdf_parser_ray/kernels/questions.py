@@ -18,6 +18,7 @@ question half of ``match_sections_and_questions`` (reference
 
 from __future__ import annotations
 
+from bisect import bisect_left
 from typing import Any
 
 from .lines import Line, Token, group_lines, head_line_groups, offset_tokens
@@ -32,28 +33,67 @@ from ..core.constants import (
 Hit = dict[str, Any]
 
 
-def _best_span_in_line(words: list[dict], lbl_words: list[str]) -> tuple[int | None, int]:
+def _line_norms(line: Line) -> list[str]:
+    """Per-line cache of OCR-normalized token strings plus the
+    newline-joined blob/offsets used for C-level candidate scans.
+    Normalization is pure, so caching on the line dict is
+    semantics-preserving (the reference re-normalizes every probe)."""
+    norms = line.get("_norms")
+    if norms is None:
+        norms = [ocr_norm(w["text"]) for w in line["words"]]
+        offs = []
+        pos = 0
+        parts = []
+        for t in norms:
+            offs.append(pos + 1)
+            parts.append("\n")
+            parts.append(t)
+            pos += 1 + len(t)
+        line["_norms"] = norms
+        line["_blob"] = "".join(parts)
+        line["_offs"] = offs
+    return norms
+
+
+def _candidate_starts(line: Line, first_exp) -> list[int]:
+    """Token indices where the first expected word (or the merged
+    concat — whose prefix is the first word) can start. Equals the set
+    of start indices the reference's per-token loop can accept, found
+    with one regex scan instead of len(words) Python probes."""
+    _line_norms(line)
+    blob = line["_blob"]
+    offs = line["_offs"]
+    positions = first_exp.prefix_positions(blob)
+    if not positions:
+        return []
+    return [bisect_left(offs, p) for p in positions]
+
+
+def _best_span_in_line(
+    words: list[dict], lbl_words: list[str], line: Line | None = None
+) -> tuple[int | None, int]:
     """Reference ``response_extractor.py:365-397``."""
     exp_concat = expected(" ".join(lbl_words))
     exps = [expected(w) for w in lbl_words]
+    if line is not None:
+        norms = _line_norms(line)
+        candidates = _candidate_starts(line, exps[0])
+    else:
+        norms = [ocr_norm(w["text"]) for w in words]
+        candidates = [i for i in range(len(words)) if exps[0].startswith(norms[i])]
     best_start = None
     best_matched_here = 0
-    for start_idx in range(len(words)):
-        tok0_clean = ocr_norm(words[start_idx]["text"])
+    n = len(words)
+    for start_idx in candidates:
+        tok0_clean = norms[start_idx]
         if exp_concat.startswith(tok0_clean):
             return start_idx, len(lbl_words)
-        matched_here = 0
-        k = start_idx
-        for lbl_idx in range(len(lbl_words)):
-            if k >= len(words):
+        matched_here = 1  # first word matched by candidacy
+        k = start_idx + 1
+        for lbl_idx in range(1, len(lbl_words)):
+            if k >= n:
                 break
-            tok_clean = ocr_norm(words[k]["text"])
-            ok = (
-                exps[lbl_idx].startswith(tok_clean)
-                if lbl_idx == 0
-                else exps[lbl_idx].contains(tok_clean)
-            )
-            if ok:
+            if exps[lbl_idx].contains(norms[k]):
                 matched_here += 1
                 k += 1
             else:
@@ -66,7 +106,9 @@ def _best_span_in_line(words: list[dict], lbl_words: list[str]) -> tuple[int | N
     return best_start, best_matched_here
 
 
-def find_all_full_in_line(words: list[dict], lbl_words: list[str]) -> list[dict]:
+def find_all_full_in_line(
+    words: list[dict], lbl_words: list[str], line: Line | None = None
+) -> list[dict]:
     """All same-line full matches on one line
     (reference ``response_extractor.py:399-445``)."""
     segments: list[dict] = []
@@ -74,25 +116,26 @@ def find_all_full_in_line(words: list[dict], lbl_words: list[str]) -> list[dict]
         return segments
     exp_concat = expected(" ".join(lbl_words))
     exps = [expected(w) for w in lbl_words]
-    for start_idx in range(len(words)):
-        tok0_clean = ocr_norm(words[start_idx]["text"])
+    if line is not None:
+        norms = _line_norms(line)
+        candidates = _candidate_starts(line, exps[0])
+    else:
+        norms = [ocr_norm(w["text"]) for w in words]
+        candidates = [i for i in range(len(words)) if exps[0].startswith(norms[i])]
+    n = len(words)
+    for start_idx in candidates:
+        tok0_clean = norms[start_idx]
         if exp_concat.startswith(tok0_clean):
             seg_tokens = [words[start_idx]]
             segments.append(_segment(seg_tokens, len(lbl_words)))
             continue
-        matched_here = 0
-        k = start_idx
-        for lbl_idx in range(len(lbl_words)):
-            if k >= len(words):
+        matched_here = 1
+        k = start_idx + 1
+        for lbl_idx in range(1, len(lbl_words)):
+            if k >= n:
                 matched_here = 0
                 break
-            tok_clean = ocr_norm(words[k]["text"])
-            ok = (
-                exps[lbl_idx].startswith(tok_clean)
-                if lbl_idx == 0
-                else exps[lbl_idx].contains(tok_clean)
-            )
-            if ok:
+            if exps[lbl_idx].contains(norms[k]):
                 matched_here += 1
                 k += 1
             else:
@@ -124,7 +167,7 @@ def try_multiline(lines: list[Line], lbl_words_seq: list[str]) -> dict | None:
         words = line["words"]
         if not words:
             continue
-        best_start, matched_here = _best_span_in_line(words, lbl_words_seq)
+        best_start, matched_here = _best_span_in_line(words, lbl_words_seq, line=line)
         if matched_here == 0:
             continue
         start_x = words[best_start]["x"]
@@ -168,24 +211,20 @@ def try_multiline(lines: list[Line], lbl_words_seq: list[str]) -> dict | None:
                 line_tokens = lines[li]["words"]
                 if not line_tokens:
                     continue
+                lnorms = _line_norms(lines[li])
+                starters = _candidate_starts(lines[li], exp_next)
                 candidate_indices = [
-                    idx
-                    for idx, tok in enumerate(line_tokens)
-                    if abs(tok["x"] - x_ref) <= base_x_tolerance
-                    and exp_next.startswith(ocr_norm(tok["text"]))
+                    idx for idx in starters
+                    if abs(line_tokens[idx]["x"] - x_ref) <= base_x_tolerance
                 ]
                 if not candidate_indices:
-                    candidate_indices = [
-                        idx
-                        for idx, tok in enumerate(line_tokens)
-                        if exp_next.startswith(ocr_norm(tok["text"]))
-                    ]
+                    candidate_indices = starters
                 if not candidate_indices:
                     candidate_indices = [
                         idx
                         for idx, tok in enumerate(line_tokens)
                         if abs(tok["x"] - x_ref) <= base_x_tolerance
-                        and exp_next.contains(ocr_norm(tok["text"]))
+                        and exp_next.contains(lnorms[idx])
                     ]
                 if not candidate_indices:
                     continue
@@ -196,7 +235,7 @@ def try_multiline(lines: list[Line], lbl_words_seq: list[str]) -> dict | None:
                     k = ci
                     while k < len(line_tokens) and (curr_lbl_idx + matched_in_line) < n_lbl:
                         exp2 = expected(lbl_words_seq[curr_lbl_idx + matched_in_line])
-                        tok_clean = ocr_norm(line_tokens[k]["text"])
+                        tok_clean = lnorms[k]
                         ok2 = (
                             exp2.startswith(tok_clean)
                             if matched_in_line == 0
@@ -273,7 +312,7 @@ def match_questions_like_labels(
             continue
         seen_starts: set[tuple[int, int]] = set()
         for line in lines:
-            for seg in find_all_full_in_line(line["words"], q_words):
+            for seg in find_all_full_in_line(line["words"], q_words, line=line):
                 key = (int(seg["start_x"]), int(seg["line_y"]))
                 if key in seen_starts:
                     continue
@@ -341,6 +380,21 @@ def match_sections_and_questions(
             bands[name] = (anchor_y, next_anchor_bottom)
 
     page_lines = group_lines(tokens)
+    # Band-crop retries for questions in the same section share the
+    # same (y1, y2) crop; cache the cropped token list + line groups so
+    # each crop is built once per page, not once per missed question
+    # (the re-grouping is pure, so this is semantics-preserving).
+    crop_cache: dict[tuple[int, int], tuple[list[Token], list[Line]]] = {}
+
+    def cropped(y1c: int, y2c: int) -> tuple[list[Token], list[Line]]:
+        key = (y1c, y2c)
+        hit = crop_cache.get(key)
+        if hit is None:
+            band = crop_tokens(tokens, y1c, y2c)
+            hit = (band, group_lines(band))
+            crop_cache[key] = hit
+        return hit
+
     out: list[dict[str, Any]] = []
     for sec in sections:
         sec_name = sec["section_name"]
@@ -378,8 +432,8 @@ def match_sections_and_questions(
 
                 def try_crop(y2c_local: int) -> list[Hit]:
                     local_hits = []
-                    band = crop_tokens(tokens, y1c, y2c_local)
-                    bhits = match_questions_like_labels(band, [q]).get(q, [])
+                    band, band_lines = cropped(y1c, y2c_local)
+                    bhits = match_questions_like_labels(band, [q], lines=band_lines).get(q, [])
                     for bh in bhits:
                         bh["y"] = int(bh.get("y", 0)) + y1c
                         for seg in bh.get("segments", []):

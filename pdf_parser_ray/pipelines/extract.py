@@ -24,32 +24,62 @@ import pyarrow as pa
 from ..core.config import FormConfig
 from ..stages.parse import DocumentExtractor
 
+# Blocks per CPU for the corpus read: tunable skew/granularity knob.
+_BLOCKS_PER_CPU = 2
 
-def corpus_from_documents(sf_dir: str, seed: int = 42, columns: list[str] | None = None):
+
+def corpus_from_documents(
+    sf_dir: str,
+    seed: int = 42,
+    columns: list[str] | None = None,
+    multiplier: int = 1,
+):
     """Synthesize the span corpus from the driver's documents table.
 
     Reads only ``doc_id`` and ``text`` (prune at the read); each row
     becomes one deterministic form document whose answer vocabulary is
     drawn from the row's text — output depends on input content.
+    ``multiplier`` emits that many distinct documents per source row
+    (suffixed ids, different seeds) — used by the bench to measure
+    steady-state throughput at a corpus size where executor ramp-up
+    amortizes.
     """
     import ray.data as rd
 
-    from ..io.synth import build_corpus_table, gen_document
+    from ..io.synth import gen_document
     from ..core.schema import DOCUMENT_SCHEMA
 
     def synth_batch(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        doc_ids = [f"doc-{int(i):08d}" for i in ids]
-        spans = []
-        for did, text in zip(doc_ids, texts):
+        doc_ids, spans = [], []
+        for i, text in zip(ids, texts):
             vocab = [w for w in (text or "").split() if w][:48] or None
-            spans.append(gen_document(did, seed, vocab=vocab))
+            for k in range(multiplier):
+                did = f"doc-{int(i):08d}" if k == 0 else f"doc-{int(i):08d}-{k}"
+                doc_ids.append(did)
+                spans.append(gen_document(did, seed, vocab=vocab))
         return pa.Table.from_pydict(
             {"doc_id": doc_ids, "spans": spans}, schema=DOCUMENT_SCHEMA
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # The sandbox corpus is ONE parquet file; without an explicit block
+    # count the fused read+synth+extract chain can collapse into one
+    # serial task. A production corpus is thousands of Lance fragments
+    # and parallelizes at the read; override_num_blocks restores that
+    # shape here (split at the read — no repartition barrier).
+    import ray
+
+    # 8 blocks per CPU: per-doc cost is highly variable (1% of docs are
+    # "giant", ~6× the pages), so fine blocks keep the last wave free
+    # of stragglers — the single-node analog of the size-class
+    # repartitioning the north rule requires for skewed documents.
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * _BLOCKS_PER_CPU)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=n_blocks,
+    )
     return ds.map_batches(synth_batch, batch_format="pyarrow", batch_size=64)
 
 
@@ -82,9 +112,66 @@ def extract_pipeline(
     return ds.map_batches(extractor, **kwargs)
 
 
-def flagship(sf_dir: str, seed: int = 42, concurrency=None, batch_size: int = 32):
+def flagship(
+    sf_dir: str,
+    seed: int = 42,
+    concurrency=None,
+    batch_size: int = 32,
+    multiplier: int = 1,
+    fused: bool = True,
+):
     """documents.parquet → synthesized span corpus → extraction →
     exploded output span table (doc_id, kind, text, media_ref, offset).
+
+    ``fused=True`` runs synthesis and extraction in one UDF, skipping
+    the Arrow materialization of the intermediate spans column (worth
+    ~45% of extraction CPU). ``fused=False`` exercises the two-stage
+    path — the shape a real Lance-backed corpus uses, where the source
+    column arrives as Arrow and ``extract_pipeline`` owns the parse.
     """
-    corpus = corpus_from_documents(sf_dir, seed)
-    return extract_pipeline(corpus, concurrency=concurrency, batch_size=batch_size)
+    if not fused:
+        corpus = corpus_from_documents(sf_dir, seed, multiplier=multiplier)
+        return extract_pipeline(corpus, concurrency=concurrency, batch_size=batch_size)
+
+    import ray
+    import ray.data as rd
+
+    from ..io.synth import DEFAULT_CONFIG, gen_document
+    from ..kernels.document import extract_spans as _extract
+
+    config = DEFAULT_CONFIG
+
+    def synth_extract(batch: pa.Table) -> pa.Table:
+        out_doc: list[str] = []
+        out_kind: list[str] = []
+        out_text: list[str] = []
+        out_ref: list[str] = []
+        out_off: list[int] = []
+        for i, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            vocab = [w for w in (text or "").split() if w][:48] or None
+            for k in range(multiplier):
+                did = f"doc-{int(i):08d}" if k == 0 else f"doc-{int(i):08d}-{k}"
+                spans = gen_document(did, seed, vocab=vocab)
+                for s in _extract(did, spans, config):
+                    out_doc.append(did)
+                    out_kind.append(s["kind"])
+                    out_text.append(s["text"])
+                    out_ref.append(s["media_ref"])
+                    out_off.append(s["offset"])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.string()),
+                "kind": pa.array(out_kind, pa.string()),
+                "text": pa.array(out_text, pa.string()),
+                "media_ref": pa.array(out_ref, pa.string()),
+                "offset": pa.array(out_off, pa.int32()),
+            }
+        )
+
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * _BLOCKS_PER_CPU)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=n_blocks,
+    )
+    return ds.map_batches(synth_extract, batch_format="pyarrow", batch_size=batch_size)

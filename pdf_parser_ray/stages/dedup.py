@@ -75,24 +75,33 @@ def augmented_corpus(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
 
 
-def _with_fp(ds):
+def _with_fp(ds, n_buckets: int = 64):
+    """Add the content fingerprint and a coarse shuffle bucket (first
+    fp byte % n_buckets): the groupby partitions on the bucket, and the
+    per-fingerprint logic runs vectorized inside each partition —
+    hash-partition + per-group-first without per-tiny-group overhead."""
+
     def fn(batch: pa.Table) -> pa.Table:
         fps = [hashlib.md5((t or "").encode()).hexdigest() for t in batch["text"].to_pylist()]
-        return batch.append_column("fp", pa.array(fps))
+        buckets = np.array([int(f[:2], 16) % n_buckets for f in fps], dtype=np.int64)
+        return batch.append_column("fp", pa.array(fps)).append_column(
+            "fp_bucket", pa.array(buckets)
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
 
 
 def q_dedup_exact(sf_dir: str):
     """Exact dedup over the augmented corpus: hash-partition on the
-    content fingerprint, keep the minimum doc_id per group."""
+    content fingerprint (coarse bucket shuffle), keep the minimum
+    doc_id per fingerprint group."""
     ds = _with_fp(augmented_corpus(sf_dir))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.nsmallest(1, "doc_id")[["doc_id", "text"]]
-        return keep
+        idx = g.groupby("fp", sort=False)["doc_id"].idxmin()
+        return g.loc[idx, ["doc_id", "text"]]
 
-    return ds.groupby("fp").map_groups(keep_first, batch_format="pandas")
+    return ds.groupby("fp_bucket").map_groups(keep_first, batch_format="pandas")
 
 
 _SQL_DEDUP_EXACT = f"""
@@ -108,15 +117,20 @@ def q_dup_pairs_exact(sf_dir: str):
     ds = _with_fp(augmented_corpus(sf_dir))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-        return pd.DataFrame({"doc_a": np.array(a, dtype=np.int64),
-                             "doc_b": np.array(b, dtype=np.int64)})
+        out_a, out_b = [], []
+        for _fp, sub in g.groupby("fp", sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sorted(sub["doc_id"].tolist())
+            for i, x in enumerate(ids):
+                for y in ids[i + 1 :]:
+                    out_a.append(x)
+                    out_b.append(y)
+        return pd.DataFrame(
+            {"doc_a": np.array(out_a, dtype=np.int64), "doc_b": np.array(out_b, dtype=np.int64)}
+        )
 
-    return ds.groupby("fp").map_groups(pairs, batch_format="pandas")
+    return ds.groupby("fp_bucket").map_groups(pairs, batch_format="pandas")
 
 
 _SQL_DUP_PAIRS = f"""
@@ -200,18 +214,26 @@ def q_near_dup_pairs(sf_dir: str, threshold: float = 0.5):
     ds = augmented_corpus(sf_dir)
     bands = ds.map_batches(minhash_bands, batch_format="pyarrow", batch_size=4096)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-        return pd.DataFrame({"doc_a": np.array(a, dtype=np.int64),
-                             "doc_b": np.array(b, dtype=np.int64)})
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All candidate pairs within one band partition. Grouping by
+        band_id alone (16 coarse groups) keeps the shuffle coarse; the
+        fine band_hash bucketing happens vectorized inside pandas —
+        thousands of tiny ``map_groups`` groups would serialize on
+        per-group overhead."""
+        out_a, out_b = [], []
+        for _h, sub in g.groupby("band_hash", sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sorted(set(sub["doc_id"].tolist()))
+            for i, x in enumerate(ids):
+                for y in ids[i + 1 :]:
+                    out_a.append(x)
+                    out_b.append(y)
+        return pd.DataFrame(
+            {"doc_a": np.array(out_a, dtype=np.int64), "doc_b": np.array(out_b, dtype=np.int64)}
+        )
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    cand = bands.groupby("band_id").map_groups(band_pairs, batch_format="pandas")
 
     # distinct candidate pairs (same pair can fire in several bands)
     from ray.data.aggregate import Count
