@@ -1,0 +1,162 @@
+"""Resumable partitioned output with per-partition lineage + metrics
+(north rule: "resumable from checkpoint with per-partition lineage +
+metrics so a killed job resumes without reprocessing completed
+partitions").
+
+Layout::
+
+    out_dir/
+      part=00000/ data.parquet  manifest.json
+      part=00001/ ...
+      _manifest.json            # run-level summary (after completion)
+
+A partition is **done** iff its ``manifest.json`` exists — the write
+is atomic (tmp dir + rename), so a kill mid-partition leaves no
+manifest and the partition reruns. Partition ids derive from the
+*input* rows (md5 of the key column mod N), so a restarted run maps
+every row to the same partition and the completed set is a pure
+anti-join: partitions with manifests are dropped before any work runs.
+
+Per-partition ``manifest.json`` carries the lineage/metrics record:
+row/doc counts, the partition's input fingerprint, and the wall time —
+the queryable replacement for the reference's ``[WARN]/[MISS]`` stdout
+diagnostics (reference ``extractor.py:768,799,885``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _partition_of(keys: list[str], n_partitions: int) -> list[int]:
+    return [
+        int.from_bytes(hashlib.md5(str(k).encode()).digest()[:4], "big") % n_partitions
+        for k in keys
+    ]
+
+
+def done_partitions(out_dir: str) -> set[int]:
+    done = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.startswith("part=") and os.path.exists(
+            os.path.join(out_dir, name, "manifest.json")
+        ):
+            done.add(int(name.split("=", 1)[1]))
+    return done
+
+
+def resumable_write(
+    ds,
+    out_dir: str,
+    key: str = "doc_id",
+    n_partitions: int = 16,
+    fail_on: Callable[[int], bool] | None = None,
+) -> dict:
+    """Write ``ds`` to a resumable partitioned layout.
+
+    Rows route to ``md5(key) % n_partitions``; partitions already
+    bearing a manifest are filtered out *before* the shuffle, so a
+    resumed run reprocesses only missing partitions. ``fail_on`` is a
+    test hook: raise inside the writer for chosen partitions to
+    simulate a mid-run kill.
+
+    Returns the run summary {written: [...], skipped: [...]}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = done_partitions(out_dir)
+
+    def add_partition(batch: pa.Table) -> pa.Table:
+        parts = _partition_of(batch[key].to_pylist(), n_partitions)
+        batch = batch.append_column("_part", pa.array(parts, pa.int32()))
+        if done:
+            import numpy as np
+
+            mask = ~np.isin(np.array(parts, dtype=np.int32), list(done))
+            batch = batch.filter(pa.array(mask))
+        return batch
+
+    routed = ds.map_batches(add_partition, batch_format="pyarrow", batch_size=65536)
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["_part"].iloc[0])
+        if fail_on is not None and fail_on(pid):
+            raise RuntimeError(f"injected failure for partition {pid}")
+        t0 = time.time()
+        g = g.sort_values([key] + (["offset"] if "offset" in g.columns else []))
+        body = g.drop(columns=["_part"])
+        tmp = os.path.join(out_dir, f".tmp-part={pid:05d}-{os.getpid()}")
+        final = os.path.join(out_dir, f"part={pid:05d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
+                       os.path.join(tmp, "data.parquet"))
+        fingerprint = hashlib.md5(
+            ",".join(sorted(set(map(str, g[key])))).encode()
+        ).hexdigest()
+        manifest = {
+            "partition": pid,
+            "n_rows": int(len(g)),
+            "n_keys": int(g[key].nunique()),
+            "input_fingerprint": fingerprint,
+            "wall_sec": round(time.time() - t0, 4),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        return pd.DataFrame({"partition": [pid], "n_rows": [len(g)]})
+
+    written = routed.groupby("_part").map_groups(write_group, batch_format="pandas")
+    written_parts = sorted(int(p) for p in written.to_pandas()["partition"])
+    summary = {
+        "written": written_parts,
+        "skipped": sorted(done),
+        "n_partitions": n_partitions,
+    }
+    all_done = done_partitions(out_dir)
+    if len(all_done) == n_partitions or set(range(n_partitions)) <= all_done:
+        with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "n_partitions": n_partitions,
+                    "partitions": sorted(all_done),
+                    "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                },
+                f,
+            )
+    return summary
+
+
+def read_output(out_dir: str):
+    """Read a resumable layout back as one Dataset."""
+    import ray.data as rd
+
+    paths = [
+        os.path.join(out_dir, name, "data.parquet")
+        for name in sorted(os.listdir(out_dir))
+        if name.startswith("part=")
+    ]
+    return rd.read_parquet(paths)
+
+
+def partition_metrics(out_dir: str) -> pd.DataFrame:
+    """The lineage/metrics table: one row per completed partition."""
+    rows = []
+    for name in sorted(os.listdir(out_dir)):
+        mpath = os.path.join(out_dir, name, "manifest.json")
+        if name.startswith("part=") and os.path.exists(mpath):
+            with open(mpath) as f:
+                rows.append(json.load(f))
+    return pd.DataFrame(rows)

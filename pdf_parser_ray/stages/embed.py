@@ -138,7 +138,7 @@ WHERE q.vec_id < {_N_QUERIES}
 """
 
 
-def q_ann_ivf(sf_dir: str, n_probe: int = 4, n_cells: int = 16):
+def q_ann_ivf(sf_dir: str, n_probe: int = 8, n_cells: int = 16):
     """IVF-style ANN: assign every vector to its nearest of 16
     deterministic random-projection centroids (seeded, no training
     pass); at query time probe the ``n_probe`` nearest cells only.

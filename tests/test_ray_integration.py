@@ -1,0 +1,200 @@
+"""Ray-level integration tests: parse stage, flagship/entry smoke,
+resumable checkpoint semantics, ANN recall. One Ray session per pytest
+run (see conftest)."""
+
+import os
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    yield
+
+
+class TestParseStage:
+    def test_actor_pool_matches_kernel(self):
+        import ray.data as rd
+
+        from pdf_parser_ray.io.synth import DEFAULT_CONFIG, build_corpus_table, gen_document
+        from pdf_parser_ray.kernels.document import extract_spans
+        from pdf_parser_ray.stages.parse import DocumentExtractor
+
+        ids = [f"doc-{i:08d}" for i in range(6)]
+        tbl = build_corpus_table(ids, 42)
+        ds = rd.from_arrow(tbl).map_batches(
+            DocumentExtractor,
+            fn_constructor_kwargs={"config": DEFAULT_CONFIG},
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=2,
+            num_cpus=1,
+        )
+        got = ds.to_pandas().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+        for doc_id in ids:
+            expected = extract_spans(doc_id, gen_document(doc_id, 42), DEFAULT_CONFIG)
+            sub = got[got["doc_id"] == doc_id]
+            assert [
+                (r.kind, r.text, r.media_ref, r.offset) for r in sub.itertuples()
+            ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in expected]
+
+
+class TestEntry:
+    def test_entry_smoke(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as e
+
+        ds = e.entry()
+        df = ds.to_pandas()
+        assert len(df) > 0
+        assert list(df.columns) == ["doc_id", "kind", "text", "media_ref", "offset"]
+
+    def test_fused_equals_two_stage(self):
+        from pdf_parser_ray.pipelines.extract import flagship
+
+        fused = flagship(SF).to_pandas().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+        staged = (
+            flagship(SF, fused=False)
+            .to_pandas()
+            .sort_values(["doc_id", "offset"])
+            .reset_index(drop=True)
+        )
+        assert fused.equals(staged)
+
+
+class TestResumableWrite:
+    def test_kill_and_resume(self, tmp_path):
+        from pdf_parser_ray.io.checkpoint import (
+            done_partitions,
+            partition_metrics,
+            read_output,
+            resumable_write,
+        )
+        from pdf_parser_ray.pipelines.extract import flagship
+
+        out = str(tmp_path / "out")
+        ds = flagship(SF)
+
+        # First attempt: partitions >= 4 fail (simulated kill mid-run).
+        with pytest.raises(Exception):
+            resumable_write(ds, out, n_partitions=8, fail_on=lambda p: p >= 4)
+        done_first = done_partitions(out)
+        assert done_first and all(p < 4 for p in done_first)
+
+        # Resume: only missing partitions are written.
+        summary = resumable_write(flagship(SF), out, n_partitions=8)
+        assert set(summary["skipped"]) == done_first
+        assert set(summary["written"]) == set(range(8)) - done_first
+        assert done_partitions(out) == set(range(8))
+        assert os.path.exists(os.path.join(out, "_manifest.json"))
+
+        # Output equals an uninterrupted run.
+        clean = str(tmp_path / "clean")
+        resumable_write(flagship(SF), clean, n_partitions=8)
+        a = read_output(out).to_pandas().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+        b = read_output(clean).to_pandas().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+        assert a.equals(b)
+
+        # Lineage table: one manifest row per partition with counts.
+        m = partition_metrics(out)
+        assert len(m) == 8
+        assert m["n_rows"].sum() == len(a)
+
+
+class TestAnnRecall:
+    def test_ivf_recall_vs_brute_force(self):
+        # The sf embeddings are near-uniform random (mean intra-label
+        # cosine 0.14 vs 0.04 global), so cell membership barely
+        # correlates with the query: structurally, IVF recall ≈
+        # n_probe/n_cells (= 0.5 at 8/16). Deterministic seed → a
+        # stable floor; the clustered-data behavior is asserted in
+        # test_ivf_on_clustered_data.
+        from pdf_parser_ray.stages.embed import q_ann_ivf, q_ann_topk
+
+        brute = set(q_ann_topk(SF).to_pandas()["vec_id"])
+        ivf = set(q_ann_ivf(SF).to_pandas()["vec_id"])
+        recall = len(brute & ivf) / len(brute)
+        assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+    def test_ivf_on_clustered_data(self, tmp_path):
+        # On data with real cluster structure the bucketed path must
+        # recover nearly all true neighbors.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.stages.embed import q_ann_ivf, q_ann_topk
+
+        rng = np.random.RandomState(3)
+        centers = rng.randn(4, 64) * 3
+        vecs = np.concatenate(
+            [centers[i % 4] + rng.randn(1, 64) * 0.3 for i in range(400)]
+        ).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array([v for v in vecs.tolist()],
+                                      pa.list_(pa.float32())),
+                "label": pa.array([i % 4 for i in range(400)], pa.int32()),
+            }
+        )
+        d = tmp_path / "cluster_sf"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "embeddings.parquet"))
+        brute = set(q_ann_topk(str(d)).to_pandas()["vec_id"])
+        ivf = set(q_ann_ivf(str(d)).to_pandas()["vec_id"])
+        recall = len(brute & ivf) / len(brute)
+        assert recall >= 0.9, f"clustered IVF recall too low: {recall}"
+
+
+class TestBoilerplate:
+    def test_strip_recovers_content(self):
+        from pdf_parser_ray.stages.boilerplate import html_tokenize, strip_boilerplate
+
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        spans = html_tokenize(1, text)
+        assert any(s["kind"] == "link" for s in spans)
+        assert strip_boilerplate(spans) == text
+
+    def test_link_dense_block_dropped(self):
+        from pdf_parser_ray.stages.boilerplate import strip_boilerplate
+
+        spans = [
+            {"block": 1, "kind": "link", "text": "Home"},
+            {"block": 1, "kind": "link", "text": "About"},
+            {"block": 1, "kind": "word", "text": "x"},
+            {"block": 2, "kind": "word", "text": "real content words here now"},
+        ]
+        assert strip_boilerplate(spans) == "real content words here now"
+
+
+class TestMediaStub:
+    def test_real_codecs_raise(self):
+        from pdf_parser_ray.stages.media import MediaDecodeStub
+
+        with pytest.raises(NotImplementedError):
+            MediaDecodeStub(use_real_codecs=True)
+
+    def test_stub_features(self):
+        import pyarrow as pa
+
+        from pdf_parser_ray.stages.media import MediaDecodeStub
+
+        stub = MediaDecodeStub()
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "media_type": pa.array(["image"]),
+                "payload": pa.array([b"hello"], pa.large_binary()),
+            }
+        )
+        out = stub(batch)
+        assert out["n_bytes"].to_pylist() == [5]
+        assert out["width"].to_pylist() == [6]
