@@ -1,0 +1,47 @@
+"""Corpus sources: Lance first (the production format for interleaved
+text+media corpora), Parquet for the sandbox fixtures.
+
+Lance is the target north-star storage (fragment-parallel reads,
+column projection over wide media columns); the package is not in this
+container, so the Lance path gates behind an import-try and the
+Parquet path carries the tests. Both return one row per document in
+the ``(doc_id, spans)`` shape.
+"""
+
+from __future__ import annotations
+
+
+def read_corpus(path: str, columns: list[str] | None = None, override_num_blocks: int | None = None):
+    """Read a span corpus from a Lance dataset or a Parquet file/dir."""
+    import ray.data as rd
+
+    cols = columns or ["doc_id", "spans"]
+    if path.endswith(".lance") or path.endswith("/lance"):
+        try:
+            import lance  # noqa: F401
+
+            return rd.read_lance(path, columns=cols)
+        except ImportError as e:
+            raise ImportError(
+                "lance is not available in this environment; store the corpus "
+                "as parquet or install pylance"
+            ) from e
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return rd.read_parquet(path, columns=cols, **kwargs)
+
+
+def write_corpus(ds, path: str, min_rows_per_file: int | None = None):
+    """Write a span corpus; Parquet in the sandbox, Lance when present."""
+    if path.endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+
+            return ds.write_lance(path)
+        except ImportError as e:
+            raise ImportError("lance is not available; use a parquet path") from e
+    kwargs = {}
+    if min_rows_per_file is not None:
+        kwargs["min_rows_per_file"] = min_rows_per_file
+    return ds.write_parquet(path, **kwargs)

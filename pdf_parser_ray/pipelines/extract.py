@@ -112,6 +112,52 @@ def extract_pipeline(
     return ds.map_batches(extractor, **kwargs)
 
 
+def extract_pipeline_skew_aware(
+    ds,
+    config: FormConfig | None = None,
+    heavy_span_threshold: int = 600,
+    light_batch_size: int = 32,
+    heavy_batch_size: int = 2,
+):
+    """Size-class-aware parse: split the corpus into light and heavy
+    documents on span count (vectorized ``list_value_length``) and run
+    each class through its own parse stage with a batch size matched to
+    its per-row cost, then union the outputs.
+
+    This is the single-node expression of the size-class repartition
+    the north rule requires for skewed corpora (giant PDFs,
+    media-heavy pages): heavy rows never share a batch with thousands
+    of light rows, so no task becomes a straggler and worker heap stays
+    bounded. At cluster scale the same split keys a
+    ``repartition`` so heavy docs spread across nodes.
+    """
+    import pyarrow.compute as pc
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_spans", pc.cast(pc.list_value_length(batch["spans"]), pa.int32())
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=4096)
+
+    def keep(heavy: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = (
+                pc.greater(batch["n_spans"], heavy_span_threshold)
+                if heavy
+                else pc.less_equal(batch["n_spans"], heavy_span_threshold)
+            )
+            return batch.filter(mask).drop_columns(["n_spans"])
+
+        return fn
+
+    light = tagged.map_batches(keep(False), batch_format="pyarrow")
+    heavy = tagged.map_batches(keep(True), batch_format="pyarrow")
+    out_light = extract_pipeline(light, config, batch_size=light_batch_size)
+    out_heavy = extract_pipeline(heavy, config, batch_size=heavy_batch_size)
+    return out_light.union(out_heavy)
+
+
 def flagship(
     sf_dir: str,
     seed: int = 42,

@@ -198,3 +198,35 @@ class TestMediaStub:
         out = stub(batch)
         assert out["n_bytes"].to_pylist() == [5]
         assert out["width"].to_pylist() == [6]
+
+
+class TestSkewAware:
+    def test_skew_aware_equals_plain(self, tmp_path):
+        import ray.data as rd
+
+        from pdf_parser_ray.io.sources import read_corpus, write_corpus
+        from pdf_parser_ray.io.synth import build_corpus_table
+        from pdf_parser_ray.pipelines.extract import (
+            extract_pipeline,
+            extract_pipeline_skew_aware,
+        )
+
+        ids = [f"doc-{i:08d}" for i in range(30)]
+        tbl = build_corpus_table(ids, 42)
+        corpus_dir = str(tmp_path / "corpus")
+        write_corpus(rd.from_arrow(tbl), corpus_dir)
+
+        plain = (
+            extract_pipeline(read_corpus(corpus_dir))
+            .to_pandas()
+            .sort_values(["doc_id", "offset"])
+            .reset_index(drop=True)
+        )
+        skew = (
+            extract_pipeline_skew_aware(read_corpus(corpus_dir), heavy_span_threshold=120)
+            .to_pandas()
+            .sort_values(["doc_id", "offset"])
+            .reset_index(drop=True)
+        )
+        assert plain.equals(skew)
+        assert len(plain) > 0
