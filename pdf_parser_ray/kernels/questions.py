@@ -69,15 +69,58 @@ def _candidate_starts(line: Line, first_exp) -> list[int]:
     return [bisect_left(offs, p) for p in positions]
 
 
+class PageIndex:
+    """Page-level candidate index: all lines' normalized-token blobs
+    concatenated, so locating every possible start of a question is ONE
+    regex scan over the page instead of one per (question, line). The
+    candidate sets are identical to the per-line scans — lines appear
+    in list order in the blob, so iteration order is preserved."""
+
+    __slots__ = ("lines", "blob", "g_offs", "g_line", "g_tok")
+
+    def __init__(self, lines: list[Line]):
+        self.lines = lines
+        parts: list[str] = []
+        g_offs: list[int] = []
+        g_line: list[int] = []
+        g_tok: list[int] = []
+        pos = 0
+        for li, line in enumerate(lines):
+            _line_norms(line)
+            blob = line["_blob"]
+            for ti, off in enumerate(line["_offs"]):
+                g_offs.append(pos + off)
+                g_line.append(li)
+                g_tok.append(ti)
+            parts.append(blob)
+            pos += len(blob)
+        self.blob = "".join(parts)
+        self.g_offs = g_offs
+        self.g_line = g_line
+        self.g_tok = g_tok
+
+    def candidates(self, exp) -> dict[int, list[int]]:
+        """line_idx → [token_idx] of possible starts for ``exp``."""
+        out: dict[int, list[int]] = {}
+        for p in exp.prefix_positions(self.blob):
+            k = bisect_left(self.g_offs, p)
+            out.setdefault(self.g_line[k], []).append(self.g_tok[k])
+        return out
+
+
 def _best_span_in_line(
-    words: list[dict], lbl_words: list[str], line: Line | None = None
+    words: list[dict],
+    lbl_words: list[str],
+    line: Line | None = None,
+    candidates: list[int] | None = None,
 ) -> tuple[int | None, int]:
     """Reference ``response_extractor.py:365-397``."""
     exp_concat = expected(" ".join(lbl_words))
     exps = [expected(w) for w in lbl_words]
     if line is not None:
         norms = _line_norms(line)
-        candidates = _candidate_starts(line, exps[0])
+        if candidates is None:
+            candidates = _candidate_starts(line, exps[0])
     else:
         norms = [ocr_norm(w["text"]) for w in words]
         candidates = [i for i in range(len(words)) if exps[0].startswith(norms[i])]
@@ -107,7 +150,10 @@ def _best_span_in_line(
 
 
 def find_all_full_in_line(
-    words: list[dict], lbl_words: list[str], line: Line | None = None
+    words: list[dict],
+    lbl_words: list[str],
+    line: Line | None = None,
+    candidates: list[int] | None = None,
 ) -> list[dict]:
     """All same-line full matches on one line
     (reference ``response_extractor.py:399-445``)."""
@@ -118,7 +164,8 @@ def find_all_full_in_line(
     exps = [expected(w) for w in lbl_words]
     if line is not None:
         norms = _line_norms(line)
-        candidates = _candidate_starts(line, exps[0])
+        if candidates is None:
+            candidates = _candidate_starts(line, exps[0])
     else:
         norms = [ocr_norm(w["text"]) for w in words]
         candidates = [i for i in range(len(words)) if exps[0].startswith(norms[i])]
@@ -157,17 +204,34 @@ def _segment(seg_tokens: list[dict], count: int) -> dict:
     }
 
 
-def try_multiline(lines: list[Line], lbl_words_seq: list[str]) -> dict | None:
+def try_multiline(
+    lines: list[Line],
+    lbl_words_seq: list[str],
+    cand_by_line: dict[int, list[int]] | None = None,
+) -> dict | None:
     """Multiline question search over sibling y-groups
-    (reference ``response_extractor.py:450-570``)."""
+    (reference ``response_extractor.py:450-570``). ``cand_by_line``
+    (from :class:`PageIndex`) restricts the start-line scan to lines
+    that can match the first expected word — lines without a candidate
+    yield ``matched_here == 0`` in the reference loop and are skipped
+    there too."""
     base_x_tolerance = LABEL_MULTILINE_BASE_X_TOLERANCE
     max_lookahead = LABEL_MULTILINE_MAX_LOOKAHEAD
     n_lbl = len(lbl_words_seq)
-    for i, line in enumerate(lines):
+    if cand_by_line is not None:
+        start_iter = [(i, lines[i]) for i in sorted(cand_by_line)]
+    else:
+        start_iter = list(enumerate(lines))
+    for i, line in start_iter:
         words = line["words"]
         if not words:
             continue
-        best_start, matched_here = _best_span_in_line(words, lbl_words_seq, line=line)
+        best_start, matched_here = _best_span_in_line(
+            words,
+            lbl_words_seq,
+            line=line,
+            candidates=cand_by_line.get(i) if cand_by_line is not None else None,
+        )
         if matched_here == 0:
             continue
         start_x = words[best_start]["x"]
@@ -285,6 +349,7 @@ def match_questions_like_labels(
     page_height: int = 10000,
     next_page_head_lines: int = 5,
     lines: list[Line] | None = None,
+    page_index: "PageIndex | None" = None,
 ) -> dict[str, list[Hit]]:
     """Reference ``response_extractor.py:238-612``. Returns, per unique
     question text, the list of match hits ``{x, y, segments}``.
@@ -298,6 +363,7 @@ def match_questions_like_labels(
     if next_page_tokens is not None:
         next_lines = group_lines(offset_tokens(next_page_tokens, page_height))
         lines = lines + head_line_groups(next_lines, next_page_head_lines)
+        page_index = None  # appended head invalidates any passed index
 
     results: dict[str, list[Hit]] = {}
     unique_questions: list[str] = []
@@ -306,13 +372,18 @@ def match_questions_like_labels(
         if q not in seen_qtexts:
             unique_questions.append(q)
             seen_qtexts.add(q)
+    index = page_index if page_index is not None else PageIndex(lines)
     for q in unique_questions:
         q_words = [w for w in q.split() if w]
         if not q_words:
             continue
+        cand_by_line = index.candidates(expected(q_words[0]))
         seen_starts: set[tuple[int, int]] = set()
-        for line in lines:
-            for seg in find_all_full_in_line(line["words"], q_words, line=line):
+        for li in sorted(cand_by_line):
+            line = lines[li]
+            for seg in find_all_full_in_line(
+                line["words"], q_words, line=line, candidates=cand_by_line[li]
+            ):
                 key = (int(seg["start_x"]), int(seg["line_y"]))
                 if key in seen_starts:
                     continue
@@ -320,7 +391,7 @@ def match_questions_like_labels(
                 results.setdefault(q, []).append(
                     {"x": key[0], "y": key[1], "segments": [seg]}
                 )
-        hit = try_multiline(lines, q_words)
+        hit = try_multiline(lines, q_words, cand_by_line)
         if hit is not None:
             key = (int(hit["start"][0]), int(hit["start"][1]))
             if key not in seen_starts:
@@ -380,18 +451,20 @@ def match_sections_and_questions(
             bands[name] = (anchor_y, next_anchor_bottom)
 
     page_lines = group_lines(tokens)
+    page_idx = PageIndex(page_lines)
     # Band-crop retries for questions in the same section share the
-    # same (y1, y2) crop; cache the cropped token list + line groups so
-    # each crop is built once per page, not once per missed question
-    # (the re-grouping is pure, so this is semantics-preserving).
-    crop_cache: dict[tuple[int, int], tuple[list[Token], list[Line]]] = {}
+    # same (y1, y2) crop; cache the cropped token list + line groups +
+    # candidate index so each crop is built once per page, not once per
+    # missed question (regrouping is pure — semantics-preserving).
+    crop_cache: dict[tuple[int, int], tuple[list[Token], list[Line], PageIndex]] = {}
 
-    def cropped(y1c: int, y2c: int) -> tuple[list[Token], list[Line]]:
+    def cropped(y1c: int, y2c: int) -> tuple[list[Token], list[Line], PageIndex]:
         key = (y1c, y2c)
         hit = crop_cache.get(key)
         if hit is None:
             band = crop_tokens(tokens, y1c, y2c)
-            hit = (band, group_lines(band))
+            band_lines = group_lines(band)
+            hit = (band, band_lines, PageIndex(band_lines))
             crop_cache[key] = hit
         return hit
 
@@ -401,7 +474,7 @@ def match_sections_and_questions(
         qs = sec.get("questions") or []
         if not qs:
             continue
-        qhits = match_questions_like_labels(tokens, qs, lines=page_lines)
+        qhits = match_questions_like_labels(tokens, qs, lines=page_lines, page_index=page_idx)
         sec_hits: list[dict[str, Any]] = []
         claimed_by_q: dict[str, set[tuple[int, int]]] = {}
         yband = bands.get(sec_name)
@@ -432,8 +505,10 @@ def match_sections_and_questions(
 
                 def try_crop(y2c_local: int) -> list[Hit]:
                     local_hits = []
-                    band, band_lines = cropped(y1c, y2c_local)
-                    bhits = match_questions_like_labels(band, [q], lines=band_lines).get(q, [])
+                    band, band_lines, band_idx = cropped(y1c, y2c_local)
+                    bhits = match_questions_like_labels(
+                        band, [q], lines=band_lines, page_index=band_idx
+                    ).get(q, [])
                     for bh in bhits:
                         bh["y"] = int(bh.get("y", 0)) + y1c
                         for seg in bh.get("segments", []):

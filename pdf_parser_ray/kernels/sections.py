@@ -203,7 +203,10 @@ def detect_section_regions(
     matched words. The region grows downward while consecutive checkbox
     gaps stay ≤ ``max_gap``, plus a 50-px buffer.
     """
+    from .questions import PageIndex
+
     sorted_lines = group_lines(tokens)
+    page_idx = PageIndex(sorted_lines)
     anchor_x_threshold = int(0.10 * page_width)
     checkbox_y_positions = sorted(cb["y"] for cb in checkboxes)
     section_regions: dict[str, Region] = {}
@@ -215,7 +218,12 @@ def detect_section_regions(
         if not name_words:
             continue
         best_candidate = None  # (matched_count, start_y, start_x)
-        for i, line in enumerate(sorted_lines):
+        # Lines without a first-word (or merged-concat — its prefix IS
+        # the first word) candidate give matched_here == 0 in the
+        # reference loop; the page-level scan skips them outright.
+        cand_by_line = page_idx.candidates(expected(name_words[0]))
+        for i in sorted(cand_by_line):
+            line = sorted_lines[i]
             words = line.get("words", [])
             if not words:
                 continue
