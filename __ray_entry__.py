@@ -31,8 +31,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.relational.ops import QUERIES as REL
     from pdf_parser_ray.pipelines.extract import flagship
 
+    from pdf_parser_ray.pipelines.extract import extract_kind_stats
+
     out: dict[str, Callable[[str], Any]] = dict(REL)
     out["extract_spans"] = lambda sf_dir: flagship(sf_dir)
+    out["extract_kind_stats"] = extract_kind_stats
 
     try:
         from pdf_parser_ray.stages.textstats import QUERIES as TEXT

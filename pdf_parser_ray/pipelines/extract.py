@@ -112,6 +112,16 @@ def extract_pipeline(
     return ds.map_batches(extractor, **kwargs)
 
 
+def extract_kind_stats(sf_dir: str):
+    """Metrics rollup over the flagship output: span counts per output
+    kind — the queryable replacement for the reference's stdout
+    diagnostics (SURVEY.md §2.5 note), implemented as the standard
+    partial-agg pattern over the streaming output."""
+    from ray.data.aggregate import Count
+
+    return flagship(sf_dir).groupby("kind").aggregate(Count(alias_name="n_spans"))
+
+
 def extract_pipeline_skew_aware(
     ds,
     config: FormConfig | None = None,

@@ -175,14 +175,61 @@ def q_ann_ivf(sf_dir: str, n_probe: int = 8, n_cells: int = 16):
     return ds.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(_TOP_K)
 
 
+def q_embed_near_dup(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup pairs: every (a, b) with a < b and
+    cosine ≥ threshold. The full normalized matrix is broadcast (1 MB
+    here) and each streaming batch does one matmul against it — the
+    embedding-space member of the dedup family. At corpus scale the
+    broadcast side becomes LSH/IVF buckets (see :func:`q_ann_ivf`) so
+    only same-bucket pairs are scored; the per-batch matmul shape is
+    unchanged."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    all_n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        vecs = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        sims = vn @ all_n.T  # (batch, N)
+        hit_r, hit_c = np.where(sims >= threshold)
+        a = ids[hit_r]
+        b = all_ids[hit_c]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "cos_sim": pa.array(np.round(sims[hit_r, hit_c][keep], 6), pa.float64()),
+            }
+        )
+
+    return _embeddings(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+_SQL_EMBED_NEAR_DUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "knn_join": q_knn_join,
     "ann_ivf": q_ann_ivf,
+    "embed_near_dup": q_embed_near_dup,
 }
 
 ORACLE_SQL = {
     "ann_topk": _SQL_ANN_TOPK,
     "knn_join": _SQL_KNN_JOIN,
+    "embed_near_dup": _SQL_EMBED_NEAR_DUP,
     # ann_ivf: approximate by design — rows-only; recall asserted in tests
 }
