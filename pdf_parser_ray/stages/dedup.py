@@ -50,9 +50,15 @@ _AUG_SQL = f"""
 def augmented_corpus(sf_dir: str):
     """documents + exact copies (every 10th) + near copies (every 7th,
     first word rewritten). Pure per-row transform inside map_batches."""
+    import ray
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=n_blocks,
+    )
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -235,25 +241,44 @@ def q_near_dup_pairs(sf_dir: str, threshold: float = 0.5):
 
     cand = bands.groupby("band_id").map_groups(band_pairs, batch_format="pandas")
 
-    # distinct candidate pairs (same pair can fire in several bands)
-    from ray.data.aggregate import Count
+    # Verification needs the two texts per candidate pair. Candidates
+    # are few, so resolve texts for exactly the needed ids: read the
+    # base rows from the source table (predicate-filtered) and re-apply
+    # the deterministic augmentation rule — no second pass over the
+    # corpus. (At cluster scale: bucket-join candidates back to texts.)
+    # Distinct candidate pairs (the same pair fires in several bands):
+    # the candidate set is provably small (bounded by true near-dups ×
+    # bands), so the dedup is a driver-side drop_duplicates on the
+    # materialized pairs rather than another cluster-wide shuffle.
+    cand_tbl = cand.to_pandas().drop_duplicates(ignore_index=True)
+    needed = set(cand_tbl["doc_a"]) | set(cand_tbl["doc_b"])
+    base_needed = {i % _EXACT_BASE if i < _NEAR_BASE else i - _NEAR_BASE for i in needed}
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
 
-    cand = (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_a", "doc_b"])
-    )
+    base = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = base.filter(_pc.is_in(base["doc_id"], pa.array(sorted(base_needed), pa.int64())))
+    base_map = dict(zip(base["doc_id"].to_pylist(), base["text"].to_pylist()))
 
-    # broadcast id→text for verification
-    texts_tbl = augmented_corpus(sf_dir).to_pandas()
-    id_to_text = dict(zip(texts_tbl["doc_id"], texts_tbl["text"]))
+    def _text_of(doc_id: int) -> str:
+        if doc_id >= _NEAR_BASE:
+            t = base_map.get(doc_id - _NEAR_BASE, "")
+            parts = (t or "").split(" ", 1)
+            return "MUTATED" + (" " + parts[1] if len(parts) > 1 else "") if t else t
+        if doc_id >= _EXACT_BASE:
+            return base_map.get(doc_id - _EXACT_BASE, "")
+        return base_map.get(doc_id, "")
+
+    import ray.data as rd
+
+    cand = rd.from_pandas(cand_tbl)
 
     def verify(batch: pa.Table) -> pa.Table:
         da = batch["doc_a"].to_pylist()
         db = batch["doc_b"].to_pylist()
         keep_a, keep_b, keep_j = [], [], []
         for x, y in zip(da, db):
-            j = jaccard(id_to_text.get(x, ""), id_to_text.get(y, ""))
+            j = jaccard(_text_of(x), _text_of(y))
             if j >= threshold:
                 keep_a.append(x)
                 keep_b.append(y)

@@ -105,3 +105,19 @@ class TestFoldState:
             ]}], "responses": []}]}
         spans = flatten_to_spans(structured)
         assert [s["text"] for s in spans] == ["S", "A=ticked"]
+
+
+class TestGiantDoc:
+    def test_giant_doc_multi_page_fold(self):
+        """doc-00000041 draws the 'giant' knob (7 pages, section list
+        repeated ×6). The fold must stay bounded: once every configured
+        label/question is satisfied, later repeats are not searched and
+        produce no output (remaining-state bookkeeping,
+        extractor.py:998-1014/1065-1087) — so output size matches a
+        normal document's, not the input's."""
+        spans = gen_document("doc-00000041", 42)
+        n_pages = sum(1 for s in spans if s["kind"] == "page")
+        assert n_pages >= 5
+        out = extract_spans("doc-00000041", spans, DEFAULT_CONFIG)
+        assert 20 <= len(out) <= 60
+        assert [s["offset"] for s in out] == list(range(len(out)))
