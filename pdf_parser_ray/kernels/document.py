@@ -24,6 +24,7 @@ from .answers import augment_answers
 from .assign import assign_checkboxes_sectionwise
 from .boxes import deduplicate_matches
 from .labels import get_label_positions
+from .lines import group_lines
 from .questions import match_sections_and_questions
 from .sections import detect_section_regions
 from ..core.constants import ANCHOR_OFFSET_PX, DEFAULT_PAGE_HEIGHT, DEFAULT_PAGE_WIDTH
@@ -186,14 +187,19 @@ def extract_document(pages: list[Page], sections: list[dict]) -> dict[str, Any]:
             labels_to_search.extend(sorted(rem))
 
         next_tokens = pages[idx + 1]["tokens"] if idx + 1 < n_pages else None
+        # One line-grouping per page, shared by the label, section and
+        # question matchers (grouping is pure; the reference regroups
+        # in each — SURVEY.md M3 notes the five clones).
+        page_lines = group_lines(tokens)
         label_positions = get_label_positions(
             tokens,
             labels_to_search,
             next_page_tokens=next_tokens,
             page_height=page_h,
+            lines=page_lines,
         )
         section_regions = detect_section_regions(
-            tokens, sections, checkboxes, page_width=page_w
+            tokens, sections, checkboxes, page_width=page_w, lines=page_lines
         )
 
         # Update remaining labels from OCR presence in region
@@ -249,6 +255,7 @@ def extract_document(pages: list[Page], sections: list[dict]) -> dict[str, Any]:
             next_page_tokens=next_tokens,
             page_width=page_w,
             page_height=page_h,
+            lines=page_lines,
         )
         responses_data = augment_answers(
             matches,

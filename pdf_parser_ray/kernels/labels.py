@@ -131,13 +131,16 @@ def get_label_positions(
     next_page_tokens: list[Token] | None = None,
     page_height: int = 10000,
     next_page_head_lines: int = 5,
+    lines: list[Line] | None = None,
 ) -> dict[str, list[tuple[int, int]]]:
     """Locate label anchor positions (reference ``extractor.py:194-532``).
 
     ``tokens`` is this page's OCR token list (in OCR emission order —
     the single-line pass scans tokens in that order, exactly like the
     reference); ``next_page_tokens`` enables cross-page continuation
-    for labels not found in-page.
+    for labels not found in-page. ``lines`` may carry the page's
+    precomputed line groups (grouping is pure; sharing it across the
+    per-page matcher calls is semantics-preserving).
     """
     label_positions: dict[str, list[tuple[int, int]]] = {}
 
@@ -151,7 +154,8 @@ def get_label_positions(
         for t in tokens
         if (t.get("text") or "").strip()
     ]
-    lines = group_lines(tokens)
+    if lines is None:
+        lines = group_lines(tokens)
 
     # Pass 1: in-page search.
     for lbl in expected_labels:

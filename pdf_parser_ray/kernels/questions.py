@@ -422,6 +422,7 @@ def match_sections_and_questions(
     next_page_tokens: list[Token] | None = None,
     page_width: int = 2000,
     page_height: int = 3000,
+    lines: list[Line] | None = None,
 ) -> list[dict[str, Any]]:
     """Reference ``match_sections_and_questions``
     (``response_extractor.py:618-790``), regions-provided path (the
@@ -450,7 +451,7 @@ def match_sections_and_questions(
         else:
             bands[name] = (anchor_y, next_anchor_bottom)
 
-    page_lines = group_lines(tokens)
+    page_lines = lines if lines is not None else group_lines(tokens)
     page_idx = PageIndex(page_lines)
     # Band-crop retries for questions in the same section share the
     # same (y1, y2) crop; cache the cropped token list + line groups +
