@@ -69,6 +69,51 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_regress(args) -> int:
+    """Golden-file regression harness — the engine analog of the
+    reference's ``run_regression.py:75-165``: run the extractor over a
+    span corpus, compare each document's span sequence to the golden
+    file (strict (kind, text, media_ref, offset) equality), seed
+    missing goldens, ``--update`` to rewrite, exit 1 on failures."""
+    import os
+
+    _init_ray(args.num_cpus)
+    from .io.sources import read_corpus
+    from .pipelines.extract import extract_pipeline
+
+    out = extract_pipeline(read_corpus(args.corpus)).to_pandas()
+    got: dict[str, list] = {}
+    for doc_id, g in out.groupby("doc_id"):
+        g = g.sort_values("offset")
+        got[doc_id] = [
+            [r.kind, r.text, r.media_ref, int(r.offset)] for r in g.itertuples()
+        ]
+    goldens: dict[str, list] = {}
+    if os.path.exists(args.goldens):
+        with open(args.goldens) as f:
+            goldens = json.load(f)
+    failures, seeded = [], []
+    for doc_id, spans in sorted(got.items()):
+        if doc_id not in goldens or args.update:
+            if doc_id not in goldens:
+                seeded.append(doc_id)
+            goldens[doc_id] = spans
+            continue
+        if goldens[doc_id] != spans:
+            failures.append(doc_id)
+            print(f"[FAIL] {doc_id}: span sequence differs from golden")
+        else:
+            print(f"[PASS] {doc_id}")
+    if seeded or args.update:
+        with open(args.goldens, "w") as f:
+            json.dump(goldens, f, indent=1)
+        for d in seeded:
+            print(f"[SEED] {d}")
+    print(json.dumps({"passed": len(got) - len(failures) - len(seeded),
+                      "failed": len(failures), "seeded": len(seeded)}))
+    return 1 if failures else 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pdf_parser_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -84,6 +129,12 @@ def main(argv=None) -> int:
     pm = sub.add_parser("metrics", help="show per-partition lineage/metrics")
     pm.add_argument("--output", required=True)
     pm.set_defaults(fn=cmd_metrics)
+
+    pr = sub.add_parser("regress", help="golden-file regression over a corpus")
+    pr.add_argument("--corpus", required=True)
+    pr.add_argument("--goldens", required=True)
+    pr.add_argument("--update", action="store_true")
+    pr.set_defaults(fn=cmd_regress)
 
     ps = sub.add_parser("synth", help="generate a synthetic span corpus")
     ps.add_argument("--output", required=True)

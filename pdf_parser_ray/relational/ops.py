@@ -633,6 +633,46 @@ FROM events e
 """
 
 
+# ---------------------------------------------------------------------------
+# Q15 — semi-structured (JSON) field extraction + aggregate
+# ---------------------------------------------------------------------------
+
+def q_json_props(sf_dir: str):
+    """Parse the ``events.props`` JSON column and aggregate the ``k``
+    field per event type. Extraction is a vectorized RE2 kernel
+    (``pc.extract_regex``) — no per-row ``json.loads`` in the hot
+    path; the oracle uses DuckDB's JSON functions, so the comparison
+    also pins the parse itself."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], r'"k": (?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+
+_SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -648,6 +688,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "brand_revenue": q_brand_revenue,
     "last_order_before_event": q_last_order_before_event,
+    "json_props": q_json_props,
 }
 
 ORACLE_SQL = {
@@ -665,4 +706,5 @@ ORACLE_SQL = {
     "top_customers": _SQL_TOP_CUSTOMERS,
     "brand_revenue": _SQL_BRAND_REVENUE,
     "last_order_before_event": _SQL_ASOF,
+    "json_props": _SQL_JSON_PROPS,
 }
