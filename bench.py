@@ -106,7 +106,7 @@ def run_suite() -> dict:
     }
 
 
-def run_child(ncpu: int, trials: int = 2) -> dict:
+def run_child(ncpu: int, trials: int = 3) -> dict:
     """Best-of-N fresh-process runs (headline only): machine-level
     noise on a shared box is ±15%, so the minimum time is the honest
     steady-state estimate for both levels."""
