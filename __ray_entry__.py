@@ -36,6 +36,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = dict(REL)
     out["extract_spans"] = lambda sf_dir: flagship(sf_dir)
     out["extract_kind_stats"] = extract_kind_stats
+    try:
+        from pdf_parser_ray.pipelines.prep import QUERIES as PREP
+
+        out.update(PREP)
+    except ImportError:
+        pass
 
     try:
         from pdf_parser_ray.stages.textstats import QUERIES as TEXT
@@ -102,6 +108,12 @@ def oracle_sql() -> dict[str, str]:
         from pdf_parser_ray.stages.media import ORACLE_SQL as MEDIA
 
         out.update(MEDIA)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.pipelines.prep import ORACLE_SQL as PREP
+
+        out.update(PREP)
     except ImportError:
         pass
     return out

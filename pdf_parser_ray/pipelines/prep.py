@@ -1,0 +1,139 @@
+"""Composed training-data preparation pipeline — the end-to-end shape
+a 100 TB corpus run takes, chaining the engine's operators:
+
+    read documents
+      → boilerplate strip (text/link-density blocks)
+      → annotate: language ID + quality score + token count
+      → filter: keep en-classified docs with alpha_ratio ≥ 0.6
+      → exact dedup (hash-partition keep-first, broadcast survivors)
+      → emit (doc_id, content_text, n_tokens)
+
+Every step is the same kernel the standalone queries use; the whole
+chain is one streaming Dataset (annotate+filter fuse into one
+map_batches; the dedup survivor set is a small broadcast — at corpus
+scale it becomes the hash-partitioned keep-first groupby of
+``stages/dedup.py`` followed by a bucket semi-join).
+
+The pipeline is fully SQL-expressible, so the driver verifies the
+composition end-to-end, not just the pieces.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.boilerplate import html_tokenize, strip_boilerplate
+from ..stages.textstats import _LANG_PATTERNS, _LANG_PRIORITY
+
+_MIN_ALPHA_RATIO = 0.6
+
+
+def q_training_prep(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=n_blocks,
+    )
+
+    # Exact-dedup survivors: min doc_id per content fingerprint. The
+    # corpus's id→fp pairs are tiny next to the texts; the survivor ids
+    # broadcast to the filter stage (semi-join pattern).
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5((t or "").encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps)})
+
+    from ray.data.aggregate import Min
+
+    survivors_df = (
+        ds.map_batches(fp_batch, batch_format="pyarrow", batch_size=65536)
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .to_pandas()
+    )
+    survivor_arr = np.sort(survivors_df["doc_id"].to_numpy(dtype=np.int64))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        content = [strip_boilerplate(html_tokenize(i, t)) for i, t in zip(ids, texts)]
+        carr = pa.array(content, pa.string())
+        low = pc.utf8_lower(carr)
+        scores = {
+            lang: pc.cast(pc.count_substring_regex(low, pat), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            for lang, pat in _LANG_PATTERNS.items()
+        }
+        n = len(ids)
+        lang = np.full(n, "und", dtype=object)
+        best = np.zeros(n, dtype=np.int64)
+        for lg in reversed(_LANG_PRIORITY):
+            s = scores[lg]
+            take = s >= best
+            lang[take & (s > 0)] = lg
+            best = np.maximum(best, s)
+        n_chars = pc.cast(pc.utf8_length(carr), pa.int64()).to_numpy(zero_copy_only=False)
+        n_alpha = pc.cast(
+            pc.count_substring_regex(carr, "[A-Za-z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ratio = n_alpha / np.maximum(n_chars, 1)
+        n_tokens = pc.cast(
+            pc.count_substring_regex(carr, r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        id_arr = np.asarray(ids, dtype=np.int64)
+        pos = np.searchsorted(survivor_arr, id_arr)
+        pos = np.clip(pos, 0, max(len(survivor_arr) - 1, 0))
+        is_survivor = (
+            survivor_arr[pos] == id_arr if len(survivor_arr) else np.zeros(len(ids), bool)
+        )
+        keep = (lang == "en") & (ratio >= _MIN_ALPHA_RATIO) & is_survivor
+        return pa.table(
+            {
+                "doc_id": pa.array(id_arr[keep], pa.int64()),
+                "content_text": pa.array([c for c, k in zip(content, keep) if k], pa.string()),
+                "n_tokens": pa.array(n_tokens[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow", batch_size=8192)
+
+
+_SQL_TRAINING_PREP = rf"""
+WITH content AS (
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(text, '\S+'), ' ') AS content_text,
+           text
+    FROM documents
+), scored AS (
+    SELECT doc_id, content_text,
+           CAST(length(regexp_extract_all(lower(content_text), '{_LANG_PATTERNS["en"]}')) AS BIGINT) AS s_en,
+           CAST(length(regexp_extract_all(lower(content_text), '{_LANG_PATTERNS["es"]}')) AS BIGINT) AS s_es,
+           CAST(length(regexp_extract_all(lower(content_text), '{_LANG_PATTERNS["de"]}')) AS BIGINT) AS s_de,
+           CAST(length(regexp_extract_all(lower(content_text), '{_LANG_PATTERNS["fr"]}')) AS BIGINT) AS s_fr,
+           CAST(length(regexp_extract_all(content_text, '[A-Za-z]')) AS DOUBLE)
+             / GREATEST(length(content_text), 1) AS alpha_ratio,
+           CAST(length(regexp_extract_all(content_text, '\S+')) AS BIGINT) AS n_tokens,
+           text
+    FROM content
+)
+SELECT doc_id, content_text, n_tokens
+FROM scored
+WHERE (CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END) = 'en'
+  AND alpha_ratio >= {_MIN_ALPHA_RATIO}
+  AND doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+"""
+
+QUERIES = {"training_prep": q_training_prep}
+ORACLE_SQL = {"training_prep": _SQL_TRAINING_PREP}
