@@ -85,6 +85,63 @@ class MediaDecodeStub:
         )
 
 
+class MediaResizeStub:
+    """Actor-pool resize stage: same plumbing contract as decode —
+    binary in, binary out plus target dims. The stub truncates/pads the
+    payload deterministically in place of a real resample."""
+
+    def __init__(self, width: int = 32, height: int = 24, use_real_codecs: bool = False):
+        if use_real_codecs:
+            raise NotImplementedError("image codecs unavailable in this environment")
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        target = self.width * self.height
+        resized = [
+            (p[:target] if len(p) >= target else p + b"\x00" * (target - len(p)))
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(resized, pa.large_binary()),
+                "width": pa.array([self.width] * len(batch), pa.int64()),
+                "height": pa.array([self.height] * len(batch), pa.int64()),
+            }
+        )
+
+
+class FrameSampleStub:
+    """Actor-pool frame sampler for video-typed payloads: emits every
+    k-th fixed-size chunk of the payload as one "frame" row (flat_map
+    layout — one input row fans out to n frames). The chunking stands
+    in for a real demuxer; the fan-out schema and batch sizing are the
+    production contract."""
+
+    def __init__(self, frame_bytes: int = 16, stride: int = 4, use_real_codecs: bool = False):
+        if use_real_codecs:
+            raise NotImplementedError("video codecs unavailable in this environment")
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_doc, out_idx, out_frame = [], [], []
+        for doc_id, p in zip(batch["doc_id"].to_pylist(), batch["payload"].to_pylist()):
+            n_frames = max(1, len(p) // self.frame_bytes)
+            for fi in range(0, n_frames, self.stride):
+                out_doc.append(doc_id)
+                out_idx.append(fi)
+                out_frame.append(p[fi * self.frame_bytes : (fi + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "frame_index": pa.array(out_idx, pa.int64()),
+                "frame": pa.array(out_frame, pa.large_binary()),
+            }
+        )
+
+
 def q_media_features(sf_dir: str):
     """Binary corpus → actor-pool decode stub → per-item features.
     The sha256/width/height derivations are SQL-reproducible, giving

@@ -230,3 +230,30 @@ class TestSkewAware:
         )
         assert plain.equals(skew)
         assert len(plain) > 0
+
+
+class TestMediaPipelines:
+    def test_resize_and_frame_sample_stages(self):
+        import pyarrow as pa
+
+        from pdf_parser_ray.stages.media import FrameSampleStub, MediaResizeStub, synth_media_corpus
+
+        ds = synth_media_corpus(SF).limit(30)
+        resized = ds.map_batches(
+            MediaResizeStub,
+            fn_constructor_kwargs={"width": 8, "height": 4},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=2,
+        ).to_pandas()
+        assert (resized["width"] == 8).all()
+        assert all(len(p) == 32 for p in resized["payload"])
+
+        frames = ds.map_batches(
+            FrameSampleStub,
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=2,
+        ).to_pandas()
+        assert len(frames) > len(resized)  # fan-out
+        assert set(frames.columns) == {"doc_id", "frame_index", "frame"}
