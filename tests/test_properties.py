@@ -131,3 +131,30 @@ class TestCandidateScanEquivalence:
         norms = _line_norms(line)
         brute = [i for i in range(len(line["words"])) if exp.startswith(norms[i])]
         assert _candidate_starts(line, exp) == brute
+
+
+class TestDocumentInvariants:
+    @settings(max_examples=30, deadline=None)
+    @given(seed_i=st.integers(min_value=1000, max_value=99999))
+    def test_extraction_invariants_on_arbitrary_docs(self, seed_i):
+        """For any generated document: extraction never crashes,
+        offsets are a 0..n-1 sequence, label spans carry a checkbox
+        media id that exists in the input, answer media refs (when
+        present) are highlight ids, and every output kind is legal."""
+        from pdf_parser_ray.core.schema import OUTPUT_KINDS, media_id
+        from pdf_parser_ray.io.synth import DEFAULT_CONFIG, gen_document
+        from pdf_parser_ray.kernels.document import extract_spans
+
+        doc_id = f"doc-{seed_i:08d}"
+        spans = gen_document(doc_id, 42)
+        input_media = {media_id(s["media_ref"]) for s in spans if s["media_ref"]}
+        out = extract_spans(doc_id, spans, DEFAULT_CONFIG)
+        assert [s["offset"] for s in out] == list(range(len(out)))
+        for s in out:
+            assert s["kind"] in OUTPUT_KINDS
+            if s["kind"] == "label":
+                assert s["media_ref"] in input_media
+                assert "=" in s["text"]
+            if s["kind"] == "answer" and s["media_ref"]:
+                assert "/hl-" in s["media_ref"]
+                assert s["media_ref"] in input_media
