@@ -192,8 +192,8 @@ def flagship(
     import ray
     import ray.data as rd
 
-    from ..io.synth import DEFAULT_CONFIG, gen_document
-    from ..kernels.document import extract_spans as _extract
+    from ..io.synth import DEFAULT_CONFIG, gen_document_pages
+    from ..kernels.document import classify_form_type, extract_document, flatten_to_spans
 
     config = DEFAULT_CONFIG
 
@@ -207,8 +207,14 @@ def flagship(
             vocab = [w for w in (text or "").split() if w][:48] or None
             for k in range(multiplier):
                 did = f"doc-{int(i):08d}" if k == 0 else f"doc-{int(i):08d}-{k}"
-                spans = gen_document(did, seed, vocab=vocab)
-                for s in _extract(did, spans, config):
+                # pages generated directly (bit-identical to the
+                # decode path — see io/synth.gen_document_pages), so
+                # the fused path skips the media-ref encode→parse
+                # round-trip; staged-path equality is pinned by
+                # TestEntry.test_fused_equals_two_stage.
+                pages = gen_document_pages(did, seed, vocab=vocab)
+                sections = config.select(classify_form_type(pages))
+                for s in flatten_to_spans(extract_document(pages, sections)):
                     out_doc.append(did)
                     out_kind.append(s["kind"])
                     out_text.append(s["text"])
