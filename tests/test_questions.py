@@ -123,3 +123,38 @@ class TestSectionsAndQuestions:
         by_sec = {o["section"]: o for o in out}
         assert "ALPHA" not in by_sec
         assert by_sec["BETA"]["questions"][0]["position"][1] == 600
+
+
+class TestCrossPageQuestion:
+    def test_question_wraps_onto_next_page_head(self):
+        """A question starting near the page bottom with its tail on
+        the next page's head must match via the cross-page fallback
+        (response_extractor.py:751-766): start position stays on this
+        page, continuation tokens live in the virtual space below."""
+        tokens = make_tokens(
+            [(["CONSENT"], 50, 2500), (["Would", "you", "like"], 150, 2950)]
+        )
+        next_tokens = make_tokens([(["reminders?"], 160, 40)])
+        sections = [
+            {"section_name": "CONSENT", "questions": ["Would you like reminders?"]}
+        ]
+        regions = {"CONSENT": {"x1": 0, "y1": 2500, "x2": 2000, "y2": 2990}}
+        out = match_sections_and_questions(
+            tokens, sections, regions,
+            next_page_tokens=next_tokens, page_height=3000,
+        )
+        q = out[0]["questions"][0]
+        assert q["position"] == [150, 2950]
+        # continuation segment lives in virtual next-page space
+        assert q["segments"][-1]["line_y"] == 3040
+
+    def test_no_match_without_next_page(self):
+        tokens = make_tokens(
+            [(["CONSENT"], 50, 2500), (["Would", "you", "like"], 150, 2950)]
+        )
+        sections = [
+            {"section_name": "CONSENT", "questions": ["Would you like reminders?"]}
+        ]
+        regions = {"CONSENT": {"x1": 0, "y1": 2500, "x2": 2000, "y2": 2990}}
+        out = match_sections_and_questions(tokens, sections, regions, page_height=3000)
+        assert out == []
