@@ -264,15 +264,27 @@ def q_segment_revenue(sf_dir: str, n_buckets: int = 16):
     customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
     def prep_orders(b: pa.Table) -> pa.Table:
+        # Pre-aggregate per custkey inside the batch before the
+        # shuffle: the exchange then carries one row per (batch, key)
+        # instead of one per order — the partial-combine discipline
+        # applied to the join's probe side.
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "key": b["o_custkey"].to_numpy(zero_copy_only=False),
+                "total_cents": _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("key", as_index=False)["total_cents"].sum()
+        keys = g["key"].to_numpy()
         return pa.table(
             {
-                "key": b["o_custkey"],
-                "total_cents": _cents(b["o_totalprice"]),
-                "bucket": pc.cast(
-                    pc.bit_wise_and(b["o_custkey"], n_buckets - 1), pa.int64()
-                ),
-                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-                "seg": pa.nulls(b.num_rows, pa.string()),
+                "key": pa.array(keys, pa.int64()),
+                "total_cents": pa.array(g["total_cents"].to_numpy(), pa.int64()),
+                "bucket": pa.array(keys & (n_buckets - 1), pa.int64()),
+                "side": pa.array(np.zeros(len(g), dtype=np.int8)),
+                "seg": pa.nulls(len(g), pa.string()),
             }
         )
 
