@@ -8,8 +8,9 @@ queries ride to every task once; the embedding table streams through
 ``map_batches`` in Arrow batches and never materializes.
 
 Math note: vectors are float32 on disk; all scores are computed in
-float64 (and rounded to 6 decimals on both the Ray and SQL sides) so
-the DuckDB oracle hashes identically.
+float64 and emitted as integer micro-units (``round(cos*1e6)``) on
+both the Ray and SQL sides — no float ever reaches the driver's
+value hash, so the DuckDB oracles compare exactly.
 """
 
 from __future__ import annotations
@@ -65,22 +66,24 @@ def q_ann_topk(sf_dir: str):
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
-                "cos_sim": pa.array(np.round(s, 6), pa.float64()),
+                "cos_micro": pa.array(np.rint(s * 1e6).astype(np.int64)),
             }
         )
 
     ds = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow", batch_size=8192)
-    return ds.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(_TOP_K)
+    return ds.sort(["cos_micro", "vec_id"], descending=[True, False]).limit(_TOP_K)
 
 
+# Scores travel as integer micro-units (round(cos*1e6)) so no float
+# ever reaches the driver's value hash.
 _SQL_ANN_TOPK = f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
-       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+       CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.qe AS DOUBLE[])) * 1000000) AS BIGINT) AS cos_micro
 FROM embeddings e, q
 WHERE e.vec_id <> 0
-ORDER BY cos_sim DESC, e.vec_id
+ORDER BY cos_micro DESC, e.vec_id
 LIMIT {_TOP_K}
 """
 
@@ -106,32 +109,32 @@ def q_knn_join(sf_dir: str, k: int = 5):
                 sm, im = sm[idx], im[idx]
             out_q.extend([int(qid)] * len(im))
             out_n.extend(im.tolist())
-            out_s.extend(np.round(sm, 6).tolist())
+            out_s.extend(np.rint(sm * 1e6).astype(np.int64).tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "neighbor_id": pa.array(out_n, pa.int64()),
-                "cos_sim": pa.array(out_s, pa.float64()),
+                "cos_micro": pa.array(out_s, pa.int64()),
             }
         )
 
     def rerank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True]).head(k)
-        return g[["query_id", "neighbor_id", "cos_sim"]]
+        g = g.sort_values(["cos_micro", "neighbor_id"], ascending=[False, True]).head(k)
+        return g[["query_id", "neighbor_id", "cos_micro"]]
 
     ds = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow", batch_size=8192)
     return ds.groupby("query_id").map_groups(rerank, batch_format="pandas")
 
 
 _SQL_KNN_JOIN = f"""
-SELECT q.vec_id AS query_id, n.neighbor_id, n.cos_sim
+SELECT q.vec_id AS query_id, n.neighbor_id, n.cos_micro
 FROM embeddings q, LATERAL (
     SELECT e.vec_id AS neighbor_id,
-           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+           CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cos_micro
     FROM embeddings e
     WHERE e.vec_id <> q.vec_id
-    ORDER BY cos_sim DESC, e.vec_id
+    ORDER BY cos_micro DESC, e.vec_id
     LIMIT 5
 ) n
 WHERE q.vec_id < {_N_QUERIES}
@@ -167,12 +170,12 @@ def q_ann_ivf(sf_dir: str, n_probe: int = 8, n_cells: int = 16):
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
-                "cos_sim": pa.array(np.round(s, 6), pa.float64()),
+                "cos_micro": pa.array(np.rint(s * 1e6).astype(np.int64)),
             }
         )
 
     ds = _embeddings(sf_dir).map_batches(local, batch_format="pyarrow", batch_size=8192)
-    return ds.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(_TOP_K)
+    return ds.sort(["cos_micro", "vec_id"], descending=[True, False]).limit(_TOP_K)
 
 
 def q_embed_near_dup(sf_dir: str, threshold: float = 0.4):
@@ -203,7 +206,9 @@ def q_embed_near_dup(sf_dir: str, threshold: float = 0.4):
             {
                 "vec_a": pa.array(a[keep], pa.int64()),
                 "vec_b": pa.array(b[keep], pa.int64()),
-                "cos_sim": pa.array(np.round(sims[hit_r, hit_c][keep], 6), pa.float64()),
+                "cos_micro": pa.array(
+                    np.rint(sims[hit_r, hit_c][keep] * 1e6).astype(np.int64)
+                ),
             }
         )
 
@@ -212,8 +217,8 @@ def q_embed_near_dup(sf_dir: str, threshold: float = 0.4):
 
 _SQL_EMBED_NEAR_DUP = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+       CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cos_micro
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
