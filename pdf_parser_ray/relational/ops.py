@@ -646,6 +646,52 @@ FROM events e
 
 
 # ---------------------------------------------------------------------------
+# Q14b — sliding window aggregate (2-hour windows, 1-hour slide)
+# ---------------------------------------------------------------------------
+
+def q_sliding_window(sf_dir: str):
+    """Sliding event-time windows: every event lands in the two 2-hour
+    windows covering it (window_start ∈ {h-1, h} epoch-hours). The
+    window assignment is a vectorized fan-out (concat of two shifted
+    copies) inside map_batches — the batch-engine form of a sliding
+    window, complementing the tumbling shape of ``q_hourly_events``."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        et = batch["event_type"]
+        starts = pa.concat_arrays(
+            [pc.subtract(hour, 1).combine_chunks(), hour.combine_chunks()]
+        )
+        ets = pa.concat_arrays([et.combine_chunks(), et.combine_chunks()])
+        return pa.table({"event_type": ets, "window_start": starts})
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(fan_out, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+_SQL_SLIDING = """
+SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT event_type,
+           CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) - 1 AS window_start
+    FROM events
+    UNION ALL
+    SELECT event_type,
+           CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS window_start
+    FROM events
+)
+GROUP BY event_type, window_start
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q15 — semi-structured (JSON) field extraction + aggregate
 # ---------------------------------------------------------------------------
 
@@ -701,6 +747,7 @@ QUERIES = {
     "brand_revenue": q_brand_revenue,
     "last_order_before_event": q_last_order_before_event,
     "json_props": q_json_props,
+    "sliding_window": q_sliding_window,
 }
 
 ORACLE_SQL = {
@@ -719,4 +766,5 @@ ORACLE_SQL = {
     "brand_revenue": _SQL_BRAND_REVENUE,
     "last_order_before_event": _SQL_ASOF,
     "json_props": _SQL_JSON_PROPS,
+    "sliding_window": _SQL_SLIDING,
 }

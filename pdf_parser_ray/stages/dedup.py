@@ -327,10 +327,43 @@ def q_simhash(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
 
 
+def q_near_dup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Near-dup cluster resolution: verified MinHash pairs → connected
+    components → one representative (min doc_id) per cluster. The
+    candidate/pair set is provably small, so components resolve with
+    driver-side union-find (the guide's sanctioned shape); at corpora
+    where pairs don't fit a driver, the same result comes from a few
+    rounds of min-label propagation via groupby. Returns
+    (doc_id, cluster_rep) for every clustered document."""
+    import pandas as pd
+
+    pairs = q_near_dup_pairs(sf_dir, threshold).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((int(x), find(int(x))) for x in parent)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "cluster_rep": pd.Series([r[1] for r in rows], dtype="int64"),
+        }
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dup_pairs_exact": q_dup_pairs_exact,
     "near_dup_pairs": q_near_dup_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
     "simhash": q_simhash,
 }
 

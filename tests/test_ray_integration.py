@@ -257,3 +257,15 @@ class TestMediaPipelines:
         ).to_pandas()
         assert len(frames) > len(resized)  # fan-out
         assert set(frames.columns) == {"doc_id", "frame_index", "frame"}
+
+
+class TestNearDupClusters:
+    def test_exact_copies_cluster_with_base(self):
+        from pdf_parser_ray.stages.dedup import _EXACT_BASE, q_near_dup_clusters
+
+        df = q_near_dup_clusters(SF)
+        by_doc = dict(zip(df["doc_id"], df["cluster_rep"]))
+        exact_ids = [d for d in by_doc if d >= _EXACT_BASE and d < 2 * _EXACT_BASE]
+        assert exact_ids, "augmented exact copies must appear in clusters"
+        for d in exact_ids:
+            assert by_doc[d] == by_doc.get(d - _EXACT_BASE, d - _EXACT_BASE)
