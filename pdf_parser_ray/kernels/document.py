@@ -191,6 +191,9 @@ def extract_document(pages: list[Page], sections: list[dict]) -> dict[str, Any]:
         # question matchers (grouping is pure; the reference regroups
         # in each — SURVEY.md M3 notes the five clones).
         page_lines = group_lines(tokens)
+        from .questions import PageIndex
+
+        page_idx = PageIndex(page_lines)
         label_positions = get_label_positions(
             tokens,
             labels_to_search,
@@ -199,7 +202,8 @@ def extract_document(pages: list[Page], sections: list[dict]) -> dict[str, Any]:
             lines=page_lines,
         )
         section_regions = detect_section_regions(
-            tokens, sections, checkboxes, page_width=page_w, lines=page_lines
+            tokens, sections, checkboxes, page_width=page_w, lines=page_lines,
+            page_index=page_idx,
         )
 
         # Update remaining labels from OCR presence in region
@@ -256,6 +260,7 @@ def extract_document(pages: list[Page], sections: list[dict]) -> dict[str, Any]:
             page_width=page_w,
             page_height=page_h,
             lines=page_lines,
+            page_index=page_idx,
         )
         responses_data = augment_answers(
             matches,

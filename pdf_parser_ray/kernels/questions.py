@@ -423,6 +423,7 @@ def match_sections_and_questions(
     page_width: int = 2000,
     page_height: int = 3000,
     lines: list[Line] | None = None,
+    page_index: "PageIndex | None" = None,
 ) -> list[dict[str, Any]]:
     """Reference ``match_sections_and_questions``
     (``response_extractor.py:618-790``), regions-provided path (the
@@ -452,7 +453,7 @@ def match_sections_and_questions(
             bands[name] = (anchor_y, next_anchor_bottom)
 
     page_lines = lines if lines is not None else group_lines(tokens)
-    page_idx = PageIndex(page_lines)
+    page_idx = page_index if page_index is not None else PageIndex(page_lines)
     # Band-crop retries for questions in the same section share the
     # same (y1, y2) crop; cache the cropped token list + line groups +
     # candidate index so each crop is built once per page, not once per

@@ -194,6 +194,7 @@ def detect_section_regions(
     page_width: int = 2000,
     max_gap: int = SECTION_CB_MAX_GAP_PX,
     lines: list[Line] | None = None,
+    page_index=None,
 ) -> dict[str, Region]:
     """Detect per-section vertical regions
     (reference ``extractor.py:534-829``).
@@ -207,7 +208,7 @@ def detect_section_regions(
     from .questions import PageIndex
 
     sorted_lines = lines if lines is not None else group_lines(tokens)
-    page_idx = PageIndex(sorted_lines)
+    page_idx = page_index if page_index is not None else PageIndex(sorted_lines)
     anchor_x_threshold = int(0.10 * page_width)
     checkbox_y_positions = sorted(cb["y"] for cb in checkboxes)
     section_regions: dict[str, Region] = {}
