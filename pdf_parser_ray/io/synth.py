@@ -219,7 +219,6 @@ def gen_document_pages(
     refs carrying the same media ids. Used by the fused flagship to
     skip the media-ref encode→parse round-trip.
     """
-    from ..core.schema import media_id
 
     builders = _gen_builders(doc_id, seed, vocab)
     pages = []

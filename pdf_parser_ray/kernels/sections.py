@@ -10,7 +10,7 @@ y-groups, then checkbox-gap region growth.
 
 from __future__ import annotations
 
-from typing import Any
+
 
 from .boxes import Box
 from .lines import Line, Token, group_lines

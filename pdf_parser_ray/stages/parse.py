@@ -27,7 +27,7 @@ offset)`` plus per-document lineage/metrics columns when
 
 from __future__ import annotations
 
-from typing import Any
+
 
 import pyarrow as pa
 
