@@ -11,7 +11,6 @@ y-groups, then checkbox-gap region growth.
 from __future__ import annotations
 
 
-
 from .boxes import Box
 from .lines import Line, Token, group_lines
 from .normalize import expected, ocr_norm

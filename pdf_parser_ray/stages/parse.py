@@ -28,7 +28,6 @@ offset)`` plus per-document lineage/metrics columns when
 from __future__ import annotations
 
 
-
 import pyarrow as pa
 
 from ..core.config import FormConfig
