@@ -114,6 +114,37 @@ def cmd_regress(args) -> int:
     return 1 if failures else 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment probe — the engine analog of the reference's
+    ``--check`` flag (``extractor.py:1345-1364``): report availability
+    of every dependency tier and smoke a local Ray session."""
+    report = {}
+    for mod in ("ray", "pyarrow", "pandas", "numpy", "duckdb"):
+        try:
+            m = __import__(mod)
+            report[mod] = getattr(m, "__version__", "ok")
+        except ImportError:
+            report[mod] = "MISSING"
+    try:
+        import lance  # noqa: F401
+
+        report["lance"] = "ok"
+    except ImportError:
+        report["lance"] = "absent (parquet fallback active)"
+    try:
+        _init_ray(args.num_cpus or 2)
+        import ray
+        import ray.data as rd
+
+        n = rd.range(100).map_batches(lambda b: b, batch_size=10).count()
+        report["ray_data_smoke"] = f"ok ({n} rows)"
+        report["cpus"] = int(ray.cluster_resources().get("CPU", 0))
+    except Exception as e:  # pragma: no cover
+        report["ray_data_smoke"] = f"FAILED: {e}"
+    print(json.dumps(report, indent=1))
+    return 0 if "MISSING" not in report.values() else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pdf_parser_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -129,6 +160,9 @@ def main(argv=None) -> int:
     pm = sub.add_parser("metrics", help="show per-partition lineage/metrics")
     pm.add_argument("--output", required=True)
     pm.set_defaults(fn=cmd_metrics)
+
+    pd_ = sub.add_parser("doctor", help="environment probe (reference --check analog)")
+    pd_.set_defaults(fn=cmd_doctor)
 
     pr = sub.add_parser("regress", help="golden-file regression over a corpus")
     pr.add_argument("--corpus", required=True)
