@@ -269,3 +269,26 @@ class TestNearDupClusters:
         assert exact_ids, "augmented exact copies must appear in clusters"
         for d in exact_ids:
             assert by_doc[d] == by_doc.get(d - _EXACT_BASE, d - _EXACT_BASE)
+
+
+class TestNestedOutput:
+    def test_extractor_nested_span_output(self):
+        """DocumentExtractor(explode=False) emits the input_hint-shaped
+        nested table — output can feed another engine as a corpus."""
+        import ray.data as rd
+
+        from pdf_parser_ray.io.synth import DEFAULT_CONFIG, build_corpus_table
+        from pdf_parser_ray.stages.parse import DocumentExtractor
+
+        tbl = build_corpus_table([f"doc-{i:08d}" for i in range(4)], 42)
+        ds = rd.from_arrow(tbl).map_batches(
+            DocumentExtractor(config=DEFAULT_CONFIG, explode=False),
+            batch_format="pyarrow",
+            batch_size=2,
+        )
+        out = ds.to_pandas()
+        assert list(out.columns) == ["doc_id", "spans"]
+        assert len(out) == 4
+        first = out["spans"].iloc[0]
+        assert {s["kind"] for s in first} <= {"section", "label", "qsection", "question", "answer"}
+        assert [s["offset"] for s in first] == list(range(len(first)))
