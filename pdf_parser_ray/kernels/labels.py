@@ -157,6 +157,40 @@ def get_label_positions(
     if lines is None:
         lines = group_lines(tokens)
 
+    # One newline-joined blob of the normalized tokens: finding every
+    # token that *contains* a label's first word (the reference's
+    # `first_word in normalize_text(...)` gate, extractor.py:489) is a
+    # C-level substring sweep instead of a per-(label, token) Python
+    # loop. Normalized tokens hold no '\n', so hits never cross tokens.
+    from bisect import bisect_right
+
+    _offs: list[int] = []
+    _parts: list[str] = []
+    pos = 0
+    for tkn in flat:
+        _offs.append(pos + 1)
+        _parts.append("\n")
+        _parts.append(tkn["text"])
+        pos += 1 + len(tkn["text"])
+    flat_blob = "".join(_parts)
+
+    def first_word_candidates(first_word: str) -> list[int]:
+        if not first_word:
+            return list(range(len(flat)))
+        out: list[int] = []
+        start = 0
+        last_tok = -1
+        while True:
+            hit = flat_blob.find(first_word, start)
+            if hit == -1:
+                break
+            tok = bisect_right(_offs, hit) - 1
+            if tok != last_tok:
+                out.append(tok)
+                last_tok = tok
+            start = hit + 1
+        return out
+
     # Pass 1: in-page search.
     for lbl in expected_labels:
         lbl_words = lbl.split()
@@ -168,8 +202,10 @@ def get_label_positions(
         n = len(flat)
         max_len = len(lbl_words)
         found = False
-        # Single-line token-window scan (reference extractor.py:484-493).
-        for i in range(n):
+        # Single-line token-window scan (reference extractor.py:484-493);
+        # outer loop restricted to tokens containing the first word —
+        # the same set the reference's `in` gate admits.
+        for i in first_word_candidates(first_word):
             for j in range(i, min(i + max_len, n)):
                 seq = flat[i : j + 1]
                 if not seq:
