@@ -78,7 +78,7 @@ def run_suite() -> dict:
     # flagship extraction (docs/sec is the north-star metric). The
     # multiplier scales the synthesized corpus so executor ramp-up
     # amortizes (docs = table rows × multiplier).
-    mult = int(os.environ.get("GRAFT_EXTRACT_MULTIPLIER", "8"))
+    mult = int(os.environ.get("GRAFT_EXTRACT_MULTIPLIER", "16"))
     flagship(SF_DIR, multiplier=1).count()
     n_total = n_docs * mult
     t0 = time.perf_counter()
