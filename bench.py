@@ -155,19 +155,20 @@ def main():
                 "docs_per_sec_hi": tp_hi,
                 "efficiency": round(eff, 3),
             }
-        # Headline: the best of the three independent N→4N pairs,
-        # capped at 1.0. Co-tenant load on this shared box randomly
-        # depresses individual CPU levels (each level runs at a
-        # different time), which can only lower a pair's ratio — so
-        # the max across pairs is the least-contaminated estimate of
-        # the engine's scaling. Full pair table + the no-Ray
-        # hardware-ceiling analysis live in BASELINE.md.
-        result["value"] = min(
-            1.0, max(p["efficiency"] for p in result["pairs"].values())
-        )
+        # Headline: the MEDIAN of the three independent N→4N pairs,
+        # capped at 1.0, with the full pair table emitted alongside —
+        # a single max would compound two favorable selections
+        # (best-of-N trials per level, then best pair). Co-tenant load
+        # on this shared box can only depress individual levels, so the
+        # median still understates true scaling slightly; the no-Ray
+        # hardware-ceiling analysis lives in BASELINE.md.
+        effs = sorted(p["efficiency"] for p in result["pairs"].values())
+        result["pair_efficiencies"] = effs
+        result["value"] = min(1.0, effs[len(effs) // 2])
+        result["max_pair_efficiency"] = min(1.0, effs[-1])
         result["note"] = (
-            "max over three N-to-4N pairs (noise only depresses individual "
-            "levels); see BASELINE.md for variance + hardware-ceiling analysis"
+            "median over three N-to-4N pairs (full table in 'pairs'); "
+            "see BASELINE.md for variance + hardware-ceiling analysis"
         )
         print(json.dumps(result))
         return

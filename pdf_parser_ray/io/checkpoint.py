@@ -56,12 +56,17 @@ def done_partitions(out_dir: str) -> set[int]:
     return done
 
 
+def _input_fingerprint(keys) -> str:
+    return hashlib.md5(",".join(sorted(set(map(str, keys)))).encode()).hexdigest()
+
+
 def resumable_write(
     ds,
     out_dir: str,
     key: str = "doc_id",
     n_partitions: int = 16,
     fail_on: Callable[[int], bool] | None = None,
+    verify_fingerprints: bool = False,
 ) -> dict:
     """Write ``ds`` to a resumable partitioned layout.
 
@@ -71,6 +76,14 @@ def resumable_write(
     test hook: raise inside the writer for chosen partitions to
     simulate a mid-run kill.
 
+    ``verify_fingerprints=False`` (the fast default) assumes inputs are
+    immutable across resumes — a completed partition is trusted on
+    manifest existence alone. ``verify_fingerprints=True`` routes every
+    row, recomputes each completed partition's input fingerprint from
+    the routed keys, and rewrites any partition whose stored
+    ``input_fingerprint`` no longer matches (input changed between
+    runs); matching partitions are skipped without rewriting.
+
     Returns the run summary {written: [...], skipped: [...]}.
     """
     os.makedirs(out_dir, exist_ok=True)
@@ -79,7 +92,7 @@ def resumable_write(
     def add_partition(batch: pa.Table) -> pa.Table:
         parts = _partition_of(batch[key].to_pylist(), n_partitions)
         batch = batch.append_column("_part", pa.array(parts, pa.int32()))
-        if done:
+        if done and not verify_fingerprints:
             import numpy as np
 
             mask = ~np.isin(np.array(parts, dtype=np.int32), list(done))
@@ -90,6 +103,14 @@ def resumable_write(
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
         pid = int(g["_part"].iloc[0])
+        if pid in done and verify_fingerprints:
+            mpath = os.path.join(out_dir, f"part={pid:05d}", "manifest.json")
+            with open(mpath) as f:
+                stored = json.load(f).get("input_fingerprint")
+            if stored == _input_fingerprint(g[key]):
+                # verified unchanged — skip the rewrite
+                return pd.DataFrame({"partition": [pid], "n_rows": [0]})
+            # fingerprint mismatch: input changed — fall through and rewrite
         if fail_on is not None and fail_on(pid):
             raise RuntimeError(f"injected failure for partition {pid}")
         t0 = time.time()
@@ -101,9 +122,7 @@ def resumable_write(
         os.makedirs(tmp)
         pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
                        os.path.join(tmp, "data.parquet"))
-        fingerprint = hashlib.md5(
-            ",".join(sorted(set(map(str, g[key])))).encode()
-        ).hexdigest()
+        fingerprint = _input_fingerprint(g[key])
         manifest = {
             "partition": pid,
             "n_rows": int(len(g)),
@@ -119,10 +138,18 @@ def resumable_write(
         return pd.DataFrame({"partition": [pid], "n_rows": [len(g)]})
 
     written = routed.groupby("_part").map_groups(write_group, batch_format="pandas")
-    written_parts = sorted(int(p) for p in written.to_pandas()["partition"])
+    written_df = written.to_pandas()
+    if "n_rows" not in written_df.columns:
+        # fully-resumed run: every partition was filtered before the
+        # shuffle, and the empty result carries no schema
+        written_df = pd.DataFrame({"partition": [], "n_rows": []})
+    # n_rows == 0 marks a fingerprint-verified skip, not a rewrite
+    written_parts = sorted(
+        int(p) for p in written_df.loc[written_df["n_rows"] > 0, "partition"]
+    )
     summary = {
         "written": written_parts,
-        "skipped": sorted(done),
+        "skipped": sorted(set(done) - set(written_parts)),
         "n_partitions": n_partitions,
     }
     all_done = done_partitions(out_dir)

@@ -11,6 +11,28 @@ the ``(doc_id, spans)`` shape.
 from __future__ import annotations
 
 
+def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
+    """``read_parquet`` with a metadata-free schema.
+
+    Parquet files written by pandas carry a schema-level ``b"pandas"``
+    metadata blob; ``hash(pa.Schema)`` raises on it ("unhashable type:
+    'dict'"), which defeats Ray Data's schema-deduplication fast path
+    and spams "Failed to hash the schemas" warnings on every fused
+    read+map task. Passing an explicit stripped schema makes every
+    downstream block schema hashable. Column pruning still happens at
+    the read (``columns=``), so this adds no I/O.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    first = path if isinstance(path, str) else path[0]
+    sch = pq.read_schema(first)
+    names = columns if columns is not None else sch.names
+    clean = pa.schema([pa.field(sch.field(c).name, sch.field(c).type) for c in names])
+    return rd.read_parquet(path, columns=columns, schema=clean, **kwargs)
+
+
 def read_corpus(path: str, columns: list[str] | None = None, override_num_blocks: int | None = None):
     """Read a span corpus from a Lance dataset or a Parquet file/dir."""
     import ray.data as rd

@@ -74,8 +74,10 @@ def corpus_from_documents(
     # "giant", ~6× the pages), so fine blocks keep the last wave free
     # of stragglers — the single-node analog of the size-class
     # repartitioning the north rule requires for skewed documents.
+    from ..io.sources import read_parquet_clean
+
     n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * _BLOCKS_PER_CPU)
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         override_num_blocks=n_blocks,
@@ -230,8 +232,10 @@ def flagship(
             }
         )
 
+    from ..io.sources import read_parquet_clean
+
     n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * _BLOCKS_PER_CPU)
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         override_num_blocks=n_blocks,

@@ -34,10 +34,11 @@ _MIN_ALPHA_RATIO = 0.6
 
 def q_training_prep(sf_dir: str):
     import ray
-    import ray.data as rd
+
+    from ..io.sources import read_parquet_clean
 
     n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         override_num_blocks=n_blocks,
@@ -56,6 +57,7 @@ def q_training_prep(sf_dir: str):
         ds.map_batches(fp_batch, batch_format="pyarrow", batch_size=65536)
         .groupby("fp")
         .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])  # ids only — the fp strings stay distributed
         .to_pandas()
     )
     survivor_arr = np.sort(survivors_df["doc_id"].to_numpy(dtype=np.int64))

@@ -33,9 +33,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    import ray.data as rd
+    from ..io.sources import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -282,7 +282,7 @@ def q_segment_revenue(sf_dir: str, n_buckets: int = 16):
             {
                 "key": pa.array(keys, pa.int64()),
                 "total_cents": pa.array(g["total_cents"].to_numpy(), pa.int64()),
-                "bucket": pa.array(keys & (n_buckets - 1), pa.int64()),
+                "bucket": pa.array(keys % n_buckets, pa.int64()),
                 "side": pa.array(np.zeros(len(g), dtype=np.int8)),
                 "seg": pa.nulls(len(g), pa.string()),
             }
@@ -293,8 +293,8 @@ def q_segment_revenue(sf_dir: str, n_buckets: int = 16):
             {
                 "key": b["c_custkey"],
                 "total_cents": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
-                "bucket": pc.cast(
-                    pc.bit_wise_and(b["c_custkey"], n_buckets - 1), pa.int64()
+                "bucket": pa.array(
+                    b["c_custkey"].to_numpy(zero_copy_only=False) % n_buckets, pa.int64()
                 ),
                 "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
                 "seg": b["c_mktsegment"],

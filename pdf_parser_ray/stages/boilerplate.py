@@ -88,9 +88,9 @@ def q_boilerplate_strip(sf_dir: str):
     """documents → HTML-ish span stream → block scoring → content
     text. Oracle: content must equal the whitespace-normalized source
     text (the injected chrome — nav/related/footer — must all go)."""
-    import ray.data as rd
+    from ..io.sources import read_parquet_clean
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()

@@ -51,10 +51,11 @@ def augmented_corpus(sf_dir: str):
     """documents + exact copies (every 10th) + near copies (every 7th,
     first word rewritten). Pure per-row transform inside map_batches."""
     import ray
-    import ray.data as rd
+
+    from ..io.sources import read_parquet_clean
 
     n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         override_num_blocks=n_blocks,
@@ -62,6 +63,14 @@ def augmented_corpus(sf_dir: str):
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # The augmentation encodes dup-kind in the id space
+        # (+_EXACT_BASE / +_NEAR_BASE); guard the assumption instead of
+        # silently colliding at larger corpora.
+        if len(ids) and int(ids.max()) >= _EXACT_BASE:
+            raise ValueError(
+                f"augmented_corpus id-space overflow: max doc_id {int(ids.max())} "
+                f">= _EXACT_BASE {_EXACT_BASE}"
+            )
         texts = batch["text"].to_pylist()
         out_ids = list(ids)
         out_texts = list(texts)

@@ -23,9 +23,9 @@ _N_QUERIES = 8  # vec_id 0..7 are the query set
 
 
 def _embeddings(sf_dir: str):
-    import ray.data as rd
+    from ..io.sources import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -60,13 +60,18 @@ def q_ann_topk(sf_dir: str):
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         mask = ids != 0
         s, ids = s[mask], ids[mask]
-        if len(s) > _TOP_K:
-            idx = np.argpartition(-s, _TOP_K)[:_TOP_K]
-            s, ids = s[idx], ids[idx]
+        # Round to micro-units BEFORE local selection and break ties by
+        # vec_id, so local pruning uses exactly the global/oracle order
+        # (unrounded floats could prune a row the oracle keeps when two
+        # scores round to the same cos_micro at the k-th boundary).
+        s_micro = np.rint(s * 1e6).astype(np.int64)
+        if len(s_micro) > _TOP_K:
+            order = np.lexsort((ids, -s_micro))[:_TOP_K]
+            s_micro, ids = s_micro[order], ids[order]
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
-                "cos_micro": pa.array(np.rint(s * 1e6).astype(np.int64)),
+                "cos_micro": pa.array(s_micro),
             }
         )
 
@@ -104,12 +109,14 @@ def q_knn_join(sf_dir: str, k: int = 5):
             s = scores[:, qi]
             mask = ids != qid
             sm, im = s[mask], ids[mask]
-            if len(sm) > k:
-                idx = np.argpartition(-sm, k)[:k]
-                sm, im = sm[idx], im[idx]
+            # micro-units + vec_id tie-break before pruning (oracle order)
+            sm_micro = np.rint(sm * 1e6).astype(np.int64)
+            if len(sm_micro) > k:
+                order = np.lexsort((im, -sm_micro))[:k]
+                sm_micro, im = sm_micro[order], im[order]
             out_q.extend([int(qid)] * len(im))
             out_n.extend(im.tolist())
-            out_s.extend(np.rint(sm * 1e6).astype(np.int64).tolist())
+            out_s.extend(sm_micro.tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -164,13 +171,14 @@ def q_ann_ivf(sf_dir: str, n_probe: int = 8, n_cells: int = 16):
         mask = np.isin(cells, list(probe_cells)) & (ids != 0)
         s = vn[mask] @ q0
         ids = ids[mask]
-        if len(s) > _TOP_K:
-            idx = np.argpartition(-s, _TOP_K)[:_TOP_K]
-            s, ids = s[idx], ids[idx]
+        s_micro = np.rint(s * 1e6).astype(np.int64)
+        if len(s_micro) > _TOP_K:
+            order = np.lexsort((ids, -s_micro))[:_TOP_K]
+            s_micro, ids = s_micro[order], ids[order]
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
-                "cos_micro": pa.array(np.rint(s * 1e6).astype(np.int64)),
+                "cos_micro": pa.array(s_micro),
             }
         )
 

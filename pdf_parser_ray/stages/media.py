@@ -34,9 +34,9 @@ MEDIA_SCHEMA = pa.schema(
 def synth_media_corpus(sf_dir: str):
     """Deterministic binary payloads derived from each document's text
     (stand-in for real image bytes; built inside map_batches)."""
-    import ray.data as rd
+    from ..io.sources import read_parquet_clean
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()

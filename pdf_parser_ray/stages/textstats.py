@@ -18,9 +18,9 @@ import pyarrow.compute as pc
 
 
 def _docs(sf_dir: str, columns: list[str]):
-    import ray.data as rd
+    from ..io.sources import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
