@@ -263,12 +263,52 @@ class TestNearDupClusters:
     def test_exact_copies_cluster_with_base(self):
         from pdf_parser_ray.stages.dedup import _EXACT_BASE, q_near_dup_clusters
 
-        df = q_near_dup_clusters(SF)
+        df = q_near_dup_clusters(SF).to_pandas()
         by_doc = dict(zip(df["doc_id"], df["cluster_rep"]))
         exact_ids = [d for d in by_doc if d >= _EXACT_BASE and d < 2 * _EXACT_BASE]
         assert exact_ids, "augmented exact copies must appear in clusters"
         for d in exact_ids:
             assert by_doc[d] == by_doc.get(d - _EXACT_BASE, d - _EXACT_BASE)
+
+    def test_label_propagation_equals_union_find(self):
+        """Distributed min-label propagation must produce exactly the
+        components a reference union-find computes on the same edges."""
+        import pandas as pd
+        import ray.data as rd
+
+        from pdf_parser_ray.stages.dedup import label_propagation_clusters
+
+        # a chain, a triangle, an isolated pair, and a star
+        edges = pd.DataFrame(
+            {
+                "doc_a": [1, 2, 3, 10, 11, 10, 20, 30, 30, 30],
+                "doc_b": [2, 3, 4, 11, 12, 12, 21, 31, 32, 33],
+            }
+        )
+        got = (
+            label_propagation_clusters(rd.from_pandas(edges))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(edges["doc_a"], edges["doc_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = pd.DataFrame(
+            sorted((x, find(x)) for x in parent), columns=["doc_id", "cluster_rep"]
+        )
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["cluster_rep"].tolist() == want["cluster_rep"].tolist()
 
 
 class TestNestedOutput:
