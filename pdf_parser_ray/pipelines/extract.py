@@ -170,6 +170,136 @@ def extract_pipeline_skew_aware(
     return out_light.union(out_heavy)
 
 
+def extract_pipeline_skew_aware_sharded(
+    ds,
+    config: FormConfig | None = None,
+    heavy_span_threshold: int = 600,
+    light_batch_size: int = 32,
+    pages_per_shard: int = 8,
+):
+    """Skew-aware parse with page-sharding for the heavy class: light
+    documents run the plain per-document path; documents above the
+    span threshold (giant PDFs) are page-sharded so one 10k-page
+    document spreads across the cluster instead of pinning one core
+    (:func:`extract_sharded`). Outputs are bit-identical to the
+    unsharded pipeline; only the physical execution differs."""
+    import pyarrow.compute as pc
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_spans", pc.cast(pc.list_value_length(batch["spans"]), pa.int32())
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=4096)
+
+    def keep(heavy: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = (
+                pc.greater(batch["n_spans"], heavy_span_threshold)
+                if heavy
+                else pc.less_equal(batch["n_spans"], heavy_span_threshold)
+            )
+            return batch.filter(mask).drop_columns(["n_spans"])
+
+        return fn
+
+    light = tagged.map_batches(keep(False), batch_format="pyarrow")
+    heavy = tagged.map_batches(keep(True), batch_format="pyarrow")
+    out_light = extract_pipeline(light, config, batch_size=light_batch_size)
+    out_heavy = extract_sharded(heavy, config, pages_per_shard=pages_per_shard)
+    return out_light.union(out_heavy)
+
+
+def extract_sharded(
+    ds,
+    config: FormConfig | None = None,
+    pages_per_shard: int = 8,
+):
+    """Page-sharded extraction for giant documents (SURVEY.md §4.3).
+
+    ``ds`` is a ``(doc_id, spans)`` corpus. Three stages:
+
+    1. split each document into page-range shards at page markers,
+       attaching the next shard's first page as the lead(1) carry
+       (cheap — one map over the rows);
+    2. per-shard artifact computation (the expensive matching —
+       parallel across the shards of one document;
+       :func:`~..kernels.shard.compute_shard_artifacts`);
+    3. ordered ``groupby(doc_id)`` reassembly: shards sort by index
+       and the sequential state machine replays over the artifacts
+       (:func:`~..kernels.shard.replay_document`).
+
+    Output is bit-identical to the unsharded fold (pinned by
+    ``TestShardedExtract``); the artifact blob crosses the shuffle as
+    an opaque pickled binary column (engine-internal exchange).
+    """
+    import pandas as pd
+    import pickle
+
+    from ..io.synth import DEFAULT_CONFIG
+    from ..kernels.shard import compute_shard_artifacts, make_shards, replay_document
+
+    cfg = config or DEFAULT_CONFIG
+
+    def split(batch: pa.Table) -> pa.Table:
+        out_doc, out_idx, out_blob = [], [], []
+        for doc_id, spans in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
+            for shard_idx, page_offset, shard_spans, carry in make_shards(
+                spans, pages_per_shard
+            ):
+                out_doc.append(doc_id)
+                out_idx.append(shard_idx)
+                out_blob.append(pickle.dumps((page_offset, shard_spans, carry)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.string()),
+                "shard_idx": pa.array(out_idx, pa.int32()),
+                "payload": pa.array(out_blob, pa.large_binary()),
+            }
+        )
+
+    def artifacts(batch: pa.Table) -> pa.Table:
+        out_doc, out_idx, out_art = [], [], []
+        for doc_id, shard_idx, payload in zip(
+            batch["doc_id"].to_pylist(),
+            batch["shard_idx"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            page_offset, shard_spans, carry = pickle.loads(payload)
+            arts = compute_shard_artifacts(doc_id, shard_spans, carry, cfg, page_offset)
+            out_doc.append(doc_id)
+            out_idx.append(shard_idx)
+            out_art.append(pickle.dumps(arts))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.string()),
+                "shard_idx": pa.array(out_idx, pa.int32()),
+                "arts": pa.array(out_art, pa.large_binary()),
+            }
+        )
+
+    def reassemble(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("shard_idx")
+        doc_id = g["doc_id"].iloc[0]
+        arts: list = []
+        for blob in g["arts"]:
+            arts.extend(pickle.loads(blob))
+        spans = replay_document(arts, cfg)
+        return pa.table(
+            {
+                "doc_id": pa.array([doc_id] * len(spans), pa.string()),
+                "kind": pa.array([s["kind"] for s in spans], pa.string()),
+                "text": pa.array([s["text"] for s in spans], pa.string()),
+                "media_ref": pa.array([s["media_ref"] for s in spans], pa.string()),
+                "offset": pa.array([s["offset"] for s in spans], pa.int32()),
+            }
+        )
+
+    sharded = ds.map_batches(split, batch_format="pyarrow", batch_size=8)
+    arts_ds = sharded.map_batches(artifacts, batch_format="pyarrow", batch_size=1)
+    return arts_ds.groupby("doc_id").map_groups(reassemble, batch_format="pandas")
+
+
 def flagship(
     sf_dir: str,
     seed: int = 42,

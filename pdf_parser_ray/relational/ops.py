@@ -376,6 +376,68 @@ def q_customers_without_orders(sf_dir: str):
     return _customer_order_filter(sf_dir, False, min_total=450000.0)
 
 
+def q_customers_with_orders_shuffle(sf_dir: str, n_buckets: int = 16):
+    """The broadcast semi-join's shuffle twin: both sides hash into
+    ``key % B`` buckets (order keys pre-deduped per batch so the
+    exchange carries one row per (batch, key)), one coarse groupby,
+    vectorized membership test per partition. Crossover rule: use the
+    broadcast variant while the distinct key set fits comfortably in a
+    worker heap (≈ build-side keys × 8 B ≤ tens of MB); beyond that —
+    millions of distinct keys × thousands of tasks re-shipping the
+    set — switch to this shape. Same oracle as the broadcast path."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        n = len(ck)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(ck, pa.int64()),
+                "c_name": pa.nulls(n, pa.string()),
+                "acctbal_cents": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(ck, pa.int64()),
+                "c_name": batch["c_name"],
+                "acctbal_cents": _cents(batch["c_acctbal"]),
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=65536).union(
+        customer.map_batches(tag_cust, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def semi_bucket(g: pd.DataFrame) -> pa.Table:
+        keys = g.loc[g["side"] == 0, "key"].to_numpy(dtype=np.int64)
+        cust = g[g["side"] == 1]
+        mask = cust["key"].isin(keys).to_numpy()
+        kept = cust[mask]
+        return pa.table(
+            {
+                "c_custkey": pa.array(kept["key"].to_numpy(dtype=np.int64), pa.int64()),
+                "c_name": pa.array(kept["c_name"].tolist(), pa.string()),
+                "acctbal_cents": pa.array(
+                    kept["acctbal_cents"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return both.groupby("bucket").map_groups(semi_bucket, batch_format="pandas")
+
+
 _SQL_SEMI = """
 SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
 FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -465,30 +527,56 @@ GROUP BY 1, 2
 # Q11 — sessionization via groupby().map_groups (ordered per-key scan)
 # ---------------------------------------------------------------------------
 
-def q_user_sessions(sf_dir: str, gap_s: int = 1800):
-    """Per-user session count with a 30-minute inactivity gap. The
-    per-key ordered scan runs inside ``map_groups`` (pandas sort within
-    the group); the shuffle key is user_id. Ordering assumption: ties
-    on ts break by event_id — stated here and in the oracle."""
+def q_user_sessions(sf_dir: str, gap_s: int = 1800, n_buckets: int = 32):
+    """Per-user session count with a 30-minute inactivity gap.
+
+    The shuffle key is the COARSE ``user_id % B`` bucket, not the user:
+    per-user ``map_groups`` serializes on per-group overhead once users
+    number in the millions (the same fine-key pitfall fixed in the
+    dedup stage). Inside each partition the scan is fully vectorized:
+    one sort by (user, ts, event_id), one diff, one boolean reduction
+    per user via pandas' C groupby. Ordering assumption: ties on ts
+    break by event_id — stated here and in the oracle."""
     import pandas as pd
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
     gap_us = gap_s * 1_000_000
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64")
-        gaps = us.diff()
-        n_sessions = int(1 + (gaps > gap_us).sum())
-        return pd.DataFrame(
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array(uid % n_buckets, pa.int64()))
+
+    def fn(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        us = g["ts"].astype("int64").to_numpy()
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = us[1:] - us[:-1]
+        starts = new_user | (gap > gap_us)
+        agg = (
+            pd.DataFrame({"user_id": uid, "s": starts})
+            .groupby("user_id", sort=False)
+            .agg(n_events=("s", "size"), n_sessions=("s", "sum"))
+            .reset_index()
+        )
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": np.array([len(g)], dtype=np.int64),
-                "n_sessions": np.array([n_sessions], dtype=np.int64),
+                "user_id": pa.array(agg["user_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "n_events": pa.array(agg["n_events"].to_numpy(dtype=np.int64), pa.int64()),
+                "n_sessions": pa.array(agg["n_sessions"].to_numpy(dtype=np.int64), pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(fn, batch_format="pandas")
+    )
 
 
 _SQL_SESSIONS = """
@@ -585,41 +673,40 @@ GROUP BY p_brand
 # Q14 — as-of join (latest order date at or before each event)
 # ---------------------------------------------------------------------------
 
+_US_PER_DAY = 86_400_000_000
+_DAY_BITS = 24  # order dates are midnight-aligned days; 2^24 days ≈ year 47k
+
+
 def q_last_order_before_event(sf_dir: str):
     """For each event, the most recent order date of the same customer
-    at or before the event time. Orders (small side) broadcast as
-    per-key sorted arrays; the probe is a vectorized searchsorted per
-    batch — the as-of join pattern for a small build side. With two
-    large sides this becomes bucket-partitioned ``merge_asof`` inside
-    ``map_groups``."""
+    at or before the event time. Orders (small side) broadcast as ONE
+    sorted composite-key array (``custkey << 24 | order_day`` — dates
+    are midnight-aligned, so day granularity is exact); each probe
+    batch is a single vectorized ``searchsorted`` — no per-row Python.
+    With two large sides use
+    :func:`q_last_order_before_event_bucketed`."""
     import pyarrow.parquet as pq
 
     orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
     ck = orders["o_custkey"].to_numpy(zero_copy_only=False)
     od = orders["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-    order_idx = np.lexsort((od, ck))
-    ck_sorted, od_sorted = ck[order_idx], od[order_idx]
-    # per-key slices
-    uniq, starts = np.unique(ck_sorted, return_index=True)
-    ends = np.append(starts[1:], len(ck_sorted))
-    slices = {int(k): (int(s), int(e)) for k, s, e in zip(uniq, starts, ends)}
+    assert int(ck.max()) < (1 << (63 - _DAY_BITS)), "custkey overflows composite key"
+    comp = (ck << _DAY_BITS) | (od // _US_PER_DAY)
+    order_idx = np.argsort(comp)
+    comp_sorted = comp[order_idx]
+    ck_sorted = ck[order_idx]
+    od_sorted = od[order_idx]
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def fn(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        out = np.full(len(uid), np.iinfo(np.int64).min, dtype=np.int64)
-        has = np.zeros(len(uid), dtype=bool)
-        for i in range(len(uid)):
-            sl = slices.get(int(uid[i]))
-            if sl is None:
-                continue
-            s, e = sl
-            j = np.searchsorted(od_sorted[s:e], ts[i], side="right")
-            if j > 0:
-                out[i] = od_sorted[s + j - 1]
-                has[i] = True
+        probe = (uid << _DAY_BITS) | (ts // _US_PER_DAY)
+        j = np.searchsorted(comp_sorted, probe, side="right")
+        pred = np.maximum(j - 1, 0)
+        has = (j > 0) & (ck_sorted[pred] == uid)
+        out = od_sorted[pred]
         import pandas as pd
 
         date_arr = pa.array(
@@ -635,6 +722,73 @@ def q_last_order_before_event(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+def q_last_order_before_event_bucketed(sf_dir: str, n_buckets: int = 16):
+    """The two-large-sides as-of join: both sides hash into
+    ``key % B`` buckets, one coarse groupby co-locates each key's
+    orders and events, and ``pandas.merge_asof`` (sorted, ``by=`` key)
+    runs vectorized inside every partition. Same oracle as the
+    broadcast variant; choose this shape when the build side no longer
+    fits a worker (the crossover is build-side bytes ≈ worker heap /
+    concurrency)."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(ck, pa.int64()),
+                "t_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                "event_id": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(uid, pa.int64()),
+                "t_us": pc.cast(batch["ts"], pa.int64()),
+                "event_id": batch["event_id"],
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=65536).union(
+        events.map_batches(tag_events, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def asof_bucket(g: pd.DataFrame) -> pa.Table:
+        ev = g[g["side"] == 0][["key", "t_us", "event_id"]].sort_values("t_us", kind="stable")
+        od = g[g["side"] == 1][["key", "t_us"]].sort_values("t_us", kind="stable")
+        od = od.rename(columns={"t_us": "od_us"})
+        j = pd.merge_asof(
+            ev, od, left_on="t_us", right_on="od_us", by="key", direction="backward"
+        )
+        has = j["od_us"].notna().to_numpy()
+        vals = j["od_us"].fillna(0).to_numpy().astype(np.int64)
+        date_ts = pa.array(
+            pd.Series(vals.view("datetime64[us]")).where(pd.Series(has), pd.NaT),
+            type=pa.timestamp("us"),
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(j["event_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "user_id": pa.array(j["key"].to_numpy(dtype=np.int64), pa.int64()),
+                "last_order_date": date_ts,
+            }
+        )
+
+    return both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
 
 
 _SQL_ASOF = """
@@ -739,6 +893,7 @@ QUERIES = {
     "region_customers": q_region_customers,
     "segment_revenue": q_segment_revenue,
     "customers_with_orders": q_customers_with_orders,
+    "customers_with_orders_shuffle": q_customers_with_orders_shuffle,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
     "hourly_events": q_hourly_events,
@@ -746,6 +901,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "brand_revenue": q_brand_revenue,
     "last_order_before_event": q_last_order_before_event,
+    "last_order_before_event_bucketed": q_last_order_before_event_bucketed,
     "json_props": q_json_props,
     "sliding_window": q_sliding_window,
 }
@@ -758,6 +914,7 @@ ORACLE_SQL = {
     "region_customers": _SQL_REGION_CUSTOMERS,
     "segment_revenue": _SQL_SEGMENT_REVENUE,
     "customers_with_orders": _SQL_SEMI,
+    "customers_with_orders_shuffle": _SQL_SEMI,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "hourly_events": _SQL_HOURLY,
@@ -765,6 +922,7 @@ ORACLE_SQL = {
     "top_customers": _SQL_TOP_CUSTOMERS,
     "brand_revenue": _SQL_BRAND_REVENUE,
     "last_order_before_event": _SQL_ASOF,
+    "last_order_before_event_bucketed": _SQL_ASOF,
     "json_props": _SQL_JSON_PROPS,
     "sliding_window": _SQL_SLIDING,
 }

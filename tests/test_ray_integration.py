@@ -259,6 +259,54 @@ class TestMediaPipelines:
         assert set(frames.columns) == {"doc_id", "frame_index", "frame"}
 
 
+class TestShardedExtract:
+    def test_sharded_pipeline_equals_plain(self):
+        """extract_sharded and the skew-aware-sharded pipeline produce
+        exactly the plain pipeline's spans, running through Ray
+        end-to-end."""
+        import ray.data as rd
+
+        from pdf_parser_ray.io.synth import DEFAULT_CONFIG, gen_document
+        from pdf_parser_ray.pipelines.extract import (
+            extract_pipeline,
+            extract_pipeline_skew_aware_sharded,
+            extract_sharded,
+        )
+        from pdf_parser_ray.core.schema import DOCUMENT_SCHEMA
+        import pyarrow as pa
+
+        ids = [f"doc-{i:08d}" for i in range(12)] + ["doc-00000041"]  # incl. a giant
+        tbl = pa.Table.from_pydict(
+            {"doc_id": ids, "spans": [gen_document(d, 42) for d in ids]},
+            schema=DOCUMENT_SCHEMA,
+        )
+        key = ["doc_id", "offset"]
+        plain = (
+            extract_pipeline(rd.from_arrow(tbl), DEFAULT_CONFIG)
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        sharded = (
+            extract_sharded(rd.from_arrow(tbl), DEFAULT_CONFIG, pages_per_shard=2)
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert plain.equals(sharded)
+
+        skew = (
+            extract_pipeline_skew_aware_sharded(
+                rd.from_arrow(tbl), DEFAULT_CONFIG, heavy_span_threshold=200
+            )
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert plain.equals(skew)
+        assert len(plain) > 0
+
+
 class TestNearDupClusters:
     def test_exact_copies_cluster_with_base(self):
         from pdf_parser_ray.stages.dedup import _EXACT_BASE, q_near_dup_clusters

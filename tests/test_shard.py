@@ -1,0 +1,77 @@
+"""Giant-document page-sharding: bit-identity of the shard-parallel
+artifact+replay path with the sequential fold (SURVEY.md §4.3; the
+lead(1) carry spec is reference extractor.py:331-375)."""
+
+from pdf_parser_ray.io.synth import DEFAULT_CONFIG, gen_document
+from pdf_parser_ray.kernels.document import extract_spans
+from pdf_parser_ray.kernels.shard import (
+    compute_shard_artifacts,
+    make_shards,
+    replay_document,
+)
+
+# doc ids whose seeded rng draws the giant flag (6x repeated sections
+# -> duplicate question instances, staggered completion)
+GIANT_IDS = ["doc-00000041", "doc-00000116", "doc-00000169"]
+
+
+def _sharded(doc_id, spans, pps):
+    arts = []
+    for _idx, off, ss, carry in make_shards(spans, pps):
+        arts.extend(compute_shard_artifacts(doc_id, ss, carry, DEFAULT_CONFIG, off))
+    return replay_document(arts, DEFAULT_CONFIG)
+
+
+class TestShardIdentity:
+    def test_giant_docs_all_shard_sizes(self):
+        for did in GIANT_IDS:
+            spans = gen_document(did, 42)
+            want = extract_spans(did, spans, DEFAULT_CONFIG)
+            assert want, did
+            for pps in (1, 2, 5):
+                assert _sharded(did, spans, pps) == want, (did, pps)
+
+    def test_mixed_mega_document(self):
+        # giant + normal pages concatenated into one document: the
+        # remaining-label/question state completes at staggered times,
+        # exercising the active-subset reconstruction
+        spans = []
+        for did in ["doc-00000041", "doc-00000007", "doc-00000116", "doc-00000002"]:
+            spans.extend(gen_document(did, 42))
+        want = extract_spans("mega", spans, DEFAULT_CONFIG)
+        for pps in (1, 3, 16):
+            assert _sharded("mega", spans, pps) == want, pps
+
+    def test_thousand_page_document(self):
+        # the north-rule skew case: a single ~1000-page document must
+        # parse shard-parallel with bit-identical spans
+        spans = []
+        i = 0
+        n_pages = 0
+        while n_pages < 1000:
+            s = gen_document(f"doc-{i:08d}", 42)
+            n_pages += sum(1 for x in s if x["kind"] == "page")
+            spans.extend(s)
+            i += 1
+        assert n_pages >= 1000
+        want = extract_spans("bigdoc", spans, DEFAULT_CONFIG)
+        got = _sharded("bigdoc", spans, 8)
+        assert got == want
+
+    def test_carry_is_lead1_only(self):
+        # shard k's carry must be exactly the next shard's first page
+        spans = gen_document("doc-00000041", 42)
+        shards = make_shards(spans, 2)
+        for k in range(len(shards) - 1):
+            _i, _off, _ss, carry = shards[k]
+            nxt_spans = shards[k + 1][2]
+            first_page_end = next(
+                (
+                    j
+                    for j, s in enumerate(nxt_spans[1:], start=1)
+                    if s["kind"] == "page"
+                ),
+                len(nxt_spans),
+            )
+            assert carry == nxt_spans[:first_page_end]
+        assert shards[-1][3] is None
