@@ -37,10 +37,19 @@ def _line_norms(line: Line) -> list[str]:
     """Per-line cache of OCR-normalized token strings plus the
     newline-joined blob/offsets used for C-level candidate scans.
     Normalization is pure, so caching on the line dict is
-    semantics-preserving (the reference re-normalizes every probe)."""
+    semantics-preserving (the reference re-normalizes every probe).
+    The per-token ``_n`` cache survives regrouping (crop retries and
+    the answer collector regroup the same token dicts ~6× per page —
+    normalization depends only on the text, so sharing is safe)."""
     norms = line.get("_norms")
     if norms is None:
-        norms = [ocr_norm(w["text"]) for w in line["words"]]
+        norms = []
+        for w in line["words"]:
+            nv = w.get("_n")
+            if nv is None:
+                nv = ocr_norm(w["text"])
+                w["_n"] = nv
+            norms.append(nv)
         offs = []
         pos = 0
         parts = []
@@ -415,6 +424,16 @@ def crop_tokens(tokens: list[Token], y1: int, y2: int) -> list[Token]:
     return out
 
 
+def band_tokens(tokens: list[Token], y1: int, y2: int) -> list[Token]:
+    """Zero-copy band filter: the matcher's geometry is
+    shift-invariant (grouping/order by relative y, lookahead by line
+    index and x tolerance, no absolute-y constants), so band retries
+    can reuse the original token dicts with absolute y — identical
+    matches to :func:`crop_tokens` + shift-back, minus one dict copy
+    per token per retry, and the shared ``_n`` norm cache survives."""
+    return [t for t in tokens if y1 <= int(t.get("y", 0)) < y2]
+
+
 def match_sections_and_questions(
     tokens: list[Token],
     sections: list[dict],
@@ -464,7 +483,7 @@ def match_sections_and_questions(
         key = (y1c, y2c)
         hit = crop_cache.get(key)
         if hit is None:
-            band = crop_tokens(tokens, y1c, y2c)
+            band = band_tokens(tokens, y1c, y2c)  # zero-copy, absolute y
             band_lines = group_lines(band)
             hit = (band, band_lines, PageIndex(band_lines))
             crop_cache[key] = hit
@@ -506,16 +525,14 @@ def match_sections_and_questions(
                 y2c_primary = max(y1c + 1, int(min(page_height, y2)))
 
                 def try_crop(y2c_local: int) -> list[Hit]:
+                    # band tokens keep absolute y (zero-copy filter),
+                    # so hits need no crop-space shift-back
                     local_hits = []
                     band, band_lines, band_idx = cropped(y1c, y2c_local)
                     bhits = match_questions_like_labels(
                         band, [q], lines=band_lines, page_index=band_idx
                     ).get(q, [])
                     for bh in bhits:
-                        bh["y"] = int(bh.get("y", 0)) + y1c
-                        for seg in bh.get("segments", []):
-                            if isinstance(seg, dict) and "line_y" in seg:
-                                seg["line_y"] = int(seg["line_y"]) + y1c
                         if (min_start_y is None) or (bh.get("y", 0) >= min_start_y):
                             local_hits.append(bh)
                     return local_hits

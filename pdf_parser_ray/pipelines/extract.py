@@ -304,7 +304,7 @@ def flagship(
     sf_dir: str,
     seed: int = 42,
     concurrency=None,
-    batch_size: int = 32,
+    batch_size: int | None = None,
     multiplier: int = 1,
     fused: bool = True,
 ):
@@ -316,10 +316,19 @@ def flagship(
     ~45% of extraction CPU). ``fused=False`` exercises the two-stage
     path — the shape a real Lance-backed corpus uses, where the source
     column arrives as Arrow and ``extract_pipeline`` owns the parse.
+
+    ``batch_size=None`` (default) makes each batch one whole block:
+    the UDF is a per-row loop with no vectorization to exploit, and
+    slicing blocks into small batches measurably costs ~15% at 32
+    cores (batch plumbing per slice). The actor-pool path keeps an
+    explicit batch size — there it bounds per-actor heap and load
+    imbalance across the pool.
     """
     if not fused:
         corpus = corpus_from_documents(sf_dir, seed, multiplier=multiplier)
-        return extract_pipeline(corpus, concurrency=concurrency, batch_size=batch_size)
+        return extract_pipeline(
+            corpus, concurrency=concurrency, batch_size=batch_size or 32
+        )
 
     import ray
     import ray.data as rd
