@@ -108,6 +108,129 @@ def q_training_prep(sf_dir: str):
     return ds.map_batches(prep, batch_format="pyarrow", batch_size=8192)
 
 
+def q_training_prep_shuffle(sf_dir: str, n_buckets: int = 32):
+    """The prep pipeline's shuffle twin: identical semantics, but the
+    exact-dedup survivor set never touches the driver — the
+    (fp → min doc_id) aggregate stays a Dataset and joins back to the
+    annotated rows with a coarse bucket semi-join (``doc_id % B``).
+    This is the shape for 10^12 documents, where the survivor-id set
+    no longer fits one process; the broadcast variant
+    (:func:`q_training_prep`) wins while it does (no second shuffle).
+    """
+    import ray
+
+    from ..io.sources import read_parquet_clean
+
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=n_blocks,
+    )
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5((t or "").encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps)})
+
+    from ray.data.aggregate import Min
+
+    survivors = (
+        ds.map_batches(fp_batch, batch_format="pyarrow", batch_size=65536)
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        content = [strip_boilerplate(html_tokenize(i, t)) for i, t in zip(ids, texts)]
+        carr = pa.array(content, pa.string())
+        low = pc.utf8_lower(carr)
+        scores = {
+            lang: pc.cast(pc.count_substring_regex(low, pat), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            for lang, pat in _LANG_PATTERNS.items()
+        }
+        n = len(ids)
+        lang = np.full(n, "und", dtype=object)
+        best = np.zeros(n, dtype=np.int64)
+        for lg in reversed(_LANG_PRIORITY):
+            s = scores[lg]
+            take = s >= best
+            lang[take & (s > 0)] = lg
+            best = np.maximum(best, s)
+        n_chars = pc.cast(pc.utf8_length(carr), pa.int64()).to_numpy(zero_copy_only=False)
+        n_alpha = pc.cast(
+            pc.count_substring_regex(carr, "[A-Za-z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ratio = n_alpha / np.maximum(n_chars, 1)
+        n_tokens = pc.cast(
+            pc.count_substring_regex(carr, r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        id_arr = np.asarray(ids, dtype=np.int64)
+        keep = (lang == "en") & (ratio >= _MIN_ALPHA_RATIO)
+        return pa.table(
+            {
+                "doc_id": pa.array(id_arr[keep], pa.int64()),
+                "content_text": pa.array(
+                    [c for c, k in zip(content, keep) if k], pa.string()
+                ),
+                "n_tokens": pa.array(n_tokens[keep], pa.int64()),
+            }
+        )
+
+    annotated = ds.map_batches(annotate, batch_format="pyarrow", batch_size=8192)
+
+    # bucket semi-join: annotated rows ⋉ survivor ids on doc_id
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(ids % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "doc_id": batch["doc_id"],
+                "content_text": batch["content_text"],
+                "n_tokens": batch["n_tokens"],
+            }
+        )
+
+    def tag_survivors(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(ids % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "doc_id": batch["doc_id"],
+                "content_text": pa.nulls(n, pa.string()),
+                "n_tokens": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    both = annotated.map_batches(tag_rows, batch_format="pyarrow", batch_size=65536).union(
+        survivors.map_batches(tag_survivors, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def semi_bucket(g: pd.DataFrame) -> pa.Table:
+        keys = g.loc[g["side"] == 0, "doc_id"].to_numpy(dtype=np.int64)
+        rows = g[g["side"] == 1]
+        kept = rows[rows["doc_id"].isin(keys)]
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "content_text": pa.array(kept["content_text"].tolist(), pa.string()),
+                "n_tokens": pa.array(kept["n_tokens"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return both.groupby("bucket").map_groups(semi_bucket, batch_format="pandas")
+
+
 _SQL_TRAINING_PREP = rf"""
 WITH content AS (
     SELECT doc_id,
@@ -137,5 +260,11 @@ WHERE (CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
   AND doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
 """
 
-QUERIES = {"training_prep": q_training_prep}
-ORACLE_SQL = {"training_prep": _SQL_TRAINING_PREP}
+QUERIES = {
+    "training_prep": q_training_prep,
+    "training_prep_shuffle": q_training_prep_shuffle,
+}
+ORACLE_SQL = {
+    "training_prep": _SQL_TRAINING_PREP,
+    "training_prep_shuffle": _SQL_TRAINING_PREP,
+}

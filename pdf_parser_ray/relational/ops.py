@@ -885,6 +885,254 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q16 — windowed rank (top-N per group)
+# ---------------------------------------------------------------------------
+
+def q_top_orders_per_customer(sf_dir: str, n: int = 3, n_buckets: int = 32):
+    """Top-3 orders per customer by (totalprice desc, orderkey asc)
+    with their rank — the ROW_NUMBER-per-partition window operator.
+    Shuffle key is the coarse ``custkey % B`` bucket; inside each
+    partition one sort + ``groupby.cumcount`` ranks every customer
+    vectorized (per-customer ``map_groups`` would serialize on group
+    overhead)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "total_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["o_custkey", "total_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        rn = g.groupby("o_custkey", sort=False).cumcount() + 1
+        keep = rn <= n
+        kept = g[keep]
+        return pa.table(
+            {
+                "o_custkey": pa.array(kept["o_custkey"].to_numpy(dtype=np.int64)),
+                "o_orderkey": pa.array(kept["o_orderkey"].to_numpy(dtype=np.int64)),
+                "total_cents": pa.array(kept["total_cents"].to_numpy(dtype=np.int64)),
+                "rn": pa.array(rn[keep].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+_SQL_TOP_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, total_cents, rn
+FROM (
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+           ) AS BIGINT) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — exact distributed percentiles (value-count summary)
+# ---------------------------------------------------------------------------
+
+def q_price_percentiles(sf_dir: str):
+    """Exact p50/p90/p99 of order totals (integer cents) via the
+    value-count summary: per-batch counts → one ``groupby(value)``
+    Sum → the (distinct value, count) table — bounded by the value
+    domain, tiny next to the data — sorts on the driver and the
+    percentile indices read off the cumulative counts. Exact (no
+    t-digest approximation) because the domain is discrete; for
+    unbounded domains the same pipeline feeds a sketch instead.
+    PERCENTILE_DISC semantics: smallest value with cum_count ≥
+    ⌈q·N⌉."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {"cents": pa.array(vals), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=65536)
+        .groupby("cents")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("cents")
+    )
+    total = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    vals = hist["cents"].to_numpy()
+
+    def pick(q: float) -> int:
+        k = int(np.ceil(q * total))
+        return int(vals[np.searchsorted(cum, k)])
+
+    return pd.DataFrame(
+        {
+            "p50_cents": pd.Series([pick(0.5)], dtype="int64"),
+            "p90_cents": pd.Series([pick(0.9)], dtype="int64"),
+            "p99_cents": pd.Series([pick(0.99)], dtype="int64"),
+        }
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT
+  CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p50_cents,
+  CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p90_cents,
+  CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p99_cents
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 — rollup aggregate (region → nation → grand total)
+# ---------------------------------------------------------------------------
+
+def q_revenue_rollup(sf_dir: str, n_buckets: int = 16):
+    """Order revenue rolled up over (region, nation, ALL): the
+    ROLLUP operator as a Dataset composition. nation/region broadcast
+    (tiny dims); orders pre-aggregate per custkey per batch; the
+    custkey→geo resolution is the explicit bucket join; then ONE fine
+    groupby produces the (region, nation) leaf aggregate, and the
+    rollup levels come from fanning each leaf row out to its three
+    grouping sets and re-aggregating — the second shuffle moves
+    3 × |leaf| rows (hundreds), not data. 'ALL' is the subtotal
+    sentinel on both the Ray and SQL sides."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nkey_to_geo = {
+        int(nk): (rmap[int(rk)], nm)
+        for nk, nm, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    }
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": b["o_custkey"].to_numpy(zero_copy_only=False),
+                "cents": _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("key", as_index=False)["cents"].sum()
+        keys = g["key"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(len(g), dtype=np.int8)),
+                "key": pa.array(keys, pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+                "nkey": pa.array(np.zeros(len(g), dtype=np.int64)),
+            }
+        )
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                "key": pa.array(ck, pa.int64()),
+                "cents": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "nkey": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        )
+
+    both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
+        customer.map_batches(prep_cust, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        probe = g[g["side"] == 0][["key", "cents"]]
+        build = g[g["side"] == 1][["key", "nkey"]]
+        j = probe.merge(build, on="key", how="inner")
+        agg = j.groupby("nkey", as_index=False)["cents"].sum()
+        geo = [nkey_to_geo[int(k)] for k in agg["nkey"]]
+        return pa.table(
+            {
+                "r_name": pa.array([g0 for g0, _ in geo], pa.string()),
+                "n_name": pa.array([g1 for _, g1 in geo], pa.string()),
+                "revenue_cents": pa.array(agg["cents"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    leaf = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        r = batch["r_name"].to_pylist()
+        nm = batch["n_name"].to_pylist()
+        c = batch["revenue_cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r_name": pa.array(r + r + ["ALL"] * len(r), pa.string()),
+                "n_name": pa.array(nm + ["ALL"] * (2 * len(r)), pa.string()),
+                "revenue_cents": pa.array(np.concatenate([c, c, c])),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        leaf.map_batches(fan_out, batch_format="pyarrow", batch_size=65536)
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+_SQL_ROLLUP = """
+SELECT COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(n_name, 'ALL') AS n_name,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM (
+    SELECT r.r_name, n.n_name,
+           CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -904,6 +1152,9 @@ QUERIES = {
     "last_order_before_event_bucketed": q_last_order_before_event_bucketed,
     "json_props": q_json_props,
     "sliding_window": q_sliding_window,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "price_percentiles": q_price_percentiles,
+    "revenue_rollup": q_revenue_rollup,
 }
 
 ORACLE_SQL = {
@@ -925,4 +1176,7 @@ ORACLE_SQL = {
     "last_order_before_event_bucketed": _SQL_ASOF,
     "json_props": _SQL_JSON_PROPS,
     "sliding_window": _SQL_SLIDING,
+    "top_orders_per_customer": _SQL_TOP_PER_CUSTOMER,
+    "price_percentiles": _SQL_PERCENTILES,
+    "revenue_rollup": _SQL_ROLLUP,
 }
