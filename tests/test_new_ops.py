@@ -1,0 +1,136 @@
+"""Adversarial-edge tests for the round-2 relational operators:
+windowed rank (ties), exact percentiles (boundary indices, heavy
+duplicates), sessionizer (gaps exactly at threshold, ts ties), rollup
+(subtotal arithmetic) — each against an independent brute-force or
+DuckDB computation on a synthetic table written to tmp parquet."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf(tmp_path_factory):
+    """A tiny sf-dir with adversarial orders/events tables."""
+    d = tmp_path_factory.mktemp("adv_sf")
+    rng = np.random.RandomState(13)
+
+    n = 500
+    # orders: many exact ties in totalprice, duplicate-heavy prices
+    custkey = rng.randint(1, 20, size=n)
+    prices = rng.choice([10.00, 10.00, 25.50, 25.50, 99.99, 1000.00], size=n)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, n + 1), pa.int64()),
+            "o_custkey": pa.array(custkey, pa.int64()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(orders, str(d / "orders.parquet"))
+
+    # events: gaps exactly at/over/under the 1800s threshold, ts ties
+    rows = []
+    eid = 0
+    for uid in range(1, 8):
+        t = np.int64(1_700_000_000_000_000)
+        for gap_s in (0, 1800, 1801, 1799, 1800, 3600, 0, 0, 1801):
+            t += np.int64(gap_s) * 1_000_000
+            rows.append((eid, uid, t))
+            eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us"])
+    events = pa.table(
+        {
+            "event_id": pa.array(ev["event_id"].to_numpy(), pa.int64()),
+            "user_id": pa.array(ev["user_id"].to_numpy(), pa.int64()),
+            "ts": pa.array(ev["ts_us"].to_numpy(), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(events, str(d / "events.parquet"))
+    return str(d)
+
+
+class TestAdversarialOps:
+    def test_windowed_rank_ties(self, adversarial_sf):
+        from pdf_parser_ray.relational.ops import q_top_orders_per_customer
+
+        got = (
+            q_top_orders_per_customer(adversarial_sf)
+            .to_pandas()
+            .sort_values(["o_custkey", "rn"])
+            .reset_index(drop=True)
+        )
+        # brute force in pandas with the same ordering contract
+        df = pq.read_table(f"{adversarial_sf}/orders.parquet").to_pandas()
+        df["total_cents"] = np.rint(df["o_totalprice"] * 100).astype(np.int64)
+        df = df.sort_values(
+            ["o_custkey", "total_cents", "o_orderkey"], ascending=[True, False, True]
+        )
+        df["rn"] = df.groupby("o_custkey").cumcount() + 1
+        want = (
+            df[df["rn"] <= 3][["o_custkey", "o_orderkey", "total_cents", "rn"]]
+            .sort_values(["o_custkey", "rn"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+    def test_percentiles_duplicate_heavy(self, adversarial_sf):
+        import duckdb
+
+        from pdf_parser_ray.relational.ops import q_price_percentiles
+
+        got = q_price_percentiles(adversarial_sf)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{adversarial_sf}/orders.parquet'"
+        )
+        want = con.execute(
+            """SELECT
+              CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT),
+              CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT),
+              CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+            FROM orders"""
+        ).fetchone()
+        assert (
+            int(got["p50_cents"][0]),
+            int(got["p90_cents"][0]),
+            int(got["p99_cents"][0]),
+        ) == tuple(want)
+
+    def test_sessionizer_threshold_edges(self, adversarial_sf):
+        from pdf_parser_ray.relational.ops import q_user_sessions
+
+        got = (
+            q_user_sessions(adversarial_sf)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        # brute force: gap strictly greater than 1800s starts a session
+        ev = pq.read_table(f"{adversarial_sf}/events.parquet").to_pandas()
+        ev["us"] = ev["ts"].astype("int64")
+        want_rows = []
+        for uid, g in ev.groupby("user_id"):
+            g = g.sort_values(["us", "event_id"])
+            gaps = g["us"].diff()
+            want_rows.append(
+                (uid, len(g), int(1 + (gaps > 1800 * 1_000_000).sum()))
+            )
+        want = pd.DataFrame(want_rows, columns=["user_id", "n_events", "n_sessions"])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # the fixture has gaps of exactly 1800s — they must NOT split
+        assert (got["n_sessions"] < got["n_events"]).all()
+
+    def test_rollup_subtotals_consistent(self):
+        from pdf_parser_ray.relational.ops import q_revenue_rollup
+
+        got = q_revenue_rollup("/root/testdata/sf0.001").to_pandas()
+        leaf = got[(got["r_name"] != "ALL") & (got["n_name"] != "ALL")]
+        region_rows = got[(got["r_name"] != "ALL") & (got["n_name"] == "ALL")]
+        grand = got[(got["r_name"] == "ALL") & (got["n_name"] == "ALL")]
+        assert len(grand) == 1
+        assert grand["revenue_cents"].iloc[0] == leaf["revenue_cents"].sum()
+        per_region = leaf.groupby("r_name")["revenue_cents"].sum()
+        for _, row in region_rows.iterrows():
+            assert row["revenue_cents"] == per_region[row["r_name"]]
