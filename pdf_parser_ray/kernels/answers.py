@@ -221,12 +221,20 @@ def augment_answers(
     checkboxes: list[Box],
     page_width: int = 2000,
     page_height: int = 3000,
+    lines: list[Line] | None = None,
 ) -> list[dict]:
     """Run the full post-matching answer phase on ``matches`` in place
     (reference ``extract_responses_from_page`` body,
     ``response_extractor.py:870-1634``). Returns ``matches``.
-    """
-    line_list = group_lines_with_height(tokens)
+    ``lines`` may carry the page's existing :func:`group_lines` result;
+    the answer-collector shape derives from it without regrouping
+    (bit-equivalent — see :func:`lines_with_height_from`)."""
+    if lines is not None:
+        from .lines import lines_with_height_from
+
+        line_list = lines_with_height_from(lines)
+    else:
+        line_list = group_lines_with_height(tokens)
 
     for sec in matches:
         qlist = sec.get("questions", [])

@@ -269,6 +269,7 @@ def extract_document(pages: list[Page], sections: list[dict]) -> dict[str, Any]:
             checkboxes,
             page_width=page_w,
             page_height=page_h,
+            lines=page_lines,
         )
 
         # Update remaining questions (reference extractor.py:1100-1114).

@@ -101,6 +101,27 @@ def group_lines_with_height(tokens: Iterable[Token]) -> list[Line]:
     return out
 
 
+def lines_with_height_from(lines: list[Line]) -> list[Line]:
+    """Derive the answer collector's line shape from an existing
+    :func:`group_lines` result: same grouping keys, same insertion
+    order, same stable sorts — so deriving (one max() per line) is
+    bit-equivalent to regrouping the tokens from scratch, minus one
+    full grouping pass per page. The joined line ``text`` that
+    :func:`group_lines_with_height` precomputes is not consumed by any
+    caller, so it is omitted here."""
+    out: list[Line] = []
+    for ln in lines:
+        words = ln["words"]
+        out.append(
+            {
+                "words": words,
+                "y": ln["y"],
+                "h": max((int(w.get("h", 0)) for w in words), default=0),
+            }
+        )
+    return out
+
+
 def head_line_groups(lines: list[Line], n_groups: int) -> list[Line]:
     """Keep the first ``n_groups`` distinct-y line groups.
 
