@@ -15,10 +15,15 @@ where Ray parallelizes).
 
 from __future__ import annotations
 
+from operator import itemgetter
 from typing import Any, Iterable
 
 Token = dict[str, Any]
 Line = dict[str, Any]
+
+# C-level sort keys (itemgetter beats a Python lambda per comparison)
+_BY_X = itemgetter("x")
+_BY_Y = itemgetter("y")
 
 
 def group_lines(tokens: Iterable[Token]) -> list[Line]:
@@ -61,8 +66,8 @@ def group_lines(tokens: Iterable[Token]) -> list[Line]:
             entry["words"].append(w)
     out = list(lines.values())
     for ln in out:
-        ln["words"].sort(key=lambda t: t["x"])
-    out.sort(key=lambda l: l["y"])
+        ln["words"].sort(key=_BY_X)
+    out.sort(key=_BY_Y)
     return out
 
 
@@ -94,9 +99,9 @@ def group_lines_with_height(tokens: Iterable[Token]) -> list[Line]:
         else:
             entry["words"].append(w)
             entry["h"] = max(entry["h"], int(w.get("h", 0)))
-    out = sorted(lines.values(), key=lambda ln: ln["y"])
+    out = sorted(lines.values(), key=_BY_Y)
     for ln in out:
-        ln["words"].sort(key=lambda t: t["x"])
+        ln["words"].sort(key=_BY_X)
         ln["text"] = " ".join(w["text"] for w in ln["words"])
     return out
 

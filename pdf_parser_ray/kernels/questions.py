@@ -227,6 +227,9 @@ def try_multiline(
     base_x_tolerance = LABEL_MULTILINE_BASE_X_TOLERANCE
     max_lookahead = LABEL_MULTILINE_MAX_LOOKAHEAD
     n_lbl = len(lbl_words_seq)
+    # resolve the per-word Expected objects once (the lookahead loop
+    # probes them per token; the lru_cache lookup per probe adds up)
+    exps_seq = [expected(w) for w in lbl_words_seq]
     if cand_by_line is not None:
         start_iter = [(i, lines[i]) for i in sorted(cand_by_line)]
     else:
@@ -276,7 +279,7 @@ def try_multiline(
             while kidx < len(lines) and lines[kidx]["y"] == next_y:
                 group_indices.append(kidx)
                 kidx += 1
-            exp_next = expected(lbl_words_seq[curr_lbl_idx])
+            exp_next = exps_seq[curr_lbl_idx]
             best_overall = 0
             best_overall_idx = None
             best_overall_segtoks = None
@@ -307,7 +310,7 @@ def try_multiline(
                     matched_in_line = 0
                     k = ci
                     while k < len(line_tokens) and (curr_lbl_idx + matched_in_line) < n_lbl:
-                        exp2 = expected(lbl_words_seq[curr_lbl_idx + matched_in_line])
+                        exp2 = exps_seq[curr_lbl_idx + matched_in_line]
                         tok_clean = lnorms[k]
                         ok2 = (
                             exp2.startswith(tok_clean)
