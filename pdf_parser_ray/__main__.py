@@ -114,6 +114,102 @@ def cmd_regress(args) -> int:
     return 1 if failures else 0
 
 
+def _load_doc(corpus: str, doc_id: str):
+    """One document's decoded pages from a span corpus."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .kernels.document import decode_spans
+
+    t = pq.read_table(corpus, columns=["doc_id", "spans"])
+    t = t.filter(pc.equal(t["doc_id"], doc_id))
+    if t.num_rows == 0:
+        raise SystemExit(f"doc_id {doc_id!r} not found in {corpus}")
+    return decode_spans(doc_id, t["spans"].to_pylist()[0])
+
+
+def cmd_template(args) -> int:
+    """Template-spec extractor — the geometric analog of the
+    reference's offline template cropper (S9,
+    ``template_extractor.py:25-33``): instead of cropping rendered
+    pixels, emit the spans whose geometry falls inside the given
+    (x, y, w, h) rect of a page — the template *spec* (checkbox
+    geometry + match scores + covered tokens) that the pixel tool's
+    crop stands for."""
+    pages = _load_doc(args.corpus, args.doc)
+    if args.page < 1 or args.page > len(pages):
+        raise SystemExit(f"page {args.page} out of range (doc has {len(pages)})")
+    pg = pages[args.page - 1]
+    x1, y1, x2, y2 = args.x, args.y, args.x + args.w, args.y + args.h
+
+    def inside(o):
+        return x1 <= o["x"] <= x2 and y1 <= o["y"] <= y2
+
+    spec = {
+        "doc_id": args.doc,
+        "page": args.page,
+        "rect": {"x": args.x, "y": args.y, "w": args.w, "h": args.h},
+        "checkboxes": [b for b in pg["ticked"] + pg["empty"] if inside(b)],
+        "tokens": [t for t in pg["tokens"] if inside(t)],
+        "highlights": [h for h in pg["highlights"] if inside(h)],
+    }
+    out = json.dumps(spec, indent=1)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+        print(f"saved template spec to {args.output}")
+    else:
+        print(out)
+    return 0
+
+
+def cmd_coords(args) -> int:
+    """Checkbox-coordinate lister — the batch analog of the
+    reference's interactive click-to-get-coordinates tool (S10,
+    ``extract_tick_coordinates.py:26-57``): print every checkbox
+    candidate's (x, y, w, h, score, status) on a page, optionally with
+    the label each would be assigned to — the information clicking the
+    rendered page reveals, queryable instead of interactive."""
+    pages = _load_doc(args.corpus, args.doc)
+    sel = pages if args.page is None else [pages[args.page - 1]]
+    for pg in sel:
+        from .kernels.boxes import deduplicate_matches
+
+        for b in deduplicate_matches(pg["ticked"], pg["empty"]):
+            rec = dict(b)
+            rec["page"] = pg["page"]
+            print(json.dumps(rec))
+    return 0
+
+
+def cmd_debug(args) -> int:
+    """Debug-artifact sink — the queryable analog of the reference's
+    annotated debug images (S6, ``extractor.py:1128-1164``): write the
+    full pre-flatten structured record per document (per-page checkbox
+    assignments with positions/status and response sections with
+    answer windows) as JSON — everything the overlay PNGs drew, as
+    data."""
+    import os
+
+    from .core.config import FormConfig
+    from .io.synth import DEFAULT_CONFIG
+    from .kernels.document import classify_form_type, extract_document
+
+    config = FormConfig.from_json(args.config) if args.config else DEFAULT_CONFIG
+    os.makedirs(args.output, exist_ok=True)
+    written = []
+    for doc_id in args.doc:
+        pages = _load_doc(args.corpus, doc_id)
+        sections = config.select(classify_form_type(pages))
+        structured = extract_document(pages, sections)
+        path = os.path.join(args.output, f"{doc_id}.json")
+        with open(path, "w") as f:
+            json.dump(structured, f, indent=1)
+        written.append(path)
+    print(json.dumps({"written": written}))
+    return 0
+
+
 def cmd_doctor(args) -> int:
     """Environment probe — the engine analog of the reference's
     ``--check`` flag (``extractor.py:1345-1364``): report availability
@@ -175,6 +271,30 @@ def main(argv=None) -> int:
     ps.add_argument("--n", type=int, default=1000)
     ps.add_argument("--seed", type=int, default=42)
     ps.set_defaults(fn=cmd_synth)
+
+    pt = sub.add_parser("template", help="extract a template spec from a page rect (S9 analog)")
+    pt.add_argument("--corpus", required=True)
+    pt.add_argument("--doc", required=True)
+    pt.add_argument("--page", type=int, required=True)
+    pt.add_argument("--x", type=int, required=True)
+    pt.add_argument("--y", type=int, required=True)
+    pt.add_argument("--w", type=int, required=True)
+    pt.add_argument("--h", type=int, required=True)
+    pt.add_argument("--output", default=None)
+    pt.set_defaults(fn=cmd_template)
+
+    pc_ = sub.add_parser("coords", help="list checkbox candidate coordinates (S10 analog)")
+    pc_.add_argument("--corpus", required=True)
+    pc_.add_argument("--doc", required=True)
+    pc_.add_argument("--page", type=int, default=None)
+    pc_.set_defaults(fn=cmd_coords)
+
+    pdbg = sub.add_parser("debug", help="write per-doc structured debug artifacts (S6 analog)")
+    pdbg.add_argument("--corpus", required=True)
+    pdbg.add_argument("--doc", nargs="+", required=True)
+    pdbg.add_argument("--config", default=None)
+    pdbg.add_argument("--output", required=True)
+    pdbg.set_defaults(fn=cmd_debug)
 
     args = p.parse_args(argv)
     try:
