@@ -305,13 +305,22 @@ def q_segment_revenue(sf_dir: str, n_buckets: int = 16):
         customer.map_batches(prep_cust, batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
         build = g[g["side"] == 1][["key", "seg"]]
         probe = g[g["side"] == 0][["key", "total_cents"]]
         j = probe.merge(build, on="key", how="inner")
         out = j.groupby("seg", as_index=False)["total_cents"].sum()
-        out.columns = ["c_mktsegment", "revenue_cents"]
-        return out
+        # explicit Arrow schema so empty partitions keep their columns
+        # (schema-less empty pandas blocks trip the executor's
+        # schema-consistency check)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(out["seg"].tolist(), pa.string()),
+                "revenue_cents": pa.array(
+                    out["total_cents"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
 
     from ray.data.aggregate import Sum
 
@@ -1133,6 +1142,105 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q19 — distinct count: exact (partial-distinct shuffle) + HLL sketch
+# ---------------------------------------------------------------------------
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) over events: per-batch local
+    distinct (the partial-combine discipline — the exchange carries
+    unique keys per batch, not rows), one groupby to global-distinct,
+    then a count. Returns a 1-row table."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    uniq = (
+        ds.map_batches(local_distinct, batch_format="pyarrow", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="_n"))
+    )
+    n = uniq.count()
+    import pandas as pd
+
+    return pd.DataFrame({"n_users": pd.Series([n], dtype="int64")})
+
+
+_SQL_DISTINCT_USERS = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+"""
+
+_HLL_P = 12  # 4096 registers → ~1.6% standard error
+
+
+def q_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
+    """HyperLogLog distinct-user estimate — the sketch twin of
+    :func:`q_distinct_users` for domains where the exact distinct
+    shuffle is itself too large (e.g. distinct URLs at 100 TB).
+
+    Fully distributed sketch merge with no custom aggregation code:
+    each batch computes its local register maxima and emits them as
+    (register, rho) rows; ``groupby(register).Max`` IS the HLL merge
+    (registers combine by elementwise max), moving at most
+    2^p × blocks fixed-width rows. The driver folds 4096 registers
+    into the estimate. md5-based hashing — deterministic across
+    processes. Rows-only (approximate by construction); the unit test
+    pins the estimate within 3σ of exact."""
+    import hashlib
+
+    m = 1 << p
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def registers(batch: pa.Table) -> pa.Table:
+        users = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        # 64-bit md5-derived hash per key (vectorized over the batch's
+        # distinct keys only)
+        hashes = np.array(
+            [
+                int.from_bytes(hashlib.md5(int(u).to_bytes(8, "little")).digest()[:8], "big")
+                for u in users
+            ],
+            dtype=np.uint64,
+        )
+        reg = (hashes >> np.uint64(64 - p)).astype(np.int64)
+        rest = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
+        # rho = position of the first 1-bit (1-based) in the remaining bits
+        rho = np.zeros(len(users), dtype=np.int64)
+        for i, v in enumerate(rest):
+            x = int(v)
+            r = 1
+            while r <= 64 - p and not (x & (1 << 63)):
+                x <<= 1
+                r += 1
+            rho[i] = r
+        df = pa.table({"register": pa.array(reg), "rho": pa.array(rho)})
+        return df
+
+    from ray.data.aggregate import Max
+
+    regs = (
+        ds.map_batches(registers, batch_format="pyarrow", batch_size=65536)
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    M = np.zeros(m, dtype=np.float64)
+    M[regs["register"].to_numpy()] = regs["rho"].to_numpy()
+    # standard HLL estimator with small-range correction
+    alpha = 0.7213 / (1 + 1.079 / m)
+    E = alpha * m * m / np.sum(np.exp2(-M))
+    zeros = int((M == 0).sum())
+    if E <= 2.5 * m and zeros:
+        E = m * np.log(m / zeros)
+    import pandas as pd
+
+    return pd.DataFrame({"n_users_approx": pd.Series([int(round(E))], dtype="int64")})
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -1155,6 +1263,8 @@ QUERIES = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "price_percentiles": q_price_percentiles,
     "revenue_rollup": q_revenue_rollup,
+    "distinct_users": q_distinct_users,
+    "distinct_users_hll": q_distinct_users_hll,
 }
 
 ORACLE_SQL = {
@@ -1179,4 +1289,7 @@ ORACLE_SQL = {
     "top_orders_per_customer": _SQL_TOP_PER_CUSTOMER,
     "price_percentiles": _SQL_PERCENTILES,
     "revenue_rollup": _SQL_ROLLUP,
+    "distinct_users": _SQL_DISTINCT_USERS,
+    # distinct_users_hll: sketch — approximate by construction, rows-only;
+    # the unit test pins the estimate within 3 sigma of the exact count
 }

@@ -122,6 +122,21 @@ class TestAdversarialOps:
         # the fixture has gaps of exactly 1800s — they must NOT split
         assert (got["n_sessions"] < got["n_events"]).all()
 
+    def test_hll_within_3_sigma_of_exact(self):
+        from pdf_parser_ray.relational.ops import (
+            _HLL_P,
+            q_distinct_users,
+            q_distinct_users_hll,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        exact = int(q_distinct_users(sf)["n_users"][0])
+        est = int(q_distinct_users_hll(sf)["n_users_approx"][0])
+        m = 1 << _HLL_P
+        sigma = 1.04 / np.sqrt(m)  # HLL standard error
+        assert exact > 0
+        assert abs(est - exact) <= max(3 * sigma * exact, 3), (est, exact)
+
     def test_rollup_subtotals_consistent(self):
         from pdf_parser_ray.relational.ops import q_revenue_rollup
 
