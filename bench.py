@@ -24,6 +24,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# Give the object store half of RAM (ray_constants freezes this at
+# `import ray` time, so it must be set before any ray import; silences
+# Ray Data's resource-manager warning — the headline never spills
+# either way).
+os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
+
 # Queries timed alongside the headline (name → builder(sf_dir) -> Dataset).
 def _bench_queries():
     from pdf_parser_ray.relational.ops import (
@@ -81,11 +87,12 @@ def run_suite() -> dict:
     mult = int(os.environ.get("GRAFT_EXTRACT_MULTIPLIER", "16"))
     flagship(SF_DIR, multiplier=1).count()
     n_total = n_docs * mult
-    # Best of two in-session timed runs at high core counts: co-tenant
-    # noise on this box is ±15% and strictly additive, so the min is
-    # the honest steady-state estimate (disclosed in BASELINE.md).
-    # Low-CPU runs are long and stable (±3%) — one timed run there.
-    n_rep = 2 if NUM_CPUS >= 16 else 1
+    # Best of three in-session timed runs at high core counts:
+    # co-tenant noise on this box is ±15% and strictly additive, so
+    # the min is the honest steady-state estimate (disclosed in
+    # BASELINE.md). Low-CPU runs are long and stable (±3%) — one
+    # timed run there.
+    n_rep = 3 if NUM_CPUS >= 16 else 1
     headline = float("inf")
     out_rows = 0
     for _ in range(n_rep):

@@ -108,6 +108,39 @@ class TestResumableWrite:
         assert len(m) == 8
         assert m["n_rows"].sum() == len(a)
 
+    def test_fingerprint_verified_resume(self, tmp_path):
+        """verify_fingerprints: unchanged input verify-skips every
+        partition; changed input invalidates and rewrites; a
+        fully-resumed default run is a clean no-op."""
+        import pandas as pd
+        import ray.data as rd
+
+        from pdf_parser_ray.io.checkpoint import read_output, resumable_write
+
+        out = str(tmp_path / "ckpt")
+        df1 = pd.DataFrame({"doc_id": [f"d{i}" for i in range(100)], "v": range(100)})
+        df2 = pd.DataFrame({"doc_id": [f"d{i}" for i in range(120)], "v": range(120)})
+
+        s1 = resumable_write(rd.from_pandas(df1), out, n_partitions=4)
+        assert s1["written"] == [0, 1, 2, 3]
+
+        # unchanged input + verify → all verify-skip, nothing rewritten
+        s2 = resumable_write(
+            rd.from_pandas(df1), out, n_partitions=4, verify_fingerprints=True
+        )
+        assert s2["written"] == [] and s2["skipped"] == [0, 1, 2, 3]
+
+        # changed input + verify → fingerprints differ → full rewrite
+        s3 = resumable_write(
+            rd.from_pandas(df2), out, n_partitions=4, verify_fingerprints=True
+        )
+        assert s3["written"] == [0, 1, 2, 3]
+        assert read_output(out).count() == 120
+
+        # fully-resumed default run (no rows left): clean no-op summary
+        s4 = resumable_write(rd.from_pandas(df2), out, n_partitions=4)
+        assert s4["written"] == [] and s4["skipped"] == [0, 1, 2, 3]
+
 
 class TestAnnRecall:
     def test_ivf_recall_vs_brute_force(self):
