@@ -190,11 +190,130 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Sampling operators (training-data subsampling at corpus scale)
+# ---------------------------------------------------------------------------
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic 1/16 hash sample: keep documents whose
+    ``md5(doc_id)`` hex digest starts with '0'. Pure per-row filter —
+    no shuffle, no RNG state, identical membership on every run and
+    on every cluster size (the property reservoir sampling lacks);
+    the standard shape for carving reproducible training subsets."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = [hashlib.md5(str(i).encode()).hexdigest()[0] == "0" for i in ids]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+_SQL_DOC_SAMPLE = """
+SELECT doc_id, text FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+"""
+
+
+def q_balanced_sample(sf_dir: str, cap: int = 50, n_buckets: int = 16):
+    """Per-language balanced subsample: at most ``cap`` documents per
+    predicted language, deterministic order (doc_id asc) — the
+    class-balancing operator a training mix needs. Language scoring is
+    the :func:`q_lang_id` kernel fused into the same pass; the cap is
+    a windowed rank over a coarse ``hash(lang) % B`` shuffle (languages
+    are few, so every group is one partition — the same shape scales
+    to thousands of strata)."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        scores = {
+            lang: pc.cast(pc.count_substring_regex(low, pat), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            for lang, pat in _LANG_PATTERNS.items()
+        }
+        n = len(batch)
+        lang = np.full(n, "und", dtype=object)
+        best = np.zeros(n, dtype=np.int64)
+        for lg in reversed(_LANG_PRIORITY):
+            s = scores[lg]
+            take = s >= best
+            lang[take & (s > 0)] = lg
+            best = np.maximum(best, s)
+        lang_arr = pa.array(lang, pa.string())
+        bucket = pa.array(
+            [hash_bucket(l, n_buckets) for l in lang], pa.int64()
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang_pred": lang_arr, "bucket": bucket}
+        )
+
+    def cap_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["lang_pred", "doc_id"], kind="stable")
+        rn = g.groupby("lang_pred", sort=False).cumcount()
+        kept = g[rn < cap]
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "lang_pred": pa.array(kept["lang_pred"].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(cap_group, batch_format="pandas")
+    )
+
+
+def hash_bucket(s: str, n_buckets: int) -> int:
+    """Deterministic string bucket (md5-based — never the
+    process-seeded builtin ``hash``)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big") % n_buckets
+
+
+_SQL_BALANCED = rf"""
+WITH s AS (
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["en"]}')) AS BIGINT) AS s_en,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["es"]}')) AS BIGINT) AS s_es,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["de"]}')) AS BIGINT) AS s_de,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["fr"]}')) AS BIGINT) AS s_fr
+    FROM documents
+), langed AS (
+    SELECT doc_id,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+)
+SELECT doc_id, lang_pred
+FROM (
+    SELECT doc_id, lang_pred,
+           ROW_NUMBER() OVER (PARTITION BY lang_pred ORDER BY doc_id) AS rn
+    FROM langed
+)
+WHERE rn <= 50
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "doc_sample": q_doc_sample,
+    "balanced_sample": q_balanced_sample,
 }
 
 ORACLE_SQL = {
@@ -202,4 +321,6 @@ ORACLE_SQL = {
     "quality_score": _SQL_QUALITY,
     "lang_id": _SQL_LANG,
     "fingerprint": _SQL_FINGERPRINT,
+    "doc_sample": _SQL_DOC_SAMPLE,
+    "balanced_sample": _SQL_BALANCED,
 }
