@@ -307,6 +307,94 @@ WHERE rn <= 50
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def q_pack_sequences(sf_dir: str, budget: int = 512):
+    """Assign every document to a training-sequence pack: documents in
+    doc_id order fill fixed token budgets, ``pack_id =
+    ⌊exclusive_prefix_sum(n_tokens) / budget⌋`` — the deterministic
+    streaming form of sequence packing.
+
+    The distributed pattern is the classic scan: (1) per-partition
+    token subtotals (one tiny row per partition), (2) exclusive
+    prefix of the subtotals on the driver (P values — trivially
+    small), (3) broadcast offsets, per-partition cumulative sum adds
+    its offset. Partitions are contiguous doc_id ranges
+    (``sort`` before the scan keeps ranges disjoint; here the read is
+    already doc_id-ordered and the partition key is the block index).
+    Tokens counted with the same \\S+ kernel as ``q_token_count``."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    # Partitions are contiguous doc_id ranges. doc ids here are dense
+    # 0..N-1 (generator contract), so range bounds come from the
+    # parquet row count alone — metadata only, no driver read.
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_parts = 16
+    bounds = [round(i * n_rows / n_parts) for i in range(n_parts + 1)]
+
+    # one row per (partition, doc): partition = contiguous doc_id range
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds, ids, side="right") - 1
+        part = np.clip(part, 0, n_parts - 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tok,
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow", batch_size=65536)
+
+    # per-partition subtotals (P tiny rows) → exclusive prefix on driver
+    from ray.data.aggregate import Sum
+
+    subtotals = (
+        counted.groupby("part").aggregate(Sum("n_tokens", alias_name="sub")).to_pandas()
+    )
+    subtotals = subtotals.sort_values("part")
+    offsets = np.zeros(n_parts, dtype=np.int64)
+    run = 0
+    for p, sub in zip(subtotals["part"], subtotals["sub"]):
+        offsets[int(p)] = run
+        run += int(sub)
+
+    def assign_packs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id", kind="stable")
+        ntok = g["n_tokens"].to_numpy(dtype=np.int64)
+        excl = np.concatenate([[0], np.cumsum(ntok)[:-1]]) + offsets[int(g["part"].iloc[0])]
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "pack_id": pa.array(excl // budget, pa.int64()),
+            }
+        )
+
+    return counted.groupby("part").map_groups(assign_packs, batch_format="pandas")
+
+
+_SQL_PACK = r"""
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 512 AS pack_id
+FROM (
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -314,6 +402,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "doc_sample": q_doc_sample,
     "balanced_sample": q_balanced_sample,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -323,4 +412,5 @@ ORACLE_SQL = {
     "fingerprint": _SQL_FINGERPRINT,
     "doc_sample": _SQL_DOC_SAMPLE,
     "balanced_sample": _SQL_BALANCED,
+    "pack_sequences": _SQL_PACK,
 }
