@@ -58,6 +58,41 @@ class TestShardIdentity:
         got = _sharded("bigdoc", spans, 8)
         assert got == want
 
+    def test_divergent_variant_question_sections(self):
+        """DEFAULT_CONFIG's variants share question sections, so the
+        per-variant artifact path is normally exercised only through
+        the (differing) label sections. Force the variants' QUESTION
+        lists apart and require bit-identity on docs of both form
+        types — pins the per-variant records/regions selection in the
+        replay."""
+        from pdf_parser_ray.core.config import FormConfig
+        from pdf_parser_ray.kernels.document import (
+            classify_form_type,
+            decode_spans,
+        )
+
+        f2 = DEFAULT_CONFIG.select("female")
+        for s in f2:
+            if s["section_name"] == "LIFESTYLE" and s.get("questions"):
+                s["questions"] = list(s["questions"])[1:]  # drop one
+        cfg = FormConfig.from_sections(
+            [dict(s) for s in DEFAULT_CONFIG.sections],
+            {"female": f2, "male": DEFAULT_CONFIG.select("male")},
+        )
+
+        seen_types = set()
+        for i in range(12):
+            did = f"doc-{i:08d}"
+            spans = gen_document(did, 42)
+            seen_types.add(classify_form_type(decode_spans(did, spans)))
+            want = extract_spans(did, spans, cfg)
+            arts = []
+            for _idx, off, ss, carry in make_shards(spans, 1):
+                arts.extend(compute_shard_artifacts(did, ss, carry, cfg, off))
+            got = replay_document(arts, cfg)
+            assert got == want, did
+        assert seen_types == {"female", "male"}, "need both form types exercised"
+
     def test_carry_is_lead1_only(self):
         # shard k's carry must be exactly the next shard's first page
         spans = gen_document("doc-00000041", 42)
