@@ -44,7 +44,16 @@ def cmd_extract(args) -> int:
     if args.config:
         config = FormConfig.from_json(args.config)
     ds = read_corpus(args.input)
-    out = extract_pipeline(ds, config=config)
+    if getattr(args, "quarantine", False):
+        from .stages.parse import DocumentExtractor
+
+        out = ds.map_batches(
+            DocumentExtractor(config=config, quarantine=True),
+            batch_format="pyarrow",
+            batch_size=32,
+        )
+    else:
+        out = extract_pipeline(ds, config=config)
     summary = resumable_write(out, args.output, n_partitions=args.partitions)
     print(json.dumps(summary))
     return 0
@@ -251,6 +260,11 @@ def main(argv=None) -> int:
     pe.add_argument("--output", required=True)
     pe.add_argument("--config", default=None, help="sections JSON (reference schema)")
     pe.add_argument("--partitions", type=int, default=16)
+    pe.add_argument(
+        "--quarantine",
+        action="store_true",
+        help="emit an `error` span for corrupt documents instead of failing the job",
+    )
     pe.set_defaults(fn=cmd_extract)
 
     pm = sub.add_parser("metrics", help="show per-partition lineage/metrics")

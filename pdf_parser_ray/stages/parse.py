@@ -35,9 +35,22 @@ from ..kernels.document import classify_form_type, decode_spans, extract_documen
 
 
 class DocumentExtractor:
-    """Actor-pool parse stage (stateful stage ST1-ST3 analog)."""
+    """Actor-pool parse stage (stateful stage ST1-ST3 analog).
 
-    def __init__(self, config: FormConfig | dict | list | None = None, explode: bool = True):
+    ``quarantine=True`` catches per-document failures (malformed media
+    refs, corrupt span streams) and emits a single ``error`` span for
+    that document instead of failing the task — at corpus scale one
+    corrupt row must not kill (or infinitely retry) a multi-day job;
+    the error spans are queryable like any other output and carry the
+    exception text. Default ``False`` preserves strict fail-fast
+    semantics (and golden bit-compatibility) for trusted corpora."""
+
+    def __init__(
+        self,
+        config: FormConfig | dict | list | None = None,
+        explode: bool = True,
+        quarantine: bool = False,
+    ):
         if config is None:
             from ..io.synth import DEFAULT_CONFIG
 
@@ -50,13 +63,30 @@ class DocumentExtractor:
             )
         self.config = config
         self.explode = explode
+        self.quarantine = quarantine
 
     def _extract_one(self, doc_id: str, spans: list[dict]) -> list[dict]:
-        pages = decode_spans(doc_id, spans)
-        form_type = classify_form_type(pages)
-        sections = self.config.select(form_type)
-        structured = extract_document(pages, sections)
-        return flatten_to_spans(structured)
+        if not self.quarantine:
+            pages = decode_spans(doc_id, spans)
+            form_type = classify_form_type(pages)
+            sections = self.config.select(form_type)
+            structured = extract_document(pages, sections)
+            return flatten_to_spans(structured)
+        try:
+            pages = decode_spans(doc_id, spans)
+            form_type = classify_form_type(pages)
+            sections = self.config.select(form_type)
+            structured = extract_document(pages, sections)
+            return flatten_to_spans(structured)
+        except Exception as e:  # noqa: BLE001 — quarantine IS the contract
+            return [
+                {
+                    "kind": "error",
+                    "text": f"{type(e).__name__}: {e}",
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()

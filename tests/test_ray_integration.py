@@ -340,6 +340,58 @@ class TestShardedExtract:
         assert len(plain) > 0
 
 
+class TestQuarantine:
+    def test_corrupt_doc_quarantined_not_fatal(self):
+        """A document with a malformed media ref must not kill the
+        task when quarantine=True: it becomes one queryable `error`
+        span while every healthy document extracts normally. Strict
+        mode (default) must still fail fast."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_parser_ray.core.schema import DOCUMENT_SCHEMA
+        from pdf_parser_ray.io.synth import DEFAULT_CONFIG, gen_document
+        from pdf_parser_ray.stages.parse import DocumentExtractor
+
+        good = [gen_document(f"doc-{i:08d}", 42) for i in range(3)]
+        bad = [
+            {"kind": "page", "text": "", "media_ref": "page://x/p1#800/1000", "offset": 0},
+            {"kind": "word", "text": "hi", "media_ref": "tok://NOT/AN/INT/0/0/0/0/0", "offset": 1},
+        ]
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": ["doc-00000000", "bad-doc", "doc-00000001", "doc-00000002"],
+                "spans": [good[0], bad, good[1], good[2]],
+            },
+            schema=DOCUMENT_SCHEMA,
+        )
+
+        out = (
+            rd.from_arrow(tbl)
+            .map_batches(
+                DocumentExtractor(config=DEFAULT_CONFIG, quarantine=True),
+                batch_format="pyarrow",
+                batch_size=2,
+            )
+            .to_pandas()
+        )
+        errs = out[out["kind"] == "error"]
+        assert list(errs["doc_id"]) == ["bad-doc"]
+        assert "ValueError" in errs["text"].iloc[0]
+        assert (out[out["doc_id"] != "bad-doc"]["kind"] != "error").all()
+        assert len(out[out["doc_id"] != "bad-doc"]) > 0
+
+        # strict mode fails fast on the same input
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            rd.from_arrow(tbl).map_batches(
+                DocumentExtractor(config=DEFAULT_CONFIG),
+                batch_format="pyarrow",
+                batch_size=2,
+            ).to_pandas()
+
+
 class TestNearDupClusters:
     def test_exact_copies_cluster_with_base(self):
         from pdf_parser_ray.stages.dedup import _EXACT_BASE, q_near_dup_clusters
