@@ -180,6 +180,8 @@ def cmd_coords(args) -> int:
     the label each would be assigned to — the information clicking the
     rendered page reveals, queryable instead of interactive."""
     pages = _load_doc(args.corpus, args.doc)
+    if args.page is not None and not (1 <= args.page <= len(pages)):
+        raise SystemExit(f"page {args.page} out of range (doc has {len(pages)})")
     sel = pages if args.page is None else [pages[args.page - 1]]
     for pg in sel:
         from .kernels.boxes import deduplicate_matches

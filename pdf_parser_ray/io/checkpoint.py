@@ -38,10 +38,9 @@ import pyarrow.parquet as pq
 
 
 def _partition_of(keys: list[str], n_partitions: int) -> list[int]:
-    return [
-        int.from_bytes(hashlib.md5(str(k).encode()).digest()[:4], "big") % n_partitions
-        for k in keys
-    ]
+    from ..core.util import hash_bucket
+
+    return [hash_bucket(k, n_partitions) for k in keys]
 
 
 def done_partitions(out_dir: str) -> set[int]:
@@ -57,7 +56,16 @@ def done_partitions(out_dir: str) -> set[int]:
 
 
 def _input_fingerprint(keys) -> str:
-    return hashlib.md5(",".join(sorted(set(map(str, keys)))).encode()).hexdigest()
+    """Fingerprint of a partition's routed input: sorted distinct keys
+    WITH their multiplicities. Covers key-set and row-count changes;
+    a change that preserves both (same keys, same counts, different
+    row content) is NOT detected — stated in ``resumable_write``."""
+    from collections import Counter
+
+    counts = Counter(map(str, keys))
+    return hashlib.md5(
+        ",".join(f"{k}:{counts[k]}" for k in sorted(counts)).encode()
+    ).hexdigest()
 
 
 def resumable_write(
@@ -81,10 +89,16 @@ def resumable_write(
     manifest existence alone. ``verify_fingerprints=True`` routes every
     row, recomputes each completed partition's input fingerprint from
     the routed keys, and rewrites any partition whose stored
-    ``input_fingerprint`` no longer matches (input changed between
-    runs); matching partitions are skipped without rewriting.
+    ``input_fingerprint`` no longer matches; matching partitions skip
+    the rewrite, and completed partitions that received NO routed rows
+    (their keys vanished from the input) are deleted. Detection scope:
+    the fingerprint covers the distinct key set and per-key row
+    counts — a change preserving both (same keys, same counts, edited
+    row content) is not detected; treat inputs as append/delete-only
+    or rewrite from scratch for content edits.
 
-    Returns the run summary {written: [...], skipped: [...]}.
+    Returns the run summary {written: [...], skipped: [...],
+    invalidated: [...] (verify mode only)}.
     """
     os.makedirs(out_dir, exist_ok=True)
     done = done_partitions(out_dir)
@@ -152,6 +166,15 @@ def resumable_write(
         "skipped": sorted(set(done) - set(written_parts)),
         "n_partitions": n_partitions,
     }
+    if verify_fingerprints:
+        # completed partitions that received no routed rows: every key
+        # they held vanished from the input — the data is stale
+        touched = {int(p) for p in written_df["partition"]}
+        stale = sorted(set(done) - touched)
+        for pid in stale:
+            shutil.rmtree(os.path.join(out_dir, f"part={pid:05d}"), ignore_errors=True)
+        summary["invalidated"] = stale
+        summary["skipped"] = sorted(set(summary["skipped"]) - set(stale))
     all_done = done_partitions(out_dir)
     if len(all_done) == n_partitions or set(range(n_partitions)) <= all_done:
         with open(os.path.join(out_dir, "_manifest.json"), "w") as f:

@@ -122,7 +122,10 @@ def compute_shard_artifacts(
         cpages = decode_spans(doc_id, carry_spans)
         carry_tokens = cpages[0]["tokens"] if cpages else None
 
-    variants = list(config.variants.keys()) or [None]
+    # always include the base (None) variant: config.select falls back
+    # to base sections for a classified form type that has no variant,
+    # and the replay must have artifacts for that case too
+    variants = list(config.variants.keys()) + [None]
     all_labels = sorted(
         {
             lbl
@@ -152,13 +155,13 @@ def compute_shard_artifacts(
         )
 
         per_variant: dict[Any, dict[str, Any]] = {}
-        prev_key = None
-        prev_val = None
+        by_sections: dict[bytes, dict[str, Any]] = {}
         for v in variants:
             sections = config.select(v)
             key = pickle.dumps(sections)
-            if prev_key is not None and key == prev_key:
-                per_variant[v] = prev_val
+            cached = by_sections.get(key)
+            if cached is not None:
+                per_variant[v] = cached
                 continue
             regions = detect_section_regions(
                 tokens,
@@ -220,7 +223,7 @@ def compute_shard_artifacts(
                 records[sname] = entry
             val = {"regions": regions, "records": records, "order_names": order_names}
             per_variant[v] = val
-            prev_key, prev_val = key, val
+            by_sections[key] = val
 
         arts.append(
             {
@@ -245,8 +248,8 @@ def replay_document(arts: list[dict[str, Any]], config) -> list[Span]:
     if not arts:
         return []
     form_type = classify_form_type([{"tokens": arts[0]["tokens"]}])
-    if not config.variants:
-        form_type = None
+    if form_type not in config.variants:
+        form_type = None  # config.select's base-sections fallback
     sections = config.select(form_type)
 
     structured: dict[str, Any] = {"pages": []}
@@ -259,7 +262,7 @@ def replay_document(arts: list[dict[str, Any]], config) -> list[Span]:
     for art in arts:
         page_number = art["page_number"]
         checkboxes = art["checkboxes"]
-        va = art["variants"][form_type] if form_type in art["variants"] else art["variants"][None]
+        va = art["variants"][form_type]
         section_regions = va["regions"]
         full_positions = art["label_positions"]
 

@@ -1193,38 +1193,33 @@ def q_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
     (register, rho) rows; ``groupby(register).Max`` IS the HLL merge
     (registers combine by elementwise max), moving at most
     2^p × blocks fixed-width rows. The driver folds 4096 registers
-    into the estimate. md5-based hashing — deterministic across
-    processes. Rows-only (approximate by construction); the unit test
-    pins the estimate within 3σ of exact."""
-    import hashlib
-
+    into the estimate. Hashing is a vectorized splitmix64 finalizer
+    (pure uint64 numpy ops — deterministic across processes, no
+    per-key Python); ρ comes from a 6-step binary-search
+    count-leading-zeros over the whole array. Rows-only (approximate
+    by construction); the unit test pins the estimate within 3σ of
+    exact."""
     m = 1 << p
     ds = _read(sf_dir, "events", ["user_id"])
 
     def registers(batch: pa.Table) -> pa.Table:
         users = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
-        # 64-bit md5-derived hash per key (vectorized over the batch's
-        # distinct keys only)
-        hashes = np.array(
-            [
-                int.from_bytes(hashlib.md5(int(u).to_bytes(8, "little")).digest()[:8], "big")
-                for u in users
-            ],
-            dtype=np.uint64,
-        )
-        reg = (hashes >> np.uint64(64 - p)).astype(np.int64)
-        rest = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
-        # rho = position of the first 1-bit (1-based) in the remaining bits
-        rho = np.zeros(len(users), dtype=np.int64)
-        for i, v in enumerate(rest):
-            x = int(v)
-            r = 1
-            while r <= 64 - p and not (x & (1 << 63)):
-                x <<= 1
-                r += 1
-            rho[i] = r
-        df = pa.table({"register": pa.array(reg), "rho": pa.array(rho)})
-        return df
+        # splitmix64 finalizer — the standard 64-bit mixer, vectorized
+        h = users.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+        # clz via binary search (6 vectorized steps); ρ = min(clz+1, 64-p+1)
+        v = rest.copy()
+        clz = np.zeros(len(v), dtype=np.int64)
+        for s in (32, 16, 8, 4, 2, 1):
+            mask = v < (np.uint64(1) << np.uint64(64 - s))
+            clz[mask] += s
+            v[mask] = v[mask] << np.uint64(s)
+        rho = np.minimum(clz + 1, 64 - p + 1)
+        return pa.table({"register": pa.array(reg), "rho": pa.array(rho)})
 
     from ray.data.aggregate import Max
 

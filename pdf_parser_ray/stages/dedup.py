@@ -333,12 +333,23 @@ def _bucket_text_join(pairs, corpus, key_col: str, text_out: str, n_buckets: int
         corpus.map_batches(tag_corpus, batch_format="pyarrow", batch_size=65536)
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
         probe = g[g["side"] == 0][["key"] + pair_cols]
         build = g[g["side"] == 1][["key", "text"]]
         j = probe.merge(build, on="key", how="inner")
         j = j.rename(columns={"key": key_col, "text": text_out})
-        return j[[c for c in ("doc_a", "doc_b", "text_a", "text_b") if c in j.columns]]
+        # explicit Arrow types: most buckets hold only corpus rows and
+        # merge to empty frames, whose object columns would otherwise
+        # become null-typed blocks (schema mismatch across partitions)
+        cols: dict[str, pa.Array] = {}
+        for c in ("doc_a", "doc_b", "text_a", "text_b"):
+            if c not in j.columns:
+                continue
+            if c.startswith("text"):
+                cols[c] = pa.array(j[c].tolist(), pa.string())
+            else:
+                cols[c] = pa.array(j[c].to_numpy(dtype=np.int64), pa.int64())
+        return pa.table(cols)
 
     return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -522,6 +533,13 @@ def label_propagation_clusters(edges, max_rounds: int = 32):
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # exhausted max_rounds while labels were still decreasing:
+        # emitting partial labels would silently split components
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(component diameter exceeds the bound); raise max_rounds"
+        )
 
     def emit(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch["node"], "cluster_rep": batch["label"]})

@@ -240,17 +240,30 @@ def q_embed_near_dup(sf_dir: str, threshold: float = 0.4, n_buckets: int = 8):
 
     import pandas as pd
 
+    def _task_to_pair(task: int) -> tuple[int, int]:
+        # invert the triangular task index: i is the largest bucket
+        # with tri_start(i) <= task (B is small — a linear scan is fine)
+        for i in range(n_buckets):
+            start = i * n_buckets - (i * (i - 1)) // 2
+            width = n_buckets - i
+            if task < start + width:
+                return i, i + (task - start)
+        raise ValueError(f"task {task} out of range for {n_buckets} buckets")
+
     def score_task(g: pd.DataFrame) -> pa.Table:
         ids = g["vec_id"].to_numpy(dtype=np.int64)
         buckets = g["bucket"].to_numpy()
         mat = np.stack(g["embedding"].to_list()).astype(np.float64)
         vn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        ub = np.unique(buckets)
-        if len(ub) == 1:  # intra-bucket task
+        # decode (i, j) from the task id — NEVER from the observed
+        # buckets: a cross-bucket task whose other bucket is globally
+        # empty would otherwise look intra and double-count its pairs
+        i, j = _task_to_pair(int(g["task"].iloc[0]))
+        if i == j:  # intra-bucket task
             a, b, s = _pairs_from_sims(ids, ids, vn @ vn.T, threshold, intra=True)
         else:
-            ma = buckets == ub[0]
-            mb = buckets == ub[1]
+            ma = buckets == i
+            mb = buckets == j
             a, b, s = _pairs_from_sims(
                 ids[ma], ids[mb], vn[ma] @ vn[mb].T, threshold, intra=False
             )

@@ -228,6 +228,8 @@ def q_balanced_sample(sf_dir: str, cap: int = 50, n_buckets: int = 16):
     to thousands of strata)."""
     import pandas as pd
 
+    from ..core.util import hash_bucket
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
@@ -272,12 +274,6 @@ def q_balanced_sample(sf_dir: str, cap: int = 50, n_buckets: int = 16):
     )
 
 
-def hash_bucket(s: str, n_buckets: int) -> int:
-    """Deterministic string bucket (md5-based — never the
-    process-seeded builtin ``hash``)."""
-    import hashlib
-
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big") % n_buckets
 
 
 _SQL_BALANCED = rf"""

@@ -141,6 +141,22 @@ class TestResumableWrite:
         s4 = resumable_write(rd.from_pandas(df2), out, n_partitions=4)
         assert s4["written"] == [] and s4["skipped"] == [0, 1, 2, 3]
 
+        # shrink the input so some partitions receive no rows at all:
+        # verify mode must invalidate (delete) those stale partitions
+        df_small = df2.head(3)
+        s5 = resumable_write(
+            rd.from_pandas(df_small), out, n_partitions=4, verify_fingerprints=True
+        )
+        assert s5["invalidated"], "vanished partitions must be invalidated"
+        assert read_output(out).count() == 3
+        # and same-keys-different-count changes rewrite (count in fp)
+        df_dup = pd.concat([df_small, df_small.head(1)])
+        s6 = resumable_write(
+            rd.from_pandas(df_dup), out, n_partitions=4, verify_fingerprints=True
+        )
+        assert s6["written"], "count change must invalidate the fingerprint"
+        assert read_output(out).count() == 4
+
 
 class TestAnnRecall:
     def test_ivf_recall_vs_brute_force(self):
@@ -338,6 +354,43 @@ class TestShardedExtract:
         )
         assert plain.equals(skew)
         assert len(plain) > 0
+
+
+class TestSparseEmbedNearDup:
+    def test_blocked_pairs_with_empty_buckets(self, tmp_path):
+        """vec_ids leaving some residue class mod n_buckets empty must
+        not double-count intra pairs (the cross-task-looks-intra trap:
+        task identity must come from the task id, not observed
+        buckets)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.stages.embed import q_embed_near_dup
+
+        rng = np.random.RandomState(3)
+        # ids all ≡ 0 or 1 (mod 8) → buckets 2..7 empty
+        ids = [0, 8, 16, 1, 9, 17]
+        base = rng.randn(2, 16)
+        vecs = []
+        for i, vid in enumerate(ids):
+            v = base[i % 2] + 0.01 * rng.randn(16)  # two tight clusters
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                      pa.list_(pa.float32())),
+            }
+        )
+        d = tmp_path / "sparse_sf"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "embeddings.parquet"))
+        got = q_embed_near_dup(str(d), threshold=0.9).to_pandas()
+        pairs = list(zip(got["vec_a"], got["vec_b"]))
+        assert len(pairs) == len(set(pairs)), "duplicate pairs emitted"
+        # each 3-cluster yields exactly 3 pairs
+        assert len(pairs) == 6
 
 
 class TestQuarantine:

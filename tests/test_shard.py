@@ -93,6 +93,31 @@ class TestShardIdentity:
             assert got == want, did
         assert seen_types == {"female", "male"}, "need both form types exercised"
 
+    def test_single_variant_config_falls_back_to_base(self):
+        """A config defining only a 'female' variant: male-classified
+        docs must replay via config.select's base-sections fallback
+        (artifacts for the base variant are always computed)."""
+        from pdf_parser_ray.core.config import FormConfig
+
+        cfg = FormConfig.from_sections(
+            [dict(s) for s in DEFAULT_CONFIG.sections],
+            {"female": DEFAULT_CONFIG.select("female")},
+        )
+        from pdf_parser_ray.kernels.document import classify_form_type, decode_spans
+
+        seen = set()
+        for i in range(12):
+            did = f"doc-{i:08d}"
+            spans = gen_document(did, 42)
+            seen.add(classify_form_type(decode_spans(did, spans)))
+            want = extract_spans(did, spans, cfg)
+            arts = []
+            for _idx, off, ss, carry in make_shards(spans, 2):
+                arts.extend(compute_shard_artifacts(did, ss, carry, cfg, off))
+            got = replay_document(arts, cfg)
+            assert got == want, did
+        assert "male" in seen, "need a male-classified doc to hit the fallback"
+
     def test_carry_is_lead1_only(self):
         # shard k's carry must be exactly the next shard's first page
         spans = gen_document("doc-00000041", 42)
