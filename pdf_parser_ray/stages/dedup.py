@@ -291,76 +291,111 @@ def candidate_pairs(sf_dir: str, n_pair_buckets: int = 32):
     )
 
 
-def _bucket_text_join(pairs, corpus, key_col: str, text_out: str, n_buckets: int = 16):
-    """Inner-join ``pairs[key_col]`` against ``corpus(doc_id, text)``
-    via an explicit coarse-bucket hash join: both sides gain
-    ``bucket = key % B``, union, one ``groupby(bucket)``, pandas merge
-    inside each partition (the ``segment_revenue`` pattern — no
-    driver materialization, per-task memory O(corpus/B); B is sized so
-    one bucket's corpus slice fits a worker's heap at scale)."""
-    # columns the pair side carries through (key_col rides as "key")
-    pair_cols = [c for c in ("doc_a", "doc_b", "text_a") if c not in (text_out, key_col)]
+def _resolve_pair_texts(pairs, corpus, n_buckets: int = 16):
+    """Attach both endpoint texts to every (doc_a, doc_b) pair with the
+    corpus shuffled ONCE.
 
-    def tag_pairs(batch: pa.Table) -> pa.Table:
-        key = batch[key_col].to_numpy(zero_copy_only=False)
-        n = batch.num_rows
-        cols = {
-            "bucket": pa.array(key % n_buckets, pa.int64()),
-            "side": pa.array(np.zeros(n, dtype=np.int8)),
-            "key": pa.array(key, pa.int64()),
-            "text": pa.nulls(n, pa.string()),
-        }
-        for c in pair_cols:
-            cols[c] = (
-                batch[c] if c in batch.column_names else pa.nulls(n, pa.string() if c.startswith("text") else pa.int64())
-            )
-        return pa.table(cols)
+    Each pair emits two half rows — one keyed by each endpoint. The
+    halves union with the corpus into one coarse ``doc_id % B`` bucket
+    shuffle; inside each partition a pandas merge resolves the half's
+    text (per-task memory O(corpus/B) — B sized so one bucket's corpus
+    slice fits a worker's heap). A second, pairs-only shuffle
+    recombines the two halves by pair key. At 100 TB the corpus
+    exchange dominates, so one corpus pass beats the two-join
+    formulation (one bucket join per side) it replaces; the pair-half
+    exchanges are O(candidates), tiny."""
+
+    def tag_halves(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, b])
+        n = len(a)
+        return pa.table(
+            {
+                "bucket": pa.array(key % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(2 * n, dtype=np.int8)),
+                "key": pa.array(key, pa.int64()),
+                "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "slot": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                    )
+                ),
+                "text": pa.nulls(2 * n, pa.string()),
+            }
+        )
 
     def tag_corpus(batch: pa.Table) -> pa.Table:
         key = batch["doc_id"].to_numpy(zero_copy_only=False)
         n = batch.num_rows
-        cols = {
-            "bucket": pa.array(key % n_buckets, pa.int64()),
-            "side": pa.array(np.ones(n, dtype=np.int8)),
-            "key": pa.array(key, pa.int64()),
-            "text": batch["text"],
-        }
-        for c in pair_cols:
-            cols[c] = pa.nulls(n, pa.string() if c.startswith("text") else pa.int64())
-        return pa.table(cols)
+        return pa.table(
+            {
+                "bucket": pa.array(key % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(key, pa.int64()),
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "slot": pa.nulls(n, pa.int8()),
+                "text": batch["text"],
+            }
+        )
 
-    both = pairs.map_batches(tag_pairs, batch_format="pyarrow", batch_size=65536).union(
+    both = pairs.map_batches(tag_halves, batch_format="pyarrow", batch_size=65536).union(
         corpus.map_batches(tag_corpus, batch_format="pyarrow", batch_size=65536)
     )
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
-        probe = g[g["side"] == 0][["key"] + pair_cols]
+    def resolve_bucket(g: pd.DataFrame) -> pa.Table:
+        halves = g[g["side"] == 0][["key", "doc_a", "doc_b", "slot"]]
         build = g[g["side"] == 1][["key", "text"]]
-        j = probe.merge(build, on="key", how="inner")
-        j = j.rename(columns={"key": key_col, "text": text_out})
-        # explicit Arrow types: most buckets hold only corpus rows and
-        # merge to empty frames, whose object columns would otherwise
-        # become null-typed blocks (schema mismatch across partitions)
-        cols: dict[str, pa.Array] = {}
-        for c in ("doc_a", "doc_b", "text_a", "text_b"):
-            if c not in j.columns:
-                continue
-            if c.startswith("text"):
-                cols[c] = pa.array(j[c].tolist(), pa.string())
-            else:
-                cols[c] = pa.array(j[c].to_numpy(dtype=np.int64), pa.int64())
-        return pa.table(cols)
+        j = halves.merge(build, on="key", how="inner")
+        a = j["doc_a"].to_numpy(dtype=np.int64)
+        b = j["doc_b"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "pair_bucket": pa.array(
+                    (a * np.int64(1_000_003) + b) % n_buckets, pa.int64()
+                ),
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "slot": pa.array(j["slot"].to_numpy(dtype=np.int8)),
+                "text": pa.array(j["text"].tolist(), pa.string()),
+            }
+        )
 
-    return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    halves_resolved = both.groupby("bucket").map_groups(
+        resolve_bucket, batch_format="pandas"
+    )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        a_side = g[g["slot"] == 0][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        b_side = g[g["slot"] == 1][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        j = a_side.merge(b_side, on=["doc_a", "doc_b"], how="inner")
+        return pa.table(
+            {
+                "doc_a": pa.array(j["doc_a"].to_numpy(dtype=np.int64), pa.int64()),
+                "doc_b": pa.array(j["doc_b"].to_numpy(dtype=np.int64), pa.int64()),
+                "text_a": pa.array(j["text_a"].tolist(), pa.string()),
+                "text_b": pa.array(j["text_b"].tolist(), pa.string()),
+            }
+        )
+
+    return halves_resolved.groupby("pair_bucket").map_groups(
+        combine, batch_format="pandas"
+    )
 
 
 def q_near_dup_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup: shingle → 64-perm minhash → 16 bands →
-    bucket groupby → distinct candidate pairs → texts resolved with two
-    explicit bucket hash joins against the corpus (the corpus streams
-    through the shuffle, candidates are tiny) → exact
-    word-3-gram Jaccard verification in integer arithmetic
-    (keep iff 2·|∩| ≥ |∪| for the default 0.5 threshold).
+    bucket groupby → distinct candidate pairs → both endpoint texts
+    resolved in ONE corpus bucket-shuffle pass
+    (:func:`_resolve_pair_texts`) → exact word-3-gram Jaccard
+    verification in integer arithmetic (keep iff 2·|∩| ≥ |∪| for the
+    default 0.5 threshold).
 
     Fully distributed: no driver-side materialization anywhere — the
     judge-flagged ``to_pandas``/driver-parquet-read path is gone.
@@ -368,8 +403,7 @@ def q_near_dup_pairs(sf_dir: str, threshold: float = 0.5):
     both the Ray and SQL sides, so the oracle hash-matches)."""
     cand = candidate_pairs(sf_dir)
     corpus = augmented_corpus(sf_dir)
-    with_a = _bucket_text_join(cand, corpus, key_col="doc_a", text_out="text_a")
-    with_ab = _bucket_text_join(with_a, corpus, key_col="doc_b", text_out="text_b")
+    with_ab = _resolve_pair_texts(cand, corpus)
 
     thr_num, thr_den = float(threshold).as_integer_ratio()
 
