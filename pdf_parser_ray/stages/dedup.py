@@ -303,7 +303,12 @@ def _resolve_pair_texts(pairs, corpus, n_buckets: int = 16):
     recombines the two halves by pair key. At 100 TB the corpus
     exchange dominates, so one corpus pass beats the two-join
     formulation (one bucket join per side) it replaces; the pair-half
-    exchanges are O(candidates), tiny."""
+    exchanges are O(candidates), tiny.
+
+    Contract: a pair referencing a doc_id absent from the corpus is
+    dropped (its half finds no text; the final half-combine is an
+    inner join). Candidates generated FROM the corpus can never hit
+    this; pinned by ``TestPairTextResolve``."""
 
     def tag_halves(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy(zero_copy_only=False)

@@ -356,6 +356,45 @@ class TestShardedExtract:
         assert len(plain) > 0
 
 
+class TestPairTextResolve:
+    def test_out_of_corpus_pair_dropped(self):
+        """_resolve_pair_texts contract: a pair referencing a doc_id
+        absent from the corpus is dropped, never errors; in-corpus
+        pairs resolve both texts regardless of bucket placement."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_parser_ray.stages.dedup import _resolve_pair_texts
+
+        corpus = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 17, 18], pa.int64()),  # 17≡1, 18≡2 (mod 16)
+                    "text": pa.array(["t1", "t2", "t17", "t18"], pa.string()),
+                }
+            )
+        )
+        pairs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_a": [1, 1, 99],  # same-bucket pair, cross-bucket pair, ghost
+                    "doc_b": [17, 2, 1],
+                }
+            )
+        )
+        got = (
+            _resolve_pair_texts(pairs, corpus)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert list(zip(got["doc_a"], got["doc_b"])) == [(1, 2), (1, 17)]
+        by_pair = {(a, b): (ta, tb) for a, b, ta, tb in got.itertuples(index=False)}
+        assert by_pair[(1, 17)] == ("t1", "t17")  # both endpoints in one bucket
+        assert by_pair[(1, 2)] == ("t1", "t2")  # endpoints in different buckets
+
+
 class TestSparseEmbedNearDup:
     def test_blocked_pairs_with_empty_buckets(self, tmp_path):
         """vec_ids leaving some residue class mod n_buckets empty must
