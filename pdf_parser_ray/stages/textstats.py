@@ -304,6 +304,118 @@ WHERE rn <= 50
 
 
 # ---------------------------------------------------------------------------
+# Heavy hitters (corpus word count) and benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def q_top_tokens(sf_dir: str, k: int = 20):
+    """Top-k most frequent tokens across the corpus — the wordcount
+    shape: per-batch token counts (partial aggregation — the exchange
+    carries one row per (batch, token), never one per occurrence) →
+    ``groupby(token).Sum`` → global top-k. Deterministic order
+    (count desc, token asc). The heavy-hitter detector for frequent
+    n-gram / boilerplate contamination scans."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in (t or "").split():
+                toks[w] = toks.get(w, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(toks.keys()), pa.string()),
+                "cnt": pa.array(list(toks.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+_SQL_TOP_TOKENS = r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT UNNEST(regexp_extract_all(text, '\S+')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+def q_contamination(sf_dir: str, gram_k: int = 8, probe_mod: int = 97):
+    """Benchmark decontamination flag: which corpus documents share a
+    word ``gram_k``-gram with the probe set (here: documents whose
+    ``doc_id % probe_mod == 0`` stand in for a benchmark suite).
+
+    The probe side is tiny → its gram set broadcasts (set lookup per
+    batch; ``ray.put`` semantics at cluster scale) while the corpus
+    streams — the standard decontamination shape: never shuffle the
+    corpus to compare against a fixed benchmark. Emits one row per
+    contaminated document (doc_id, n_hits = matching distinct grams).
+    """
+    import pyarrow.parquet as pq
+
+    probe_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = probe_tbl["doc_id"].to_numpy(zero_copy_only=False)
+    mask = ids % probe_mod == 0
+    probe_grams: set[str] = set()
+    for t in probe_tbl.filter(pa.array(mask))["text"].to_pylist():
+        words = (t or "").split()
+        for i in range(max(0, len(words) - gram_k + 1)):
+            probe_grams.add(" ".join(words[i : i + gram_k]))
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        out_id, out_hits = [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split()
+            hits = {
+                " ".join(words[i : i + gram_k])
+                for i in range(max(0, len(words) - gram_k + 1))
+            } & probe_grams
+            if hits:
+                out_id.append(doc_id)
+                out_hits.append(len(hits))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_hits": pa.array(out_hits, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=8192)
+
+
+_SQL_CONTAMINATION = r"""
+WITH grams AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(words) < 8 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(words) - 6),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+                          words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+                          words[i+6] || ' ' || words[i+7]) END) AS g
+    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents)
+),
+probe AS (
+    SELECT DISTINCT UNNEST(g) AS gram FROM grams WHERE doc_id % 97 = 0
+)
+SELECT d.doc_id,
+       CAST(COUNT(DISTINCT p.gram) AS BIGINT) AS n_hits
+FROM grams d
+JOIN probe p ON list_contains(d.g, p.gram)
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (distributed prefix sum)
 # ---------------------------------------------------------------------------
 
@@ -399,6 +511,8 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "balanced_sample": q_balanced_sample,
     "pack_sequences": q_pack_sequences,
+    "top_tokens": q_top_tokens,
+    "contamination": q_contamination,
 }
 
 ORACLE_SQL = {
@@ -409,4 +523,6 @@ ORACLE_SQL = {
     "doc_sample": _SQL_DOC_SAMPLE,
     "balanced_sample": _SQL_BALANCED,
     "pack_sequences": _SQL_PACK,
+    "top_tokens": _SQL_TOP_TOKENS,
+    "contamination": _SQL_CONTAMINATION,
 }
