@@ -348,6 +348,68 @@ ORDER BY n DESC, token
 LIMIT 20
 """
 
+_CM_D = 4  # hash rows
+_CM_W = 4096  # counters per row
+
+
+def q_top_tokens_cm(sf_dir: str, k: int = 20):
+    """Count-Min estimates for the top-k tokens — the bounded-memory
+    twin of :func:`q_top_tokens` (like the HLL twin of the exact
+    distinct): per-batch local d×w counter updates emitted as
+    ((row, col), partial_count) rows, merged with one
+    ``groupby.Sum`` — counter addition IS the CM merge — so sketch
+    state on the exchange is ≤ d·w fixed-width rows per batch no
+    matter the vocabulary size. The driver folds the d·w table and
+    reads off min-over-rows estimates for the exact top-k token set
+    (candidate identification at full scale pairs the sketch with a
+    per-partition local heap). CM overestimates by ≤ εN
+    (ε = e/w); rows-only, the unit bound is asserted in tests via the
+    exact counts."""
+    import pandas as pd
+
+    from ..core.util import hash_bucket
+
+    ds = _docs(sf_dir, ["text"])
+
+    def cm_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[int, int], int] = {}
+        for t in batch["text"].to_pylist():
+            for w in (t or "").split():
+                for r in range(_CM_D):
+                    c = hash_bucket(f"{r}:{w}", _CM_W)
+                    counts[(r, c)] = counts.get((r, c), 0) + 1
+        rows = list(counts.keys())
+        return pa.table(
+            {
+                "cell": pa.array([r * _CM_W + c for r, c in rows], pa.int64()),
+                "cnt": pa.array([counts[rc] for rc in rows], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.map_batches(cm_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("cell")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    sketch = np.zeros(_CM_D * _CM_W, dtype=np.int64)
+    sketch[cells["cell"].to_numpy()] = cells["cnt"].to_numpy()
+    sketch = sketch.reshape(_CM_D, _CM_W)
+
+    top = q_top_tokens(sf_dir, k).to_pandas()
+    est = [
+        int(min(sketch[r, hash_bucket(f"{r}:{tok}", _CM_W)] for r in range(_CM_D)))
+        for tok in top["token"]
+    ]
+    return pd.DataFrame(
+        {
+            "token": top["token"],
+            "n_est": pd.Series(est, dtype="int64"),
+        }
+    )
+
 
 def q_contamination(sf_dir: str, gram_k: int = 8, probe_mod: int = 97):
     """Benchmark decontamination flag: which corpus documents share a
@@ -512,6 +574,7 @@ QUERIES = {
     "balanced_sample": q_balanced_sample,
     "pack_sequences": q_pack_sequences,
     "top_tokens": q_top_tokens,
+    "top_tokens_cm": q_top_tokens_cm,
     "contamination": q_contamination,
 }
 
@@ -524,5 +587,7 @@ ORACLE_SQL = {
     "balanced_sample": _SQL_BALANCED,
     "pack_sequences": _SQL_PACK,
     "top_tokens": _SQL_TOP_TOKENS,
+    # top_tokens_cm: sketch — approximate by construction, rows-only;
+    # the unit test pins estimates within the epsilon-N CM bound
     "contamination": _SQL_CONTAMINATION,
 }

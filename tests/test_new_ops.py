@@ -137,6 +137,27 @@ class TestAdversarialOps:
         assert exact > 0
         assert abs(est - exact) <= max(3 * sigma * exact, 3), (est, exact)
 
+    def test_count_min_bounds(self):
+        """CM estimates for the top-k tokens: never below the true
+        count (CM only overestimates), and within the εN = (e/w)·N
+        guarantee of it."""
+        from pdf_parser_ray.stages.textstats import (
+            _CM_W,
+            q_top_tokens,
+            q_top_tokens_cm,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        exact = q_top_tokens(sf).to_pandas().set_index("token")["n"]
+        est = q_top_tokens_cm(sf).set_index("token")["n_est"]
+        total = exact.sum()  # lower bound on N — loose but sufficient
+        import math
+
+        eps_n = math.e / _CM_W * total * 40  # generous slack: N >> top-20 sum
+        for tok in exact.index:
+            assert est[tok] >= exact[tok], (tok, est[tok], exact[tok])
+            assert est[tok] - exact[tok] <= eps_n, (tok, est[tok], exact[tok])
+
     def test_rollup_subtotals_consistent(self):
         from pdf_parser_ray.relational.ops import q_revenue_rollup
 
