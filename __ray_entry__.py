@@ -10,8 +10,10 @@ nothing here (or in the library) initialises or shuts down Ray.
   (SURVEY.md §2 inventory + the large-scale data-pipeline extras).
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every
   SQL-expressible query (money as exact integer cents so distributed
-  sums hash-match the oracle bit-for-bit). Geometric span extraction
-  and sketch-based ops are rows-only by design.
+  sums hash-match the oracle bit-for-bit). The geometric extraction
+  family is oracled against a frozen output fixture (see
+  ``pipelines/extract.py``); only genuine sketches (hll, cm, simhash,
+  ann_ivf) are rows-only by design.
 """
 
 from __future__ import annotations
@@ -88,8 +90,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from pdf_parser_ray.relational.ops import ORACLE_SQL as REL
+    from pdf_parser_ray.pipelines.extract import ORACLE_SQL as EXTRACT
 
     out = dict(REL)
+    # flagship extraction family: frozen-fixture oracles (the pipeline
+    # is pure geometry; see pipelines/extract.py ORACLE_SQL note)
+    out.update(EXTRACT)
     try:
         from pdf_parser_ray.stages.textstats import ORACLE_SQL as TEXT
 

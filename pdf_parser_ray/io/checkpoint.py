@@ -75,6 +75,7 @@ def resumable_write(
     n_partitions: int = 16,
     fail_on: Callable[[int], bool] | None = None,
     verify_fingerprints: bool = False,
+    allow_empty_input: bool = False,
 ) -> dict:
     """Write ``ds`` to a resumable partitioned layout.
 
@@ -94,8 +95,19 @@ def resumable_write(
     (their keys vanished from the input) are deleted. Detection scope:
     the fingerprint covers the distinct key set and per-key row
     counts — a change preserving both (same keys, same counts, edited
-    row content) is not detected; treat inputs as append/delete-only
-    or rewrite from scratch for content edits.
+    row content) is not detected (pinned by
+    ``test_ray_integration.py::test_fingerprint_blind_spot_same_keys_same_counts``);
+    treat inputs as append/delete-only or rewrite from scratch for
+    content edits.
+
+    Safety rail: when verify mode routes ZERO rows overall (empty or
+    wrongly-filtered upstream), invalidation is REFUSED — deleting
+    every completed partition because the input vanished is far more
+    likely an upstream bug than an intentional truncation. Pass
+    ``allow_empty_input=True`` to force it. Whenever any partition is
+    invalidated or rewritten, a run-level ``_manifest.json`` from an
+    earlier complete run is deleted first so it can never claim
+    completion over missing partitions.
 
     Returns the run summary {written: [...], skipped: [...],
     invalidated: [...] (verify mode only)}.
@@ -170,7 +182,24 @@ def resumable_write(
         # completed partitions that received no routed rows: every key
         # they held vanished from the input — the data is stale
         touched = {int(p) for p in written_df["partition"]}
+        if not touched and done and not allow_empty_input:
+            # the run routed ZERO rows overall: stale == done and we'd
+            # rmtree every completed partition. One upstream bug (empty
+            # read, wrong filter) must not destroy the whole prior
+            # output — refuse; force with allow_empty_input=True.
+            raise ValueError(
+                f"verify_fingerprints run routed no rows but {out_dir} has "
+                f"{len(done)} completed partitions; refusing to invalidate "
+                "them all (pass allow_empty_input=True if the input is "
+                "genuinely empty now)"
+            )
         stale = sorted(set(done) - touched)
+        if stale or written_parts:
+            # output is changing: an old run-level completion claim
+            # must not survive with partitions now missing/rewritten
+            run_manifest = os.path.join(out_dir, "_manifest.json")
+            if os.path.exists(run_manifest):
+                os.remove(run_manifest)
         for pid in stale:
             shutil.rmtree(os.path.join(out_dir, f"part={pid:05d}"), ignore_errors=True)
         summary["invalidated"] = stale

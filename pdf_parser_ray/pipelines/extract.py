@@ -114,6 +114,46 @@ def extract_pipeline(
     return ds.map_batches(extractor, **kwargs)
 
 
+def _fixture_path() -> str:
+    import os
+
+    return os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "tests", "fixtures",
+            "extract_spans_sf0.01.parquet",
+        )
+    )
+
+
+# Oracles for the flagship extraction family. The pipeline is pure
+# geometry — not SQL-expressible from the base tables — so the oracle
+# is a frozen output fixture at the driver's correctness sf (0.01),
+# produced by tools/freeze_extract_fixture.py. Semantic correctness is
+# pinned independently by the 40-doc golden (strict span-sequence
+# equality, tests/test_document.py) and the hypothesis equivalence
+# suites; the fixture extends that pin to the full graded corpus, so
+# any kernel drift turns the CORRECTNESS row red instead of passing
+# silently as rows-only. Regenerate ONLY after re-validating the
+# golden. NOTE: valid at sf0.01 only (the correctness sf) — the
+# corpus derives from documents.parquet text, which differs per sf.
+ORACLE_SQL = {
+    "extract_spans": (
+        'SELECT doc_id, kind, text, media_ref, "offset" '
+        f"FROM read_parquet('{_fixture_path()}')"
+    ),
+    # the staged (actor-pool) path is row-for-row equal to the fused
+    # flagship (pinned by TestEntry.test_fused_equals_two_stage)
+    "extract_spans_staged": (
+        'SELECT doc_id, kind, text, media_ref, "offset" '
+        f"FROM read_parquet('{_fixture_path()}')"
+    ),
+    "extract_kind_stats": (
+        "SELECT kind, COUNT(*) AS n_spans "
+        f"FROM read_parquet('{_fixture_path()}') GROUP BY kind"
+    ),
+}
+
+
 def extract_kind_stats(sf_dir: str):
     """Metrics rollup over the flagship output: span counts per output
     kind — the queryable replacement for the reference's stdout

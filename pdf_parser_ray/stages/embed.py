@@ -29,11 +29,20 @@ def _embeddings(sf_dir: str):
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    import pyarrow.parquet as pq
-    import pyarrow.compute as pc
+    """Read ONLY the 8 query vectors onto the driver.
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    t = t.filter(pc.less(t["vec_id"], _N_QUERIES))
+    ``filters=`` pushes the predicate into the parquet scan: row groups
+    whose vec_id statistics exclude [0, _N_QUERIES) are never decoded
+    (and never leave storage), so driver memory is O(queries), not
+    O(table) — at a 100-TB embedding table the old full-table read was
+    the last driver-OOM path in the repo (round-2 verdict item 1)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _N_QUERIES)],
+    )
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
     mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
     order = np.argsort(ids)
@@ -211,12 +220,14 @@ def q_embed_near_dup(sf_dir: str, threshold: float = 0.4, n_buckets: int = 8):
     cosine ≥ threshold — EXACT, via a blocked all-pairs join.
 
     Vectors hash into B buckets (``vec_id % B``); every unordered
-    bucket pair (i ≤ j) is one task, and each vector ships to the B
-    tasks its bucket participates in. Per-task memory is O(2N/B)
-    vectors (size B so a bucket pair fits a worker's heap), the
-    shuffle moves N·B fixed-width rows, and every vector pair is
-    scored exactly once (in the task of its sorted bucket pair) — no
-    driver broadcast, no O(N)-per-task state, no dedup pass needed.
+    bucket pair (i ≤ j) is one task, and each vector ships (full
+    embedding payload included) to the B tasks its bucket participates
+    in — the exchange carries N·B rows ≈ N·B·dim·4 bytes, B× the
+    corpus's vector bytes. B trades per-task memory (O(2N/B) vectors,
+    so a bucket pair fits a worker's heap) against shuffle volume;
+    every vector pair is scored exactly once (in the task of its
+    sorted bucket pair) — no driver broadcast, no O(N)-per-task
+    state, no dedup pass needed.
 
     O(N²) compute is inherent to an exact threshold join at θ = 0.4:
     that is a 66° angle, far too wide for sketch bucketing to keep

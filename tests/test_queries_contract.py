@@ -50,3 +50,28 @@ def test_every_query_returns_rows_and_schema():
         if len(df.columns) == 0:
             failures.append(f"{name}: no columns")
     assert not failures, "\n".join(failures)
+
+
+def test_flagship_matches_frozen_fixture():
+    """Cross-session determinism pin for the fixture-oracle scheme
+    (pipelines/extract.py ORACLE_SQL): regenerating the flagship at
+    sf0.001 must reproduce the committed fixture bit-for-bit. If this
+    fails, the kernels drifted — re-validate the 40-doc golden BEFORE
+    regenerating any fixture with tools/freeze_extract_fixture.py."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.extract import flagship
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "extract_spans_sf0.001.parquet"
+    )
+    want = pq.read_table(fixture).to_pandas()
+    got = (
+        flagship(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))

@@ -157,6 +157,68 @@ class TestResumableWrite:
         assert s6["written"], "count change must invalidate the fingerprint"
         assert read_output(out).count() == 4
 
+    def test_invalidation_safety_rails(self, tmp_path):
+        """A verify run that routes ZERO rows must refuse to wipe the
+        prior output (one upstream bug ≠ intentional truncation) unless
+        explicitly forced, and a run-level _manifest.json must never
+        survive a partial invalidation claiming completion."""
+        import os
+
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from pdf_parser_ray.io.checkpoint import read_output, resumable_write
+
+        out = str(tmp_path / "ckpt")
+        df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(100)], "v": range(100)})
+        resumable_write(rd.from_pandas(df), out, n_partitions=4)
+        assert os.path.exists(os.path.join(out, "_manifest.json"))
+
+        # zero routed rows + verify → REFUSE, output untouched
+        empty = rd.from_pandas(df.head(0))
+        with pytest.raises(ValueError, match="refusing to invalidate"):
+            resumable_write(empty, out, n_partitions=4, verify_fingerprints=True)
+        assert read_output(out).count() == 100
+
+        # partial shrink: invalidation must also drop the stale
+        # run-level completion claim
+        s = resumable_write(
+            rd.from_pandas(df.head(3)), out, n_partitions=4, verify_fingerprints=True
+        )
+        assert s["invalidated"]
+        assert not os.path.exists(os.path.join(out, "_manifest.json"))
+
+        # explicit force: genuinely-empty input may wipe the rest
+        s2 = resumable_write(
+            empty, out, n_partitions=4, verify_fingerprints=True, allow_empty_input=True
+        )
+        assert set(s2["invalidated"])
+        assert not [d for d in os.listdir(out) if d.startswith("part=")]
+
+    def test_fingerprint_blind_spot_same_keys_same_counts(self, tmp_path):
+        """Documented detection limit (checkpoint.py): an input edit
+        that preserves every key AND its row count — only row content
+        changed — is NOT detected by verify_fingerprints. Pinned here
+        so the limitation is asserted, not just narrated."""
+        import pandas as pd
+        import ray.data as rd
+
+        from pdf_parser_ray.io.checkpoint import read_output, resumable_write
+
+        out = str(tmp_path / "ckpt")
+        df1 = pd.DataFrame({"doc_id": [f"d{i}" for i in range(50)], "v": range(50)})
+        df2 = df1.assign(v=df1["v"] + 1000)  # same keys, same counts, new content
+
+        resumable_write(rd.from_pandas(df1), out, n_partitions=4)
+        s = resumable_write(
+            rd.from_pandas(df2), out, n_partitions=4, verify_fingerprints=True
+        )
+        assert s["written"] == [] and s["skipped"] == [0, 1, 2, 3]
+        # the stored content is STILL df1's — the edit went undetected
+        got = read_output(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got["v"].max() < 1000
+
 
 class TestAnnRecall:
     def test_ivf_recall_vs_brute_force(self):
