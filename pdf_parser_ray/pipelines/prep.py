@@ -32,10 +32,25 @@ from ..stages.textstats import _LANG_PATTERNS, _LANG_PRIORITY
 _MIN_ALPHA_RATIO = 0.6
 
 
-def q_training_prep(sf_dir: str):
+def q_training_prep(sf_dir: str, budget_bytes: int | None = None):
+    """Default prep path with a measured broadcast/shuffle crossover:
+    the exact-dedup survivor-id set (≤ one int64 per corpus row,
+    upper-bounded from the parquet footer) is collected to the driver
+    and broadcast while it fits the heap budget — one shuffle total;
+    past the budget the pipeline switches itself to the bucket
+    semi-join twin (:func:`q_training_prep_shuffle`), where the
+    survivor set never touches the driver. The switch is exercised
+    both ways in ``test_new_ops.py``; both shapes share one oracle."""
     import ray
 
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
     from ..io.sources import read_parquet_clean
+
+    if not broadcast_build_fits(
+        f"{sf_dir}/documents.parquet",
+        budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES,
+    ):
+        return q_training_prep_shuffle(sf_dir)
 
     n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     ds = read_parquet_clean(

@@ -372,34 +372,26 @@ def _customer_order_filter(sf_dir: str, keep_with_orders: bool, min_total: float
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
 
 
-def q_customers_with_orders(sf_dir: str):
-    """Semi join: broadcast the (sorted) order-custkey set; membership
-    test is a vectorized searchsorted — no shuffle."""
-    return _customer_order_filter(sf_dir, True)
-
-
-def q_customers_without_orders(sf_dir: str):
-    """Anti join: customers with no order above $450k — same broadcast
-    key-set pattern, negated mask (the filter keeps the broadcast side
-    small and the result non-empty at every sf)."""
-    return _customer_order_filter(sf_dir, False, min_total=450000.0)
-
-
-def q_customers_with_orders_shuffle(sf_dir: str, n_buckets: int = 16):
-    """The broadcast semi-join's shuffle twin: both sides hash into
-    ``key % B`` buckets (order keys pre-deduped per batch so the
-    exchange carries one row per (batch, key)), one coarse groupby,
-    vectorized membership test per partition. Crossover rule: use the
-    broadcast variant while the distinct key set fits comfortably in a
-    worker heap (≈ build-side keys × 8 B ≤ tens of MB); beyond that —
-    millions of distinct keys × thousands of tasks re-shipping the
-    set — switch to this shape. Same oracle as the broadcast path."""
+def _customer_order_filter_shuffle(
+    sf_dir: str,
+    keep_with_orders: bool,
+    min_total: float | None = None,
+    n_buckets: int = 16,
+):
+    """Bucket-shuffle twin of :func:`_customer_order_filter`: both
+    sides hash into ``key % B`` buckets (order keys pre-deduped per
+    batch so the exchange carries one row per (batch, key)), one coarse
+    groupby, vectorized membership test (negated for anti) per
+    partition."""
     import pandas as pd
 
-    orders = _read(sf_dir, "orders", ["o_custkey"])
+    ocols = ["o_custkey"] + (["o_totalprice"] if min_total is not None else [])
+    orders = _read(sf_dir, "orders", ocols)
     customer = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
 
     def tag_orders(batch: pa.Table) -> pa.Table:
+        if min_total is not None:
+            batch = batch.filter(pc.greater(batch["o_totalprice"], min_total))
         ck = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
         n = len(ck)
         return pa.table(
@@ -433,7 +425,7 @@ def q_customers_with_orders_shuffle(sf_dir: str, n_buckets: int = 16):
         keys = g.loc[g["side"] == 0, "key"].to_numpy(dtype=np.int64)
         cust = g[g["side"] == 1]
         mask = cust["key"].isin(keys).to_numpy()
-        kept = cust[mask]
+        kept = cust[mask if keep_with_orders else ~mask]
         return pa.table(
             {
                 "c_custkey": pa.array(kept["key"].to_numpy(dtype=np.int64), pa.int64()),
@@ -445,6 +437,43 @@ def q_customers_with_orders_shuffle(sf_dir: str, n_buckets: int = 16):
         )
 
     return both.groupby("bucket").map_groups(semi_bucket, batch_format="pandas")
+
+
+def q_customers_with_orders(sf_dir: str, budget_bytes: int | None = None):
+    """Semi join with measured broadcast/shuffle crossover: while the
+    build side (orders keys, upper-bounded from parquet footer row
+    count — :func:`~..core.util.broadcast_build_fits`) fits a worker
+    heap, broadcast the sorted key set and membership-test with a
+    vectorized searchsorted (no shuffle); beyond the budget, switch to
+    the bucket-shuffle twin. Both shapes share one oracle; the switch
+    is exercised both ways in ``test_new_ops.py``."""
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
+
+    if broadcast_build_fits(
+        f"{sf_dir}/orders.parquet", budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES
+    ):
+        return _customer_order_filter(sf_dir, True)
+    return _customer_order_filter_shuffle(sf_dir, True)
+
+
+def q_customers_without_orders(sf_dir: str, budget_bytes: int | None = None):
+    """Anti join: customers with no order above $450k — same measured
+    broadcast/shuffle crossover as the semi join, negated mask (the
+    min-total filter keeps the broadcast side small and the result
+    non-empty at every sf)."""
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
+
+    if broadcast_build_fits(
+        f"{sf_dir}/orders.parquet", budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES
+    ):
+        return _customer_order_filter(sf_dir, False, min_total=450000.0)
+    return _customer_order_filter_shuffle(sf_dir, False, min_total=450000.0)
+
+
+def q_customers_with_orders_shuffle(sf_dir: str, n_buckets: int = 16):
+    """The shuffle twin exposed as its own query so the driver oracles
+    the scale shape directly (same SQL as the broadcast path)."""
+    return _customer_order_filter_shuffle(sf_dir, True, n_buckets=n_buckets)
 
 
 _SQL_SEMI = """
