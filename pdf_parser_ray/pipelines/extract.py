@@ -318,26 +318,97 @@ def extract_sharded(
             }
         )
 
-    def reassemble(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("shard_idx")
-        doc_id = g["doc_id"].iloc[0]
-        arts: list = []
-        for blob in g["arts"]:
-            arts.extend(pickle.loads(blob))
-        spans = replay_document(arts, cfg)
+    # Reassembly groups on a COARSE bucket of doc_id, not doc_id
+    # itself: one fine-keyed map_groups per document pays Ray's
+    # per-group overhead thousands of times (the repo-wide tiny-groups
+    # trap); inside a bucket the per-document replay is a plain pandas
+    # groupby. Bucket count scales with the session so buckets spread
+    # across workers.
+    import ray
+
+    n_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..core.util import hash_bucket
+
+        buckets = [hash_bucket(d, n_buckets) for d in batch["doc_id"].to_pylist()]
+        return batch.append_column("bucket", pa.array(buckets, pa.int64()))
+
+    def reassemble_bucket(g: pd.DataFrame) -> pa.Table:
+        out_doc: list[str] = []
+        out_kind: list[str] = []
+        out_text: list[str] = []
+        out_ref: list[str] = []
+        out_off: list[int] = []
+        for doc_id, sub in g.groupby("doc_id", sort=False):
+            sub = sub.sort_values("shard_idx")
+            arts: list = []
+            for blob in sub["arts"]:
+                arts.extend(pickle.loads(blob))
+            for s in replay_document(arts, cfg):
+                out_doc.append(doc_id)
+                out_kind.append(s["kind"])
+                out_text.append(s["text"])
+                out_ref.append(s["media_ref"])
+                out_off.append(s["offset"])
         return pa.table(
             {
-                "doc_id": pa.array([doc_id] * len(spans), pa.string()),
-                "kind": pa.array([s["kind"] for s in spans], pa.string()),
-                "text": pa.array([s["text"] for s in spans], pa.string()),
-                "media_ref": pa.array([s["media_ref"] for s in spans], pa.string()),
-                "offset": pa.array([s["offset"] for s in spans], pa.int32()),
+                "doc_id": pa.array(out_doc, pa.string()),
+                "kind": pa.array(out_kind, pa.string()),
+                "text": pa.array(out_text, pa.string()),
+                "media_ref": pa.array(out_ref, pa.string()),
+                "offset": pa.array(out_off, pa.int32()),
             }
         )
 
     sharded = ds.map_batches(split, batch_format="pyarrow", batch_size=8)
     arts_ds = sharded.map_batches(artifacts, batch_format="pyarrow", batch_size=1)
-    return arts_ds.groupby("doc_id").map_groups(reassemble, batch_format="pandas")
+    return (
+        arts_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reassemble_bucket, batch_format="pandas")
+    )
+
+
+def is_giant_doc(doc_id: str, seed: int = 42) -> bool:
+    """Cheap per-document skew probe for the synthesized corpus:
+    replays only the first two RNG draws of the generator
+    (``io/synth.py:_gen_builders``) — no pages are built. This is the
+    sandbox stand-in for the metadata-only size probe a real corpus
+    gives for free (the Lance ``spans`` list-length column /
+    ``extract_pipeline_skew_aware_sharded``'s ``n_spans`` tag): the
+    routing decision must never cost a parse."""
+    import random
+
+    rng = random.Random(f"{seed}:{doc_id}")
+    rng.random()  # form_type draw
+    return rng.random() < 0.01
+
+
+# Relative parse cost of a giant document vs a light one in the
+# synthesized corpus: giants repeat the section list 6× (synth contract
+# FIXTURES.md F1 / io/synth.py:297). For a real Lance corpus this
+# constant is replaced by the spans list-length column statistics
+# (p99.9 / mean from fragment metadata — no data pages read).
+_GIANT_COST_RATIO = 6.0
+# Engage size-class routing when ONE giant document could claim more
+# than this fraction of a whole-block task's work — below that, giants
+# are a sub-percent perturbation per block and the routing's second
+# source scan + probe cost buys nothing.
+_TAIL_DOMINANCE_THRESHOLD = 0.25
+
+
+def _tail_dominates(sf_dir: str, multiplier: int, n_blocks: int) -> bool:
+    """Metadata-only skew probe for ``skew_aware='auto'``: footer row
+    count → docs per whole-block task → does a single giant document
+    exceed ``_TAIL_DOMINANCE_THRESHOLD`` of a task's expected cost?"""
+    import pyarrow.parquet as pq
+
+    n_docs = (
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * multiplier
+    )
+    docs_per_block = max(n_docs / n_blocks, 1.0)
+    return _GIANT_COST_RATIO >= _TAIL_DOMINANCE_THRESHOLD * docs_per_block
 
 
 def flagship(
@@ -347,6 +418,7 @@ def flagship(
     batch_size: int | None = None,
     multiplier: int = 1,
     fused: bool = True,
+    skew_aware: bool | str = "auto",
 ):
     """documents.parquet → synthesized span corpus → extraction →
     exploded output span table (doc_id, kind, text, media_ref, offset).
@@ -356,6 +428,22 @@ def flagship(
     ~45% of extraction CPU). ``fused=False`` exercises the two-stage
     path — the shape a real Lance-backed corpus uses, where the source
     column arrives as Arrow and ``extract_pipeline`` owns the parse.
+
+    ``skew_aware`` — the north-star pipeline must survive a
+    heavy-tailed corpus, and the decision is itself a measurement:
+    ``"auto"`` (default) engages routing iff the metadata-only
+    :func:`_tail_dominates` probe says one giant document could
+    dominate a whole-block task (true for small corpora / huge tails,
+    false when blocks hold thousands of docs and the ~1% giant class
+    is noise a block absorbs). When engaged, giant documents
+    (identified per-doc by the cheap :func:`is_giant_doc` probe) run
+    their own fine-batched fused stage so the expensive tail spreads
+    across many small tasks instead of straggling the last wave; the
+    light class keeps the fused whole-block path. (Page-sharding via
+    :func:`extract_sharded` is reserved for corpora with truly giant
+    documents — see the routing comment below.) Output is
+    bit-identical either way (routing equality pinned by
+    ``test_skew_aware_flagship_equality`` and the frozen fixture).
 
     ``batch_size=None`` (default) makes each batch one whole block:
     the UDF is a per-row loop with no vectorization to exploit, and
@@ -378,38 +466,47 @@ def flagship(
 
     config = DEFAULT_CONFIG
 
-    def synth_extract(batch: pa.Table) -> pa.Table:
-        out_doc: list[str] = []
-        out_kind: list[str] = []
-        out_text: list[str] = []
-        out_ref: list[str] = []
-        out_off: list[int] = []
-        for i, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            vocab = [w for w in (text or "").split() if w][:48] or None
-            for k in range(multiplier):
-                did = f"doc-{int(i):08d}" if k == 0 else f"doc-{int(i):08d}-{k}"
-                # pages generated directly (bit-identical to the
-                # decode path — see io/synth.gen_document_pages), so
-                # the fused path skips the media-ref encode→parse
-                # round-trip; staged-path equality is pinned by
-                # TestEntry.test_fused_equals_two_stage.
-                pages = gen_document_pages(did, seed, vocab=vocab)
-                sections = config.select(classify_form_type(pages))
-                for s in flatten_to_spans(extract_document(pages, sections)):
-                    out_doc.append(did)
-                    out_kind.append(s["kind"])
-                    out_text.append(s["text"])
-                    out_ref.append(s["media_ref"])
-                    out_off.append(s["offset"])
-        return pa.table(
-            {
-                "doc_id": pa.array(out_doc, pa.string()),
-                "kind": pa.array(out_kind, pa.string()),
-                "text": pa.array(out_text, pa.string()),
-                "media_ref": pa.array(out_ref, pa.string()),
-                "offset": pa.array(out_off, pa.int32()),
-            }
-        )
+    def make_synth_extract(keep_giant: bool | None):
+        """Fused synth+extract over source rows. ``keep_giant`` routes:
+        None = all docs (unrouted), False = light class only, True =
+        giant class only."""
+
+        def synth_extract(batch: pa.Table) -> pa.Table:
+            out_doc: list[str] = []
+            out_kind: list[str] = []
+            out_text: list[str] = []
+            out_ref: list[str] = []
+            out_off: list[int] = []
+            for i, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                vocab = [w for w in (text or "").split() if w][:48] or None
+                for k in range(multiplier):
+                    did = f"doc-{int(i):08d}" if k == 0 else f"doc-{int(i):08d}-{k}"
+                    if keep_giant is not None and is_giant_doc(did, seed) != keep_giant:
+                        continue
+                    # pages generated directly (bit-identical to the
+                    # decode path — see io/synth.gen_document_pages), so
+                    # the fused path skips the media-ref encode→parse
+                    # round-trip; staged-path equality is pinned by
+                    # TestEntry.test_fused_equals_two_stage.
+                    pages = gen_document_pages(did, seed, vocab=vocab)
+                    sections = config.select(classify_form_type(pages))
+                    for s in flatten_to_spans(extract_document(pages, sections)):
+                        out_doc.append(did)
+                        out_kind.append(s["kind"])
+                        out_text.append(s["text"])
+                        out_ref.append(s["media_ref"])
+                        out_off.append(s["offset"])
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_doc, pa.string()),
+                    "kind": pa.array(out_kind, pa.string()),
+                    "text": pa.array(out_text, pa.string()),
+                    "media_ref": pa.array(out_ref, pa.string()),
+                    "offset": pa.array(out_off, pa.int32()),
+                }
+            )
+
+        return synth_extract
 
     from ..io.sources import read_parquet_clean
 
@@ -419,4 +516,36 @@ def flagship(
         columns=["doc_id", "text"],
         override_num_blocks=n_blocks,
     )
-    return ds.map_batches(synth_extract, batch_format="pyarrow", batch_size=batch_size)
+    if skew_aware == "auto":
+        skew_aware = _tail_dominates(sf_dir, multiplier, n_blocks)
+    if not skew_aware:
+        return ds.map_batches(
+            make_synth_extract(None), batch_format="pyarrow", batch_size=batch_size
+        )
+
+    # Size-class routing (the single-node expression of the size-class
+    # repartition the north rule requires). The ~99% light class keeps
+    # the whole-block fused path; the giant class (~1%, ~6× pages
+    # each) runs its OWN fused stage with small source batches so the
+    # expensive docs spread across many fine tasks instead of
+    # straggling the last wave of a whole-block task. Re-scanning the
+    # pruned source for the second branch is deliberate: the
+    # read+probe is metadata-cheap next to a parse, and it keeps both
+    # branches un-branched Dataset plans (no mid-pipeline
+    # materialization).
+    #
+    # Page-SHARDING (``extract_sharded``) is deliberately NOT engaged
+    # here: it pays pickle+shuffle per shard, which only amortizes for
+    # truly giant documents (hundreds of pages — where one document
+    # exceeds a task's fair share of the corpus). This corpus's giant
+    # class tops out around ~18 pages, so the fine-batch stage wins;
+    # route such corpora through
+    # :func:`extract_pipeline_skew_aware_sharded` (equality and
+    # 1000-page behavior pinned by ``TestShardedExtract``).
+    light_out = ds.map_batches(
+        make_synth_extract(False), batch_format="pyarrow", batch_size=batch_size
+    )
+    heavy_out = ds.map_batches(
+        make_synth_extract(True), batch_format="pyarrow", batch_size=16
+    )
+    return light_out.union(heavy_out)

@@ -352,61 +352,114 @@ _CM_D = 4  # hash rows
 _CM_W = 4096  # counters per row
 
 
-def q_top_tokens_cm(sf_dir: str, k: int = 20):
-    """Count-Min estimates for the top-k tokens — the bounded-memory
+def q_top_tokens_cm(sf_dir: str, k: int = 20, heap_mult: int = 8, cand_mult: int = 32):
+    """Count-Min + per-partition candidate heaps — the bounded-memory
     twin of :func:`q_top_tokens` (like the HLL twin of the exact
-    distinct): per-batch local d×w counter updates emitted as
-    ((row, col), partial_count) rows, merged with one
-    ``groupby.Sum`` — counter addition IS the CM merge — so sketch
-    state on the exchange is ≤ d·w fixed-width rows per batch no
-    matter the vocabulary size. The driver folds the d·w table and
-    reads off min-over-rows estimates for the exact top-k token set
-    (candidate identification at full scale pairs the sketch with a
-    per-partition local heap). CM overestimates by ≤ εN
-    (ε = e/w); rows-only, the unit bound is asserted in tests via the
-    exact counts."""
+    distinct), now self-contained: NO exact wordcount pass anywhere in
+    the query path (round-2 verdict item 4).
+
+    One streaming pass over the corpus. Each batch counts its tokens
+    locally, then emits TWO bounded row families into one tagged-union
+    shuffle (key-prefixed so a single ``groupby.Sum`` merges both —
+    counter addition IS the CM merge, heap-count addition IS the heap
+    merge):
+
+    * ``c:<cell>`` — the batch's d×w Count-Min counter updates
+      (≤ d·w rows per batch regardless of vocabulary size);
+    * ``t:<token>`` — the batch's local top-``heap_mult·k`` candidate
+      heap (≤ 8k rows per batch; a token in the global top-k is in
+      some batch's local heap unless its mass is spread thinner than
+      rank heap_mult·k in EVERY batch — the standard sketch+heap
+      heavy-hitter argument, asserted against the exact counts in
+      ``test_new_ops.py``).
+
+    The merged table is provably bounded (d·w cells + ≤ heap·P
+    candidate rows, fixed width), so it is materialized once; the
+    driver then reads the d·w sketch cells plus only the top
+    ``cand_mult·k`` merged candidates, estimates each from the sketch
+    (min over rows), and keeps the top-k by estimate. Driver state is
+    O(d·w + cand_mult·k) — never vocabulary-sized. CM overestimates
+    by ≤ εN (ε = e/w); rows-only, the bound is asserted in tests."""
+    import heapq
+
     import pandas as pd
 
     from ..core.util import hash_bucket
 
     ds = _docs(sf_dir, ["text"])
+    h_local = heap_mult * k
 
     def cm_partial(batch: pa.Table) -> pa.Table:
-        counts: dict[tuple[int, int], int] = {}
+        counts: dict[str, int] = {}
         for t in batch["text"].to_pylist():
             for w in (t or "").split():
-                for r in range(_CM_D):
-                    c = hash_bucket(f"{r}:{w}", _CM_W)
-                    counts[(r, c)] = counts.get((r, c), 0) + 1
-        rows = list(counts.keys())
+                counts[w] = counts.get(w, 0) + 1
+        # sketch updates: hash each DISTINCT token once per row and add
+        # its batch count (not once per occurrence)
+        cells: dict[int, int] = {}
+        for w, c in counts.items():
+            for r in range(_CM_D):
+                cell = r * _CM_W + hash_bucket(f"{r}:{w}", _CM_W)
+                cells[cell] = cells.get(cell, 0) + c
+        keys = [f"c:{cell}" for cell in cells]
+        cnts = list(cells.values())
+        # local candidate heap: top-H tokens of this batch
+        top_local = heapq.nlargest(h_local, counts.items(), key=lambda kv: (kv[1], kv[0]))
+        keys.extend(f"t:{w}" for w, _ in top_local)
+        cnts.extend(c for _, c in top_local)
         return pa.table(
             {
-                "cell": pa.array([r * _CM_W + c for r, c in rows], pa.int64()),
-                "cnt": pa.array([counts[rc] for rc in rows], pa.int64()),
+                "key": pa.array(keys, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
             }
         )
 
     from ray.data.aggregate import Sum
 
-    cells = (
+    # bounded by construction (≤ d·w + h_local·n_batches tiny rows) —
+    # materialized so the cells/candidates split below does not
+    # re-execute the corpus scan
+    merged = (
         ds.map_batches(cm_partial, batch_format="pyarrow", batch_size=8192)
-        .groupby("cell")
+        .groupby("key")
         .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    import pyarrow.compute as pc_
+
+    def keep_prefix(prefix: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc_.starts_with(batch["key"], prefix))
+
+        return fn
+
+    cells_df = merged.map_batches(keep_prefix("c:"), batch_format="pyarrow").to_pandas()
+    cand_df = (
+        merged.map_batches(keep_prefix("t:"), batch_format="pyarrow")
+        .sort(["cnt", "key"], descending=[True, False])
+        .limit(cand_mult * k)
         .to_pandas()
     )
+
     sketch = np.zeros(_CM_D * _CM_W, dtype=np.int64)
-    sketch[cells["cell"].to_numpy()] = cells["cnt"].to_numpy()
+    cell_ids = cells_df["key"].str.slice(2).astype(np.int64).to_numpy()
+    sketch[cell_ids] = cells_df["cnt"].to_numpy()
     sketch = sketch.reshape(_CM_D, _CM_W)
 
-    top = q_top_tokens(sf_dir, k).to_pandas()
-    est = [
-        int(min(sketch[r, hash_bucket(f"{r}:{tok}", _CM_W)] for r in range(_CM_D)))
-        for tok in top["token"]
-    ]
+    cand_tokens = cand_df["key"].str.slice(2).tolist()
+    est = np.array(
+        [
+            min(sketch[r, hash_bucket(f"{r}:{tok}", _CM_W)] for r in range(_CM_D))
+            for tok in cand_tokens
+        ],
+        dtype=np.int64,
+    )
+    order = sorted(range(len(cand_tokens)), key=lambda i: (-est[i], cand_tokens[i]))[:k]
     return pd.DataFrame(
         {
-            "token": top["token"],
-            "n_est": pd.Series(est, dtype="int64"),
+            "token": pd.Series([cand_tokens[i] for i in order], dtype="object"),
+            "n_est": pd.Series(est[order], dtype="int64"),
         }
     )
 

@@ -138,7 +138,10 @@ class TestAdversarialOps:
         assert abs(est - exact) <= max(3 * sigma * exact, 3), (est, exact)
 
     def test_count_min_bounds(self):
-        """CM estimates for the top-k tokens: never below the true
+        """Sketch+heap vs the exact pass (the exact wordcount runs
+        ONLY here, as the test oracle — the query path no longer calls
+        it): the per-partition candidate heaps must recover exactly the
+        true top-k token set, every CM estimate is never below the true
         count (CM only overestimates), and within the εN = (e/w)·N
         guarantee of it."""
         from pdf_parser_ray.stages.textstats import (
@@ -150,6 +153,9 @@ class TestAdversarialOps:
         sf = "/root/testdata/sf0.01"
         exact = q_top_tokens(sf).to_pandas().set_index("token")["n"]
         est = q_top_tokens_cm(sf).set_index("token")["n_est"]
+        assert set(est.index) == set(exact.index), (
+            "heap+sketch candidate recovery missed a true top-k token"
+        )
         total = exact.sum()  # lower bound on N — loose but sufficient
         import math
 

@@ -75,3 +75,26 @@ def test_flagship_matches_frozen_fixture():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_skew_aware_flagship_equality():
+    """The default flagship routes giant docs through the page-sharded
+    path (is_giant_doc probe); output must be bit-identical to the
+    unrouted fused pipeline — only the physical execution differs."""
+    from pdf_parser_ray.pipelines.extract import flagship, is_giant_doc
+
+    plain = (
+        flagship(SF, skew_aware=False)
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    routed = (
+        flagship(SF, skew_aware=True)
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    # the probe must actually fire on this corpus or the test is vacuous
+    assert any(is_giant_doc(d) for d in plain["doc_id"].unique())
+    pd.testing.assert_frame_equal(routed, plain)
