@@ -93,12 +93,13 @@ def run_suite() -> dict:
     # BASELINE.md). Low-CPU runs are long and stable (±3%) — one
     # timed run there.
     n_rep = 3 if NUM_CPUS >= 16 else 1
-    headline = float("inf")
     out_rows = 0
+    reps: list[float] = []
     for _ in range(n_rep):
         t0 = time.perf_counter()
         out_rows = flagship(SF_DIR, multiplier=mult).count()
-        headline = min(headline, time.perf_counter() - t0)
+        reps.append(round(time.perf_counter() - t0, 3))
+    headline = min(reps)
 
     qtimes = {}
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
@@ -112,6 +113,8 @@ def run_suite() -> dict:
         "metric": "extract_spans_sec",
         "value": round(headline, 3),
         "unit": "sec",
+        # every in-session rep, so the min-selection is auditable
+        "headline_reps": reps,
         "queries": qtimes,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
@@ -127,6 +130,7 @@ def run_child(ncpu: int, trials: int = 3) -> dict:
     steady-state estimate for both levels."""
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
     best = None
+    all_reps: list[float] = []
     for _ in range(trials):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -137,9 +141,13 @@ def run_child(ncpu: int, trials: int = 3) -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         res = json.loads(out.strip().splitlines()[-1])
+        all_reps.extend(res.get("headline_reps", [res["value"]]))
         if best is None or res["value"] < best["value"]:
             best = res
         time.sleep(5)
+    # every timed rep across every trial at this level, so the
+    # min-of-mins selection is auditable from the JSON alone
+    best["all_reps"] = all_reps
     return best
 
 
@@ -169,6 +177,8 @@ def main():
                 "docs_per_sec_lo": tp_lo,
                 "docs_per_sec_hi": tp_hi,
                 "efficiency": round(eff, 3),
+                "all_reps_lo": lo["all_reps"],
+                "all_reps_hi": hi["all_reps"],
             }
         # Headline: the MEDIAN of the three independent N→4N pairs,
         # capped at 1.0, with the full pair table emitted alongside —

@@ -666,7 +666,18 @@ QUERIES = {
 ORACLE_SQL = {
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dup_pairs_exact": _SQL_DUP_PAIRS,
+    # DATA-DEPENDENT oracle: the SQL computes the EXACT O(N²) 3-gram
+    # Jaccard pairs, while the engine path is MinHash-LSH-banded
+    # (16 bands × 4 rows) + exact verification of candidates. Equality
+    # therefore requires LSH recall = 1 on the corpus — guaranteed
+    # for the synthetic near-dup pairs (j ≈ 0.8–1.0) but ~0.65 in
+    # theory for a pair sitting just above j = 0.5. If this row ever
+    # mismatches with MISSING pairs (never extra), diagnose as sketch
+    # recall on a borderline pair, not an engine bug —
+    # tests/test_ray_integration.py::test_lsh_recall_on_corpus pins
+    # the distinction.
     "near_dup_pairs": _SQL_NEAR_DUP_PAIRS,
+    # same candidate generation feeds the clustering — same caveat
     "near_dup_clusters": _SQL_NEAR_DUP_CLUSTERS,
     # simhash: sketch-based, rows-only by design
 }
