@@ -24,8 +24,31 @@ import pyarrow as pa
 from ..core.config import FormConfig
 from ..stages.parse import DocumentExtractor
 
-# Blocks per CPU for the corpus read: tunable skew/granularity knob.
-_BLOCKS_PER_CPU = 2
+# Blocks per CPU for the corpus read: tunable skew/granularity knob
+# (env override GRAFT_BLOCKS_PER_CPU for measurement sweeps).
+import os as _os
+
+_BLOCKS_PER_CPU = int(_os.environ.get("GRAFT_BLOCKS_PER_CPU", "2"))
+
+# Per-worker-process cache for the fused-read path: one decode of the
+# (single-row-group) sandbox corpus per worker, then every task slices
+# zero-copy. A production corpus has thousands of fragments and each
+# task reads only its own — this cache only exists because the sandbox
+# corpus is ONE file with ONE row group.
+_TABLE_CACHE: dict = {}
+
+
+def _cached_documents(path: str):
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = (path, os.path.getmtime(path))
+    t = _TABLE_CACHE.get(key)
+    if t is None:
+        _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = t = pq.read_table(path, columns=["doc_id", "text"])
+    return t
 
 
 def corpus_from_documents(
@@ -419,6 +442,7 @@ def flagship(
     multiplier: int = 1,
     fused: bool = True,
     skew_aware: bool | str = "auto",
+    fuse_read: bool = True,
 ):
     """documents.parquet → synthesized span corpus → extraction →
     exploded output span table (doc_id, kind, text, media_ref, offset).
@@ -519,6 +543,38 @@ def flagship(
     if skew_aware == "auto":
         skew_aware = _tail_dominates(sf_dir, multiplier, n_blocks)
     if not skew_aware:
+        if fuse_read:
+            # Single-operator plan: each task reads+slices its own row
+            # range INSIDE the UDF (per-worker decode cache), so there
+            # is no single reader task streaming blocks to a separate
+            # map stage — no read→map object-store hop and no ramp
+            # starvation while one task splits the file. This mirrors
+            # the production shape (each task reads its own Lance
+            # fragment); measured against the two-operator plan in
+            # BASELINE.md.
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            path = f"{sf_dir}/documents.parquet"
+            n_rows = pq.ParquetFile(path).metadata.num_rows
+            bounds = np.linspace(0, n_rows, n_blocks + 1).astype(int)
+            synth = make_synth_extract(None)
+
+            def read_slice_extract(batch: pa.Table) -> pa.Table:
+                out = []
+                for i in batch["slice_id"].to_pylist():
+                    lo, hi = int(bounds[i]), int(bounds[i + 1])
+                    part = _cached_documents(path).slice(lo, hi - lo)
+                    out.append(synth(part))
+                return pa.concat_tables(out)
+
+            slices = rd.from_items(
+                [{"slice_id": i} for i in range(n_blocks)],
+                override_num_blocks=n_blocks,
+            )
+            return slices.map_batches(
+                read_slice_extract, batch_format="pyarrow", batch_size=1
+            )
         return ds.map_batches(
             make_synth_extract(None), batch_format="pyarrow", batch_size=batch_size
         )
