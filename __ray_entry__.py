@@ -85,6 +85,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(MEDIA)
     except ImportError:
         pass
+    try:
+        from pdf_parser_ray.stages.scrub import QUERIES as SCRUB
+
+        out.update(SCRUB)
+    except ImportError:
+        pass
     return out
 
 
@@ -130,6 +136,12 @@ def oracle_sql() -> dict[str, str]:
         from pdf_parser_ray.pipelines.prep import ORACLE_SQL as PREP
 
         out.update(PREP)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.stages.scrub import ORACLE_SQL as SCRUB
+
+        out.update(SCRUB)
     except ImportError:
         pass
     return out

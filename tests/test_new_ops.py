@@ -221,3 +221,71 @@ class TestBroadcastShuffleCrossover:
         shuffle = self._sorted(q_training_prep(self.SF, budget_bytes=1))
         assert len(broadcast) > 0
         pd.testing.assert_frame_equal(broadcast, shuffle)
+
+
+class TestScrub:
+    """PII redaction / Gopher-rules edges on a crafted corpus, checked
+    against DuckDB running the registered oracle SQL on the same
+    table — redaction ordering (SSN before phone), empty text,
+    augmentation on id%3==0, boundary word counts."""
+
+    @pytest.fixture(scope="class")
+    def scrub_sf(self, tmp_path_factory, ray_session):
+        d = tmp_path_factory.mktemp("scrub_sf")
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "plain words only here",
+                        "reach me at bob.smith+tag@mail.example.org now",
+                        "ssn 987-65-4321 phone 555-1234 both",
+                        "",
+                        "numbers 123-4567 and 111-22-3333 end",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        pq.write_table(docs, str(d / "documents.parquet"))
+        return str(d)
+
+    def test_pii_scrub_matches_oracle_and_ordering(self, scrub_sf):
+        import duckdb
+
+        from pdf_parser_ray.stages.scrub import _SQL_PII_SCRUB, q_pii_scrub
+
+        got = q_pii_scrub(scrub_sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{scrub_sf}/documents.parquet'")
+        want = con.sql(_SQL_PII_SCRUB).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+        by_id = got.set_index("doc_id")
+        # id 2: the SSN must become [SSN], never half-eaten as a phone
+        assert by_id.loc[2, "clean_text"] == "ssn [SSN] phone [PHONE] both"
+        assert by_id.loc[2, "n_ssn"] == 1 and by_id.loc[2, "n_phone"] == 1
+        # id 4: bare 3-4 digit pair is a phone; full SSN shape is SSN
+        assert by_id.loc[4, "clean_text"] == "numbers [PHONE] and [SSN] end"
+        # id 1: email redacted with plus-tag and subdomain
+        assert by_id.loc[1, "clean_text"] == "reach me at [EMAIL] now"
+        # ids 0 and 3 (id%3==0) carry the injected contact line, redacted
+        assert by_id.loc[0, "n_email"] == 1 and by_id.loc[3, "n_email"] == 1
+        assert by_id.loc[3, "clean_text"] == " contact [EMAIL] ssn [SSN] phone [PHONE]"
+
+    def test_gopher_rules_matches_oracle_and_boundaries(self, scrub_sf):
+        import duckdb
+
+        from pdf_parser_ray.stages.scrub import _SQL_GOPHER_RULES, q_gopher_rules
+
+        got = q_gopher_rules(scrub_sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{scrub_sf}/documents.parquet'")
+        want = con.sql(_SQL_GOPHER_RULES).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        by_id = got.set_index("doc_id")
+        # empty text: zero words, zero mean, rejected — no div-by-zero
+        assert by_id.loc[3, "n_words"] == 0 and by_id.loc[3, "mean_wlen_milli"] == 0
+        assert by_id.loc[3, "keep"] == 0
+        # every crafted doc is under the 20-word floor → all rejected
+        assert got["keep"].sum() == 0
