@@ -69,7 +69,7 @@ def q_training_prep(sf_dir: str, budget_bytes: int | None = None):
     from ray.data.aggregate import Min
 
     survivors_df = (
-        ds.map_batches(fp_batch, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(fp_batch, batch_format="pyarrow", batch_size=None)
         .groupby("fp")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])  # ids only — the fp strings stay distributed
@@ -120,7 +120,7 @@ def q_training_prep(sf_dir: str, budget_bytes: int | None = None):
             }
         )
 
-    return ds.map_batches(prep, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
 
 
 def q_training_prep_shuffle(sf_dir: str, n_buckets: int = 32):
@@ -150,7 +150,7 @@ def q_training_prep_shuffle(sf_dir: str, n_buckets: int = 32):
     from ray.data.aggregate import Min
 
     survivors = (
-        ds.map_batches(fp_batch, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(fp_batch, batch_format="pyarrow", batch_size=None)
         .groupby("fp")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
@@ -196,7 +196,7 @@ def q_training_prep_shuffle(sf_dir: str, n_buckets: int = 32):
             }
         )
 
-    annotated = ds.map_batches(annotate, batch_format="pyarrow", batch_size=8192)
+    annotated = ds.map_batches(annotate, batch_format="pyarrow", batch_size=None)
 
     # bucket semi-join: annotated rows ⋉ survivor ids on doc_id
     def tag_rows(batch: pa.Table) -> pa.Table:
@@ -227,8 +227,8 @@ def q_training_prep_shuffle(sf_dir: str, n_buckets: int = 32):
 
     import pandas as pd
 
-    both = annotated.map_batches(tag_rows, batch_format="pyarrow", batch_size=65536).union(
-        survivors.map_batches(tag_survivors, batch_format="pyarrow", batch_size=65536)
+    both = annotated.map_batches(tag_rows, batch_format="pyarrow", batch_size=None).union(
+        survivors.map_batches(tag_survivors, batch_format="pyarrow", batch_size=None)
     )
 
     def semi_bucket(g: pd.DataFrame) -> pa.Table:

@@ -88,7 +88,7 @@ def q_pricing_summary(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_cents", alias_name="sum_base_cents"),
@@ -143,7 +143,7 @@ def q_filter_project(sf_dir: str):
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_FILTER_PROJECT = """
@@ -232,7 +232,7 @@ def q_region_customers(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    partials = ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    partials = ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
     return partials.groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"))
 
 
@@ -369,7 +369,7 @@ def _customer_order_filter(sf_dir: str, keep_with_orders: bool, min_total: float
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def _customer_order_filter_shuffle(
@@ -417,8 +417,8 @@ def _customer_order_filter_shuffle(
             }
         )
 
-    both = orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=65536).union(
-        customer.map_batches(tag_cust, batch_format="pyarrow", batch_size=65536)
+    both = orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=None).union(
+        customer.map_batches(tag_cust, batch_format="pyarrow", batch_size=None)
     )
 
     def semi_bucket(g: pd.DataFrame) -> pa.Table:
@@ -505,7 +505,7 @@ def q_events_by_type(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min, Sum
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
         .groupby("event_type")
         .aggregate(
             Count(alias_name="n"),
@@ -546,7 +546,7 @@ def q_hourly_events(sf_dir: str):
     from ray.data.aggregate import Count
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
         .groupby(["event_type", "hour_bucket"])
         .aggregate(Count(alias_name="n"))
     )
@@ -611,7 +611,7 @@ def q_user_sessions(sf_dir: str, gap_s: int = 1800, n_buckets: int = 32):
         )
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .map_groups(fn, batch_format="pandas")
     )
@@ -765,7 +765,7 @@ def q_last_order_before_event(sf_dir: str):
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def q_last_order_before_event_bucketed(sf_dir: str, n_buckets: int = 16):
@@ -807,8 +807,8 @@ def q_last_order_before_event_bucketed(sf_dir: str, n_buckets: int = 16):
             }
         )
 
-    both = orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=65536).union(
-        events.map_batches(tag_events, batch_format="pyarrow", batch_size=65536)
+    both = orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=None).union(
+        events.map_batches(tag_events, batch_format="pyarrow", batch_size=None)
     )
 
     def asof_bucket(g: pd.DataFrame) -> pa.Table:
@@ -868,7 +868,7 @@ def q_sliding_window(sf_dir: str):
     from ray.data.aggregate import Count
 
     return (
-        ds.map_batches(fan_out, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(fan_out, batch_format="pyarrow", batch_size=None)
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n"))
     )
@@ -909,7 +909,7 @@ def q_json_props(sf_dir: str):
     from ray.data.aggregate import Count, Max, Sum
 
     return (
-        ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
         .groupby("event_type")
         .aggregate(
             Count(alias_name="n"),
@@ -974,7 +974,7 @@ def q_top_orders_per_customer(sf_dir: str, n: int = 3, n_buckets: int = 32):
         )
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .map_groups(rank_bucket, batch_format="pandas")
     )
@@ -1023,7 +1023,7 @@ def q_price_percentiles(sf_dir: str):
     from ray.data.aggregate import Sum
 
     hist = (
-        ds.map_batches(counts, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
         .groupby("cents")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
@@ -1155,7 +1155,7 @@ def q_revenue_rollup(sf_dir: str, n_buckets: int = 16):
     from ray.data.aggregate import Sum
 
     return (
-        leaf.map_batches(fan_out, batch_format="pyarrow", batch_size=65536)
+        leaf.map_batches(fan_out, batch_format="pyarrow", batch_size=None)
         .groupby(["r_name", "n_name"])
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
@@ -1195,7 +1195,7 @@ def q_distinct_users(sf_dir: str):
     from ray.data.aggregate import Count
 
     uniq = (
-        ds.map_batches(local_distinct, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(local_distinct, batch_format="pyarrow", batch_size=None)
         .groupby("user_id")
         .aggregate(Count(alias_name="_n"))
     )
@@ -1253,7 +1253,7 @@ def q_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
     from ray.data.aggregate import Max
 
     regs = (
-        ds.map_batches(registers, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(registers, batch_format="pyarrow", batch_size=None)
         .groupby("register")
         .aggregate(Max("rho", alias_name="rho"))
         .to_pandas()

@@ -100,7 +100,7 @@ def q_boilerplate_strip(sf_dir: str):
             {"doc_id": pa.array(ids, pa.int64()), "content_text": pa.array(content, pa.string())}
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_BOILERPLATE = r"""

@@ -54,12 +54,22 @@ _AUG_SQL = f"""
 
 def augmented_corpus(sf_dir: str):
     """documents + exact copies (every 10th) + near copies (every 7th,
-    first word rewritten). Pure per-row transform inside map_batches."""
+    first word rewritten). Pure per-row transform inside map_batches.
+
+    Block count is floored at ~256 docs per block (footer row count —
+    metadata only): the dedup chain runs FOUR sequential groupby
+    barriers, and each barrier's latency scales with the partition
+    count, so over-splitting a small corpus trades useful parallelism
+    for pure shuffle overhead. Large corpora still get cpus×2 blocks
+    (and Ray's dynamic block splitting beyond that)."""
     import ray
+    import pyarrow.parquet as pq
 
     from ..io.sources import read_parquet_clean
 
-    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    cpu_blocks = int(ray.cluster_resources().get("CPU", 8)) * 2
+    n_blocks = max(8, min(cpu_blocks, (n_rows + 255) // 256))
     ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
@@ -92,7 +102,7 @@ def augmented_corpus(sf_dir: str):
             {"doc_id": pa.array(out_ids, pa.int64()), "text": pa.array(out_texts, pa.string())}
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def _with_fp(ds, n_buckets: int = 64):
@@ -108,7 +118,7 @@ def _with_fp(ds, n_buckets: int = 64):
             "fp_bucket", pa.array(buckets)
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -249,7 +259,7 @@ def candidate_pairs(sf_dir: str, n_pair_buckets: int = 32):
     within-band pairs → distinct pairs via a coarse pair-bucket
     groupby. Everything stays a Dataset; nothing lands on the driver."""
     ds = augmented_corpus(sf_dir)
-    bands = ds.map_batches(minhash_bands, batch_format="pyarrow", batch_size=4096)
+    bands = ds.map_batches(minhash_bands, batch_format="pyarrow", batch_size=None)
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """All candidate pairs within one band partition. Grouping by
@@ -285,7 +295,7 @@ def candidate_pairs(sf_dir: str, n_pair_buckets: int = 32):
         return g.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)[["doc_a", "doc_b"]]
 
     return (
-        cand.map_batches(add_pair_bucket, batch_format="pyarrow", batch_size=65536)
+        cand.map_batches(add_pair_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("pair_bucket")
         .map_groups(distinct, batch_format="pandas")
     )
@@ -346,8 +356,8 @@ def _resolve_pair_texts(pairs, corpus, n_buckets: int = 16):
             }
         )
 
-    both = pairs.map_batches(tag_halves, batch_format="pyarrow", batch_size=65536).union(
-        corpus.map_batches(tag_corpus, batch_format="pyarrow", batch_size=65536)
+    both = pairs.map_batches(tag_halves, batch_format="pyarrow", batch_size=None).union(
+        corpus.map_batches(tag_corpus, batch_format="pyarrow", batch_size=None)
     )
 
     def resolve_bucket(g: pd.DataFrame) -> pa.Table:
@@ -433,7 +443,7 @@ def q_near_dup_pairs(sf_dir: str, threshold: float = 0.5):
             }
         )
 
-    return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+    return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -466,7 +476,7 @@ def q_simhash(sf_dir: str):
             {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def label_propagation_clusters(edges, max_rounds: int = 32):
@@ -492,14 +502,14 @@ def label_propagation_clusters(edges, max_rounds: int = 32):
                                 pa.array(a.to_numpy(zero_copy_only=False), pa.int64())])
         return pa.table({"src": src, "dst": dst})
 
-    adj = edges.map_batches(undirect, batch_format="pyarrow", batch_size=65536).materialize()
+    adj = edges.map_batches(undirect, batch_format="pyarrow", batch_size=None).materialize()
 
     # initial labels: every endpoint labels itself
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["src"], "label": batch["src"]})
 
     labels = (
-        adj.map_batches(init_labels, batch_format="pyarrow", batch_size=65536)
+        adj.map_batches(init_labels, batch_format="pyarrow", batch_size=None)
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
         .materialize()
@@ -525,7 +535,7 @@ def label_propagation_clusters(edges, max_rounds: int = 32):
             }
         )
 
-    adj_tagged = adj.map_batches(tag_adj, batch_format="pyarrow", batch_size=65536).materialize()
+    adj_tagged = adj.map_batches(tag_adj, batch_format="pyarrow", batch_size=None).materialize()
 
     def tag_labels(batch: pa.Table) -> pa.Table:
         node = batch["node"].to_numpy(zero_copy_only=False)
@@ -557,7 +567,7 @@ def label_propagation_clusters(edges, max_rounds: int = 32):
         # one coarse-bucket shuffle joins edges with current labels;
         # the Min aggregate folds neighbour candidates into the labels
         nbr = (
-            labels.map_batches(tag_labels, batch_format="pyarrow", batch_size=65536)
+            labels.map_batches(tag_labels, batch_format="pyarrow", batch_size=None)
             .union(adj_tagged)
             .groupby("bucket")
             .map_groups(propagate, batch_format="pandas")
@@ -583,7 +593,7 @@ def label_propagation_clusters(edges, max_rounds: int = 32):
     def emit(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch["node"], "cluster_rep": batch["label"]})
 
-    return labels.map_batches(emit, batch_format="pyarrow", batch_size=65536)
+    return labels.map_batches(emit, batch_format="pyarrow", batch_size=None)
 
 
 def q_near_dup_clusters(sf_dir: str, threshold: float = 0.5):

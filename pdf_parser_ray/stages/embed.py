@@ -84,7 +84,7 @@ def q_ann_topk(sf_dir: str):
             }
         )
 
-    ds = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow", batch_size=8192)
+    ds = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow", batch_size=None)
     return ds.sort(["cos_micro", "vec_id"], descending=[True, False]).limit(_TOP_K)
 
 
@@ -138,7 +138,7 @@ def q_knn_join(sf_dir: str, k: int = 5):
         g = g.sort_values(["cos_micro", "neighbor_id"], ascending=[False, True]).head(k)
         return g[["query_id", "neighbor_id", "cos_micro"]]
 
-    ds = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow", batch_size=8192)
+    ds = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow", batch_size=None)
     return ds.groupby("query_id").map_groups(rerank, batch_format="pandas")
 
 
@@ -191,7 +191,7 @@ def q_ann_ivf(sf_dir: str, n_probe: int = 8, n_cells: int = 16):
             }
         )
 
-    ds = _embeddings(sf_dir).map_batches(local, batch_format="pyarrow", batch_size=8192)
+    ds = _embeddings(sf_dir).map_batches(local, batch_format="pyarrow", batch_size=None)
     return ds.sort(["cos_micro", "vec_id"], descending=[True, False]).limit(_TOP_K)
 
 
@@ -286,7 +286,7 @@ def q_embed_near_dup(sf_dir: str, threshold: float = 0.4, n_buckets: int = 8):
             }
         )
 
-    ds = _embeddings(sf_dir).map_batches(fan_out, batch_format="pyarrow", batch_size=4096)
+    ds = _embeddings(sf_dir).map_batches(fan_out, batch_format="pyarrow", batch_size=None)
     return ds.groupby("task").map_groups(score_task, batch_format="pandas")
 
 
@@ -340,7 +340,7 @@ def q_embed_near_dup_ivf(sf_dir: str, threshold: float = 0.4, n_cells: int = 16,
 
     cand = (
         _embeddings(sf_dir)
-        .map_batches(fan_out, batch_format="pyarrow", batch_size=4096)
+        .map_batches(fan_out, batch_format="pyarrow", batch_size=None)
         .groupby("cell")
         .map_groups(score_cell, batch_format="pandas")
     )
@@ -365,7 +365,7 @@ def q_embed_near_dup_ivf(sf_dir: str, threshold: float = 0.4, n_cells: int = 16,
         )
 
     return (
-        cand.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        cand.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("pair_bucket")
         .map_groups(distinct, batch_format="pandas")
     )

@@ -87,7 +87,7 @@ def q_pii_scrub(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_PII_SCRUB = rf"""
@@ -171,7 +171,7 @@ def q_gopher_rules(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 _STOPWORD_SQL = " + ".join(

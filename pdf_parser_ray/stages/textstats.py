@@ -40,7 +40,7 @@ def q_token_count(sf_dir: str):
             {"doc_id": batch["doc_id"], "n_tokens": ws, "n_subtokens": bpe}
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_TOKEN_COUNT = rf"""
@@ -76,7 +76,7 @@ def q_quality_score(sf_dir: str):
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_QUALITY = r"""
@@ -132,7 +132,7 @@ def q_lang_id(sf_dir: str):
             cols[f"s_{lg}"] = pa.array(scores[lg])
         return pa.table(cols)
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_LANG = rf"""
@@ -179,7 +179,7 @@ def q_fingerprint(sf_dir: str):
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_FINGERPRINT = r"""
@@ -209,7 +209,7 @@ def q_doc_sample(sf_dir: str):
         keep = [hashlib.md5(str(i).encode()).hexdigest()[0] == "0" for i in ids]
         return batch.filter(pa.array(keep))
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_DOC_SAMPLE = """
@@ -268,7 +268,7 @@ def q_balanced_sample(sf_dir: str, cap: int = 50, n_buckets: int = 16):
         )
 
     return (
-        ds.map_batches(score, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(score, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .map_groups(cap_group, batch_format="pandas")
     )
@@ -333,7 +333,7 @@ def q_top_tokens(sf_dir: str, k: int = 20):
     from ray.data.aggregate import Sum
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("token")
         .aggregate(Sum("cnt", alias_name="n"))
     )
@@ -420,7 +420,7 @@ def q_top_tokens_cm(sf_dir: str, k: int = 20, heap_mult: int = 8, cand_mult: int
     # materialized so the cells/candidates split below does not
     # re-execute the corpus scan
     merged = (
-        ds.map_batches(cm_partial, batch_format="pyarrow", batch_size=8192)
+        ds.map_batches(cm_partial, batch_format="pyarrow", batch_size=None)
         .groupby("key")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .materialize()
@@ -506,7 +506,7 @@ def q_contamination(sf_dir: str, gram_k: int = 8, probe_mod: int = 97):
             }
         )
 
-    return ds.map_batches(flag, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_CONTAMINATION = r"""
@@ -576,7 +576,7 @@ def q_pack_sequences(sf_dir: str, budget: int = 512):
             }
         )
 
-    counted = ds.map_batches(count_tokens, batch_format="pyarrow", batch_size=65536)
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow", batch_size=None)
 
     # per-partition subtotals (P tiny rows) → exclusive prefix on driver
     from ray.data.aggregate import Sum

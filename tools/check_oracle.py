@@ -60,6 +60,27 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    # The extraction-family oracles read a frozen fixture pinned at the
+    # driver's correctness sf (0.01). When checking another sf locally,
+    # substitute that sf's committed fixture so the check stays
+    # meaningful (the driver itself only ever runs sf0.01).
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]  # e.g. "sf0.001"
+    if sf_tag != "sf0.01":
+        import os
+
+        alt = os.path.join(
+            "/root/repo/tests/fixtures", f"extract_spans_{sf_tag}.parquet"
+        )
+        for name, sql in list(oracles.items()):
+            if "extract_spans_sf0.01.parquet" in sql:
+                if os.path.exists(alt):
+                    oracles[name] = sql.replace(
+                        "tests/fixtures/extract_spans_sf0.01.parquet",
+                        f"tests/fixtures/extract_spans_{sf_tag}.parquet",
+                    )
+                else:
+                    del oracles[name]  # no fixture for this sf → rows-only
+
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
