@@ -33,6 +33,22 @@ def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
     return rd.read_parquet(path, columns=columns, schema=clean, **kwargs)
 
 
+def sized_blocks(path: str, min_rows_per_block: int = 4096) -> int:
+    """Block count from footer metadata: cpus×2 blocks, floored so no
+    block holds fewer than ``min_rows_per_block`` rows. Small tables
+    get few blocks (a groupby/sort barrier pays latency per partition,
+    so over-splitting a small input is pure overhead); large tables
+    cap at cpus×2 and Ray's dynamic block splitting
+    (``target_max_block_size``) takes over beyond that — the cap never
+    creates oversized physical blocks."""
+    import pyarrow.parquet as pq
+    import ray
+
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    cpu_blocks = int(ray.cluster_resources().get("CPU", 8)) * 2
+    return max(8, min(cpu_blocks, (n_rows + min_rows_per_block - 1) // min_rows_per_block))
+
+
 def read_corpus(path: str, columns: list[str] | None = None, override_num_blocks: int | None = None):
     """Read a span corpus from a Lance dataset or a Parquet file/dir."""
     import ray.data as rd

@@ -33,9 +33,12 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    from ..io.sources import read_parquet_clean
+    from ..io.sources import read_parquet_clean, sized_blocks
 
-    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=sized_blocks(path)
+    )
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
