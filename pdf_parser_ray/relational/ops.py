@@ -674,16 +674,27 @@ LIMIT 10
 def q_brand_revenue(sf_dir: str):
     """lineitem ⋈ part via ``Dataset.join`` (Ray's hash-partitioned
     join operator — the managed counterpart of Q6's explicit bucket
-    pattern), then revenue per brand."""
+    pattern), then revenue per brand.
+
+    Aggregation is pushed below the join: each batch pre-sums revenue
+    per partkey (vectorized np.bincount-style groupby), so the join's
+    probe side carries ≤ distinct-partkeys rows per block instead of
+    one row per lineitem — the standard partial-agg-under-join
+    rewrite, exact because revenue is associative per key."""
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
     def prep(batch: pa.Table) -> pa.Table:
         price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
         disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = price_c * (100 - disc_c)
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev)
         return pa.table(
             {
-                "l_partkey": batch["l_partkey"],
-                "revenue_cents2": pa.array(price_c * (100 - disc_c)),
+                "l_partkey": pa.array(uniq, pa.int64()),
+                "revenue_cents2": pa.array(sums),
             }
         )
 
