@@ -313,12 +313,15 @@ def main(argv=None) -> int:
     pdbg.set_defaults(fn=cmd_debug)
 
     args = p.parse_args(argv)
+    import ray
+
+    # Only tear down a session WE created: when driven in-process (tests,
+    # embedding callers) Ray may already be live and belongs to the caller.
+    owns_session = not ray.is_initialized()
     try:
         return args.fn(args)
     finally:
-        import ray
-
-        if ray.is_initialized():
+        if owns_session and ray.is_initialized():
             ray.shutdown()
 
 
