@@ -254,10 +254,19 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def candidate_pairs(sf_dir: str, n_pair_buckets: int = 32):
+def candidate_pairs(sf_dir: str, n_pair_buckets: int = 32, distinct_pairs: bool = True):
     """LSH candidate generation: band rows → coarse band_id groupby →
     within-band pairs → distinct pairs via a coarse pair-bucket
-    groupby. Everything stays a Dataset; nothing lands on the driver."""
+    groupby. Everything stays a Dataset; nothing lands on the driver.
+
+    With ``distinct_pairs=False`` the de-duplication shuffle is
+    skipped and raw (possibly repeated — one hit per matching band)
+    pairs are returned; :func:`_resolve_pair_texts` then dedupes them
+    for free inside its existing bucket shuffle, because every
+    repetition of a pair routes its halves to the same buckets. That
+    drops the chain from four all-to-all exchanges to three; the cost
+    is shipping ≤ n_bands copies of each candidate's fixed-width half
+    rows through the resolve exchange instead of one."""
     ds = augmented_corpus(sf_dir)
     bands = ds.map_batches(minhash_bands, batch_format="pyarrow", batch_size=None)
 
@@ -281,6 +290,8 @@ def candidate_pairs(sf_dir: str, n_pair_buckets: int = 32):
         )
 
     cand = bands.groupby("band_id").map_groups(band_pairs, batch_format="pandas")
+    if not distinct_pairs:
+        return cand
 
     # Distinct pairs (the same pair fires in several bands): coarse
     # pair-bucket shuffle, drop_duplicates vectorized per partition —
@@ -361,7 +372,11 @@ def _resolve_pair_texts(pairs, corpus, n_buckets: int = 16):
     )
 
     def resolve_bucket(g: pd.DataFrame) -> pa.Table:
-        halves = g[g["side"] == 0][["key", "doc_a", "doc_b", "slot"]]
+        # Repeated candidate pairs (one hit per matching LSH band, when
+        # the caller skipped the distinct shuffle) collapse here: every
+        # repetition of a pair routes identical half rows to this same
+        # bucket, so a vectorized drop_duplicates is a global distinct.
+        halves = g[g["side"] == 0][["key", "doc_a", "doc_b", "slot"]].drop_duplicates()
         build = g[g["side"] == 1][["key", "text"]]
         j = halves.merge(build, on="key", how="inner")
         a = j["doc_a"].to_numpy(dtype=np.int64)
@@ -406,17 +421,19 @@ def _resolve_pair_texts(pairs, corpus, n_buckets: int = 16):
 
 def q_near_dup_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup: shingle → 64-perm minhash → 16 bands →
-    bucket groupby → distinct candidate pairs → both endpoint texts
-    resolved in ONE corpus bucket-shuffle pass
-    (:func:`_resolve_pair_texts`) → exact word-3-gram Jaccard
-    verification in integer arithmetic (keep iff 2·|∩| ≥ |∪| for the
-    default 0.5 threshold).
+    bucket groupby → candidate pairs → both endpoint texts resolved
+    (and the per-band pair repetitions deduplicated) in ONE corpus
+    bucket-shuffle pass (:func:`_resolve_pair_texts`) → exact
+    word-3-gram Jaccard verification in integer arithmetic (keep iff
+    2·|∩| ≥ |∪| for the default 0.5 threshold). Three all-to-all
+    exchanges total — the standalone distinct-pairs shuffle is folded
+    into the resolve exchange (see :func:`candidate_pairs`).
 
     Fully distributed: no driver-side materialization anywhere — the
     judge-flagged ``to_pandas``/driver-parquet-read path is gone.
     Emits ``jaccard_micro = ⌊10⁶·|∩|/|∪|⌋`` (exact integer division on
     both the Ray and SQL sides, so the oracle hash-matches)."""
-    cand = candidate_pairs(sf_dir)
+    cand = candidate_pairs(sf_dir, distinct_pairs=False)
     corpus = augmented_corpus(sf_dir)
     with_ab = _resolve_pair_texts(cand, corpus)
 

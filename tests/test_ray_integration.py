@@ -528,6 +528,42 @@ class TestPairTextResolve:
         assert by_pair[(1, 17)] == ("t1", "t17")  # both endpoints in one bucket
         assert by_pair[(1, 2)] == ("t1", "t2")  # endpoints in different buckets
 
+    def test_repeated_pairs_collapse(self):
+        """_resolve_pair_texts contract: a candidate pair repeated k
+        times (one hit per matching LSH band — candidate_pairs with
+        distinct_pairs=False) resolves to exactly ONE output row, both
+        for same-bucket and cross-bucket endpoint placements."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pdf_parser_ray.stages.dedup import _resolve_pair_texts
+
+        corpus = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 17], pa.int64()),  # 17≡1 (mod 16)
+                    "text": pa.array(["t1", "t2", "t17"], pa.string()),
+                }
+            )
+        )
+        pairs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_a": [1, 1, 1, 1, 1],  # (1,17)×3 same-bucket, (1,2)×2 cross
+                    "doc_b": [17, 17, 17, 2, 2],
+                }
+            )
+        )
+        got = (
+            _resolve_pair_texts(pairs, corpus)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert list(zip(got["doc_a"], got["doc_b"])) == [(1, 2), (1, 17)]
+        assert list(got["text_b"]) == ["t2", "t17"]
+
 
 class TestSparseEmbedNearDup:
     def test_blocked_pairs_with_empty_buckets(self, tmp_path):
