@@ -91,6 +91,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(SCRUB)
     except ImportError:
         pass
+    try:
+        from pdf_parser_ray.stages.corpus import QUERIES as CORPUS
+
+        out.update(CORPUS)
+    except ImportError:
+        pass
     return out
 
 
@@ -142,6 +148,12 @@ def oracle_sql() -> dict[str, str]:
         from pdf_parser_ray.stages.scrub import ORACLE_SQL as SCRUB
 
         out.update(SCRUB)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.stages.corpus import ORACLE_SQL as CORPUS
+
+        out.update(CORPUS)
     except ImportError:
         pass
     return out

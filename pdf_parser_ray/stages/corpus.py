@@ -1,0 +1,400 @@
+"""Corpus-shaping operators for large-scale training-data prep:
+context-window chunking, corpus-wide segment-level dedup (the C4/
+RefinedWeb "line dedup" adapted to a corpus whose documents carry no
+newlines), Gopher-style repetition flags, and SemDeDup-style semantic
+dedup over the embedding table.
+
+These have no counterpart in the reference repo (which processes one
+PDF at a time — `extractor.py` holds no corpus-level operator); they
+are the corpus-hygiene layer a 100-TB training pipeline runs between
+extraction and packing, built with the same discipline as
+``stages/dedup.py``: coarse-bucket groupbys with vectorized per-group
+logic, no driver-side materialization, integer-exact outputs so the
+DuckDB oracles hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import _AUG_SQL, augmented_corpus, label_propagation_clusters
+
+_CHUNK = 32  # context-window chunking: words per chunk
+_STRIDE = 24  # chunk stride (overlap = _CHUNK - _STRIDE = 8 words)
+_SEG = 16  # segment dedup: words per non-overlapping segment
+
+
+def _documents(sf_dir: str):
+    from ..io.sources import read_parquet_clean
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+def q_doc_chunks(sf_dir: str):
+    """Split every document into overlapping context-window chunks of
+    ``_CHUNK`` words with stride ``_STRIDE`` — the pre-tokenization
+    step that turns variable-length documents into training-window
+    units. Pure flat-map (one ``map_batches`` emitting more rows than
+    it reads), zero shuffles, embarrassingly parallel at any corpus
+    size; an empty document still emits its chunk 0 so no row
+    silently vanishes."""
+    ds = _documents(sf_dir)
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        o_id: list[int] = []
+        o_idx: list[int] = []
+        o_txt: list[str] = []
+        o_n: list[int] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split()
+            n = len(words)
+            n_chunks = 1 if n <= _CHUNK else 1 + math.ceil((n - _CHUNK) / _STRIDE)
+            for i in range(n_chunks):
+                piece = words[i * _STRIDE : i * _STRIDE + _CHUNK]
+                o_id.append(d)
+                o_idx.append(i)
+                o_txt.append(" ".join(piece))
+                o_n.append(len(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "chunk_idx": pa.array(o_idx, pa.int64()),
+                "chunk_text": pa.array(o_txt, pa.string()),
+                "n_words": pa.array(o_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_DOC_CHUNKS = f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words FROM documents),
+c AS (SELECT doc_id, words, len(words) AS n,
+             CASE WHEN len(words) <= {_CHUNK} THEN 1
+                  ELSE 1 + CAST(ceil((len(words) - {_CHUNK}) / {_STRIDE}.0) AS BIGINT)
+             END AS n_chunks
+      FROM w)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(words[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}], ' ') AS chunk_text,
+       CAST(LEAST({_CHUNK}, n - i*{_STRIDE}) AS BIGINT) AS n_words
+FROM c, LATERAL unnest(range(n_chunks)) AS t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide segment dedup (C4-style line dedup, newline-free corpus)
+# ---------------------------------------------------------------------------
+
+def q_segment_dedup(sf_dir: str, n_buckets: int = 64):
+    """Corpus-wide exact segment dedup — the C4/RefinedWeb "drop any
+    line that occurs elsewhere in the corpus" pass, with consecutive
+    ``_SEG``-word segments standing in for lines (the synthetic
+    documents carry no newlines). A segment instance survives iff it
+    is the globally FIRST occurrence of its text, ordered by
+    ``(doc_id, seg_idx)``; each document is reassembled from its
+    surviving segments, and documents with nothing left (exact
+    duplicates of an earlier doc) drop out entirely.
+
+    Runs over the same deterministically augmented corpus as the
+    document-level dedup family (`augmented_corpus` — exact copies
+    every 10th doc, first-word mutations every 7th), so the output is
+    non-trivial: exact copies lose every segment, near copies keep
+    only their mutated segment 0.
+
+    Shape: two coarse-bucket exchanges, both O(corpus text), nothing
+    on the driver. (1) segments shuffle by ``crc32(seg) % B``; inside
+    a bucket the keep-first decision is a vectorized sort +
+    first-duplicate mask over the full segment string (hash collisions
+    therefore cannot merge distinct segments). (2) flagged segments
+    shuffle back by ``doc_id % B`` and each document reassembles in
+    seg_idx order. Per-task memory is O(corpus/B) — B scales with the
+    corpus exactly like the dedup family's fingerprint buckets."""
+    ds = augmented_corpus(sf_dir)
+
+    def segments(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        o_id: list[int] = []
+        o_idx: list[int] = []
+        o_seg: list[str] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split()
+            for i in range(math.ceil(len(words) / _SEG)):
+                o_id.append(d)
+                o_idx.append(i)
+                o_seg.append(" ".join(words[i * _SEG : (i + 1) * _SEG]))
+        bucket = np.array(
+            [zlib.crc32(s.encode()) % n_buckets for s in o_seg], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "seg_idx": pa.array(o_idx, pa.int64()),
+                "seg": pa.array(o_seg, pa.string()),
+                "seg_bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    segs = ds.map_batches(segments, batch_format="pyarrow", batch_size=None)
+
+    def keep_first(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["seg", "doc_id", "seg_idx"], kind="mergesort")
+        kept = (~g.duplicated("seg", keep="first")).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "seg_idx": pa.array(g["seg_idx"].to_numpy(dtype=np.int64), pa.int64()),
+                "seg": pa.array(g["seg"].tolist(), pa.string()),
+                "kept": pa.array(kept.astype(np.int64), pa.int64()),
+                "doc_bucket": pa.array(
+                    g["doc_id"].to_numpy(dtype=np.int64) % n_buckets, pa.int64()
+                ),
+            }
+        )
+
+    flagged = segs.groupby("seg_bucket").map_groups(keep_first, batch_format="pandas")
+
+    def reassemble(g: pd.DataFrame) -> pa.Table:
+        o_id: list[int] = []
+        o_txt: list[str] = []
+        o_kept: list[int] = []
+        o_drop: list[int] = []
+        for d, sub in g.groupby("doc_id", sort=False):
+            sub = sub.sort_values("seg_idx", kind="mergesort")
+            kept = sub[sub["kept"] == 1]
+            if len(kept) == 0:
+                continue
+            o_id.append(int(d))
+            o_txt.append(" ".join(kept["seg"].tolist()))
+            o_kept.append(len(kept))
+            o_drop.append(len(sub) - len(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "clean_text": pa.array(o_txt, pa.string()),
+                "n_kept": pa.array(o_kept, pa.int64()),
+                "n_dropped": pa.array(o_drop, pa.int64()),
+            }
+        )
+
+    return flagged.groupby("doc_bucket").map_groups(
+        reassemble, batch_format="pandas"
+    )
+
+
+_SQL_SEGMENT_DEDUP = f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words FROM ({_AUG_SQL})),
+c AS (SELECT doc_id, words,
+             CAST(ceil(len(words) / {_SEG}.0) AS BIGINT) AS n_segs
+      FROM w),
+segs AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                array_to_string(words[i*{_SEG}+1 : i*{_SEG}+{_SEG}], ' ') AS seg
+         FROM c, LATERAL unnest(range(n_segs)) AS t(i)),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+           FROM segs)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY doc_id
+HAVING SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition flags
+# ---------------------------------------------------------------------------
+
+def q_repetition_flags(sf_dir: str):
+    """Per-document repetition signals from the Gopher quality rules
+    (Rae et al. 2021, §A1.1): most-frequent-2-gram fraction and the
+    distinct-word ratio, with an integer-exact flag at the paper's
+    0.20 top-2-gram threshold (``mx·5 > n2`` ⟺ mx/n2 > 0.2 with no
+    float division on either side). Single map pass, zero shuffles;
+    the per-doc Counter is bounded by document length."""
+    ds = _documents(sf_dir)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        o_id: list[int] = []
+        o_n: list[int] = []
+        o_nd: list[int] = []
+        o_mx: list[int] = []
+        o_frac: list[int] = []
+        o_flag: list[int] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split()
+            n = len(words)
+            n2 = max(n - 1, 0)
+            mx = max(Counter(zip(words, words[1:])).values()) if n2 else 0
+            o_id.append(d)
+            o_n.append(n)
+            o_nd.append(len(set(words)))
+            o_mx.append(mx)
+            o_frac.append(0 if n2 == 0 else mx * 1_000_000 // n2)
+            o_flag.append(1 if (n2 > 0 and mx * 5 > n2) else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "n_words": pa.array(o_n, pa.int64()),
+                "n_distinct_words": pa.array(o_nd, pa.int64()),
+                "top_2gram_count": pa.array(o_mx, pa.int64()),
+                "top_2gram_frac_micro": pa.array(o_frac, pa.int64()),
+                "rep_flag": pa.array(o_flag, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flags, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_REPETITION_FLAGS = """
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words FROM documents),
+base AS (SELECT doc_id, len(words) AS n, len(list_distinct(words)) AS nd,
+                GREATEST(len(words) - 1, 0) AS n2
+         FROM w),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS gram
+      FROM w),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+mx AS (SELECT doc_id, MAX(c) AS mx FROM cnt GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_words,
+       CAST(b.nd AS BIGINT) AS n_distinct_words,
+       CAST(COALESCE(m.mx, 0) AS BIGINT) AS top_2gram_count,
+       CAST(CASE WHEN b.n2 = 0 THEN 0
+                 ELSE COALESCE(m.mx, 0) * 1000000 // b.n2 END AS BIGINT) AS top_2gram_frac_micro,
+       CAST(CASE WHEN b.n2 > 0 AND COALESCE(m.mx, 0) * 5 > b.n2
+                 THEN 1 ELSE 0 END AS BIGINT) AS rep_flag
+FROM base b LEFT JOIN mx m USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup over the embedding table
+# ---------------------------------------------------------------------------
+
+def q_semantic_dedup(sf_dir: str, threshold: float = 0.4, n_buckets: int = 16):
+    """SemDeDup (Abbas et al. 2023) shaped semantic dedup: cluster the
+    embedding space, drop all but one representative of every
+    near-duplicate group, emit the surviving ``vec_id`` set.
+
+    Composition of already-proven distributed pieces — multi-probe IVF
+    cosine near-dup pairs (:func:`..stages.embed.q_embed_near_dup_ivf`,
+    the sub-quadratic scale path), distributed min-label propagation
+    (:func:`..stages.dedup.label_propagation_clusters` — no driver
+    union-find), and a bucket-shuffle anti-join of the corpus ids
+    against the dropped set (never a driver-side id set). The survivor
+    of each cluster is its minimum vec_id; vectors in no cluster
+    survive by definition."""
+    import pyarrow.parquet as pq  # noqa: F401  (parity with embed readers)
+
+    from .embed import q_embed_near_dup_ivf, _embeddings
+
+    pairs = q_embed_near_dup_ivf(sf_dir, threshold)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": batch["vec_a"], "doc_b": batch["vec_b"]})
+
+    clusters = label_propagation_clusters(
+        pairs.map_batches(as_edges, batch_format="pyarrow", batch_size=None)
+    )
+
+    # dropped = cluster members that are not their cluster's min label
+    def dropped_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.not_equal(batch["doc_id"], batch["cluster_rep"])
+        ids = batch.filter(mask)["doc_id"]
+        n = len(ids)
+        key = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(key % n_buckets, pa.int64()),
+                "vec_id": pa.array(key, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        key = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(key)
+        return pa.table(
+            {
+                "bucket": pa.array(key % n_buckets, pa.int64()),
+                "vec_id": pa.array(key, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    corpus_ids = _embeddings(sf_dir).select_columns(["vec_id"]).map_batches(
+        tag_corpus, batch_format="pyarrow", batch_size=None
+    )
+    dropped = clusters.map_batches(
+        dropped_only, batch_format="pyarrow", batch_size=None
+    )
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        drop = set(g.loc[g["side"] == 1, "vec_id"].tolist())
+        keep = g.loc[g["side"] == 0, "vec_id"]
+        keep = keep[~keep.isin(drop)]
+        return pa.table(
+            {"vec_id": pa.array(keep.to_numpy(dtype=np.int64), pa.int64())}
+        )
+
+    return (
+        corpus_ids.union(dropped)
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
+    )
+
+
+# DATA-DEPENDENT oracle (same caveat as near_dup_pairs): the SQL
+# clusters the EXACT O(N²) cosine pairs; the engine path is multi-probe
+# IVF with measured recall 1.0 at m_probe=8 on this corpus, so the two
+# agree here — a future mismatch with EXTRA survivors (never missing)
+# diagnoses as IVF recall on a borderline pair, not an engine bug.
+_SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE pairs AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+),
+edges AS (SELECT va AS s, vb AS d FROM pairs UNION ALL SELECT vb, va FROM pairs),
+reach(node, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+labels AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id
+FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.node
+WHERE l.node IS NULL OR l.rep = e.vec_id
+"""
+
+
+QUERIES = {
+    "doc_chunks": q_doc_chunks,
+    "segment_dedup": q_segment_dedup,
+    "repetition_flags": q_repetition_flags,
+    "semantic_dedup": q_semantic_dedup,
+}
+
+ORACLE_SQL = {
+    "doc_chunks": _SQL_DOC_CHUNKS,
+    "segment_dedup": _SQL_SEGMENT_DEDUP,
+    "repetition_flags": _SQL_REPETITION_FLAGS,
+    "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+}
