@@ -87,8 +87,8 @@ c AS (SELECT doc_id, words, len(words) AS n,
       FROM w)
 SELECT doc_id,
        CAST(i AS BIGINT) AS chunk_idx,
-       array_to_string(words[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}], ' ') AS chunk_text,
-       CAST(LEAST({_CHUNK}, n - i*{_STRIDE}) AS BIGINT) AS n_words
+       COALESCE(array_to_string(words[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}], ' '), '') AS chunk_text,
+       CAST(GREATEST(LEAST({_CHUNK}, n - i*{_STRIDE}), 0) AS BIGINT) AS n_words
 FROM c, LATERAL unnest(range(n_chunks)) AS t(i)
 """
 

@@ -289,3 +289,172 @@ class TestScrub:
         assert by_id.loc[3, "keep"] == 0
         # every crafted doc is under the 20-word floor → all rejected
         assert got["keep"].sum() == 0
+
+
+class TestCorpusOps:
+    """Boundary tests for the corpus-shaping stage (stages/corpus.py)
+    on a crafted corpus with known chunk/segment structure, each
+    checked against DuckDB running the registered oracle SQL on the
+    same table, plus hand-computed boundary asserts. Doc ids avoid the
+    dedup-augmentation multiples (7, 10) so the segment-dedup input is
+    exactly the crafted corpus."""
+
+    @pytest.fixture(scope="class")
+    def corpus_sf(self, tmp_path_factory, ray_session):
+        d = tmp_path_factory.mktemp("corpus_sf")
+        w = [f"w{i}" for i in range(32)]   # docs 1/2: exactly one chunk
+        u = [f"u{i}" for i in range(16)]   # doc 3's unique segment
+        v = [f"v{i}" for i in range(33)]   # doc 5: one word past a chunk
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(w),            # segments [w0..15, w16..31]
+                        " ".join(w),            # exact dup of doc 1
+                        " ".join(w[:16] + u),   # shares seg 0 with doc 1
+                        "",                     # empty text
+                        " ".join(v),            # segments 16+16+1
+                        "x x x x x",            # repeated 2-gram (x,x)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        pq.write_table(docs, str(d / "documents.parquet"))
+        return str(d)
+
+    def _oracle(self, sf, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        return con.sql(sql).df()
+
+    def test_doc_chunks_boundaries(self, corpus_sf):
+        from pdf_parser_ray.stages.corpus import _SQL_DOC_CHUNKS, q_doc_chunks
+
+        got = (
+            q_doc_chunks(corpus_sf)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        want = (
+            self._oracle(corpus_sf, _SQL_DOC_CHUNKS)
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+        per_doc = got.groupby("doc_id").size()
+        assert per_doc[1] == 1          # exactly _CHUNK words → one chunk
+        assert per_doc[4] == 1          # empty doc still emits chunk 0
+        assert per_doc[5] == 2          # _CHUNK+1 words → two chunks
+        by_key = got.set_index(["doc_id", "chunk_idx"])
+        assert by_key.loc[(4, 0), "n_words"] == 0
+        assert by_key.loc[(4, 0), "chunk_text"] == ""
+        # stride: chunk 1 restarts at word _STRIDE (=24) and runs to 32
+        assert by_key.loc[(5, 1), "chunk_text"] == " ".join(
+            f"v{i}" for i in range(24, 33)
+        )
+        assert by_key.loc[(5, 1), "n_words"] == 9
+
+    def test_segment_dedup_keep_first(self, corpus_sf):
+        from pdf_parser_ray.stages.corpus import _SQL_SEGMENT_DEDUP, q_segment_dedup
+
+        got = (
+            q_segment_dedup(corpus_sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            self._oracle(corpus_sf, _SQL_SEGMENT_DEDUP)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+        by_id = got.set_index("doc_id")
+        # exact dup (doc 2) and empty doc (doc 4) vanish entirely
+        assert set(by_id.index) == {1, 3, 5, 6}
+        assert by_id.loc[1, "n_kept"] == 2 and by_id.loc[1, "n_dropped"] == 0
+        # doc 3 loses its shared seg 0 to doc 1, keeps only its unique tail
+        assert by_id.loc[3, "n_kept"] == 1 and by_id.loc[3, "n_dropped"] == 1
+        assert by_id.loc[3, "clean_text"] == " ".join(f"u{i}" for i in range(16))
+        # 33 words → three segments (16, 16, 1), all unique
+        assert by_id.loc[5, "n_kept"] == 3
+
+    def test_repetition_flags_boundaries(self, corpus_sf):
+        from pdf_parser_ray.stages.corpus import (
+            _SQL_REPETITION_FLAGS,
+            q_repetition_flags,
+        )
+
+        got = (
+            q_repetition_flags(corpus_sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            self._oracle(corpus_sf, _SQL_REPETITION_FLAGS)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+        by_id = got.set_index("doc_id")
+        # empty doc: all zeros, no div-by-zero
+        assert by_id.loc[4].tolist() == [0, 0, 0, 0, 0]
+        # all-distinct 32-word doc: top 2-gram count 1, below threshold
+        assert by_id.loc[1, "top_2gram_count"] == 1 and by_id.loc[1, "rep_flag"] == 0
+        # 'x x x x x': (x,x) fires 4/4 2-grams → frac 1.0, flagged
+        assert by_id.loc[6, "top_2gram_count"] == 4
+        assert by_id.loc[6, "top_2gram_frac_micro"] == 1_000_000
+        assert by_id.loc[6, "rep_flag"] == 1 and by_id.loc[6, "n_distinct_words"] == 1
+
+
+class TestSemanticDedup:
+    """semantic_dedup on crafted embedding tables with known cluster
+    structure. Within-cluster vectors are IDENTICAL, so the IVF
+    fan-out probes identical cell sets and recall is exact by
+    construction; cross-cluster vectors are orthogonal (cos 0 < 0.4)."""
+
+    def _write(self, tmp_path, ids, rows):
+        emb = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(rows, pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def test_cluster_reps_survive(self, tmp_path, ray_session):
+        import duckdb
+
+        from pdf_parser_ray.stages.corpus import _SQL_SEMANTIC_DEDUP, q_semantic_dedup
+
+        e = np.eye(8, dtype=np.float32)
+        sf = self._write(
+            tmp_path,
+            [1, 2, 3, 4, 5, 6, 7],
+            [e[0], e[0], e[0], e[1], e[1], e[2], e[3]],  # {1,2,3}, {4,5}, lone 6, 7
+        )
+        got = sorted(q_semantic_dedup(sf).to_pandas()["vec_id"])
+        assert got == [1, 4, 6, 7]  # min id per cluster + both singletons
+
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+        want = sorted(con.sql(_SQL_SEMANTIC_DEDUP).df()["vec_id"])
+        assert got == want
+
+    def test_no_pairs_keeps_everything(self, tmp_path, ray_session):
+        from pdf_parser_ray.stages.corpus import q_semantic_dedup
+
+        e = np.eye(8, dtype=np.float32)
+        sf = self._write(tmp_path, [1, 2, 3, 4], [e[0], e[1], e[2], e[3]])
+        got = sorted(q_semantic_dedup(sf).to_pandas()["vec_id"])
+        assert got == [1, 2, 3, 4]
