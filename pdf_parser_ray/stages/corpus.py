@@ -385,11 +385,135 @@ WHERE l.node IS NULL OR l.rep = e.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (global rank in hash order)
+# ---------------------------------------------------------------------------
+
+def q_epoch_shuffle(sf_dir: str, salt: str = "epoch0", n_buckets: int = 64):
+    """Deterministic training-epoch shuffle: every document gets a
+    global ``epoch_rank`` — its position in ``md5(salt:doc_id)``
+    order. The scalable alternative to ``Dataset.random_shuffle``
+    (a full materializing all-to-all): because a hash PREFIX defines
+    contiguous ranges of the hash order, bucketing on the first hash
+    byte IS a range partition of the final order. One bucket exchange
+    plus a tiny driver-side prefix (``n_buckets`` counts) replaces a
+    global sort; ranks are then ``bucket offset + vectorized local
+    sort index``. Changing ``salt`` re-deals every epoch.
+
+    The same two-pass scan shape as :func:`..stages.textstats.
+    q_pack_sequences`; hashing runs twice (count pass + rank pass),
+    which at scale is noise next to the exchange it avoids."""
+    import hashlib
+
+    ds = _documents(sf_dir).select_columns(["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [
+            hashlib.md5(f"{salt}:{i}".encode()).hexdigest() for i in ids
+        ]
+        # Bucket by first-byte RANGE (// not %): bucket b must hold a
+        # contiguous slice of the hash order for offsets+local-rank to
+        # compose into the global rank. n_buckets must divide 256.
+        width = 256 // n_buckets
+        bucket = np.array([int(k[:2], 16) // width for k in keys], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shuffle_key": pa.array(keys, pa.string()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+
+    from ray.data.aggregate import Count
+
+    counts = keyed_ds.groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
+    counts = counts.sort_values("bucket")
+    offsets = np.zeros(n_buckets, dtype=np.int64)
+    run = 0
+    for b, n in zip(counts["bucket"], counts["n"]):
+        offsets[int(b)] = run
+        run += int(n)
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["shuffle_key", "doc_id"], kind="mergesort")
+        rank = offsets[int(g["bucket"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "shuffle_key": pa.array(g["shuffle_key"].tolist(), pa.string()),
+                "epoch_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return keyed_ds.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+_SQL_EPOCH_SHUFFLE = """
+SELECT doc_id,
+       md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(row_number() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+            AS BIGINT) AS epoch_rank
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified hash split (train/val/test)
+# ---------------------------------------------------------------------------
+
+def q_train_split(sf_dir: str):
+    """Deterministic train/val/test assignment from a content-free
+    hash of the id: the last two hex digits of ``md5(split:doc_id)``
+    map 90/5/5. Pure map, zero shuffles, stable under corpus growth
+    (a document's split never depends on the rest of the corpus —
+    the property that keeps eval sets frozen across crawls)."""
+    import hashlib
+
+    ds = _documents(sf_dir).select_columns(["doc_id"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.array(
+            [int(hashlib.md5(f"split:{i}".encode()).hexdigest()[-2:], 16) for i in ids],
+            dtype=np.int64,
+        )
+        frac = h * 100 // 256  # 0..99, uniform enough for 90/5/5
+        label = np.where(frac < 90, "train", np.where(frac < 95, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "split": pa.array(label.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_TRAIN_SPLIT = """
+WITH h AS (
+    SELECT doc_id,
+           CAST('0x' || right(md5('split:' || CAST(doc_id AS VARCHAR)), 2) AS BIGINT)
+               * 100 // 256 AS frac
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN frac < 90 THEN 'train'
+            WHEN frac < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "segment_dedup": q_segment_dedup,
     "repetition_flags": q_repetition_flags,
     "semantic_dedup": q_semantic_dedup,
+    "epoch_shuffle": q_epoch_shuffle,
+    "train_split": q_train_split,
 }
 
 ORACLE_SQL = {
@@ -397,4 +521,6 @@ ORACLE_SQL = {
     "segment_dedup": _SQL_SEGMENT_DEDUP,
     "repetition_flags": _SQL_REPETITION_FLAGS,
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+    "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
+    "train_split": _SQL_TRAIN_SPLIT,
 }

@@ -416,6 +416,51 @@ class TestCorpusOps:
         assert by_id.loc[6, "rep_flag"] == 1 and by_id.loc[6, "n_distinct_words"] == 1
 
 
+    def test_epoch_shuffle_is_hash_order_permutation(self, corpus_sf):
+        import hashlib
+
+        from pdf_parser_ray.stages.corpus import _SQL_EPOCH_SHUFFLE, q_epoch_shuffle
+
+        got = (
+            q_epoch_shuffle(corpus_sf)
+            .to_pandas()
+            .sort_values("epoch_rank")
+            .reset_index(drop=True)
+        )
+        want = (
+            self._oracle(corpus_sf, _SQL_EPOCH_SHUFFLE)
+            .sort_values("epoch_rank")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # ranks are a permutation of 0..N-1 in md5-key order — the
+        # bucket-range + offset composition must reproduce a single
+        # global sort (the //-vs-% bucket regression this pins)
+        assert got["epoch_rank"].tolist() == list(range(6))
+        keys = [hashlib.md5(f"epoch0:{i}".encode()).hexdigest() for i in got["doc_id"]]
+        assert keys == sorted(keys)
+
+    def test_train_split_deterministic_and_content_free(self, corpus_sf):
+        from pdf_parser_ray.stages.corpus import _SQL_TRAIN_SPLIT, q_train_split
+
+        got = (
+            q_train_split(corpus_sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = (
+            self._oracle(corpus_sf, _SQL_TRAIN_SPLIT)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert set(got["split"]) <= {"train", "val", "test"}
+        # content-free: re-running on a corpus with the same ids but
+        # different text yields the identical assignment
+        again = (
+            q_train_split(corpus_sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, again)
+
+
 class TestSemanticDedup:
     """semantic_dedup on crafted embedding tables with known cluster
     structure. Within-cluster vectors are IDENTICAL, so the IVF
