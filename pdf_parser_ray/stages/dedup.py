@@ -1,7 +1,9 @@
 """Deduplication operators: exact (hash-partitioned keep-first),
-MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification —
-the corpus-dedup family a training-data pipeline needs (SURVEY.md
-§2.7's cross-document analog of the reference's D1 dedup).
+MinHash+LSH near-dup, an EXACT n-gram Jaccard similarity join
+(prefix-filter candidates — lossless, vs the LSH sketch), and
+SimHash — the corpus-dedup family a training-data pipeline needs
+(SURVEY.md §2.7's cross-document analog of the reference's D1
+dedup).
 
 The driver's ``documents`` table has no duplicates, so the dedup
 queries run over a deterministic *augmented* corpus: every 10th
@@ -419,24 +421,13 @@ def _resolve_pair_texts(pairs, corpus, n_buckets: int = 16):
     )
 
 
-def q_near_dup_pairs(sf_dir: str, threshold: float = 0.5):
-    """MinHash+LSH near-dup: shingle → 64-perm minhash → 16 bands →
-    bucket groupby → candidate pairs → both endpoint texts resolved
-    (and the per-band pair repetitions deduplicated) in ONE corpus
-    bucket-shuffle pass (:func:`_resolve_pair_texts`) → exact
-    word-3-gram Jaccard verification in integer arithmetic (keep iff
-    2·|∩| ≥ |∪| for the default 0.5 threshold). Three all-to-all
-    exchanges total — the standalone distinct-pairs shuffle is folded
-    into the resolve exchange (see :func:`candidate_pairs`).
-
-    Fully distributed: no driver-side materialization anywhere — the
-    judge-flagged ``to_pandas``/driver-parquet-read path is gone.
-    Emits ``jaccard_micro = ⌊10⁶·|∩|/|∪|⌋`` (exact integer division on
-    both the Ray and SQL sides, so the oracle hash-matches)."""
-    cand = candidate_pairs(sf_dir, distinct_pairs=False)
-    corpus = augmented_corpus(sf_dir)
-    with_ab = _resolve_pair_texts(cand, corpus)
-
+def _verify_pairs(with_ab, threshold: float):
+    """Exact word-3-gram Jaccard verification of text-resolved
+    candidate pairs, in integer arithmetic (keep iff
+    |∩|·den ≥ num·|∪| for threshold = num/den). Emits
+    ``jaccard_micro = ⌊10⁶·|∩|/|∪|⌋`` — exact integer division on both
+    the Ray and SQL sides, so oracles hash-match. Shared by the LSH
+    and prefix-filter candidate generators."""
     thr_num, thr_den = float(threshold).as_integer_ratio()
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -461,6 +452,137 @@ def q_near_dup_pairs(sf_dir: str, threshold: float = 0.5):
         )
 
     return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
+def q_near_dup_pairs(sf_dir: str, threshold: float = 0.5):
+    """MinHash+LSH near-dup: shingle → 64-perm minhash → 16 bands →
+    bucket groupby → candidate pairs → both endpoint texts resolved
+    (and the per-band pair repetitions deduplicated) in ONE corpus
+    bucket-shuffle pass (:func:`_resolve_pair_texts`) → exact
+    word-3-gram Jaccard verification (:func:`_verify_pairs`). Three
+    all-to-all exchanges total — the standalone distinct-pairs shuffle
+    is folded into the resolve exchange (see :func:`candidate_pairs`).
+
+    Fully distributed: no driver-side materialization anywhere — the
+    judge-flagged ``to_pandas``/driver-parquet-read path is gone."""
+    cand = candidate_pairs(sf_dir, distinct_pairs=False)
+    corpus = augmented_corpus(sf_dir)
+    return _verify_pairs(_resolve_pair_texts(cand, corpus), threshold)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_len(n: int, thr_num: int, thr_den: int) -> int:
+    """Prefix length for the prefix-filtering principle (Chaudhuri et
+    al. 2006 / Bayardo et al. WWW'07 "All-Pairs"): with grams sorted
+    by a fixed global total order, any pair A, B with
+    Jaccard(A, B) ≥ t = num/den satisfies
+    ``prefix(A) ∩ prefix(B) ≠ ∅`` where
+    ``|prefix(X)| = |X| − ⌈t·|X|⌉ + 1``. Proof obligation pinned by
+    ``TestNgramJaccard.test_prefix_filter_complete`` against random
+    sets."""
+    alpha = -((-thr_num * n) // thr_den)  # ⌈t·n⌉ exactly, in integers
+    return n - alpha + 1
+
+
+def prefix_gram_rows(threshold: float, n_buckets: int = 32):
+    """doc → one ``(gram_bucket, gram, doc_id, n_grams)`` row per
+    *prefix* gram, for the inverted-index groupby. Global gram order is
+    (crc32(gram), gram) — deterministic across processes with no
+    global state. (The classic ascending-document-frequency order
+    shrinks candidate counts by putting RARE grams in prefixes, but
+    needs a DF pass plus a vocabulary-sized rank dictionary shipped to
+    every task; hash order is the zero-extra-pass choice and is
+    equally *correct* — any fixed total order preserves the
+    completeness lemma. At 100 TB you would spend the DF pass.)
+
+    Docs with an empty gram set (empty/whitespace text) emit a single
+    sentinel ``""`` row so empty docs still pair with each other
+    (their Jaccard is defined as 1 here and in the SQL oracle); a real
+    gram is always non-empty, so the sentinel cannot collide."""
+    thr_num, thr_den = float(threshold).as_integer_ratio()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_bucket, out_gram, out_doc, out_n = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            grams = sorted(_gram_set(text), key=lambda g: (zlib.crc32(g.encode()), g))
+            n = len(grams)
+            for g in grams[: _prefix_len(n, thr_num, thr_den)] if n else [""]:
+                out_bucket.append(zlib.crc32(g.encode()) % n_buckets)
+                out_gram.append(g)
+                out_doc.append(doc_id)
+                out_n.append(n)
+        return pa.table(
+            {
+                "gram_bucket": pa.array(out_bucket, pa.int64()),
+                "gram": pa.array(out_gram, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "n_grams": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def ngram_candidate_pairs(corpus, threshold: float, n_buckets: int = 32):
+    """Candidate pairs for an EXACT n-gram Jaccard join: prefix-gram
+    inverted index → coarse ``crc32(gram) % B`` bucket groupby → pairs
+    within each fine gram group (vectorized pandas grouping inside the
+    coarse partition — the tiny-group ``map_groups`` trap again) →
+    length filter (J ≥ t ⇒ t·|B| ≤ |A| for |A| ≤ |B|) pruned at pair
+    time. Unlike LSH candidates these are COMPLETE: every pair at or
+    above the threshold shares a prefix gram, so downstream exact
+    verification yields the exact join, not a sketch approximation.
+
+    The shuffle moves O(Σ prefix_len) fixed-width rows ≈
+    (1−t)·total-grams — for t = 0.5, half the corpus token volume.
+    Repeated pairs (one per shared prefix gram) are deduplicated for
+    free inside :func:`_resolve_pair_texts`'s bucket shuffle."""
+    thr_num, thr_den = float(threshold).as_integer_ratio()
+    rows = corpus.map_batches(
+        prefix_gram_rows(threshold, n_buckets), batch_format="pyarrow", batch_size=None
+    )
+
+    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _gram, sub in g.groupby("gram", sort=False):
+            if len(sub) < 2:
+                continue
+            # sort by (n_grams, doc_id): the length filter then prunes
+            # with a single forward scan per anchor.
+            recs = sorted(
+                set(zip(sub["doc_id"].tolist(), sub["n_grams"].tolist())),
+                key=lambda r: (r[1], r[0]),
+            )
+            for i, (id_a, n_a) in enumerate(recs):
+                for id_b, n_b in recs[i + 1 :]:
+                    if n_b * thr_num > n_a * thr_den:
+                        break  # J(A,B) ≤ n_a/n_b < t; later b only longer
+                    lo, hi = (id_a, id_b) if id_a < id_b else (id_b, id_a)
+                    out_a.append(lo)
+                    out_b.append(hi)
+        return pd.DataFrame(
+            {"doc_a": np.array(out_a, dtype=np.int64), "doc_b": np.array(out_b, dtype=np.int64)}
+        )
+
+    return rows.groupby("gram_bucket").map_groups(gram_pairs, batch_format="pandas")
+
+
+def q_ngram_dedup_pairs(sf_dir: str, threshold: float = 0.5):
+    """Exact n-gram Jaccard near-dup join over the augmented corpus —
+    the explicit n-gram-Jaccard dedup flavor (vs the MinHash *sketch*
+    in :func:`q_near_dup_pairs`): prefix-filter candidate generation
+    (:func:`ngram_candidate_pairs`, complete by the prefix-filtering
+    lemma) → one-pass text resolve → exact integer Jaccard
+    verification. Same output schema and SQL spec as
+    ``near_dup_pairs``, but the oracle equality is GUARANTEED, not
+    data-dependent: no sketch recall in the path."""
+    corpus = augmented_corpus(sf_dir)
+    cand = ngram_candidate_pairs(corpus, threshold)
+    return _verify_pairs(_resolve_pair_texts(cand, corpus), threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -686,6 +808,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dup_pairs_exact": q_dup_pairs_exact,
     "near_dup_pairs": q_near_dup_pairs,
+    "ngram_dedup_pairs": q_ngram_dedup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "simhash": q_simhash,
 }
@@ -704,6 +827,10 @@ ORACLE_SQL = {
     # tests/test_ray_integration.py::test_lsh_recall_on_corpus pins
     # the distinction.
     "near_dup_pairs": _SQL_NEAR_DUP_PAIRS,
+    # Same SQL spec, but equality is GUARANTEED here: the prefix-filter
+    # candidate generation is complete (lossless), so this row is a
+    # full oracle with no sketch-recall caveat.
+    "ngram_dedup_pairs": _SQL_NEAR_DUP_PAIRS,
     # same candidate generation feeds the clustering — same caveat
     "near_dup_clusters": _SQL_NEAR_DUP_CLUSTERS,
     # simhash: sketch-based, rows-only by design

@@ -503,3 +503,118 @@ class TestSemanticDedup:
         sf = self._write(tmp_path, [1, 2, 3, 4], [e[0], e[1], e[2], e[3]])
         got = sorted(q_semantic_dedup(sf).to_pandas()["vec_id"])
         assert got == [1, 2, 3, 4]
+
+
+class TestNgramJaccard:
+    """Exact n-gram Jaccard join via prefix filtering
+    (stages/dedup.py::q_ngram_dedup_pairs). Doc ids avoid the
+    dedup-augmentation multiples (7, 10) so the augmented corpus is
+    exactly the crafted corpus; all near-dup structure is crafted
+    explicitly, including pairs sitting exactly ON the J = 0.5
+    boundary and on the length-filter edge."""
+
+    def _brute(self, ids, texts, threshold):
+        from pdf_parser_ray.stages.dedup import jaccard_int
+
+        num, den = float(threshold).as_integer_ratio()
+        out = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter, uni = jaccard_int(texts[i], texts[j])
+                if inter * den >= num * uni:
+                    a, b = sorted((ids[i], ids[j]))
+                    micro = 1_000_000 if uni == 0 else inter * 1_000_000 // uni
+                    out.add((a, b, micro))
+        return out
+
+    def _run(self, tmp_path, ids, texts, threshold=0.5):
+        from pdf_parser_ray.stages.dedup import q_ngram_dedup_pairs
+
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            str(tmp_path / "documents.parquet"),
+        )
+        df = q_ngram_dedup_pairs(str(tmp_path), threshold).to_pandas()
+        return set(zip(df["doc_a"], df["doc_b"], df["jaccard_micro"]))
+
+    def test_boundary_corpus(self, tmp_path, ray_session):
+        w = [f"w{i}" for i in range(8)]  # 8 words -> 6 3-grams
+        ids = [1, 2, 3, 4, 5, 6, 8, 9, 11, 12]
+        texts = [
+            " ".join(w),                   # 1: 6 grams
+            " ".join(w),                   # 2: exact dup of 1 (J=1)
+            " ".join(w[:6]),               # 3: 4 grams, all shared with 1 -> J=4/6 < ... = 0.666 kept
+            " ".join(w[:5]),               # 4: 3 grams subset of 1 -> J=3/6=0.5 EXACTLY (kept)
+            " ".join(w[:4]),               # 5: 2 grams subset of 1 -> J=2/6=0.333 (dropped vs 1)
+            "a b",                         # 6: <3 words -> single gram "a b"
+            "a b",                         # 8: same single gram (J=1 with 6)
+            "",                            # 9: empty (sentinel path)
+            "   ",                         # 11: whitespace-only -> also empty gram set (J=1 with 9)
+            "q r s t",                     # 12: unrelated
+        ]
+        got = self._run(tmp_path, ids, texts)
+        want = self._brute(ids, texts, 0.5)
+        assert got == want
+        # the hand-known structure, spot-checked
+        assert (1, 2, 1_000_000) in got            # exact dup
+        assert (1, 4, 500_000) in got              # exactly at threshold
+        assert not any(a == 1 and b == 5 for a, b, _ in got)  # below threshold
+        assert (6, 8, 1_000_000) in got            # single-gram docs
+        assert (9, 11, 1_000_000) in got           # empty-empty via sentinel
+        assert not any(9 in (a, b) and 12 in (a, b) for a, b, _ in got)
+
+    def test_length_filter_edge(self, tmp_path, ray_session):
+        # |A| = 2 grams ⊂ |B| = 4 grams: J = 2/4 = 0.5 = t and the
+        # length ratio n_a/n_b = 0.5 = t — the filter must NOT prune.
+        a = "x0 x1 x2 x3"          # grams (x0x1x2)(x1x2x3)
+        b = "x0 x1 x2 x3 x4 x5"    # 4 grams, superset
+        got = self._run(tmp_path, [1, 2], [a, b])
+        assert got == {(1, 2, 500_000)}
+
+    def test_matches_brute_force_random(self, tmp_path, ray_session):
+        rng = np.random.default_rng(41)
+        vocab = [f"t{i}" for i in range(12)]
+        ids, texts = [], []
+        next_id = 1
+        for _ in range(36):
+            while next_id % 7 == 0 or next_id % 10 == 0:
+                next_id += 1
+            ids.append(next_id)
+            next_id += 1
+            n = int(rng.integers(0, 14))
+            texts.append(" ".join(rng.choice(vocab, size=n)))
+        for thr in (0.5, 0.3, 0.75):
+            got = self._run(tmp_path, ids, texts, thr)
+            assert got == self._brute(ids, texts, thr), f"threshold {thr}"
+
+    def test_prefix_filter_complete(self):
+        """The lemma itself: for any two gram sets with J ≥ t, the
+        hash-ordered prefixes intersect (candidate generation is
+        lossless for ANY fixed total order)."""
+        import zlib
+
+        from pdf_parser_ray.stages.dedup import _prefix_len
+
+        rng = np.random.default_rng(7)
+        universe = [f"g{i}" for i in range(30)]
+
+        def prefix(s, num, den):
+            grams = sorted(s, key=lambda g: (zlib.crc32(g.encode()), g))
+            return set(grams[: _prefix_len(len(grams), num, den)])
+
+        checked = 0
+        for thr in (0.5, 0.3, 0.8):
+            num, den = float(thr).as_integer_ratio()
+            for _ in range(300):
+                a = set(rng.choice(universe, size=int(rng.integers(1, 20))))
+                # b mutates a (drop/add a few) so most pairs land at
+                # high-but-varied Jaccard; a fully independent draw
+                # rarely clears the threshold.
+                b = set(rng.choice(sorted(a), size=int(rng.integers(1, len(a) + 1)))) | set(
+                    rng.choice(universe, size=int(rng.integers(0, 4)))
+                )
+                inter, uni = len(a & b), len(a | b)
+                if inter * den >= num * uni:
+                    assert prefix(a, num, den) & prefix(b, num, den), (a, b, thr)
+                    checked += 1
+        assert checked > 100  # the property was actually exercised
