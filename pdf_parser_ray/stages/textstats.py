@@ -618,6 +618,126 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF term weighting
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_top_terms(sf_dir: str, k: int = 3, n_buckets: int = 32):
+    """Per-document top-k terms by TF-IDF — the classic corpus
+    weighting every retrieval/quality pipeline needs. Two exchanges:
+
+    1. **term-partitioned**: per-batch ``(term, doc_id, tf)`` rows
+       (one per DISTINCT term per doc — partial aggregation; the
+       exchange never carries one row per occurrence) → coarse
+       ``crc32(term) % B`` groupby. All rows of a term land in one
+       partition, so document frequency is complete there; idf joins
+       back to the tf rows in the same partition — df is never a
+       driver-side or broadcast dictionary.
+    2. **doc-partitioned**: ``doc_id % B`` groupby → vectorized per-doc
+       top-k by ``(tfidf_micro DESC, term ASC)``.
+
+    The driver touches only the parquet footer row count (N). Scores
+    are ``tfidf_micro = round(tf·ln(N/df)·10⁶)`` with ``ln`` computed
+    per distinct df via scalar ``math.log`` — CPython and DuckDB both
+    call the platform libm, so the doubles (and hence the rounded
+    micro-units the oracle hashes) match bit-for-bit; ranking happens
+    on the integer, never on a float."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import zlib
+
+    n_docs = float(pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        out_b, out_t, out_d, out_tf = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in (text or "").split():
+                counts[w] = counts.get(w, 0) + 1
+            for term, tf in counts.items():
+                out_b.append(zlib.crc32(term.encode()) % n_buckets)
+                out_t.append(term)
+                out_d.append(doc_id)
+                out_tf.append(tf)
+        return pa.table(
+            {
+                "term_bucket": pa.array(out_b, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    def score(g: pd.DataFrame) -> pa.Table:
+        df_per_term = g.groupby("term", sort=False)["doc_id"].transform("size")
+        # one libm call per distinct df value, broadcast vectorized
+        idf = {int(d): math.log(n_docs / int(d)) for d in df_per_term.unique()}
+        tf = g["tf"].to_numpy(dtype=np.int64)
+        dfv = df_per_term.to_numpy(dtype=np.int64)
+        micro = np.array(
+            [
+                int(np.floor((t * idf[int(d)]) * 1_000_000 + 0.5))
+                for t, d in zip(tf, dfv)
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_bucket": pa.array(
+                    g["doc_id"].to_numpy(dtype=np.int64) % n_buckets, pa.int64()
+                ),
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "term": pa.array(g["term"].tolist(), pa.string()),
+                "tf": pa.array(tf, pa.int64()),
+                "df": pa.array(dfv, pa.int64()),
+                "tfidf_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    scored = (
+        ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("term_bucket")
+        .map_groups(score, batch_format="pandas")
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(
+                ["doc_id", "tfidf_micro", "term"], ascending=[True, False, True]
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)[["doc_id", "term", "tf", "df", "tfidf_micro"]]
+        )
+
+    return scored.groupby("doc_bucket").map_groups(topk, batch_format="pandas")
+
+
+_SQL_TFIDF = r"""
+WITH tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS term
+          FROM documents)
+    GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(FLOOR((tf.tf * ln(n.n_docs / df.df)) * 1000000 + 0.5) AS BIGINT)
+               AS tfidf_micro
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf_micro
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY tfidf_micro DESC, term) AS rn FROM scored)
+WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -629,6 +749,7 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "top_tokens_cm": q_top_tokens_cm,
     "contamination": q_contamination,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLE_SQL = {
@@ -643,4 +764,5 @@ ORACLE_SQL = {
     # top_tokens_cm: sketch — approximate by construction, rows-only;
     # the unit test pins estimates within the epsilon-N CM bound
     "contamination": _SQL_CONTAMINATION,
+    "tfidf_top_terms": _SQL_TFIDF,
 }

@@ -618,3 +618,81 @@ class TestNgramJaccard:
                     assert prefix(a, num, den) & prefix(b, num, den), (a, b, thr)
                     checked += 1
         assert checked > 100  # the property was actually exercised
+
+
+class TestTfIdf:
+    """tfidf_top_terms boundary behavior on a crafted corpus: idf = 0
+    for corpus-wide terms (ties broken by term), tf ties, and the
+    per-doc k cutoff — checked against hand-computed micro scores and
+    the registered DuckDB oracle."""
+
+    def test_hand_computed_and_oracle(self, tmp_path, ray_session):
+        import math
+
+        import duckdb
+
+        from pdf_parser_ray.stages.textstats import _SQL_TFIDF, q_tfidf_top_terms
+
+        # 4 docs; "common" appears in all (idf=0); "rare" only in doc 1.
+        texts = [
+            "common rare rare mid",   # doc 1
+            "common mid mid",         # doc 2
+            "common",                 # doc 3
+            "common zz",              # doc 4
+        ]
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": pa.array(texts)}
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = (
+            q_tfidf_top_terms(str(tmp_path))
+            .to_pandas()
+            .sort_values(["doc_id", "tfidf_micro", "term"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+
+        # doc 1: rare tf=2 df=1 -> 2*ln(4)*1e6; mid tf=1 df=2 -> ln(2)*1e6; common 0
+        micro = lambda tf, df: int(np.floor(tf * math.log(4 / df) * 1_000_000 + 0.5))
+        d1 = got[got.doc_id == 1][["term", "tfidf_micro"]].values.tolist()
+        assert d1 == [
+            ["rare", micro(2, 1)],
+            ["mid", micro(1, 2)],
+            ["common", 0],
+        ]
+        # doc 3 has one term only -> one row, micro 0
+        assert got[got.doc_id == 3][["term", "tfidf_micro"]].values.tolist() == [["common", 0]]
+
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        want = (
+            con.sql(_SQL_TFIDF)
+            .df()
+            .sort_values(["doc_id", "tfidf_micro", "term"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"tfidf_micro": "int64"}), want.astype({"tfidf_micro": "int64"})
+        )
+
+    def test_k_cutoff(self, tmp_path, ray_session):
+        from pdf_parser_ray.stages.textstats import q_tfidf_top_terms
+
+        # 6 distinct terms in doc 1, k=3 -> exactly 3 rows for doc 1
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a b c d e f", "a b"]),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = q_tfidf_top_terms(str(tmp_path), k=3).to_pandas()
+        assert (got.groupby("doc_id").size() == 3).loc[1]
+        # doc 1 keeps the idf-heavy terms (c..f, df=1) over a/b (df=2);
+        # tie among c..f broken by term asc -> c, d, e
+        assert sorted(got[got.doc_id == 1]["term"]) == ["c", "d", "e"]
