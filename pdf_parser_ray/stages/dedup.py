@@ -499,6 +499,10 @@ def prefix_gram_rows(threshold: float, n_buckets: int = 32):
     equally *correct* — any fixed total order preserves the
     completeness lemma. At 100 TB you would spend the DF pass.)
 
+    Each row carries the gram's position ``pos`` in the doc's sorted
+    gram list and the doc's gram count ``n_grams`` — the inputs to the
+    PPJoin positional filter downstream.
+
     Docs with an empty gram set (empty/whitespace text) emit a single
     sentinel ``""`` row so empty docs still pair with each other
     (their Jaccard is defined as 1 here and in the SQL oracle); a real
@@ -506,21 +510,23 @@ def prefix_gram_rows(threshold: float, n_buckets: int = 32):
     thr_num, thr_den = float(threshold).as_integer_ratio()
 
     def fn(batch: pa.Table) -> pa.Table:
-        out_bucket, out_gram, out_doc, out_n = [], [], [], []
+        out_bucket, out_gram, out_doc, out_n, out_pos = [], [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             grams = sorted(_gram_set(text), key=lambda g: (zlib.crc32(g.encode()), g))
             n = len(grams)
-            for g in grams[: _prefix_len(n, thr_num, thr_den)] if n else [""]:
+            for pos, g in enumerate(grams[: _prefix_len(n, thr_num, thr_den)] if n else [""]):
                 out_bucket.append(zlib.crc32(g.encode()) % n_buckets)
                 out_gram.append(g)
                 out_doc.append(doc_id)
                 out_n.append(n)
+                out_pos.append(pos)
         return pa.table(
             {
                 "gram_bucket": pa.array(out_bucket, pa.int64()),
                 "gram": pa.array(out_gram, pa.string()),
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "n_grams": pa.array(out_n, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
             }
         )
 
@@ -537,35 +543,74 @@ def ngram_candidate_pairs(corpus, threshold: float, n_buckets: int = 32):
     above the threshold shares a prefix gram, so downstream exact
     verification yields the exact join, not a sketch approximation.
 
-    The shuffle moves O(Σ prefix_len) fixed-width rows ≈
-    (1−t)·total-grams — for t = 0.5, half the corpus token volume.
-    Repeated pairs (one per shared prefix gram) are deduplicated for
-    free inside :func:`_resolve_pair_texts`'s bucket shuffle."""
+    Hot-gram blowup is tamed by two classic integer filters, both
+    vectorized over ``np.triu_indices`` (no Python pair loop):
+
+    * **length**: J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|);
+    * **positional** (PPJoin, Xiao et al.): at a shared prefix gram
+      with positions (p_a, p_b), ``1 + min(|A|−p_a−1, |B|−p_b−1)`` is
+      a valid upper bound on |A∩B| *at the pair's earliest shared
+      prefix gram* (no common gram can precede it — see the proof in
+      the docstring test), so requiring it ≥
+      ⌈t·(|A|+|B|)/(1+t)⌉ at ANY shared gram never drops a true pair.
+
+    Survivors are deduplicated once per partition (``np.unique`` on a
+    packed pair key), capping cross-partition repetitions at
+    ``n_buckets``; the remaining repeats collapse for free inside
+    :func:`_resolve_pair_texts`'s bucket shuffle — same folded-distinct
+    design as the LSH path. The exchange moves O(Σ prefix_len)
+    fixed-width rows ≈ (1−t)·total-grams."""
     thr_num, thr_den = float(threshold).as_integer_ratio()
     rows = corpus.map_batches(
         prefix_gram_rows(threshold, n_buckets), batch_format="pyarrow", batch_size=None
     )
 
     def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _gram, sub in g.groupby("gram", sort=False):
-            if len(sub) < 2:
+        # Fine grouping WITHOUT pandas groupby: factorize + stable sort
+        # + boundary slicing, visiting only multi-row groups — a pandas
+        # groupby loop here pays ~100 µs × tens of thousands of
+        # singleton gram groups (the tiny-group trap, partition-local
+        # edition).
+        codes, _ = pd.factorize(g["gram"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes = codes[order]
+        all_ids = g["doc_id"].to_numpy(dtype=np.int64)[order]
+        all_ns = g["n_grams"].to_numpy(dtype=np.int64)[order]
+        all_ps = g["pos"].to_numpy(dtype=np.int64)[order]
+        bounds = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(codes)]])
+        keys = []
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2:
                 continue
-            # sort by (n_grams, doc_id): the length filter then prunes
-            # with a single forward scan per anchor.
-            recs = sorted(
-                set(zip(sub["doc_id"].tolist(), sub["n_grams"].tolist())),
-                key=lambda r: (r[1], r[0]),
+            ids = all_ids[s:e]
+            ns = all_ns[s:e]
+            ps = all_ps[s:e]
+            i, j = np.triu_indices(m, 1)
+            na, nb = ns[i], ns[j]
+            lo_n = np.minimum(na, nb)
+            hi_n = np.maximum(na, nb)
+            len_ok = hi_n * thr_num <= lo_n * thr_den
+            ub = 1 + np.minimum(na - ps[i] - 1, nb - ps[j] - 1)
+            alpha = (thr_num * (na + nb) + thr_den + thr_num - 1) // (
+                thr_den + thr_num
             )
-            for i, (id_a, n_a) in enumerate(recs):
-                for id_b, n_b in recs[i + 1 :]:
-                    if n_b * thr_num > n_a * thr_den:
-                        break  # J(A,B) ≤ n_a/n_b < t; later b only longer
-                    lo, hi = (id_a, id_b) if id_a < id_b else (id_b, id_a)
-                    out_a.append(lo)
-                    out_b.append(hi)
+            keep = len_ok & (ub >= alpha) & (ids[i] != ids[j])
+            a = np.minimum(ids[i][keep], ids[j][keep])
+            b = np.maximum(ids[i][keep], ids[j][keep])
+            keys.append((a << np.int64(32)) | b)
+        if not keys:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.zeros(0, dtype=np.int64),
+                    "doc_b": np.zeros(0, dtype=np.int64),
+                }
+            )
+        uniq = np.unique(np.concatenate(keys))
         return pd.DataFrame(
-            {"doc_a": np.array(out_a, dtype=np.int64), "doc_b": np.array(out_b, dtype=np.int64)}
+            {"doc_a": uniq >> np.int64(32), "doc_b": uniq & np.int64(0xFFFFFFFF)}
         )
 
     return rows.groupby("gram_bucket").map_groups(gram_pairs, batch_format="pandas")

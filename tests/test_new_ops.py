@@ -588,9 +588,14 @@ class TestNgramJaccard:
             assert got == self._brute(ids, texts, thr), f"threshold {thr}"
 
     def test_prefix_filter_complete(self):
-        """The lemma itself: for any two gram sets with J ≥ t, the
-        hash-ordered prefixes intersect (candidate generation is
-        lossless for ANY fixed total order)."""
+        """The lemmas themselves, on random sets: (1) for any two gram
+        sets with J ≥ t, the hash-ordered prefixes intersect
+        (candidate generation is lossless for ANY fixed total order);
+        (2) the PPJoin positional filter keeps every true pair — at
+        SOME shared prefix gram the overlap upper bound
+        ``1 + min(|A|−p_a−1, |B|−p_b−1)`` clears the equivalent
+        overlap ⌈t·(|A|+|B|)/(1+t)⌉ (the engine keeps a pair if any
+        shared gram passes)."""
         import zlib
 
         from pdf_parser_ray.stages.dedup import _prefix_len
@@ -598,9 +603,8 @@ class TestNgramJaccard:
         rng = np.random.default_rng(7)
         universe = [f"g{i}" for i in range(30)]
 
-        def prefix(s, num, den):
-            grams = sorted(s, key=lambda g: (zlib.crc32(g.encode()), g))
-            return set(grams[: _prefix_len(len(grams), num, den)])
+        def ordered(s):
+            return sorted(s, key=lambda g: (zlib.crc32(g.encode()), g))
 
         checked = 0
         for thr in (0.5, 0.3, 0.8):
@@ -615,7 +619,16 @@ class TestNgramJaccard:
                 )
                 inter, uni = len(a & b), len(a | b)
                 if inter * den >= num * uni:
-                    assert prefix(a, num, den) & prefix(b, num, den), (a, b, thr)
+                    ga, gb = ordered(a), ordered(b)
+                    pa = {g: p for p, g in enumerate(ga[: _prefix_len(len(ga), num, den)])}
+                    pb = {g: p for p, g in enumerate(gb[: _prefix_len(len(gb), num, den)])}
+                    shared = set(pa) & set(pb)
+                    assert shared, (a, b, thr)
+                    alpha = -(-(num * (len(ga) + len(gb))) // (den + num))
+                    assert any(
+                        1 + min(len(ga) - pa[g] - 1, len(gb) - pb[g] - 1) >= alpha
+                        for g in shared
+                    ), (a, b, thr)
                     checked += 1
         assert checked > 100  # the property was actually exercised
 
