@@ -858,6 +858,113 @@ FROM events e
 
 
 # ---------------------------------------------------------------------------
+# Q14c — range (band) join: orders within a trailing window of each event
+# ---------------------------------------------------------------------------
+
+
+def q_orders_near_event(sf_dir: str, window_days: int = 30, n_buckets: int = 16):
+    """Range join — the band-predicate sibling of the as-of join: for
+    each event, the COUNT and cents-SUM of the same customer's orders
+    with ``o_orderdate ∈ [ts − window, ts]``. Both sides hash into
+    ``key % B`` buckets (two-large-sides shape — nothing broadcast);
+    inside each partition the orders sort ONCE by the composite key
+    ``custkey << 24 | order_day`` (midnight-aligned days, exact) and
+    every event resolves with two vectorized ``searchsorted`` probes:
+    ``count = hi − lo`` and ``sum = prefix[hi] − prefix[lo]`` over a
+    cents prefix-sum array — O((N+M)·log N) per partition, no per-row
+    Python, no interval fan-out. Money stays integer cents so the
+    oracle hash-matches. One output row per event (never empty).
+
+    Window-bound day arithmetic is exact in integers: a midnight-
+    aligned order date is ≥ ``ts − w`` iff its day ≥
+    ``⌈(ts − w) / day⌉`` and ≤ ``ts`` iff its day ≤ ``⌊ts / day⌋``."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(ck, pa.int64()),
+                "t_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                "event_id": pa.nulls(n, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(uid, pa.int64()),
+                "t_us": pc.cast(batch["ts"], pa.int64()),
+                "event_id": batch["event_id"],
+                "cents": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=None).union(
+        events.map_batches(tag_events, batch_format="pyarrow", batch_size=None)
+    )
+    w_us = np.int64(window_days) * _US_PER_DAY
+
+    def range_bucket(g: pd.DataFrame) -> pa.Table:
+        od = g[g["side"] == 1]
+        ev = g[g["side"] == 0]
+        ok = od["key"].to_numpy(dtype=np.int64)
+        od_us = od["t_us"].to_numpy(dtype=np.int64)
+        cents = od["cents"].to_numpy(dtype=np.int64)
+        if len(ok) and int(ok.max()) >= (1 << (63 - _DAY_BITS)):
+            raise ValueError("custkey overflows composite key")
+        comp = (ok << _DAY_BITS) | (od_us // _US_PER_DAY)
+        order_idx = np.argsort(comp, kind="stable")
+        comp_sorted = comp[order_idx]
+        prefix = np.concatenate([[0], np.cumsum(cents[order_idx])])
+
+        uid = ev["key"].to_numpy(dtype=np.int64)
+        ts = ev["t_us"].to_numpy(dtype=np.int64)
+        lo_day = -((-(ts - w_us)) // _US_PER_DAY)  # ⌈(ts−w)/day⌉
+        lo = np.searchsorted(comp_sorted, (uid << _DAY_BITS) | lo_day, side="left")
+        hi = np.searchsorted(
+            comp_sorted, (uid << _DAY_BITS) | (ts // _US_PER_DAY), side="right"
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(ev["event_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "n_orders_30d": pa.array(hi - lo, pa.int64()),
+                "total_cents_30d": pa.array(prefix[hi] - prefix[lo], pa.int64()),
+            }
+        )
+
+    return both.groupby("bucket").map_groups(range_bucket, batch_format="pandas")
+
+
+_SQL_RANGE_JOIN = """
+SELECT e.event_id, e.user_id,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey = e.user_id
+               AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+               AND o.o_orderdate <= e.ts) AS BIGINT) AS n_orders_30d,
+       CAST((SELECT COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+             FROM orders o
+             WHERE o.o_custkey = e.user_id
+               AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+               AND o.o_orderdate <= e.ts) AS BIGINT) AS total_cents_30d
+FROM events e
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q14b — sliding window aggregate (2-hour windows, 1-hour slide)
 # ---------------------------------------------------------------------------
 
@@ -1302,6 +1409,7 @@ QUERIES = {
     "brand_revenue": q_brand_revenue,
     "last_order_before_event": q_last_order_before_event,
     "last_order_before_event_bucketed": q_last_order_before_event_bucketed,
+    "orders_near_event": q_orders_near_event,
     "json_props": q_json_props,
     "sliding_window": q_sliding_window,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1328,6 +1436,7 @@ ORACLE_SQL = {
     "brand_revenue": _SQL_BRAND_REVENUE,
     "last_order_before_event": _SQL_ASOF,
     "last_order_before_event_bucketed": _SQL_ASOF,
+    "orders_near_event": _SQL_RANGE_JOIN,
     "json_props": _SQL_JSON_PROPS,
     "sliding_window": _SQL_SLIDING,
     "top_orders_per_customer": _SQL_TOP_PER_CUSTOMER,

@@ -709,3 +709,62 @@ class TestTfIdf:
         # doc 1 keeps the idf-heavy terms (c..f, df=1) over a/b (df=2);
         # tie among c..f broken by term asc -> c, d, e
         assert sorted(got[got.doc_id == 1]["term"]) == ["c", "d", "e"]
+
+
+class TestRangeJoin:
+    """orders_near_event window-edge semantics on a crafted table:
+    order exactly AT ts − 30d (included, >=), exactly AT ts
+    (included, <=), one microsecond-day outside either bound
+    (excluded), plus a customer with no orders and the prefix-sum
+    cents arithmetic."""
+
+    def test_window_edges(self, tmp_path, ray_session):
+        from pdf_parser_ray.relational.ops import q_orders_near_event
+
+        day_us = 86_400_000_000
+        d0 = 20_000 * day_us  # a midnight, ~2024
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 1, 3], pa.int64()),
+                "o_orderdate": pa.array(
+                    np.array(
+                        [d0 - 30 * day_us, d0, d0 - 31 * day_us, d0 + day_us, d0],
+                        dtype="int64",
+                    ).view("datetime64[us]")
+                ),
+                "o_totalprice": pa.array([10.00, 2.50, 100.00, 100.00, 7.25]),
+            }
+        )
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        events = pa.table(
+            {
+                "event_id": pa.array([100, 101, 102], pa.int64()),
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                # midnight event; midday event (shifts the >= bound past
+                # the midnight order at d0-30); user with no orders
+                "ts": pa.array(
+                    np.array([d0, d0 + day_us // 2, d0], dtype="int64").view(
+                        "datetime64[us]"
+                    )
+                ),
+            }
+        )
+        pq.write_table(events, str(tmp_path / "events.parquet"))
+
+        got = (
+            q_orders_near_event(str(tmp_path))
+            .to_pandas()
+            .set_index("event_id")
+            .sort_index()
+        )
+        # midnight event: orders at d0-30 (10.00) and d0 (2.50) in window
+        assert got.loc[100, "n_orders_30d"] == 2
+        assert got.loc[100, "total_cents_30d"] == 1250
+        # midday event: bound is midday d0-30, so the midnight d0-30
+        # order falls out; d0 order still <= ts
+        assert got.loc[101, "n_orders_30d"] == 1
+        assert got.loc[101, "total_cents_30d"] == 250
+        # user 2 has no orders at all
+        assert got.loc[102, "n_orders_30d"] == 0
+        assert got.loc[102, "total_cents_30d"] == 0
