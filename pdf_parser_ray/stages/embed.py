@@ -381,12 +381,134 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed k-means (trained centroids — the iterative-algorithm shape)
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd's k-means over the embedding column — the
+    cluster-then-curate stage (SemDeDup-style pruning, per-cluster
+    sampling) of a large-scale corpus pipeline, and the engine's
+    iterative-refinement shape: per iteration the k×dim centroid
+    matrix broadcasts into the map stage (closure here; ``ray.put``
+    on a real cluster), each batch assigns vectorized (one matmul) and
+    emits per-cluster PARTIAL sums (k rows per block — the exchange
+    never carries vectors per row), a k-group reduce merges them, and
+    the driver materializes exactly k rows per iteration. Driver and
+    shuffle state are O(k·dim·blocks) at any corpus size.
+
+    Determinism: init is the first ``k`` vectors by ``vec_id`` (read
+    with predicate pushdown, O(k) driver memory); partial sums carry
+    their block's min vec_id and every reduce sorts on it before
+    summing, so float accumulation order — and hence the fixpoint —
+    is identical across runs at a given session width (block ARRIVAL
+    order is not deterministic; block CONTENT at fixed parallelism
+    is). Across widths the block partition changes, so centroid BITS
+    may differ by float-rounding — assignments on non-degenerate
+    clusters do not (pinned in the unit test). Returns
+    ``(vec_id, cluster, dist_micro)``; no SQL oracle (iterative,
+    non-SQL-expressible) — unit tests pin determinism, agreement with
+    a local Lloyd reference on separated clusters, and non-increasing
+    inertia."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    init = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    ids0 = init["vec_id"].to_numpy(zero_copy_only=False)
+    centroids = np.stack(init["embedding"].to_pylist()).astype(np.float64)[
+        np.argsort(ids0)
+    ]
+    if len(centroids) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    dim = centroids.shape[1]
+
+    def partials_fn(cents: np.ndarray):
+        def fn(batch: pa.Table) -> pa.Table:
+            vecs = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            # ‖v−c‖² argmin ⟺ argmin(‖c‖² − 2·v·c): one matmul per batch
+            d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (vecs @ cents.T)
+            assign = np.argmin(d2, axis=1)
+            out_c, out_n, out_mv, out_s = [], [], [], []
+            for c in np.unique(assign):
+                m = assign == c
+                out_c.append(int(c))
+                out_n.append(int(m.sum()))
+                out_mv.append(int(ids[m].min()))
+                out_s.append(vecs[m].sum(axis=0))
+            return pa.table(
+                {
+                    "cluster": pa.array(out_c, pa.int64()),
+                    "n": pa.array(out_n, pa.int64()),
+                    "min_vec_id": pa.array(out_mv, pa.int64()),
+                    "vsum": pa.array([s.tolist() for s in out_s], pa.list_(pa.float64())),
+                }
+            )
+
+        return fn
+
+    for _ in range(iters):
+        cents = centroids  # bind the CURRENT matrix into this iteration's closure
+
+        def reduce_cluster(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("min_vec_id", kind="stable")
+            s = np.zeros(dim, dtype=np.float64)
+            for v in g["vsum"]:
+                s = s + np.asarray(v, dtype=np.float64)
+            return pd.DataFrame(
+                {
+                    "cluster": [int(g["cluster"].iloc[0])],
+                    "n": [int(g["n"].sum())],
+                    "vsum": [s.tolist()],
+                }
+            )
+
+        merged = (
+            _embeddings(sf_dir)
+            .map_batches(partials_fn(cents), batch_format="pyarrow", batch_size=None)
+            .groupby("cluster")
+            .map_groups(reduce_cluster, batch_format="pandas")
+            .to_pandas()  # exactly k tiny rows — bounded driver aggregate
+        )
+        new = centroids.copy()  # empty clusters keep their centroid
+        for _, row in merged.iterrows():
+            new[int(row["cluster"])] = np.asarray(row["vsum"]) / row["n"]
+        centroids = new
+
+    final = centroids
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        d2 = ((vecs[:, None, :] - final[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        dist = np.sqrt(d2[np.arange(len(vecs)), assign])
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+                "dist_micro": pa.array(
+                    np.rint(dist * 1_000_000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _embeddings(sf_dir).map_batches(
+        assign_fn, batch_format="pyarrow", batch_size=None
+    )
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "knn_join": q_knn_join,
     "ann_ivf": q_ann_ivf,
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_ivf": q_embed_near_dup_ivf,
+    "kmeans": q_kmeans,
 }
 
 ORACLE_SQL = {

@@ -768,3 +768,94 @@ class TestRangeJoin:
         # user 2 has no orders at all
         assert got.loc[102, "n_orders_30d"] == 0
         assert got.loc[102, "total_cents_30d"] == 0
+
+
+class TestKMeans:
+    """Distributed Lloyd's k-means (stages/embed.py::q_kmeans):
+    assignment agreement with a local reference on well-separated
+    crafted clusters, run-to-run determinism, and a real-table smoke
+    with non-increasing inertia across iteration counts."""
+
+    def _write(self, tmp_path, ids, rows):
+        emb = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(r, dtype=np.float32) for r in rows],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def _local_lloyd(self, vecs, k, iters):
+        cents = vecs[:k].astype(np.float64).copy()
+        for _ in range(iters):
+            d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                m = assign == c
+                if m.any():
+                    cents[c] = vecs[m].mean(axis=0)
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d2, axis=1)
+
+    def test_matches_local_reference_on_separated_clusters(
+        self, tmp_path, ray_session
+    ):
+        from pdf_parser_ray.stages.embed import q_kmeans
+
+        rng = np.random.default_rng(3)
+        # 3 tight blobs far apart in 8-d; first 3 vecs land one per blob
+        # so the first-k init starts near each center
+        centers = np.array(
+            [[10, 0, 0, 0, 0, 0, 0, 0], [0, 10, 0, 0, 0, 0, 0, 0], [0, 0, 10, 0, 0, 0, 0, 0]],
+            dtype=np.float64,
+        )
+        rows, ids = [], []
+        for i in range(60):
+            blob = i % 3
+            rows.append(centers[blob] + rng.normal(0, 0.1, size=8))
+            ids.append(i)
+        sf = self._write(tmp_path, ids, rows)
+        got = (
+            q_kmeans(sf, k=3, iters=4)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        vecs = np.stack([np.asarray(r, dtype=np.float32) for r in rows]).astype(
+            np.float64
+        )
+        want = self._local_lloyd(vecs, 3, 4)
+        assert (got["cluster"].to_numpy() == want).all()
+        # blobs must come out pure: each blob maps to exactly one cluster
+        for blob in range(3):
+            assert got["cluster"][np.arange(60) % 3 == blob].nunique() == 1
+
+    def test_deterministic_across_runs(self, tmp_path, ray_session):
+        from pdf_parser_ray.stages.embed import q_kmeans
+
+        rng = np.random.default_rng(9)
+        sf = self._write(
+            tmp_path, list(range(40)), [rng.normal(size=4) for _ in range(40)]
+        )
+        a = q_kmeans(sf, k=4, iters=3).to_pandas().sort_values("vec_id")
+        b = q_kmeans(sf, k=4, iters=3).to_pandas().sort_values("vec_id")
+        assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
+        assert (a["dist_micro"].to_numpy() == b["dist_micro"].to_numpy()).all()
+
+    def test_real_table_smoke_and_inertia(self, ray_session):
+        from pdf_parser_ray.stages.embed import q_kmeans
+
+        sf = "/root/testdata/sf0.001"
+        prev = None
+        for iters in (1, 3, 5):
+            df = q_kmeans(sf, k=8, iters=iters).to_pandas()
+            assert len(df) == 500
+            assert df["cluster"].between(0, 7).all()
+            inertia = float(((df["dist_micro"].to_numpy() / 1e6) ** 2).sum())
+            if prev is not None:
+                assert inertia <= prev * (1 + 1e-9), (iters, inertia, prev)
+            prev = inertia
