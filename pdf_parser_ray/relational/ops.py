@@ -1392,6 +1392,198 @@ def q_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
     return pd.DataFrame({"n_users_approx": pd.Series([int(round(E))], dtype="int64")})
 
 
+# ---------------------------------------------------------------------------
+# Q20 — running total (ordered prefix-scan window per partition key)
+# ---------------------------------------------------------------------------
+
+def q_running_total(sf_dir: str, n_buckets: int = 32):
+    """Per-customer cumulative revenue ordered by (orderdate, orderkey)
+    — the ``SUM() OVER (PARTITION BY … ORDER BY …)`` prefix-scan
+    window. Complements :func:`q_top_orders_per_customer` (ranking):
+    this one carries an ordered accumulation, not a top-N cut.
+
+    Same scale discipline as the rank window: shuffle on the coarse
+    ``custkey % B`` bucket (B partitions, never one task per
+    customer), then inside each partition ONE vectorized sort +
+    ``groupby.cumsum`` scans every customer at once. Cents are exact
+    int64, so the cumulative sums are order-independent of block
+    arrival and hash-identical to the oracle. The exchange moves each
+    row once; partition memory is |orders|/B rows — at 100 TB raise B
+    to keep a bucket inside a worker's heap."""
+    import pandas as pd
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "date_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    def scan_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "date_us", "o_orderkey"], kind="stable")
+        run = g.groupby("o_custkey", sort=False)["cents"].cumsum()
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"].to_numpy(dtype=np.int64)),
+                "o_orderkey": pa.array(g["o_orderkey"].to_numpy(dtype=np.int64)),
+                "run_cents": pa.array(run.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
+_SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS run_cents
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — pivot (conditional aggregation to a wide table)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_pivot(sf_dir: str):
+    """Events pivoted long→wide: one row per epoch-day, one count
+    column per event type — the PIVOT / conditional-aggregation
+    operator. The column set must be known up front in a distributed
+    engine (here the fixed event-type vocabulary); per batch a
+    vectorized ``pivot_table`` emits at most |days-in-batch| partial
+    rows, then one ``groupby(day)`` with a Sum per column merges them
+    — the exchange carries O(days × blocks) wide rows, never events."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"day": us // 86_400_000_000, "et": batch["event_type"].to_pandas()}
+        )
+        piv = (
+            df.pivot_table(index="day", columns="et", aggfunc="size", fill_value=0)
+            .reindex(columns=list(_EVENT_TYPES), fill_value=0)
+            .reset_index()
+        )
+        cols = {"day": pa.array(piv["day"].to_numpy(dtype=np.int64))}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array(piv[t].to_numpy(dtype=np.int64))
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES])
+    )
+
+
+_SQL_EVENT_PIVOT = """
+SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — grouped exact percentiles (distributed value-count summary)
+# ---------------------------------------------------------------------------
+
+def q_priority_percentiles(sf_dir: str):
+    """Exact p50/p90 of order totals per order priority — the grouped
+    twin of :func:`q_price_percentiles`, kept fully distributed: the
+    per-batch (group, value) counts collapse through ONE
+    ``groupby(group, value)`` Sum into the per-group histograms, and a
+    second ``groupby(group).map_groups`` reads each percentile off the
+    cumulative counts on the workers — the driver never materializes a
+    histogram (the global version may, its domain is one group). The
+    exchange carries (group × distinct-value) count rows; percentile
+    semantics are PERCENTILE_DISC (smallest value with cum ≥ ⌈q·N⌉),
+    exact on the discrete cents domain."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                "cents": _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["o_orderpriority", "cents"], as_index=False, sort=False).size()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+                "cnt": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby(["o_orderpriority", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pcts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        cum = g["cnt"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["cents"].to_numpy()
+
+        def pick(q: float) -> int:
+            return int(vals[np.searchsorted(cum, int(np.ceil(q * total)))])
+
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "p50_cents": pd.Series([pick(0.5)], dtype="int64"),
+                "p90_cents": pd.Series([pick(0.9)], dtype="int64"),
+            }
+        )
+
+    return hist.groupby("o_orderpriority").map_groups(pcts, batch_format="pandas")
+
+
+_SQL_PRIORITY_PERCENTILES = """
+SELECT o_orderpriority,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p50_cents,
+       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p90_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -1417,6 +1609,9 @@ QUERIES = {
     "revenue_rollup": q_revenue_rollup,
     "distinct_users": q_distinct_users,
     "distinct_users_hll": q_distinct_users_hll,
+    "running_total": q_running_total,
+    "event_pivot": q_event_pivot,
+    "priority_percentiles": q_priority_percentiles,
 }
 
 ORACLE_SQL = {
@@ -1443,6 +1638,9 @@ ORACLE_SQL = {
     "price_percentiles": _SQL_PERCENTILES,
     "revenue_rollup": _SQL_ROLLUP,
     "distinct_users": _SQL_DISTINCT_USERS,
+    "running_total": _SQL_RUNNING_TOTAL,
+    "event_pivot": _SQL_EVENT_PIVOT,
+    "priority_percentiles": _SQL_PRIORITY_PERCENTILES,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

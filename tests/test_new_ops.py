@@ -859,3 +859,113 @@ class TestKMeans:
             if prev is not None:
                 assert inertia <= prev * (1 + 1e-9), (iters, inertia, prev)
             prev = inertia
+
+
+class TestWindowPivotGroupedPct:
+    """The three round-3 relational additions (relational/ops.py):
+    running-total prefix-scan window (date ties broken by orderkey),
+    event pivot (days with absent types must come out 0), grouped
+    exact percentiles (duplicate-heavy values, boundary indices) —
+    each vs an independent pandas/brute-force computation on a
+    crafted table."""
+
+    @pytest.fixture(scope="class")
+    def sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("wpg_sf")
+        rng = np.random.RandomState(7)
+        n = 400
+        custkey = rng.randint(1, 12, size=n)
+        # only 3 distinct dates per customer -> plenty of date ties,
+        # so the orderkey tie-break is load-bearing; day-aligned base so
+        # the pivot's boundary events land where the comments say
+        base = np.int64(18519) * 86_400_000_000
+        dates = base + rng.randint(0, 3, size=n).astype(np.int64) * 86_400_000_000
+        prices = rng.choice([10.00, 10.00, 25.50, 99.99, 500.00], size=n)
+        pri = rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], size=n
+        )
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(1, n + 1), pa.int64()),
+                "o_custkey": pa.array(custkey, pa.int64()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array(dates, pa.timestamp("us")),
+                "o_orderpriority": pa.array(pri, pa.string()),
+            }
+        )
+        pq.write_table(orders, str(d / "orders.parquet"))
+
+        # events: one day has only 'view' events (other counts must be 0),
+        # plus an event in the last microsecond of a day (boundary)
+        rows = [
+            (0, "view", base),
+            (1, "view", base + 5),
+            (2, "click", base + 86_400_000_000),  # next day
+            (3, "error", base + 2 * 86_400_000_000 - 1),  # last us of day 1
+            (4, "purchase", base + 2 * 86_400_000_000),  # first us of day 2
+            (5, "signup", base + 2 * 86_400_000_000),
+        ]
+        events = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    np.array([r[2] for r in rows], dtype=np.int64),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(events, str(d / "events.parquet"))
+        return str(d)
+
+    def test_running_total_vs_pandas(self, sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_running_total
+
+        got = (
+            q_running_total(sf, n_buckets=4)
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        raw = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+        raw["cents"] = np.rint(raw["o_totalprice"] * 100).astype(np.int64)
+        raw = raw.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        raw["run_cents"] = raw.groupby("o_custkey")["cents"].cumsum()
+        want = raw.sort_values("o_orderkey").reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["run_cents"].to_numpy() == want["run_cents"].to_numpy()).all()
+
+    def test_event_pivot_zero_fill_and_boundaries(self, sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_event_pivot
+
+        got = q_event_pivot(sf).to_pandas().sort_values("day").reset_index(drop=True)
+        day0 = np.int64(18519)
+        assert got["day"].tolist() == [day0, day0 + 1, day0 + 2]
+        # day0: only views
+        assert got.iloc[0][["n_view", "n_click", "n_error"]].tolist() == [2, 0, 0]
+        # day1: the click plus the last-microsecond error stay on day1
+        assert got.iloc[1][["n_click", "n_error", "n_view"]].tolist() == [1, 1, 0]
+        # day2: purchase + signup
+        assert got.iloc[2][["n_purchase", "n_signup", "n_view"]].tolist() == [1, 1, 0]
+        # totals conserve events
+        assert int(got[[f"n_{t}" for t in
+                        ("click", "error", "purchase", "signup", "view")]]
+                   .to_numpy().sum()) == 6
+
+    def test_priority_percentiles_vs_bruteforce(self, sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_priority_percentiles
+
+        got = (
+            q_priority_percentiles(sf)
+            .to_pandas()
+            .set_index("o_orderpriority")
+            .sort_index()
+        )
+        raw = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+        raw["cents"] = np.rint(raw["o_totalprice"] * 100).astype(np.int64)
+        for pri, g in raw.groupby("o_orderpriority"):
+            vals = np.sort(g["cents"].to_numpy())
+            for q, col in ((0.5, "p50_cents"), (0.9, "p90_cents")):
+                # PERCENTILE_DISC: smallest value at cumulative rank >= ceil(q*N)
+                want = int(vals[int(np.ceil(q * len(vals))) - 1])
+                assert int(got.loc[pri, col]) == want, (pri, col)
