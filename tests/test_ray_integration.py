@@ -336,6 +336,64 @@ class TestAnnRecall:
         recall = len(brute & ivf) / len(brute)
         assert recall >= 0.9, f"clustered IVF recall too low: {recall}"
 
+    def test_trained_ivf_beats_random_at_equal_probes(self):
+        # Spherical-k-means cells follow the corpus's direction
+        # density, so at the same probe budget the trained quantizer
+        # must dominate seeded random projections on the real table
+        # (measured 0.90 vs 0.20 at 4/16 probes; wide margins below
+        # absorb block-partition float drift across session widths).
+        from pdf_parser_ray.stages.embed import (
+            q_ann_ivf,
+            q_ann_ivf_trained,
+            q_ann_topk,
+        )
+
+        brute = set(q_ann_topk(SF).to_pandas()["vec_id"])
+        rand4 = set(q_ann_ivf(SF, n_probe=4).to_pandas()["vec_id"])
+        trained4 = set(q_ann_ivf_trained(SF, n_probe=4).to_pandas()["vec_id"])
+        r_rand = len(brute & rand4) / len(brute)
+        r_trained = len(brute & trained4) / len(brute)
+        assert r_trained >= 0.7, f"trained IVF recall too low: {r_trained}"
+        assert r_trained >= r_rand, (r_trained, r_rand)
+
+    def test_trained_ivf_cells_match_structure(self, tmp_path):
+        # With n_cells sized to the true cluster count, ONE probe
+        # recovers the whole neighborhood (k=4 on 4 blobs → recall 1);
+        # over-quantizing (k=16 on the same blobs) splits neighbors
+        # across cells — the caveat documented on q_ann_ivf_trained.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.stages.embed import q_ann_ivf_trained, q_ann_topk
+
+        rng = np.random.RandomState(3)
+        centers = rng.randn(4, 64) * 3
+        vecs = np.concatenate(
+            [centers[i % 4] + rng.randn(1, 64) * 0.3 for i in range(400)]
+        ).astype(np.float32)
+        d = tmp_path / "trained_sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(400), pa.int64()),
+                    "embedding": pa.array(
+                        [v for v in vecs.tolist()], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        brute = set(q_ann_topk(str(d)).to_pandas()["vec_id"])
+        matched = set(
+            q_ann_ivf_trained(str(d), n_probe=1, n_cells=4).to_pandas()["vec_id"]
+        )
+        assert len(brute & matched) / len(brute) >= 0.9
+        over = set(
+            q_ann_ivf_trained(str(d), n_probe=1, n_cells=16).to_pandas()["vec_id"]
+        )
+        assert len(brute & over) / len(brute) < 0.9  # over-quantization hurts
+
 
 class TestBoilerplate:
     def test_strip_recovers_content(self):
