@@ -1584,6 +1584,84 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Q23 — grouped distinct count (COUNT(DISTINCT …) within groups)
+# ---------------------------------------------------------------------------
+
+def q_type_user_counts(sf_dir: str):
+    """Distinct users AND total events per event type — the grouped
+    COUNT(DISTINCT) shape. The naive plan shuffles every event row on
+    event_type (5 hot keys → 5 giant skewed partitions at corpus
+    scale); instead each batch emits its local-unique (type, user)
+    pairs, ONE fine groupby on the composite key dedupes globally
+    (composite keys hash-spread evenly — no hot-group skew), and a
+    second tiny groupby counts pairs per type. Event totals ride the
+    usual per-batch partial combine; both 5-row results merge on the
+    driver (bounded by the group domain)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        u = df.drop_duplicates()
+        return pa.table(
+            {
+                "event_type": pa.array(u["event_type"], pa.string()),
+                "user_id": pa.array(u["user_id"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def local_totals(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas()})
+        g = df.groupby("event_type", as_index=False, sort=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    def strip_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"]})
+
+    users = (
+        ds.map_batches(local_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_dup"))
+        .map_batches(strip_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    totals = (
+        ds.map_batches(local_totals, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_events"))
+        .to_pandas()
+    )
+    out = users.merge(totals, on="event_type")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+_SQL_TYPE_USER_COUNTS = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -1612,6 +1690,7 @@ QUERIES = {
     "running_total": q_running_total,
     "event_pivot": q_event_pivot,
     "priority_percentiles": q_priority_percentiles,
+    "type_user_counts": q_type_user_counts,
 }
 
 ORACLE_SQL = {
@@ -1641,6 +1720,7 @@ ORACLE_SQL = {
     "running_total": _SQL_RUNNING_TOTAL,
     "event_pivot": _SQL_EVENT_PIVOT,
     "priority_percentiles": _SQL_PRIORITY_PERCENTILES,
+    "type_user_counts": _SQL_TYPE_USER_COUNTS,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

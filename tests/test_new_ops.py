@@ -969,3 +969,27 @@ class TestWindowPivotGroupedPct:
                 # PERCENTILE_DISC: smallest value at cumulative rank >= ceil(q*N)
                 want = int(vals[int(np.ceil(q * len(vals))) - 1])
                 assert int(got.loc[pri, col]) == want, (pri, col)
+
+    def test_type_user_counts_cross_type_users(self, tmp_path, ray_session):
+        # the same user under several types must count once PER TYPE;
+        # duplicates within a type must collapse
+        from pdf_parser_ray.relational.ops import q_type_user_counts
+
+        rows = [
+            ("view", 1), ("view", 1), ("view", 2),
+            ("click", 1), ("click", 3), ("click", 3), ("click", 3),
+            ("error", 9),
+        ]
+        events = pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        d = tmp_path / "tuc_sf"
+        d.mkdir()
+        pq.write_table(events, str(d / "events.parquet"))
+        got = q_type_user_counts(str(d)).set_index("event_type").sort_index()
+        assert got.loc["view"].tolist() == [2, 3]     # users {1,2}, 3 events
+        assert got.loc["click"].tolist() == [2, 4]    # users {1,3}, 4 events
+        assert got.loc["error"].tolist() == [1, 1]
