@@ -507,9 +507,199 @@ FROM h
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring removal (Lee et al. 2022 style)
+# ---------------------------------------------------------------------------
+
+_KG = 8  # substring dedup: duplicated-span gram width in words
+
+
+def q_substring_dedup(sf_dir: str, n_buckets: int = 64):
+    """Exact duplicated-substring removal — the "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al., 2022)
+    pass, adapted from suffix arrays to a shuffle-friendly exact
+    k-gram formulation: a word instance is removed iff it is covered
+    by some ``_KG``-word gram occurrence that (a) appears ≥ 2 times in
+    the corpus and (b) is NOT the globally first occurrence of that
+    gram (first = minimum ``(doc_id, pos)``). The first occurrence of
+    every duplicated span therefore survives verbatim; later
+    occurrences lose exactly the covered words, at ARBITRARY positions
+    — unlike :func:`q_segment_dedup`, which only sees
+    segment-aligned duplication. Fully-deduplicated documents stay in
+    the output with ``text = ''`` so downstream length filters see
+    them (segment dedup drops them — both conventions are pinned by
+    their oracles).
+
+    Runs over the augmented corpus: exact copies (every 10th doc) lose
+    everything, near copies (every 7th, first word mutated) keep only
+    the words within ``_KG - 1`` of the mutation, and ~5% of ORIGINAL
+    docs lose naturally-repeated spans — the oracle checks all three.
+
+    Shape (exactly the segment-dedup exchange pattern, at gram rather
+    than segment grain): (1) gram rows ``(doc_id, pos, gram)`` shuffle
+    by ``crc32(gram) % B`` — O(words × corpus) fixed-width rows, the
+    same volume a suffix-array build would sort; the keep/flag
+    decision inside a bucket is one vectorized sort + duplicated mask
+    over the full gram string (collisions cannot merge distinct
+    grams). (2) flagged occurrences shuffle back by ``doc_id % B``
+    and union with the docs; each doc expands its flagged intervals
+    with one numpy broadcast and rebuilds the surviving text.
+    Per-task memory O(corpus/B); nothing lands on the driver."""
+    import zlib
+
+    ds = augmented_corpus(sf_dir)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        o_id: list[int] = []
+        o_pos: list[int] = []
+        o_gram: list[str] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split()
+            for i in range(len(words) - _KG + 1):
+                o_id.append(d)
+                o_pos.append(i)
+                o_gram.append(" ".join(words[i : i + _KG]))
+        bucket = np.array(
+            [zlib.crc32(s.encode()) % n_buckets for s in o_gram], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "pos": pa.array(o_pos, pa.int64()),
+                "gram": pa.array(o_gram, pa.string()),
+                "gram_bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=None)
+
+    def flag_non_first(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["gram", "doc_id", "pos"], kind="mergesort")
+        flagged = g[g.duplicated("gram", keep="first")]
+        ids = flagged["doc_id"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(flagged["pos"].to_numpy(dtype=np.int64), pa.int64()),
+                "doc_bucket": pa.array(ids % n_buckets, pa.int64()),
+            }
+        )
+
+    flagged = grams.groupby("gram_bucket").map_groups(
+        flag_non_first, batch_format="pandas"
+    )
+
+    def tag_flag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_bucket": batch["doc_bucket"],
+                "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+                "doc_id": batch["doc_id"],
+                "pos": batch["pos"],
+                "text": pa.nulls(batch.num_rows, pa.string()),
+            }
+        )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_bucket": pa.array(ids % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(len(ids), dtype=np.int8)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.nulls(len(ids), pa.int64()),
+                "text": batch["text"],
+            }
+        )
+
+    both = flagged.map_batches(tag_flag, batch_format="pyarrow", batch_size=None).union(
+        ds.map_batches(tag_doc, batch_format="pyarrow", batch_size=None)
+    )
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        docs = g[g["side"] == 1]
+        flags = g[g["side"] == 0]
+        pos_by_doc = {
+            int(d): sub["pos"].to_numpy(dtype=np.int64)
+            for d, sub in flags.groupby("doc_id", sort=False)
+        }
+        o_id: list[int] = []
+        o_txt: list[str] = []
+        o_nw: list[int] = []
+        o_rm: list[int] = []
+        for d, t in zip(docs["doc_id"].tolist(), docs["text"].tolist()):
+            words = (t or "").split()
+            pos = pos_by_doc.get(int(d))
+            if pos is None:
+                kept, removed = words, 0
+            else:
+                covered = np.unique(
+                    (pos[:, None] + np.arange(_KG, dtype=np.int64)).ravel()
+                )
+                mask = np.ones(len(words), dtype=bool)
+                mask[covered] = False
+                kept = [w for w, m in zip(words, mask) if m]
+                removed = len(words) - len(kept)
+            o_id.append(int(d))
+            o_txt.append(" ".join(kept))
+            o_nw.append(len(words))
+            o_rm.append(removed)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "text": pa.array(o_txt, pa.string()),
+                "n_words": pa.array(o_nw, pa.int64()),
+                "removed_words": pa.array(o_rm, pa.int64()),
+            }
+        )
+
+    return both.groupby("doc_bucket").map_groups(rebuild, batch_format="pandas")
+
+
+_SQL_SUBSTRING_DEDUP = f"""
+WITH words AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM ({_AUG_SQL})),
+grams AS (
+    SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+           array_to_string(w[t.i+1 : t.i+{_KG}], ' ') AS gram
+    FROM words, LATERAL unnest(range(greatest(len(w) - {_KG} + 1, 0))) AS t(i)
+),
+ranked AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY gram) AS cnt
+    FROM grams
+),
+covered AS (
+    SELECT DISTINCT r.doc_id, r.pos + CAST(j.j AS BIGINT) AS widx
+    FROM ranked r, LATERAL unnest(range({_KG})) AS j(j)
+    WHERE r.cnt >= 2 AND r.rn > 1
+),
+allw AS (
+    SELECT w.doc_id, CAST(t.i AS BIGINT) AS widx, w.w[t.i+1] AS word
+    FROM words w, LATERAL unnest(range(len(w.w))) AS t(i)
+),
+kept AS (
+    SELECT a.* FROM allw a
+    WHERE NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.doc_id = a.doc_id AND c.widx = a.widx)
+),
+rebuilt AS (
+    SELECT doc_id, array_to_string(list(word ORDER BY widx), ' ') AS text,
+           count(*) AS kept_words
+    FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       COALESCE(r.text, '') AS text,
+       CAST(len(w.w) AS BIGINT) AS n_words,
+       CAST(len(w.w) - COALESCE(r.kept_words, 0) AS BIGINT) AS removed_words
+FROM words w LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "segment_dedup": q_segment_dedup,
+    "substring_dedup": q_substring_dedup,
     "repetition_flags": q_repetition_flags,
     "semantic_dedup": q_semantic_dedup,
     "epoch_shuffle": q_epoch_shuffle,
@@ -519,6 +709,7 @@ QUERIES = {
 ORACLE_SQL = {
     "doc_chunks": _SQL_DOC_CHUNKS,
     "segment_dedup": _SQL_SEGMENT_DEDUP,
+    "substring_dedup": _SQL_SUBSTRING_DEDUP,
     "repetition_flags": _SQL_REPETITION_FLAGS,
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "epoch_shuffle": _SQL_EPOCH_SHUFFLE,

@@ -415,6 +415,38 @@ class TestCorpusOps:
         assert by_id.loc[6, "top_2gram_frac_micro"] == 1_000_000
         assert by_id.loc[6, "rep_flag"] == 1 and by_id.loc[6, "n_distinct_words"] == 1
 
+    def test_substring_dedup_boundaries(self, corpus_sf):
+        from pdf_parser_ray.stages.corpus import _SQL_SUBSTRING_DEDUP, q_substring_dedup
+
+        got = (
+            q_substring_dedup(corpus_sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            self._oracle(corpus_sf, _SQL_SUBSTRING_DEDUP)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+        by_id = got.set_index("doc_id")
+        # fully-deduped docs STAY in the output (unlike segment dedup)
+        assert set(by_id.index) == {1, 2, 3, 4, 5, 6}
+        # doc 1 is the first occurrence of every duplicated gram → intact
+        assert by_id.loc[1, "removed_words"] == 0
+        # doc 2 is a verbatim copy → every word covered, empty text kept
+        assert by_id.loc[2, "removed_words"] == 32
+        assert by_id.loc[2, "text"] == ""
+        # doc 3 shares only its 16-word w-prefix with doc 1: the prefix
+        # grams (pos 0..8) are duplicated, covering exactly words 0..15
+        assert by_id.loc[3, "removed_words"] == 16
+        assert by_id.loc[3, "text"] == " ".join(f"u{i}" for i in range(16))
+        # empty doc: zero words, zero removed, no crash
+        assert by_id.loc[4, "n_words"] == 0 and by_id.loc[4, "removed_words"] == 0
+        # doc 6 has 5 words < the 8-word gram width → no grams, intact
+        assert by_id.loc[6, "removed_words"] == 0 and by_id.loc[6, "text"] == "x x x x x"
 
     def test_epoch_shuffle_is_hash_order_permutation(self, corpus_sf):
         import hashlib
