@@ -380,17 +380,24 @@ def _customer_order_filter_shuffle(
     keep_with_orders: bool,
     min_total: float | None = None,
     n_buckets: int = 16,
+    customer_ds=None,
 ):
     """Bucket-shuffle twin of :func:`_customer_order_filter`: both
     sides hash into ``key % B`` buckets (order keys pre-deduped per
     batch so the exchange carries one row per (batch, key)), one coarse
     groupby, vectorized membership test (negated for anti) per
-    partition."""
+    partition. ``customer_ds`` lets a caller substitute a pre-filtered
+    probe side (the Bloom shape) — it must carry the customer
+    schema."""
     import pandas as pd
 
     ocols = ["o_custkey"] + (["o_totalprice"] if min_total is not None else [])
     orders = _read(sf_dir, "orders", ocols)
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    customer = (
+        customer_ds
+        if customer_ds is not None
+        else _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    )
 
     def tag_orders(batch: pa.Table) -> pa.Table:
         if min_total is not None:
@@ -477,6 +484,127 @@ def q_customers_with_orders_shuffle(sf_dir: str, n_buckets: int = 16):
     """The shuffle twin exposed as its own query so the driver oracles
     the scale shape directly (same SQL as the broadcast path)."""
     return _customer_order_filter_shuffle(sf_dir, True, n_buckets=n_buckets)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """The standard splitmix64 finalizer, vectorized over uint64 —
+    deterministic across processes (same mixer the HLL sketch uses)."""
+    h = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _bloom_indices(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
+    """(n, n_hashes) bit indices via double hashing (Kirsch–Mitzenmacher:
+    h_i = h1 + i·h2 gives k independent-enough probes from two mixes).
+    ``m_bits`` must be a power of two."""
+    keys = keys.astype(np.uint64)
+    h1 = _splitmix64(keys)
+    h2 = _splitmix64(keys ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) & np.uint64(m_bits - 1)).astype(np.int64)
+
+
+def _bloom_add(bits: np.ndarray, keys: np.ndarray, n_hashes: int) -> None:
+    idx = _bloom_indices(keys, len(bits) * 64, n_hashes)
+    np.bitwise_or.at(
+        bits, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64)
+    )
+
+
+def _bloom_test(bits: np.ndarray, keys: np.ndarray, n_hashes: int) -> np.ndarray:
+    """Vectorized membership mask — no false negatives by construction."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    idx = _bloom_indices(keys, len(bits) * 64, n_hashes)
+    hit = (bits[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)
+    return hit.all(axis=1)
+
+
+def q_customers_with_orders_bloom(
+    sf_dir: str, n_buckets: int = 16, n_hashes: int = 4, reduce_width: int = 8
+):
+    """Semi join with a Bloom-filter probe prefilter — the third join
+    shape next to broadcast (key set fits a worker) and bucket shuffle
+    (nothing fits): when the build-side KEY SET is too big to
+    broadcast but a few-megabyte BITMAP of it is not, ship the bitmap
+    and shuffle only the probe rows that pass it. At 100 TB this is
+    sideways information passing: the exact verification exchange
+    still runs (Bloom false positives must die), but its probe side
+    shrinks from the full table to matches + ε·non-matches, so the
+    all-to-all volume tracks the true semi-join selectivity instead of
+    the probe-table size.
+
+    Build: per-block partial bitmaps (one vectorized
+    ``np.bitwise_or.at`` per batch over deduped keys) → OR-merge in a
+    ``reduce_width``-ary tree level (groupby on a coarse reduce bucket)
+    → driver ORs ``reduce_width`` partials and ``ray.put``s the final
+    bitmap — driver state is O(reduce_width × m/8) bytes, never
+    O(keys). Probe: customers stream through a vectorized k-probe test
+    (no false negatives — pinned by a unit test), survivors enter the
+    same exact bucket-shuffle semi join the shuffle twin runs. Result
+    is therefore EXACTLY the semi join; same oracle as the other two
+    shapes. Bits are sized from the parquet footer row count
+    (~16 bits/key → fp ≈ 0.2 % at 4 probes), capped at 2 MiB."""
+    import pyarrow.parquet as pq
+    import ray
+    import zlib
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    m_bits = 1 << min(24, max(14, int(np.ceil(np.log2(max(n_rows, 1) * 16)))))
+    n_words = m_bits // 64
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        ck = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        bits = np.zeros(n_words, dtype=np.uint64)
+        _bloom_add(bits, ck, n_hashes)
+        payload = bits.tobytes()
+        rb = zlib.crc32(payload) % reduce_width
+        return pa.table(
+            {
+                "rb": pa.array([rb], pa.int64()),
+                "bits": pa.array([payload], pa.large_binary()),
+            }
+        )
+
+    import pandas as pd
+
+    def or_merge(g: pd.DataFrame) -> pa.Table:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for b in g["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pa.table(
+            {
+                "rb": pa.array([int(g["rb"].iloc[0])], pa.int64()),
+                "bits": pa.array([acc.tobytes()], pa.large_binary()),
+            }
+        )
+
+    partials = (
+        orders.map_batches(partial_bloom, batch_format="pyarrow", batch_size=None)
+        .groupby("rb")
+        .map_groups(or_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    final = np.zeros(n_words, dtype=np.uint64)
+    for b in partials["bits"]:
+        final |= np.frombuffer(b, dtype=np.uint64)
+    bits_ref = ray.put(final)
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)  # plasma-cached per worker, zero-copy
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_bloom_test(bits, ck, n_hashes)))
+
+    survivors = customer.map_batches(probe, batch_format="pyarrow", batch_size=None)
+    return _customer_order_filter_shuffle(
+        sf_dir, True, n_buckets=n_buckets, customer_ds=survivors
+    )
 
 
 _SQL_SEMI = """
@@ -1671,6 +1799,7 @@ QUERIES = {
     "segment_revenue": q_segment_revenue,
     "customers_with_orders": q_customers_with_orders,
     "customers_with_orders_shuffle": q_customers_with_orders_shuffle,
+    "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
     "hourly_events": q_hourly_events,
@@ -1702,6 +1831,7 @@ ORACLE_SQL = {
     "segment_revenue": _SQL_SEGMENT_REVENUE,
     "customers_with_orders": _SQL_SEMI,
     "customers_with_orders_shuffle": _SQL_SEMI,
+    "customers_with_orders_bloom": _SQL_SEMI,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "hourly_events": _SQL_HOURLY,

@@ -222,6 +222,33 @@ class TestBroadcastShuffleCrossover:
         assert len(broadcast) > 0
         pd.testing.assert_frame_equal(broadcast, shuffle)
 
+    def test_bloom_no_false_negatives_and_bounded_fp(self):
+        import numpy as np
+
+        from pdf_parser_ray.relational.ops import _bloom_add, _bloom_test
+
+        members = np.arange(0, 20_000, 2, dtype=np.int64)  # 10k even keys
+        bits = np.zeros((1 << 18) // 64, dtype=np.uint64)
+        _bloom_add(bits, members, n_hashes=4)
+        # every member passes — the property the exact result relies on
+        assert _bloom_test(bits, members, n_hashes=4).all()
+        # non-members (odd keys) pass only at the designed fp rate
+        non = np.arange(1, 2_000_001, 2, dtype=np.int64)
+        fp = _bloom_test(bits, non, n_hashes=4).mean()
+        assert fp < 0.01, fp
+        assert not _bloom_test(bits, np.array([], dtype=np.int64), 4).any()
+
+    def test_bloom_semi_join_matches_broadcast(self):
+        from pdf_parser_ray.relational.ops import (
+            q_customers_with_orders,
+            q_customers_with_orders_bloom,
+        )
+
+        broadcast = self._sorted(q_customers_with_orders(self.SF))
+        bloom = self._sorted(q_customers_with_orders_bloom(self.SF))
+        assert len(broadcast) > 0
+        pd.testing.assert_frame_equal(broadcast, bloom)
+
 
 class TestScrub:
     """PII redaction / Gopher-rules edges on a crafted corpus, checked
