@@ -738,6 +738,80 @@ WHERE rn <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Ranked term search (the retrieval shape next to the embedding ANN)
+# ---------------------------------------------------------------------------
+
+def q_term_search(sf_dir: str, min_hits: int = 2):
+    """Ranked multi-term search over the corpus: score every document
+    by how many of the probe terms appear among its (lowercased,
+    whitespace) tokens, keep docs hitting at least ``min_hits`` of
+    them — the lexical-retrieval shape next to the embedding-side ANN
+    family. The probe is the first three distinct words of document 0
+    (deterministic, non-empty at every sf — document 0 always matches
+    itself), fetched with a ``doc_id == 0`` row-group filter, never a
+    full read.
+
+    Shape: the probe set broadcasts in the task closure (bytes, not a
+    table) and the scan is embarrassingly parallel — per-term
+    vectorized RE2 substring kernels over a space-padded lowercase
+    column, summed into a hit count; no shuffle at all. That IS the
+    right plan for one ad-hoc query at 100 TB (a full streaming scan).
+    The amortized many-query path is the inverted index this engine
+    would PERSIST — exactly the term-partitioned ``(term, doc_id)``
+    posting-list table :func:`q_tfidf_top_terms` already builds with
+    its ``crc32(term) % B`` exchange — followed by per-term lookups;
+    the scan here doubles as that index's builder-side semantics."""
+    import pyarrow.parquet as pq
+
+    probe_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "=", 0)],
+    )
+    first_words = (probe_tbl["text"][0].as_py() or "").lower().split()[:3]
+    probe = sorted(set(first_words))
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            " ", pc.utf8_lower(batch["text"]), " ", ""
+        )
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        for term in probe:
+            hits += pc.match_substring(padded, f" {term} ").to_numpy(
+                zero_copy_only=False
+            )
+        keep = hits >= min_hits
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "n_hits": pa.array(hits[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_TERM_SEARCH = """
+WITH probe AS (
+    SELECT DISTINCT term FROM (
+        SELECT unnest(string_split(lower(text), ' ')[1:3]) AS term
+        FROM documents WHERE doc_id = 0
+    )
+),
+doc_terms AS (
+    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+    FROM documents
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM doc_terms d JOIN probe USING (term)
+GROUP BY d.doc_id
+HAVING count(*) >= 2
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -750,6 +824,7 @@ QUERIES = {
     "top_tokens_cm": q_top_tokens_cm,
     "contamination": q_contamination,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "term_search": q_term_search,
 }
 
 ORACLE_SQL = {
@@ -765,4 +840,5 @@ ORACLE_SQL = {
     # the unit test pins estimates within the epsilon-N CM bound
     "contamination": _SQL_CONTAMINATION,
     "tfidf_top_terms": _SQL_TFIDF,
+    "term_search": _SQL_TERM_SEARCH,
 }

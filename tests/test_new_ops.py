@@ -250,6 +250,47 @@ class TestBroadcastShuffleCrossover:
         pd.testing.assert_frame_equal(broadcast, bloom)
 
 
+class TestTermSearch:
+    """Ranked term search on a crafted corpus: probe = first 3 distinct
+    words of doc 0; scoring counts distinct probe terms present as
+    whole tokens (substring hits must NOT count)."""
+
+    def test_term_search_scoring(self, tmp_path, ray_session):
+        import duckdb
+
+        from pdf_parser_ray.stages.textstats import _SQL_TERM_SEARCH, q_term_search
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "Alpha beta gamma tail words here",  # probe source
+                        "beta alpha elsewhere",              # 2 hits
+                        "gamma only",                        # 1 hit → dropped
+                        "alphabet betamax gamma",            # substrings don't count → 1 hit
+                        "ALPHA BETA GAMMA",                  # case-folded 3 hits
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        sf = str(tmp_path)
+
+        got = q_term_search(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        want = con.sql(_SQL_TERM_SEARCH).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+        by_id = got.set_index("doc_id")
+        assert set(by_id.index) == {0, 1, 4}
+        assert by_id.loc[0, "n_hits"] == 3   # doc 0 always matches itself
+        assert by_id.loc[1, "n_hits"] == 2
+        assert by_id.loc[4, "n_hits"] == 3   # case-insensitive
+
+
 class TestScrub:
     """PII redaction / Gopher-rules edges on a crafted corpus, checked
     against DuckDB running the registered oracle SQL on the same
