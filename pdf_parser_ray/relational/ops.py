@@ -486,6 +486,93 @@ def q_customers_with_orders_shuffle(sf_dir: str, n_buckets: int = 16):
     return _customer_order_filter_shuffle(sf_dir, True, n_buckets=n_buckets)
 
 
+def q_customer_order_profile(sf_dir: str, n_buckets: int = 16):
+    """LEFT OUTER join — every customer retained, matchless ones with
+    zero counts (the shape the semi/anti twins can't express). The
+    build side is pre-aggregated INSIDE map_batches before the
+    exchange (per-batch ``(custkey, n, cents)`` partials), so the
+    shuffle carries O(distinct keys × blocks) fixed-width rows, never
+    order rows; per bucket, partials sum and a vectorized left-merge
+    fills absent keys with zero. Exact-cent arithmetic end to end."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def order_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "cents": _cents(batch["o_totalprice"]).to_numpy(),
+            }
+        )
+        agg = df.groupby("key", sort=False).agg(n=("cents", "size"), cents=("cents", "sum"))
+        keys = agg.index.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                "key": pa.array(keys, pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "cents": pa.array(agg["cents"].to_numpy(dtype=np.int64), pa.int64()),
+                "c_name": pa.nulls(len(keys), pa.string()),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(ck, pa.int64()),
+                "n": pa.nulls(n, pa.int64()),
+                "cents": pa.nulls(n, pa.int64()),
+                "c_name": batch["c_name"],
+            }
+        )
+
+    both = orders.map_batches(order_partials, batch_format="pyarrow", batch_size=None).union(
+        customer.map_batches(cust_rows, batch_format="pyarrow", batch_size=None)
+    )
+
+    def outer_bucket(g: pd.DataFrame) -> pa.Table:
+        built = (
+            g[g["side"] == 0]
+            .groupby("key", sort=False)[["n", "cents"]]
+            .sum()
+        )
+        cust = g[g["side"] == 1][["key", "c_name"]]
+        merged = cust.merge(built, how="left", left_on="key", right_index=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(merged["key"].to_numpy(dtype=np.int64), pa.int64()),
+                "c_name": pa.array(merged["c_name"].tolist(), pa.string()),
+                "n_orders": pa.array(
+                    merged["n"].fillna(0).to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "spend_cents": pa.array(
+                    merged["cents"].fillna(0).to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return both.groupby("bucket").map_groups(outer_bucket, batch_format="pandas")
+
+
+_SQL_OUTER_PROFILE = """
+SELECT c.c_custkey, c.c_name,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(o.cents, 0) AS BIGINT) AS spend_cents
+FROM customer c LEFT JOIN (
+    SELECT o_custkey, count(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY o_custkey
+) o ON o.o_custkey = c.c_custkey
+"""
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """The standard splitmix64 finalizer, vectorized over uint64 —
     deterministic across processes (same mixer the HLL sketch uses)."""
@@ -1800,6 +1887,7 @@ QUERIES = {
     "customers_with_orders": q_customers_with_orders,
     "customers_with_orders_shuffle": q_customers_with_orders_shuffle,
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
+    "customer_order_profile": q_customer_order_profile,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
     "hourly_events": q_hourly_events,
@@ -1832,6 +1920,7 @@ ORACLE_SQL = {
     "customers_with_orders": _SQL_SEMI,
     "customers_with_orders_shuffle": _SQL_SEMI,
     "customers_with_orders_bloom": _SQL_SEMI,
+    "customer_order_profile": _SQL_OUTER_PROFILE,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "hourly_events": _SQL_HOURLY,

@@ -238,6 +238,20 @@ class TestBroadcastShuffleCrossover:
         assert fp < 0.01, fp
         assert not _bloom_test(bits, np.array([], dtype=np.int64), 4).any()
 
+    def test_outer_join_retains_matchless_customers(self):
+        from pdf_parser_ray.relational.ops import q_customer_order_profile
+
+        got = self._sorted(q_customer_order_profile(self.SF))
+        # LEFT OUTER: every customer row survives …
+        import pyarrow.parquet as pq_mod
+
+        n_cust = pq_mod.ParquetFile(f"{self.SF}/customer.parquet").metadata.num_rows
+        assert len(got) == n_cust
+        # … and TPC-H guarantees some customers have no orders at all
+        matchless = got[got["n_orders"] == 0]
+        assert len(matchless) > 0
+        assert (matchless["spend_cents"] == 0).all()
+
     def test_bloom_semi_join_matches_broadcast(self):
         from pdf_parser_ray.relational.ops import (
             q_customers_with_orders,
