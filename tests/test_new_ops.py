@@ -238,19 +238,46 @@ class TestBroadcastShuffleCrossover:
         assert fp < 0.01, fp
         assert not _bloom_test(bits, np.array([], dtype=np.int64), 4).any()
 
-    def test_outer_join_retains_matchless_customers(self):
-        from pdf_parser_ray.relational.ops import q_customer_order_profile
+    def test_outer_join_retains_matchless_customers(self, tmp_path):
+        """Crafted tables (the synthetic sf dirs give almost every
+        customer an order, so the zero-fill path needs forcing):
+        customer 3 has no orders and must survive with zeros; exact
+        cents must sum across order batches."""
+        import duckdb
 
-        got = self._sorted(q_customer_order_profile(self.SF))
-        # LEFT OUTER: every customer row survives …
-        import pyarrow.parquet as pq_mod
+        from pdf_parser_ray.relational.ops import _SQL_OUTER_PROFILE, q_customer_order_profile
 
-        n_cust = pq_mod.ParquetFile(f"{self.SF}/customer.parquet").metadata.num_rows
-        assert len(got) == n_cust
-        # … and TPC-H guarantees some customers have no orders at all
-        matchless = got[got["n_orders"] == 0]
-        assert len(matchless) > 0
-        assert (matchless["spend_cents"] == 0).all()
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                    "c_name": pa.array(["a", "b", "c"], pa.string()),
+                }
+            ),
+            str(tmp_path / "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                    "o_totalprice": pa.array([10.01, 0.02, 5.00], pa.float64()),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        sf = str(tmp_path)
+
+        got = self._sorted(q_customer_order_profile(sf))
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        want = con.sql(_SQL_OUTER_PROFILE).df()
+        want = want.sort_values(list(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+        by_id = got.set_index("c_custkey")
+        assert by_id.loc[3, "n_orders"] == 0 and by_id.loc[3, "spend_cents"] == 0
+        assert by_id.loc[1, "n_orders"] == 2 and by_id.loc[1, "spend_cents"] == 1003
 
     def test_bloom_semi_join_matches_broadcast(self):
         from pdf_parser_ray.relational.ops import (
