@@ -486,6 +486,126 @@ def q_customers_with_orders_shuffle(sf_dir: str, n_buckets: int = 16):
     return _customer_order_filter_shuffle(sf_dir, True, n_buckets=n_buckets)
 
 
+def q_top_revenue_orders(
+    sf_dir: str,
+    cutoff: str = "1998-06-01",
+    segment: str = "BUILDING",
+    k: int = 10,
+    n_buckets: int = 16,
+):
+    """TPC-H Q3 shape — the suite's three-table join chain:
+    ``customer(segment) ⊳ orders(< cutoff) ⋈ lineitem(> cutoff,
+    pre-aggregated)`` → top-k orders by exact revenue.
+
+    Scale shape, stage by stage: the segment's customer KEYS come from
+    a row-group-filtered dimension read and broadcast into the orders
+    scan (customer is the small side; were it not, the semi join's
+    bucket/Bloom twins apply unchanged). Lineitem — the 100-TB fact
+    side — never joins raw: each batch pre-sums exact revenue
+    (cents × (100−disc), the ``cents2`` convention) per orderkey, so
+    the orderkey exchange carries O(distinct keys × blocks) partials.
+    One bucket join merges the two order-grain sides; the final top-k
+    is a distributed sort over order-grain rows + limit — the only
+    all-to-all sort in the query, and it runs on the already-aggregated
+    grain, never on lineitems."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    cut = np.datetime64(cutoff)
+
+    ck_tbl = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filters=[("c_mktsegment", "=", segment)],
+    )
+    key_arr = np.sort(ck_tbl["c_custkey"].to_numpy(zero_copy_only=False))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(key_arr, ck), 0, max(len(key_arr) - 1, 0))
+        in_seg = key_arr[idx] == ck if len(key_arr) else np.zeros(len(ck), bool)
+        t = batch.filter(pa.array(in_seg & (od < cut)))
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ok % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+                "key": pa.array(ok, pa.int64()),
+                "rev": pa.nulls(len(ok), pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+            }
+        )
+
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(sd > cut))
+        price_c = _cents(t["l_extendedprice"]).to_numpy()
+        disc_c = _cents(t["l_discount"]).to_numpy()
+        df = pd.DataFrame(
+            {
+                "key": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "rev": price_c * (100 - disc_c),
+            }
+        )
+        agg = df.groupby("key", sort=False)["rev"].sum()
+        keys = agg.index.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                "key": pa.array(keys, pa.int64()),
+                "rev": pa.array(agg.to_numpy(dtype=np.int64), pa.int64()),
+                "o_orderdate": pa.nulls(len(keys), pa.timestamp("us")),
+            }
+        )
+
+    both = orders.map_batches(order_side, batch_format="pyarrow", batch_size=None).union(
+        lineitem.map_batches(li_partials, batch_format="pyarrow", batch_size=None)
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        rev = g[g["side"] == 0].groupby("key", sort=False)["rev"].sum()
+        ords = g[g["side"] == 1][["key", "o_orderdate"]]
+        merged = ords.merge(rev, how="inner", left_on="key", right_index=True)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(merged["key"].to_numpy(dtype=np.int64), pa.int64()),
+                "revenue_cents2": pa.array(
+                    merged["rev"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "o_orderdate": pa.array(merged["o_orderdate"], pa.timestamp("us")),
+            }
+        )
+
+    joined = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    return joined.sort(["revenue_cents2", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+_SQL_TOP_REVENUE = """
+WITH li AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cents2
+    FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, li.revenue_cents2, o.o_orderdate
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+JOIN li ON li.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+ORDER BY revenue_cents2 DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
 def q_customer_order_profile(sf_dir: str, n_buckets: int = 16):
     """LEFT OUTER join — every customer retained, matchless ones with
     zero counts (the shape the semi/anti twins can't express). The
@@ -1888,6 +2008,7 @@ QUERIES = {
     "customers_with_orders_shuffle": q_customers_with_orders_shuffle,
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "customer_order_profile": q_customer_order_profile,
+    "top_revenue_orders": q_top_revenue_orders,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
     "hourly_events": q_hourly_events,
@@ -1921,6 +2042,7 @@ ORACLE_SQL = {
     "customers_with_orders_shuffle": _SQL_SEMI,
     "customers_with_orders_bloom": _SQL_SEMI,
     "customer_order_profile": _SQL_OUTER_PROFILE,
+    "top_revenue_orders": _SQL_TOP_REVENUE,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "hourly_events": _SQL_HOURLY,
