@@ -606,6 +606,91 @@ LIMIT 10
 """
 
 
+def q_supplier_revenue(sf_dir: str, k: int = 10):
+    """Revenue per supplier with nation names (completes the schema:
+    supplier was the one input table no query touched). Classic
+    fact-into-dimension shape: lineitem pre-sums exact revenue per
+    suppkey inside each batch, one tiny ``groupby(s_suppkey)`` merges
+    the partials, and the supplier/nation dimension rows — read once,
+    row-group-pruned columns only — resolve names in a vectorized
+    searchsorted lookup on the already-aggregated grain. Top-k by
+    revenue with suppkey tie-break."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    sup_keys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sup_keys)
+    sup_keys = sup_keys[order]
+    sup_names = np.asarray(sup["s_name"].to_pylist(), dtype=object)[order]
+    nk = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    n_map = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    nat_names = np.asarray([n_map[int(x)] for x in nk], dtype=object)
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"]).to_numpy()
+        disc_c = _cents(batch["l_discount"]).to_numpy()
+        df = pd.DataFrame(
+            {
+                "s_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "rev": price_c * (100 - disc_c),
+            }
+        )
+        agg = df.groupby("s_suppkey", sort=False)["rev"].sum()
+        return pa.table(
+            {
+                "s_suppkey": pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+                "revenue_cents2": pa.array(agg.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        li.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("s_suppkey")
+        .aggregate(Sum("revenue_cents2", alias_name="revenue_cents2"))
+    )
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(sup_keys, keys)
+        return pa.table(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "s_name": pa.array(sup_names[idx].tolist(), pa.string()),
+                "n_name": pa.array(nat_names[idx].tolist(), pa.string()),
+                "revenue_cents2": batch["revenue_cents2"],
+            }
+        )
+
+    resolved = totals.map_batches(resolve, batch_format="pyarrow", batch_size=None)
+    return resolved.sort(["revenue_cents2", "s_suppkey"], descending=[True, False]).limit(k)
+
+
+_SQL_SUPPLIER_REVENUE = """
+WITH rev AS (
+    SELECT l_suppkey AS s_suppkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cents2
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT r.s_suppkey, s.s_name, n.n_name, r.revenue_cents2
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY r.revenue_cents2 DESC, r.s_suppkey
+LIMIT 10
+"""
+
+
 def q_customer_order_profile(sf_dir: str, n_buckets: int = 16):
     """LEFT OUTER join — every customer retained, matchless ones with
     zero counts (the shape the semi/anti twins can't express). The
@@ -2009,6 +2094,7 @@ QUERIES = {
     "customers_with_orders_bloom": q_customers_with_orders_bloom,
     "customer_order_profile": q_customer_order_profile,
     "top_revenue_orders": q_top_revenue_orders,
+    "supplier_revenue": q_supplier_revenue,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
     "hourly_events": q_hourly_events,
@@ -2043,6 +2129,7 @@ ORACLE_SQL = {
     "customers_with_orders_bloom": _SQL_SEMI,
     "customer_order_profile": _SQL_OUTER_PROFILE,
     "top_revenue_orders": _SQL_TOP_REVENUE,
+    "supplier_revenue": _SQL_SUPPLIER_REVENUE,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "hourly_events": _SQL_HOURLY,
