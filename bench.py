@@ -38,6 +38,7 @@ def _bench_queries():
         q_segment_revenue,
     )
     from pdf_parser_ray.stages.boilerplate import q_boilerplate_strip
+    from pdf_parser_ray.stages.corpus import q_substring_dedup
     from pdf_parser_ray.stages.dedup import q_near_dup_pairs
     from pdf_parser_ray.stages.embed import q_ann_topk
     from pdf_parser_ray.stages.textstats import q_token_count
@@ -49,6 +50,7 @@ def _bench_queries():
         "token_count": q_token_count,
         "boilerplate_strip": q_boilerplate_strip,
         "near_dup_pairs": q_near_dup_pairs,
+        "substring_dedup": q_substring_dedup,
         "ann_topk": q_ann_topk,
     }
 
