@@ -341,6 +341,90 @@ GROUP BY c_mktsegment
 """
 
 
+def q_segment_revenue_salted(sf_dir: str, n_buckets: int = 16, n_salts: int = 4):
+    """Salted twin of :func:`q_segment_revenue` — the hot-key
+    mitigation SCALE.md's join row names, implemented: the BUILD side
+    (customer) replicates every row into ``n_salts`` sub-buckets of
+    its key bucket, and each PROBE partial lands in one sub-bucket, so
+    a key whose probe volume would swamp one worker spreads across
+    ``n_salts`` of them. The exchange grows by exactly
+    ``n_salts × build`` rows (the price of salting — pay it only for
+    keys a skew probe flags; here every key is salted to exercise the
+    shape). Probe salt assignment is round-robin within the batch:
+    ANY assignment yields the same sums because every sub-bucket
+    carries the full build rows for its keys — the invariance the
+    twin-equality test and the shared oracle pin."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": b["o_custkey"].to_numpy(zero_copy_only=False),
+                "total_cents": _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("key", as_index=False)["total_cents"].sum()
+        keys = g["key"].to_numpy()
+        salt = np.arange(len(g), dtype=np.int64) % n_salts
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "total_cents": pa.array(g["total_cents"].to_numpy(), pa.int64()),
+                "bucket": pa.array((keys % n_buckets) * n_salts + salt, pa.int64()),
+                "side": pa.array(np.zeros(len(g), dtype=np.int8)),
+                "seg": pa.nulls(len(g), pa.string()),
+            }
+        )
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ck)
+        rep_keys = np.repeat(ck, n_salts)
+        rep_salt = np.tile(np.arange(n_salts, dtype=np.int64), n)
+        return pa.table(
+            {
+                "key": pa.array(rep_keys, pa.int64()),
+                "total_cents": pa.array(np.zeros(n * n_salts, dtype=np.int64)),
+                "bucket": pa.array(
+                    (rep_keys % n_buckets) * n_salts + rep_salt, pa.int64()
+                ),
+                "side": pa.array(np.ones(n * n_salts, dtype=np.int8)),
+                "seg": pa.array(
+                    np.repeat(np.asarray(b["c_mktsegment"].to_pylist(), dtype=object), n_salts).tolist(),
+                    pa.string(),
+                ),
+            }
+        )
+
+    both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
+        customer.map_batches(prep_cust, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        build = g[g["side"] == 1][["key", "seg"]].drop_duplicates("key")
+        probe = g[g["side"] == 0][["key", "total_cents"]]
+        j = probe.merge(build, on="key", how="inner")
+        out = j.groupby("seg", as_index=False)["total_cents"].sum()
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(out["seg"].tolist(), pa.string()),
+                "revenue_cents": pa.array(
+                    out["total_cents"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_bucket = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    return per_bucket.groupby("c_mktsegment").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q7/Q8 — semi / anti join via broadcast key set
 # ---------------------------------------------------------------------------
@@ -2095,6 +2179,7 @@ QUERIES = {
     "customer_order_profile": q_customer_order_profile,
     "top_revenue_orders": q_top_revenue_orders,
     "supplier_revenue": q_supplier_revenue,
+    "segment_revenue_salted": q_segment_revenue_salted,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
     "hourly_events": q_hourly_events,
@@ -2130,6 +2215,7 @@ ORACLE_SQL = {
     "customer_order_profile": _SQL_OUTER_PROFILE,
     "top_revenue_orders": _SQL_TOP_REVENUE,
     "supplier_revenue": _SQL_SUPPLIER_REVENUE,
+    "segment_revenue_salted": _SQL_SEGMENT_REVENUE,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "hourly_events": _SQL_HOURLY,

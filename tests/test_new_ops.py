@@ -279,6 +279,43 @@ class TestBroadcastShuffleCrossover:
         assert by_id.loc[3, "n_orders"] == 0 and by_id.loc[3, "spend_cents"] == 0
         assert by_id.loc[1, "n_orders"] == 2 and by_id.loc[1, "spend_cents"] == 1003
 
+    def test_salted_join_matches_plain_under_skew(self, tmp_path):
+        """One customer owns 90% of the orders (the hot-key case the
+        salt exists for): the salted join must still sum exactly —
+        sub-bucket replication may never double-count the build side."""
+        from pdf_parser_ray.relational.ops import (
+            q_segment_revenue,
+            q_segment_revenue_salted,
+        )
+
+        n_hot = 900
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                    "c_mktsegment": pa.array(["HOT", "COLD", "EMPTY"], pa.string()),
+                }
+            ),
+            str(tmp_path / "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array([1] * n_hot + [2] * 100, pa.int64()),
+                    "o_totalprice": pa.array([1.01] * n_hot + [2.02] * 100, pa.float64()),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        sf = str(tmp_path)
+
+        plain = self._sorted(q_segment_revenue(sf))
+        salted = self._sorted(q_segment_revenue_salted(sf, n_salts=4))
+        pd.testing.assert_frame_equal(plain, salted)
+        by_seg = salted.set_index("c_mktsegment")["revenue_cents"]
+        assert by_seg["HOT"] == 101 * n_hot and by_seg["COLD"] == 202 * 100
+        assert "EMPTY" not in by_seg.index  # inner join drops orderless seg
+
     def test_bloom_semi_join_matches_broadcast(self):
         from pdf_parser_ray.relational.ops import (
             q_customers_with_orders,
