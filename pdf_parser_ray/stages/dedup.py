@@ -564,6 +564,15 @@ def ngram_candidate_pairs(corpus, threshold: float, n_buckets: int = 32):
     rows = corpus.map_batches(
         prefix_gram_rows(threshold, n_buckets), batch_format="pyarrow", batch_size=None
     )
+    return rows.groupby("gram_bucket").map_groups(
+        _make_gram_pairs(thr_num, thr_den), batch_format="pandas"
+    )
+
+
+def _make_gram_pairs(thr_num: int, thr_den: int):
+    """Per-gram-bucket candidate stage shared by the hash-ordered and
+    DF-ordered prefix variants (the filters only need SOME fixed
+    global gram order, applied consistently to both docs of a pair)."""
 
     def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # Fine grouping WITHOUT pandas groupby: factorize + stable sort
@@ -613,7 +622,110 @@ def ngram_candidate_pairs(corpus, threshold: float, n_buckets: int = 32):
             {"doc_a": uniq >> np.int64(32), "doc_b": uniq & np.int64(0xFFFFFFFF)}
         )
 
-    return rows.groupby("gram_bucket").map_groups(gram_pairs, batch_format="pandas")
+    return gram_pairs
+
+
+def ngram_candidate_pairs_df(corpus, threshold: float, n_buckets: int = 32):
+    """DF-ordered twin of :func:`ngram_candidate_pairs` — the Vernica
+    et al. (SIGMOD'10) order: each doc's prefix holds its RAREST grams
+    (ascending document frequency), so hot grams fall out of prefixes
+    and the per-gram candidate groups shrink on skewed corpora. This
+    is the 'documented next lever' SCALE.md's join row named, built:
+
+    1. full gram-set rows shuffle by ``crc32(gram) % B``; every
+       instance of a gram lands in one bucket, so its GLOBAL df is an
+       in-partition ``factorize`` + ``bincount`` — no vocabulary
+       dictionary is ever broadcast;
+    2. rows (now carrying df) shuffle back by ``doc_id % B``; each doc
+       sorts its grams by the total order ``(df, crc32, gram)`` and
+       keeps the prefix — one vectorized lexsort + boundary-slice per
+       partition;
+    3. the prefix rows re-shuffle by gram into the SAME pair stage as
+       the hash-ordered variant (the filters hold for any shared total
+       order).
+
+    Price vs the base variant: the first two exchanges carry the FULL
+    gram volume (not just prefixes) — spend it when hot grams dominate;
+    the hash-ordered variant stays the default. Candidates remain
+    COMPLETE (the prefix-filtering lemma needs only a fixed total
+    order), so exact verification still yields the exact join —
+    equality with the hash-ordered pairs is pinned in tests and by the
+    shared oracle."""
+    thr_num, thr_den = float(threshold).as_integer_ratio()
+
+    def gram_doc_rows(batch: pa.Table) -> pa.Table:
+        out_bucket, out_gram, out_doc = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            grams = _gram_set(text) or {""}  # sentinel: empty docs still pair
+            for g in grams:
+                out_bucket.append(zlib.crc32(g.encode()) % n_buckets)
+                out_gram.append(g)
+                out_doc.append(doc_id)
+        return pa.table(
+            {
+                "gram_bucket": pa.array(out_bucket, pa.int64()),
+                "gram": pa.array(out_gram, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+            }
+        )
+
+    rows = corpus.map_batches(gram_doc_rows, batch_format="pyarrow", batch_size=None)
+
+    def attach_df(g: pd.DataFrame) -> pa.Table:
+        codes, _ = pd.factorize(g["gram"], sort=False)
+        df_col = np.bincount(codes)[codes]
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_bucket": pa.array(ids % n_buckets, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "gram": pa.array(g["gram"].tolist(), pa.string()),
+                "df": pa.array(df_col.astype(np.int64), pa.int64()),
+            }
+        )
+
+    with_df = rows.groupby("gram_bucket").map_groups(attach_df, batch_format="pandas")
+
+    def prefix_per_doc(g: pd.DataFrame) -> pa.Table:
+        grams = np.asarray(g["gram"].tolist(), dtype=object)
+        crc = np.array([zlib.crc32(s.encode()) for s in grams], dtype=np.int64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        dfs = g["df"].to_numpy(dtype=np.int64)
+        order = np.lexsort((grams, crc, dfs, ids))
+        ids, grams, crc = ids[order], grams[order], crc[order]
+        bounds = np.flatnonzero(np.diff(ids)) + 1
+        starts = np.concatenate([[0], bounds])
+        sizes = np.diff(np.concatenate([starts, [len(ids)]]))
+        n = np.repeat(sizes, sizes)
+        pos = np.arange(len(ids), dtype=np.int64) - np.repeat(starts, sizes)
+        # sentinel docs carry n_grams = 0 (matches the base variant and
+        # the Jaccard(∅,∅)=1 convention in _verify_pairs)
+        n = np.where(grams == "", 0, n)
+        alpha = -((-thr_num * n) // thr_den)
+        keep = pos < (n - alpha + 1)
+        return pa.table(
+            {
+                "gram_bucket": pa.array(crc[keep] % n_buckets, pa.int64()),
+                "gram": pa.array(grams[keep].tolist(), pa.string()),
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_grams": pa.array(n[keep], pa.int64()),
+                "pos": pa.array(pos[keep], pa.int64()),
+            }
+        )
+
+    pref = with_df.groupby("doc_bucket").map_groups(prefix_per_doc, batch_format="pandas")
+    return pref.groupby("gram_bucket").map_groups(
+        _make_gram_pairs(thr_num, thr_den), batch_format="pandas"
+    )
+
+
+def q_ngram_dedup_pairs_df(sf_dir: str, threshold: float = 0.5):
+    """The DF-ordered n-gram Jaccard join exposed as a query — same
+    exact-join semantics and oracle as ``ngram_dedup_pairs`` (both
+    candidate generations are complete; verification is identical)."""
+    corpus = augmented_corpus(sf_dir)
+    cand = ngram_candidate_pairs_df(corpus, threshold)
+    return _verify_pairs(_resolve_pair_texts(cand, corpus), threshold)
 
 
 def q_ngram_dedup_pairs(sf_dir: str, threshold: float = 0.5):
@@ -854,6 +966,7 @@ QUERIES = {
     "dup_pairs_exact": q_dup_pairs_exact,
     "near_dup_pairs": q_near_dup_pairs,
     "ngram_dedup_pairs": q_ngram_dedup_pairs,
+    "ngram_dedup_pairs_df": q_ngram_dedup_pairs_df,
     "near_dup_clusters": q_near_dup_clusters,
     "simhash": q_simhash,
 }
@@ -876,6 +989,8 @@ ORACLE_SQL = {
     # candidate generation is complete (lossless), so this row is a
     # full oracle with no sketch-recall caveat.
     "ngram_dedup_pairs": _SQL_NEAR_DUP_PAIRS,
+    # DF-ordered prefixes: same completeness lemma, same guarantee.
+    "ngram_dedup_pairs_df": _SQL_NEAR_DUP_PAIRS,
     # same candidate generation feeds the clustering — same caveat
     "near_dup_clusters": _SQL_NEAR_DUP_CLUSTERS,
     # simhash: sketch-based, rows-only by design

@@ -765,6 +765,46 @@ class TestNgramJaccard:
             got = self._run(tmp_path, ids, texts, thr)
             assert got == self._brute(ids, texts, thr), f"threshold {thr}"
 
+    def test_df_ordered_variant_matches_brute_force(self, tmp_path, ray_session):
+        """The Vernica DF-ordered prefix variant must produce the
+        identical exact join on the boundary corpus (sentinels, exact
+        threshold, single-gram docs) and on random corpora at three
+        thresholds — same completeness lemma, different total order."""
+        from pdf_parser_ray.stages.dedup import q_ngram_dedup_pairs_df
+
+        w = [f"w{i}" for i in range(8)]
+        ids = [1, 2, 3, 4, 5, 6, 8, 9, 11, 12]
+        texts = [
+            " ".join(w), " ".join(w), " ".join(w[:6]), " ".join(w[:5]),
+            " ".join(w[:4]), "a b", "a b", "", "   ", "q r s t",
+        ]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            str(tmp_path / "documents.parquet"),
+        )
+        df = q_ngram_dedup_pairs_df(str(tmp_path), 0.5).to_pandas()
+        got = set(zip(df["doc_a"], df["doc_b"], df["jaccard_micro"]))
+        assert got == self._brute(ids, texts, 0.5)
+
+        rng = np.random.default_rng(43)
+        vocab = [f"t{i}" for i in range(12)]
+        ids2, texts2 = [], []
+        next_id = 1
+        for _ in range(30):
+            while next_id % 7 == 0 or next_id % 10 == 0:
+                next_id += 1
+            ids2.append(next_id)
+            next_id += 1
+            texts2.append(" ".join(rng.choice(vocab, size=int(rng.integers(0, 14)))))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids2, pa.int64()), "text": pa.array(texts2)}),
+            str(tmp_path / "documents.parquet"),
+        )
+        for thr in (0.5, 0.3, 0.75):
+            df = q_ngram_dedup_pairs_df(str(tmp_path), thr).to_pandas()
+            got = set(zip(df["doc_a"], df["doc_b"], df["jaccard_micro"]))
+            assert got == self._brute(ids2, texts2, thr), f"threshold {thr}"
+
     def test_prefix_filter_complete(self):
         """The lemmas themselves, on random sets: (1) for any two gram
         sets with J ≥ t, the hash-ordered prefixes intersect
