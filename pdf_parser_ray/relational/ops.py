@@ -690,6 +690,65 @@ LIMIT 10
 """
 
 
+def q_event_gaps(sf_dir: str, n_buckets: int = 32):
+    """Per-user event inter-arrival times — the ``LAG() OVER
+    (PARTITION BY user ORDER BY ts)`` window primitive (the rank and
+    prefix-scan windows' third sibling: this one reads a NEIGHBOR row,
+    not an accumulation). Each event after a user's first carries the
+    integer seconds since that user's previous event, deterministic
+    under the (ts, event_id) tie-break.
+
+    Same coarse-bucket discipline as :func:`q_running_total`:
+    ``user_id % B`` exchange (each row moves once), then one
+    vectorized sort + ``diff`` per partition with the cross-user
+    boundary masked — never a per-user task."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    def gaps_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        gap_us = np.diff(ts, prepend=np.int64(0))
+        same_user = np.concatenate([[False], uid[1:] == uid[:-1]])
+        keep = same_user
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "event_id": pa.array(g["event_id"].to_numpy(dtype=np.int64)[keep], pa.int64()),
+                "gap_sec": pa.array(gap_us[keep] // 1_000_000, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(gaps_bucket, batch_format="pandas")
+    )
+
+
+_SQL_EVENT_GAPS = """
+SELECT user_id, event_id,
+       CAST((epoch_us(ts)
+             - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            // 1000000 AS BIGINT) AS gap_sec
+FROM events
+QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+"""
+
+
 def q_supplier_revenue(sf_dir: str, k: int = 10):
     """Revenue per supplier with nation names (completes the schema:
     supplier was the one input table no query touched). Classic
@@ -2180,6 +2239,7 @@ QUERIES = {
     "top_revenue_orders": q_top_revenue_orders,
     "supplier_revenue": q_supplier_revenue,
     "segment_revenue_salted": q_segment_revenue_salted,
+    "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
     "hourly_events": q_hourly_events,
@@ -2216,6 +2276,7 @@ ORACLE_SQL = {
     "top_revenue_orders": _SQL_TOP_REVENUE,
     "supplier_revenue": _SQL_SUPPLIER_REVENUE,
     "segment_revenue_salted": _SQL_SEGMENT_REVENUE,
+    "event_gaps": _SQL_EVENT_GAPS,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "hourly_events": _SQL_HOURLY,
