@@ -1730,6 +1730,106 @@ def q_price_percentiles(sf_dir: str):
     )
 
 
+_QSK_MBITS = 6  # mantissa bits → relative error ≤ 2⁻⁶ ≈ 1.6%
+
+
+def q_price_percentiles_sketch(sf_dir: str):
+    """Approximate p50/p90/p99 via a mergeable integer LOG-HISTOGRAM
+    sketch — the bounded-memory twin :func:`q_price_percentiles`'s
+    docstring promises for unbounded domains, and the quantile member
+    of the engine's sketch family (HLL distincts, Count-Min heavy
+    hitters, MinHash/SimHash similarity). Every value maps to the bin
+    ``(bit_length(v), top 1+m mantissa bits)`` — PURE INTEGER ops
+    (numpy ``frexp`` exponents are exact for v < 2⁵³), so unlike a
+    float ``log2`` binning the same bin falls out of DuckDB integer
+    arithmetic bit-for-bit, which is what lets an APPROXIMATE sketch
+    carry an exact-equality oracle: the SQL mirrors the binning, not
+    the answer. Sketch size is O(64·2^m) cells regardless of data
+    (vs the exact twin's O(distinct values)); the answer is the lower
+    bound of the bin holding the ⌈q·N⌉-th value, so relative error is
+    ≤ 2⁻ᵐ ≈ 1.6% at m = 6 (pinned against the exact percentiles in
+    ``TestQuantileSketch``). Merge = per-batch bin counts → one
+    ``groupby(bin).Sum`` — associative, any block order."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    m1 = _QSK_MBITS + 1
+
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        if (c <= 0).any():
+            raise ValueError("log-histogram sketch requires positive values")
+        bl = np.frexp(c.astype(np.float64))[1].astype(np.int64)  # bit_length, exact
+        shift = np.maximum(bl - m1, 0)
+        sub = c >> shift
+        df = pd.DataFrame({"bl": bl, "sub": sub})
+        agg = df.groupby(["bl", "sub"], sort=False).size()
+        idx = agg.index.to_frame(index=False)
+        return pa.table(
+            {
+                "bl": pa.array(idx["bl"].to_numpy(dtype=np.int64), pa.int64()),
+                "sub": pa.array(idx["sub"].to_numpy(dtype=np.int64), pa.int64()),
+                "cnt": pa.array(agg.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(bin_counts, batch_format="pyarrow", batch_size=None)
+        .groupby(["bl", "sub"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # O(64·2^m) rows — the sketch, not the data
+        .sort_values(["bl", "sub"])
+    )
+    total = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    lb = (
+        hist["sub"].to_numpy(dtype=np.int64)
+        << np.maximum(hist["bl"].to_numpy(dtype=np.int64) - m1, 0)
+    )
+
+    def pick(q: float) -> int:
+        k = int(np.ceil(q * total))
+        return int(lb[np.searchsorted(cum, k)])
+
+    return pd.DataFrame(
+        {
+            "p50_lb_cents": pd.Series([pick(0.5)], dtype="int64"),
+            "p90_lb_cents": pd.Series([pick(0.9)], dtype="int64"),
+            "p99_lb_cents": pd.Series([pick(0.99)], dtype="int64"),
+        }
+    )
+
+
+_SQL_PERCENTILES_SKETCH = f"""
+WITH v AS (
+    SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders
+),
+b AS (
+    SELECT c, length(printf('%b', c)) AS bl FROM v
+),
+bins AS (
+    SELECT bl,
+           c >> greatest(bl - {_QSK_MBITS + 1}, 0) AS sub,
+           count(*) AS cnt
+    FROM b GROUP BY 1, 2
+),
+ordered AS (
+    SELECT bl, sub,
+           sub << greatest(bl - {_QSK_MBITS + 1}, 0) AS lb,
+           SUM(cnt) OVER (ORDER BY bl, sub) AS cum,
+           (SELECT SUM(cnt) FROM bins) AS total
+    FROM bins
+)
+SELECT
+  CAST(MIN(CASE WHEN cum >= ceil(0.5  * total) THEN lb END) AS BIGINT) AS p50_lb_cents,
+  CAST(MIN(CASE WHEN cum >= ceil(0.9  * total) THEN lb END) AS BIGINT) AS p90_lb_cents,
+  CAST(MIN(CASE WHEN cum >= ceil(0.99 * total) THEN lb END) AS BIGINT) AS p99_lb_cents
+FROM ordered
+"""
+
+
 _SQL_PERCENTILES = """
 SELECT
   CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p50_cents,
@@ -2240,6 +2340,7 @@ QUERIES = {
     "supplier_revenue": q_supplier_revenue,
     "segment_revenue_salted": q_segment_revenue_salted,
     "event_gaps": q_event_gaps,
+    "price_percentiles_sketch": q_price_percentiles_sketch,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
     "hourly_events": q_hourly_events,
@@ -2277,6 +2378,7 @@ ORACLE_SQL = {
     "supplier_revenue": _SQL_SUPPLIER_REVENUE,
     "segment_revenue_salted": _SQL_SEGMENT_REVENUE,
     "event_gaps": _SQL_EVENT_GAPS,
+    "price_percentiles_sketch": _SQL_PERCENTILES_SKETCH,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "hourly_events": _SQL_HOURLY,

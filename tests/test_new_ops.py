@@ -328,6 +328,42 @@ class TestBroadcastShuffleCrossover:
         pd.testing.assert_frame_equal(broadcast, bloom)
 
 
+class TestQuantileSketch:
+    """The log-histogram quantile sketch's error bound: each reported
+    lower bound lb satisfies lb ≤ exact < lb·(1 + 2⁻ᵐ) — the bin that
+    contains the ⌈q·N⌉-th value brackets it within one mantissa step."""
+
+    def test_sketch_within_relative_error_of_exact(self, ray_session):
+        from pdf_parser_ray.relational.ops import (
+            _QSK_MBITS,
+            q_price_percentiles,
+            q_price_percentiles_sketch,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = q_price_percentiles(sf).iloc[0]
+        approx = q_price_percentiles_sketch(sf).iloc[0]
+        step = 2.0 ** -_QSK_MBITS
+        for q in ("p50", "p90", "p99"):
+            lb = int(approx[f"{q}_lb_cents"])
+            ex = int(exact[f"{q}_cents"])
+            assert lb <= ex, (q, lb, ex)
+            assert ex < lb * (1 + step) + 1, (q, lb, ex)
+
+    def test_binning_is_exact_integer_math(self):
+        import numpy as np
+
+        # frexp exponents equal bit_length for every magnitude class,
+        # including powers of two and 2^k − 1 — the float-log2
+        # boundary cases the integer formulation exists to avoid
+        vals = np.array(
+            [1, 2, 3, 7, 8, 9, (1 << 20) - 1, 1 << 20, (1 << 33) - 1, 1 << 33],
+            dtype=np.int64,
+        )
+        bl = np.frexp(vals.astype(np.float64))[1]
+        assert bl.tolist() == [int(v).bit_length() for v in vals]
+
+
 class TestTermSearch:
     """Ranked term search on a crafted corpus: probe = first 3 distinct
     words of doc 0; scoring counts distinct probe terms present as
