@@ -167,5 +167,95 @@ SELECT doc_id,
 FROM documents
 """
 
-QUERIES = {"media_features": q_media_features}
-ORACLE_SQL = {"media_features": _SQL_MEDIA}
+def q_media_dedup(sf_dir: str, n_buckets: int = 32):
+    """Content-hash dedup of a BINARY media column — the CommonCrawl
+    image-dedup pass (drop payloads whose bytes hash-match an earlier
+    item), run through the real multimodal plumbing: augmented binary
+    corpus → actor-pool decode stub (sha256 happens where a real build
+    would also extract features, one codec init per actor) → coarse
+    hash-bucket shuffle carrying (doc_id, type, sha256) rows, never
+    payloads → vectorized keep-min-doc per digest. The text-side twin
+    is :func:`~.dedup.q_dedup_exact`; this one exists because binary
+    columns can't reuse the text path's fingerprint kernels and the
+    exchange discipline (hash rows, not blobs) is the 100-TB-critical
+    part."""
+    import pandas as pd
+
+    from .dedup import augmented_corpus
+
+    docs = augmented_corpus(sf_dir)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "media_type": ["image" if i % 3 else "audio" for i in ids],
+                "payload": [(t or "").encode("utf-8") for t in texts],
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    feats = docs.map_batches(to_media, batch_format="pyarrow", batch_size=1024).map_batches(
+        MediaDecodeStub,
+        fn_constructor_kwargs={"use_real_codecs": False},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        shas = batch["sha256"].to_pylist()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [int(s[:2], 16) % n_buckets for s in shas], pa.int64()
+                ),
+                "doc_id": batch["doc_id"],
+                "media_type": batch["media_type"],
+                "sha256": batch["sha256"],
+            }
+        )
+
+    def keep_first(g: pd.DataFrame) -> pa.Table:
+        idx = g.groupby("sha256", sort=False)["doc_id"].idxmin()
+        kept = g.loc[idx]
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(dtype="int64"), pa.int64()),
+                "media_type": pa.array(kept["media_type"].tolist(), pa.string()),
+                "sha256": pa.array(kept["sha256"].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        feats.map_batches(bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+_SQL_MEDIA_DEDUP = """
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           regexp_replace(text, '^\\S+', 'MUTATED') AS text
+    FROM documents WHERE doc_id % 7 = 0
+),
+h AS (SELECT doc_id, sha256(text) AS sha256 FROM aug)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 <> 0 THEN 'image' ELSE 'audio' END AS media_type,
+       sha256
+FROM h
+WHERE doc_id IN (SELECT MIN(doc_id) FROM h GROUP BY sha256)
+"""
+
+
+QUERIES = {"media_features": q_media_features, "media_dedup": q_media_dedup}
+ORACLE_SQL = {"media_features": _SQL_MEDIA, "media_dedup": _SQL_MEDIA_DEDUP}
