@@ -104,29 +104,36 @@ _LANG_PATTERNS = {
 _LANG_PRIORITY = ["en", "es", "de", "fr"]
 
 
+def _lang_scores_and_pred(texts: pa.ChunkedArray | pa.Array):
+    """Vectorized stopword scores + argmax prediction (priority order
+    en>es>de>fr on ties, 'und' when all zero) — shared by
+    :func:`q_lang_id` and the per-language heavy hitters."""
+    low = pc.utf8_lower(texts)
+    scores = {
+        lang: pc.cast(pc.count_substring_regex(low, pat), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        for lang, pat in _LANG_PATTERNS.items()
+    }
+    n = len(texts)
+    lang = np.full(n, "und", dtype=object)
+    best = np.zeros(n, dtype=np.int64)
+    for lg in reversed(_LANG_PRIORITY):
+        s = scores[lg]
+        take = s >= best
+        lang[take & (s > 0)] = lg
+        best = np.maximum(best, s)
+    # reversed-priority sweep with >= gives earliest-priority winner
+    return scores, lang
+
+
 def q_lang_id(sf_dir: str):
     """N-gram/stopword language ID. Scores are RE2 stopword hit counts
-    per language profile; the argmax (priority order en>es>de>fr on
-    ties, 'und' when all zero) is fully reproducible in SQL."""
+    per language profile; the argmax is fully reproducible in SQL."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(batch["text"])
-        scores = {
-            lang: pc.cast(pc.count_substring_regex(low, pat), pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            for lang, pat in _LANG_PATTERNS.items()
-        }
-        n = len(batch)
-        lang = np.full(n, "und", dtype=object)
-        best = np.zeros(n, dtype=np.int64)
-        for lg in reversed(_LANG_PRIORITY):
-            s = scores[lg]
-            take = s >= best
-            lang[take & (s > 0)] = lg
-            best = np.maximum(best, s)
-        # reversed-priority sweep with >= gives earliest-priority winner
+        scores, lang = _lang_scores_and_pred(batch["text"])
         cols = {"doc_id": batch["doc_id"], "lang_pred": pa.array(lang, pa.string())}
         for lg in _LANG_PRIORITY:
             cols[f"s_{lg}"] = pa.array(scores[lg])
@@ -347,6 +354,96 @@ GROUP BY token
 ORDER BY n DESC, token
 LIMIT 20
 """
+
+def q_top_tokens_per_lang(sf_dir: str, k: int = 3):
+    """Per-GROUP heavy hitters — top-k tokens within each predicted
+    language (the grouped sibling of :func:`q_top_tokens`'s global
+    top-k; the pattern behind per-domain/per-language vocabulary
+    audits). Composes the lang-id stage with the wordcount shape:
+    per-batch (lang, token) partial counts (one row per distinct pair
+    per batch, never per occurrence) → ``groupby([lang, token]).Sum``
+    → per-lang rank inside a ``groupby(lang)`` over the aggregated
+    vocabulary grain (a handful of groups — the tiny-group trap does
+    not apply at group counts this small; at thousands of groups this
+    step becomes the coarse-bucket + vectorized-rank pattern of
+    ``top_orders_per_customer``). Deterministic (count desc, token
+    asc) tie-break."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, lang = _lang_scores_and_pred(batch["text"])
+        cnt: dict[tuple[str, str], int] = {}
+        for lg, t in zip(lang, batch["text"].to_pylist()):
+            for w in (t or "").split():
+                key = (lg, w)
+                cnt[key] = cnt.get(key, 0) + 1
+        return pa.table(
+            {
+                "lang_pred": pa.array([kk[0] for kk in cnt], pa.string()),
+                "token": pa.array([kk[1] for kk in cnt], pa.string()),
+                "cnt": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang_pred", "token"])
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+
+    def rank_lang(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(k)
+        return pa.table(
+            {
+                "lang_pred": pa.array(g["lang_pred"].tolist(), pa.string()),
+                "token": pa.array(g["token"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return agg.groupby("lang_pred").map_groups(rank_lang, batch_format="pandas")
+
+
+_SQL_TOP_TOKENS_PER_LANG = rf"""
+WITH s AS (
+    SELECT doc_id, text,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["en"]}')) AS BIGINT) AS s_en,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["es"]}')) AS BIGINT) AS s_es,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["de"]}')) AS BIGINT) AS s_de,
+           CAST(length(regexp_extract_all(lower(text), '{_LANG_PATTERNS["fr"]}')) AS BIGINT) AS s_fr
+    FROM documents
+),
+l AS (
+    SELECT text,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+),
+toks AS (
+    SELECT lang_pred, UNNEST(regexp_extract_all(text, '\S+')) AS token FROM l
+),
+cnt AS (
+    SELECT lang_pred, token, CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY lang_pred ORDER BY n DESC, token) AS rn
+    FROM cnt
+)
+SELECT lang_pred, token, n, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
 
 _CM_D = 4  # hash rows
 _CM_W = 4096  # counters per row
@@ -825,6 +922,7 @@ QUERIES = {
     "contamination": q_contamination,
     "tfidf_top_terms": q_tfidf_top_terms,
     "term_search": q_term_search,
+    "top_tokens_per_lang": q_top_tokens_per_lang,
 }
 
 ORACLE_SQL = {
@@ -841,4 +939,5 @@ ORACLE_SQL = {
     "contamination": _SQL_CONTAMINATION,
     "tfidf_top_terms": _SQL_TFIDF,
     "term_search": _SQL_TERM_SEARCH,
+    "top_tokens_per_lang": _SQL_TOP_TOKENS_PER_LANG,
 }
