@@ -102,6 +102,66 @@ LIMIT {_TOP_K}
 """
 
 
+def q_ann_topk_filtered(sf_dir: str, label: int = 3):
+    """FILTERED vector search — brute-force cosine top-k restricted to
+    vectors carrying a metadata predicate (``label = 3`` stands in for
+    the lang/source/license filters a retrieval stack applies). This
+    is pre-filtering: the predicate applies INSIDE the scan before
+    scoring (`label` is a read column, so parquet row-group statistics
+    prune at storage when the table is label-clustered), which keeps
+    top-k exact under the filter — post-filtering an unfiltered ANN
+    result can return < k survivors. Same broadcast-query /
+    streaming-table shape and integer micro-unit scoring as
+    :func:`q_ann_topk`."""
+    qids, qmat = _query_matrix(sf_dir)
+    q0 = qmat[0:1]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = (labels == label) & (ids != 0)
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_micro": pa.array([], pa.int64()),
+                }
+            )
+        scores, _ = _batch_scores(batch, q0)
+        s_micro = np.rint(scores[:, 0] * 1e6).astype(np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(s_micro) > _TOP_K:
+            order = np.lexsort((ids, -s_micro))[:_TOP_K]
+            s_micro, ids = s_micro[order], ids[order]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cos_micro": pa.array(s_micro, pa.int64()),
+            }
+        )
+
+    from ..io.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ds = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+    return ds.sort(["cos_micro", "vec_id"], descending=[True, False]).limit(_TOP_K)
+
+
+_SQL_ANN_TOPK_FILTERED = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.qe AS DOUBLE[])) * 1000000) AS BIGINT) AS cos_micro
+FROM embeddings e, q
+WHERE e.vec_id <> 0 AND e.label = 3
+ORDER BY cos_micro DESC, e.vec_id
+LIMIT {_TOP_K}
+"""
+
+
 def q_knn_join(sf_dir: str, k: int = 5):
     """k-NN join: top-k neighbors for each of the first 8 vectors —
     one matmul per batch against the broadcast query matrix, local
@@ -576,6 +636,7 @@ def q_ann_ivf_trained(
 
 QUERIES = {
     "ann_topk": q_ann_topk,
+    "ann_topk_filtered": q_ann_topk_filtered,
     "knn_join": q_knn_join,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
@@ -586,6 +647,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_topk": _SQL_ANN_TOPK,
+    "ann_topk_filtered": _SQL_ANN_TOPK_FILTERED,
     "knn_join": _SQL_KNN_JOIN,
     "embed_near_dup": _SQL_EMBED_NEAR_DUP,
     # embed_near_dup_ivf matches the same exact-pair spec at m_probe=8
