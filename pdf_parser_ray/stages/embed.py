@@ -162,6 +162,70 @@ LIMIT {_TOP_K}
 """
 
 
+def q_label_centroids(sf_dir: str):
+    """Grouped VECTOR aggregation — the per-class centroid table (the
+    reduce step of k-means, exposed as its own operator for class
+    prototypes / nearest-centroid classification). Element sums travel
+    as integer micro-units so the distributed accumulation is
+    order-independent and hash-exact against SQL: each batch emits
+    per-(label, dim) partial sums — O(labels × dim) rows per block, a
+    few KB regardless of batch size — and one ``groupby([label, dim])
+    .Sum`` merges them. The long (label, dim, sum, n) layout IS the
+    exchange format; a consumer pivots its ≤ labels×dim rows back to
+    matrices for free."""
+    from ..io.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.rint(
+            np.stack(batch["embedding"].to_pylist()).astype(np.float64) * 1e6
+        ).astype(np.int64)
+        uniq = np.unique(labels)
+        dim = vecs.shape[1]
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lb in uniq:
+            sel = vecs[labels == lb]
+            out_l.extend([int(lb)] * dim)
+            out_d.extend(range(dim))
+            out_s.extend(sel.sum(axis=0).tolist())
+            out_n.extend([len(sel)] * dim)
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "dim": pa.array(out_d, pa.int64()),
+                "sum_micro": pa.array(out_s, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_micro", alias_name="sum_micro"), Sum("n", alias_name="n"))
+    )
+
+
+_SQL_LABEL_CENTROIDS = """
+WITH ex AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           UNNEST(embedding) AS e
+    FROM embeddings
+)
+SELECT label,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+       CAST(count(*) AS BIGINT) AS n
+FROM ex GROUP BY 1, 2
+"""
+
+
 def q_knn_join(sf_dir: str, k: int = 5):
     """k-NN join: top-k neighbors for each of the first 8 vectors —
     one matmul per batch against the broadcast query matrix, local
@@ -637,6 +701,7 @@ def q_ann_ivf_trained(
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_filtered": q_ann_topk_filtered,
+    "label_centroids": q_label_centroids,
     "knn_join": q_knn_join,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
@@ -648,6 +713,7 @@ QUERIES = {
 ORACLE_SQL = {
     "ann_topk": _SQL_ANN_TOPK,
     "ann_topk_filtered": _SQL_ANN_TOPK_FILTERED,
+    "label_centroids": _SQL_LABEL_CENTROIDS,
     "knn_join": _SQL_KNN_JOIN,
     "embed_near_dup": _SQL_EMBED_NEAR_DUP,
     # embed_near_dup_ivf matches the same exact-pair spec at m_probe=8
