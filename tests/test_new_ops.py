@@ -630,6 +630,67 @@ class TestCorpusOps:
         # doc 6 has 5 words < the 8-word gram width → no grams, intact
         assert by_id.loc[6, "removed_words"] == 0 and by_id.loc[6, "text"] == "x x x x x"
 
+    def test_substring_dedup_matches_reference_on_random_corpora(
+        self, tmp_path, ray_session
+    ):
+        """Property check vs a direct single-process reference: random
+        small-vocab corpora (lots of accidental 8-gram collisions),
+        first-occurrence-survives coverage removal recomputed with
+        plain dicts — the distributed two-exchange pipeline must agree
+        exactly, including n_words/removed_words accounting."""
+        from pdf_parser_ray.stages.corpus import _KG, q_substring_dedup
+        from pdf_parser_ray.stages.dedup import _EXACT_EVERY, _NEAR_EVERY
+
+        rng = np.random.default_rng(11)
+        vocab = ["va", "vb"]  # 2⁸ = 256 possible grams → natural dups
+        ids, texts = [], []
+        next_id = 1
+        for _ in range(40):
+            while next_id % _NEAR_EVERY == 0 or next_id % _EXACT_EVERY == 0:
+                next_id += 1
+            ids.append(next_id)
+            next_id += 1
+            n = int(rng.integers(0, 30))
+            texts.append(" ".join(rng.choice(vocab, size=n)))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            str(tmp_path / "documents.parquet"),
+        )
+
+        # reference: global first occurrence per gram, then coverage
+        first: dict[str, tuple[int, int]] = {}
+        for d, t in sorted(zip(ids, texts)):
+            ws = t.split()
+            for i in range(len(ws) - _KG + 1):
+                g = " ".join(ws[i : i + _KG])
+                if g not in first:
+                    first[g] = (d, i)
+        want = {}
+        for d, t in zip(ids, texts):
+            ws = t.split()
+            covered = set()
+            for i in range(len(ws) - _KG + 1):
+                g = " ".join(ws[i : i + _KG])
+                cnt = sum(
+                    1
+                    for d2, t2 in zip(ids, texts)
+                    for j in range(len(t2.split()) - _KG + 1)
+                    if " ".join(t2.split()[j : j + _KG]) == g
+                )
+                if cnt >= 2 and first[g] != (d, i):
+                    covered.update(range(i, i + _KG))
+            kept = [w for j, w in enumerate(ws) if j not in covered]
+            want[d] = (" ".join(kept), len(ws), len(ws) - len(kept))
+
+        got = q_substring_dedup(str(tmp_path)).to_pandas()
+        assert len(got) == len(ids)
+        for row in got.itertuples(index=False):
+            assert (row.text, row.n_words, row.removed_words) == want[row.doc_id], (
+                row.doc_id
+            )
+        # the tiny vocabulary must actually exercise cross-doc removal
+        assert (got["removed_words"] > 0).any()
+
     def test_epoch_shuffle_is_hash_order_permutation(self, corpus_sf):
         import hashlib
 
