@@ -545,9 +545,22 @@ def q_substring_dedup(sf_dir: str, n_buckets: int = 64):
     and union with the docs; each doc expands its flagged intervals
     with one numpy broadcast and rebuilds the surviving text.
     Per-task memory O(corpus/B); nothing lands on the driver."""
+    return substring_dedup_ds(augmented_corpus(sf_dir), n_buckets=n_buckets)
+
+
+def substring_dedup_ds(ds, n_buckets: int = 64, text_col: str = "text"):
+    """The substring-dedup exchange over an arbitrary ``(doc_id,
+    text)`` Dataset — reusable by composed pipelines
+    (``pipelines/prep.q_corpus_prep_v2`` runs it over the
+    scrubbed+gated corpus)."""
     import zlib
 
-    ds = augmented_corpus(sf_dir)
+    if text_col != "text":
+        ds = ds.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"], "text": b[text_col]}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         o_id: list[int] = []

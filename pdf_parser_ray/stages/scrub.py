@@ -45,6 +45,12 @@ def _docs(sf_dir: str):
     )
 
 
+def pii_batch(batch: pa.Table) -> pa.Table:
+    """Batch kernel behind :func:`q_pii_scrub`, reusable by composed
+    pipelines (``pipelines/prep.q_corpus_prep_v2``)."""
+    return _pii_fn(batch)
+
+
 def q_pii_scrub(sf_dir: str):
     """Redact emails / SSN-shaped / phone-shaped tokens from the
     (PII-augmented) corpus: emails → ``[EMAIL]``, SSNs → ``[SSN]``,
@@ -52,42 +58,42 @@ def q_pii_scrub(sf_dir: str):
     the 4-digit tail of an SSN can never be half-matched as a phone).
     Counts are per-pattern matches on the ORIGINAL text. Output:
     (doc_id, clean_text, n_email, n_ssn, n_phone)."""
+    return _docs(sf_dir).map_batches(_pii_fn, batch_format="pyarrow", batch_size=None)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        text = batch["text"]
-        # deterministic augmentation (mirrored in the oracle SQL):
-        # every _PII_EVERY-th doc carries a contact line derived from
-        # its id
-        suffix = [
-            (
-                f" contact u{int(i)}@example.com ssn 123-45-{int(i) % 10000:04d}"
-                f" phone 555-{int(i) % 10000:04d}"
-                if int(i) % _PII_EVERY == 0
-                else ""
-            )
-            for i in ids
-        ]
-        aug = pc.binary_join_element_wise(text, pa.array(suffix, pa.string()), "")
-        n_email = pc.cast(pc.count_substring_regex(aug, _RE_EMAIL), pa.int64())
-        n_ssn = pc.cast(pc.count_substring_regex(aug, _RE_SSN), pa.int64())
-        n_phone = pc.cast(pc.count_substring_regex(aug, _RE_PHONE), pa.int64())
-        clean = pc.replace_substring_regex(aug, _RE_EMAIL, "[EMAIL]")
-        clean = pc.replace_substring_regex(clean, _RE_SSN, "[SSN]")
-        clean = pc.replace_substring_regex(clean, _RE_PHONE, "[PHONE]")
-        # n_phone counts the raw text, where the SSN tail is intact and
-        # \b\d{3}-\d{4}\b cannot match inside it (digit runs are 3/2/4)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "clean_text": clean,
-                "n_email": n_email,
-                "n_ssn": n_ssn,
-                "n_phone": n_phone,
-            }
+
+def _pii_fn(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    text = batch["text"]
+    # deterministic augmentation (mirrored in the oracle SQL):
+    # every _PII_EVERY-th doc carries a contact line derived from
+    # its id
+    suffix = [
+        (
+            f" contact u{int(i)}@example.com ssn 123-45-{int(i) % 10000:04d}"
+            f" phone 555-{int(i) % 10000:04d}"
+            if int(i) % _PII_EVERY == 0
+            else ""
         )
-
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
+        for i in ids
+    ]
+    aug = pc.binary_join_element_wise(text, pa.array(suffix, pa.string()), "")
+    n_email = pc.cast(pc.count_substring_regex(aug, _RE_EMAIL), pa.int64())
+    n_ssn = pc.cast(pc.count_substring_regex(aug, _RE_SSN), pa.int64())
+    n_phone = pc.cast(pc.count_substring_regex(aug, _RE_PHONE), pa.int64())
+    clean = pc.replace_substring_regex(aug, _RE_EMAIL, "[EMAIL]")
+    clean = pc.replace_substring_regex(clean, _RE_SSN, "[SSN]")
+    clean = pc.replace_substring_regex(clean, _RE_PHONE, "[PHONE]")
+    # n_phone counts the raw text, where the SSN tail is intact and
+    # \b\d{3}-\d{4}\b cannot match inside it (digit runs are 3/2/4)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "clean_text": clean,
+            "n_email": n_email,
+            "n_ssn": n_ssn,
+            "n_phone": n_phone,
+        }
+    )
 
 
 _SQL_PII_SCRUB = rf"""
@@ -127,51 +133,59 @@ _STOPWORDS = ("the", "a", "of", "to", "and", "with", "that", "for")
 _MIN_STOPWORD_HITS = 2
 
 
+def gopher_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Batch kernel behind :func:`q_gopher_rules` (``text_col`` lets a
+    composed pipeline gate on an upstream stage's cleaned column)."""
+    return _gopher_fn(batch, text_col)
+
+
 def q_gopher_rules(sf_dir: str):
     """Per-document quality gate: (doc_id, n_words, mean_wlen_milli,
     n_stopword_kinds, keep) where ``keep`` = word count in bounds AND
     mean word length in [3, 10] chars AND ≥2 distinct stopwords
     present. mean_wlen_milli = 1000·non-space-chars // words (integer
     milli-units — exact on both sides)."""
+    return _docs(sf_dir).map_batches(
+        _gopher_fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _gopher_fn(batch: pa.Table, text_col: str = "text") -> pa.Table:
     stop_res = [rf"\b{w}\b" for w in _STOPWORDS]
-
-    def fn(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        text = batch["text"]
-        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        n_chars = pc.cast(
-            pc.utf8_length(pc.replace_substring_regex(text, r"\s", "")), pa.int64()
-        ).to_numpy(zero_copy_only=False)
-        mean_milli = np.where(
-            n_words > 0, (1000 * n_chars) // np.maximum(n_words, 1), 0
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    text = batch[text_col]
+    n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    n_chars = pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(text, r"\s", "")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    mean_milli = np.where(
+        n_words > 0, (1000 * n_chars) // np.maximum(n_words, 1), 0
+    ).astype(np.int64)
+    kinds = np.zeros(len(ids), dtype=np.int64)
+    for sre in stop_res:
+        kinds += (
+            pc.cast(pc.count_substring_regex(text, sre), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            > 0
         ).astype(np.int64)
-        kinds = np.zeros(len(ids), dtype=np.int64)
-        for sre in stop_res:
-            kinds += (
-                pc.cast(pc.count_substring_regex(text, sre), pa.int64())
-                .to_numpy(zero_copy_only=False)
-                > 0
-            ).astype(np.int64)
-        keep = (
-            (n_words >= _MIN_WORDS)
-            & (n_words <= _MAX_WORDS)
-            & (mean_milli >= _MIN_MEAN_WLEN_MILLI)
-            & (mean_milli <= _MAX_MEAN_WLEN_MILLI)
-            & (kinds >= _MIN_STOPWORD_HITS)
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_words": pa.array(n_words, pa.int64()),
-                "mean_wlen_milli": pa.array(mean_milli, pa.int64()),
-                "n_stopword_kinds": pa.array(kinds, pa.int64()),
-                "keep": pa.array(keep, pa.int64()),
-            }
-        )
-
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
+    keep = (
+        (n_words >= _MIN_WORDS)
+        & (n_words <= _MAX_WORDS)
+        & (mean_milli >= _MIN_MEAN_WLEN_MILLI)
+        & (mean_milli <= _MAX_MEAN_WLEN_MILLI)
+        & (kinds >= _MIN_STOPWORD_HITS)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_wlen_milli": pa.array(mean_milli, pa.int64()),
+            "n_stopword_kinds": pa.array(kinds, pa.int64()),
+            "keep": pa.array(keep, pa.int64()),
+        }
+    )
 
 
 _STOPWORD_SQL = " + ".join(
