@@ -70,6 +70,52 @@ def read_corpus(path: str, columns: list[str] | None = None, override_num_blocks
     return rd.read_parquet(path, columns=cols, **kwargs)
 
 
+def read_table_auto(path: str, columns: list[str] | None = None, **kwargs):
+    """Format-dispatching table reader: Parquet (metadata-cleaned
+    schema), CSV, JSON-lines, or Lance (gated on the package), chosen
+    by extension — so a pipeline built against the parquet fixtures
+    runs unchanged on a CSV/JSONL landing zone. Column pruning pushes
+    into the scan for Parquet/Lance; for the row-oriented text formats
+    (CSV/JSONL have no column projection at storage) it applies
+    immediately after the read so downstream stages still see only the
+    requested columns."""
+    import ray.data as rd
+
+    if path.endswith(".parquet"):
+        return read_parquet_clean(path, columns=columns, **kwargs)
+    if path.endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError("lance is not available in this environment") from e
+        return rd.read_lance(path, columns=columns, **kwargs)
+    if path.endswith(".csv"):
+        ds = rd.read_csv(path, **kwargs)
+    elif path.endswith(".json") or path.endswith(".jsonl"):
+        ds = rd.read_json(path, **kwargs)
+    else:
+        raise ValueError(f"unsupported table format: {path}")
+    return ds.select_columns(columns) if columns else ds
+
+
+def write_table_auto(ds, path: str, **kwargs):
+    """Format-dispatching writer twin of :func:`read_table_auto`
+    (Parquet / CSV / JSON-lines directories, Lance gated)."""
+    if path.endswith(".parquet"):
+        return ds.write_parquet(path, **kwargs)
+    if path.endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError("lance is not available; use a parquet path") from e
+        return ds.write_lance(path, **kwargs)
+    if path.endswith(".csv"):
+        return ds.write_csv(path, **kwargs)
+    if path.endswith(".json") or path.endswith(".jsonl"):
+        return ds.write_json(path, **kwargs)
+    raise ValueError(f"unsupported table format: {path}")
+
+
 def write_corpus(ds, path: str, min_rows_per_file: int | None = None):
     """Write a span corpus; Parquet in the sandbox, Lance when present."""
     if path.endswith(".lance"):

@@ -328,6 +328,46 @@ class TestBroadcastShuffleCrossover:
         pd.testing.assert_frame_equal(broadcast, bloom)
 
 
+class TestMultiFormatIO:
+    """read_table_auto / write_table_auto: the same table must survive
+    a Parquet → CSV and Parquet → JSONL round trip bit-identically, so
+    pipelines built on the parquet fixtures run unchanged on text-format
+    landing zones."""
+
+    def test_csv_and_jsonl_round_trip(self, tmp_path, ray_session):
+        from pdf_parser_ray.io.sources import read_table_auto, write_table_auto
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        base = (
+            read_table_auto(src, columns=["doc_id", "text"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(base) == 500
+
+        for ext in ("csv", "json"):
+            out = str(tmp_path / f"docs_{ext}.{ext}")
+            write_table_auto(
+                read_table_auto(src, columns=["doc_id", "text"]), out
+            )
+            back = (
+                read_table_auto(out, columns=["doc_id", "text"])
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(base, back), ext
+
+    def test_unknown_format_rejected(self):
+        import pytest as _pytest
+
+        from pdf_parser_ray.io.sources import read_table_auto
+
+        with _pytest.raises(ValueError, match="unsupported table format"):
+            read_table_auto("/tmp/nope.xlsx")
+
+
 class TestQuantileSketch:
     """The log-histogram quantile sketch's error bound: each reported
     lower bound lb satisfies lb ≤ exact < lb·(1 + 2⁻ᵐ) — the bin that
