@@ -749,6 +749,73 @@ QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
 """
 
 
+def q_event_dedup_windowed(sf_dir: str, window_sec: int = 3600, n_buckets: int = 32):
+    """Streaming-style windowed dedup: drop an event when the SAME
+    (user, event_type) fired within the previous ``window_sec``
+    seconds — the debounce/at-most-once-per-window pass a stream
+    processor runs on clickstreams. Batch formulation over the events
+    table: gap to the previous same-key event (the LAG machinery of
+    :func:`q_event_gaps`, keyed by (user, type)) must be ≥ the window
+    or absent. NOTE the deliberate semantics: the reference point is
+    the previous SURVIVING-OR-NOT event (LAG semantics — chainable in
+    SQL), not the previous surviving one (which needs an iterated
+    scan); both sides implement the LAG form so the oracle is exact.
+
+    Same ``user_id % B`` coarse-bucket exchange: each row moves once,
+    one vectorized sort + diff per partition."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    win_us = window_sec * 1_000_000
+
+    def dedup_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        typ = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        gap = np.diff(ts, prepend=np.int64(0))
+        same_key = np.concatenate(
+            [[False], (uid[1:] == uid[:-1]) & (typ[1:] == typ[:-1])]
+        )
+        keep = ~same_key | (gap >= win_us)
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(dtype=np.int64)[keep], pa.int64()),
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "event_type": pa.array(typ[keep].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    )
+
+
+_SQL_EVENT_DEDUP_WINDOWED = """
+SELECT event_id, user_id, event_type
+FROM events
+QUALIFY lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id, event_type ORDER BY ts, event_id) IS NULL
+     OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id, event_type ORDER BY ts, event_id) >= 3600000000
+"""
+
+
 def q_supplier_revenue(sf_dir: str, k: int = 10):
     """Revenue per supplier with nation names (completes the schema:
     supplier was the one input table no query touched). Classic
@@ -2340,6 +2407,7 @@ QUERIES = {
     "supplier_revenue": q_supplier_revenue,
     "segment_revenue_salted": q_segment_revenue_salted,
     "event_gaps": q_event_gaps,
+    "event_dedup_windowed": q_event_dedup_windowed,
     "price_percentiles_sketch": q_price_percentiles_sketch,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
@@ -2378,6 +2446,7 @@ ORACLE_SQL = {
     "supplier_revenue": _SQL_SUPPLIER_REVENUE,
     "segment_revenue_salted": _SQL_SEGMENT_REVENUE,
     "event_gaps": _SQL_EVENT_GAPS,
+    "event_dedup_windowed": _SQL_EVENT_DEDUP_WINDOWED,
     "price_percentiles_sketch": _SQL_PERCENTILES_SKETCH,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
