@@ -278,8 +278,8 @@ WHERE (CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
 def q_corpus_prep_v2(sf_dir: str):
     """The round-3 composed hygiene pipeline — PII scrub → Gopher
     quality gate → corpus-wide exact substring dedup → final token
-    stats, each stage the registered operator itself (``_pii_fn``,
-    ``_gopher_fn``, ``substring_dedup_ds``), not a re-implementation.
+    stats, each stage the registered operator itself (``pii_batch``,
+    ``gopher_batch``, ``substring_dedup_ds``), not a re-implementation.
     Demonstrates the composition property the engine is built around:
     per-row stages FUSE (scrub+gate run inside one ``map_batches``
     chain with no barrier), and only the dedup contributes its two
@@ -292,11 +292,11 @@ def q_corpus_prep_v2(sf_dir: str):
 
     from ..stages.corpus import substring_dedup_ds
     from ..stages.scrub import _docs as scrub_docs
-    from ..stages.scrub import _gopher_fn, _pii_fn
+    from ..stages.scrub import gopher_batch, pii_batch
 
     def scrub_and_gate(batch: pa.Table) -> pa.Table:
-        cleaned = _pii_fn(batch)
-        gate = _gopher_fn(cleaned, text_col="clean_text")
+        cleaned = pii_batch(batch)
+        gate = gopher_batch(cleaned, text_col="clean_text")
         t = pa.table({"doc_id": cleaned["doc_id"], "text": cleaned["clean_text"]})
         return t.filter(pc.equal(gate["keep"], 1))
 
@@ -319,103 +319,60 @@ def q_corpus_prep_v2(sf_dir: str):
     return deduped.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
-_SQL_CORPUS_PREP_V2 = rf"""
-WITH aug AS (
-    SELECT doc_id,
-           text || CASE WHEN doc_id % 3 = 0
-                        THEN printf(' contact u%d@example.com ssn 123-45-%04d phone 555-%04d',
-                                    doc_id, doc_id % 10000, doc_id % 10000)
-                        ELSE '' END AS text
-    FROM documents
-),
-cleaned AS (
-    SELECT doc_id,
-           regexp_replace(
-               regexp_replace(
-                   regexp_replace(text, '{{RE_EMAIL}}', '[EMAIL]', 'g'),
-                   '{{RE_SSN}}', '[SSN]', 'g'),
-               '{{RE_PHONE}}', '[PHONE]', 'g') AS text
-    FROM aug
-),
-gated AS (
-    SELECT doc_id, text,
-           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
-           CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars,
-           {{STOPWORD_SQL}} AS n_stop
-    FROM cleaned
-),
-survivors AS (
-    SELECT doc_id, text FROM gated
-    WHERE n_words BETWEEN {{MIN_WORDS}} AND {{MAX_WORDS}}
-      AND (CASE WHEN n_words > 0 THEN (1000 * n_chars) // n_words ELSE 0 END)
-          BETWEEN {{MIN_MILLI}} AND {{MAX_MILLI}}
-      AND n_stop >= {{MIN_STOP}}
-),
-words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM survivors),
-grams AS (
-    SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
-           array_to_string(w[t.i+1 : t.i+{{KG}}], ' ') AS gram
-    FROM words, LATERAL unnest(range(greatest(len(w) - {{KG}} + 1, 0))) AS t(i)
-),
-ranked AS (
-    SELECT doc_id, pos,
-           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
-           count(*) OVER (PARTITION BY gram) AS cnt
-    FROM grams
-),
-covered AS (
-    SELECT DISTINCT r.doc_id, r.pos + CAST(j.j AS BIGINT) AS widx
-    FROM ranked r, LATERAL unnest(range({{KG}})) AS j(j)
-    WHERE r.cnt >= 2 AND r.rn > 1
-),
-allw AS (
-    SELECT w.doc_id, CAST(t.i AS BIGINT) AS widx, w.w[t.i+1] AS word
-    FROM words w, LATERAL unnest(range(len(w.w))) AS t(i)
-),
-kept AS (
-    SELECT a.* FROM allw a
-    WHERE NOT EXISTS (SELECT 1 FROM covered c
-                      WHERE c.doc_id = a.doc_id AND c.widx = a.widx)
-),
-rebuilt AS (
-    SELECT doc_id, array_to_string(list(word ORDER BY widx), ' ') AS text,
-           count(*) AS kept_words
-    FROM kept GROUP BY doc_id
-)
-SELECT w.doc_id,
-       COALESCE(r.text, '') AS text,
-       CAST(COALESCE(r.kept_words, 0) AS BIGINT) AS n_tokens,
-       CAST(len(w.w) - COALESCE(r.kept_words, 0) AS BIGINT) AS removed_words
-FROM words w LEFT JOIN rebuilt r USING (doc_id)
-"""
-
-
 def _render_prep_v2_sql() -> str:
-    from ..stages.corpus import _KG
+    """Compose the oracle from the SAME constant sources the engine
+    stages use (scrub thresholds/regexes, corpus ``substring_dedup_ctes``
+    — the single maintained copy of the dedup CTE chain), so tuning
+    any stage constant keeps engine and oracle in lockstep."""
+    from ..stages.corpus import substring_dedup_ctes
     from ..stages.scrub import (
         _MAX_MEAN_WLEN_MILLI,
         _MAX_WORDS,
         _MIN_MEAN_WLEN_MILLI,
         _MIN_STOPWORD_HITS,
         _MIN_WORDS,
+        _PII_EVERY,
         _RE_EMAIL,
         _RE_PHONE,
         _RE_SSN,
         _STOPWORD_SQL,
     )
 
-    return (
-        _SQL_CORPUS_PREP_V2.replace("{RE_EMAIL}", _RE_EMAIL)
-        .replace("{RE_SSN}", _RE_SSN)
-        .replace("{RE_PHONE}", _RE_PHONE)
-        .replace("{STOPWORD_SQL}", _STOPWORD_SQL)
-        .replace("{MIN_WORDS}", str(_MIN_WORDS))
-        .replace("{MAX_WORDS}", str(_MAX_WORDS))
-        .replace("{MIN_MILLI}", str(_MIN_MEAN_WLEN_MILLI))
-        .replace("{MAX_MILLI}", str(_MAX_MEAN_WLEN_MILLI))
-        .replace("{MIN_STOP}", str(_MIN_STOPWORD_HITS))
-        .replace("{KG}", str(_KG))
+    survivors = rf"""
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars,
+               {_STOPWORD_SQL} AS n_stop
+        FROM (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '{_RE_EMAIL}', '[EMAIL]', 'g'),
+                           '{_RE_SSN}', '[SSN]', 'g'),
+                       '{_RE_PHONE}', '[PHONE]', 'g') AS text
+            FROM (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % {_PII_EVERY} = 0
+                                    THEN printf(' contact u%d@example.com ssn 123-45-%04d phone 555-%04d',
+                                                doc_id, doc_id % 10000, doc_id % 10000)
+                                    ELSE '' END AS text
+                FROM documents
+            )
+        )
     )
+    WHERE n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+      AND (CASE WHEN n_words > 0 THEN (1000 * n_chars) // n_words ELSE 0 END)
+          BETWEEN {_MIN_MEAN_WLEN_MILLI} AND {_MAX_MEAN_WLEN_MILLI}
+      AND n_stop >= {_MIN_STOPWORD_HITS}
+    """
+    return substring_dedup_ctes(survivors) + """
+SELECT w.doc_id,
+       COALESCE(r.text, '') AS text,
+       CAST(COALESCE(r.kept_words, 0) AS BIGINT) AS n_tokens,
+       CAST(len(w.w) - COALESCE(r.kept_words, 0) AS BIGINT) AS removed_words
+FROM words w LEFT JOIN rebuilt r USING (doc_id)
+"""
 
 
 QUERIES = {

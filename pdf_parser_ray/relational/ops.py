@@ -871,7 +871,11 @@ def q_supplier_revenue(sf_dir: str, k: int = 10):
 
     def resolve(batch: pa.Table) -> pa.Table:
         keys = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.searchsorted(sup_keys, keys)
+        idx = np.clip(np.searchsorted(sup_keys, keys), 0, max(len(sup_keys) - 1, 0))
+        # fail loudly on FK violation rather than resolving a wrong name
+        if len(sup_keys) == 0 or not (sup_keys[idx] == keys).all():
+            missing = keys[sup_keys[idx] != keys] if len(sup_keys) else keys
+            raise ValueError(f"lineitem suppkeys missing from supplier: {missing[:5]}")
         return pa.table(
             {
                 "s_suppkey": batch["s_suppkey"],

@@ -552,7 +552,15 @@ def substring_dedup_ds(ds, n_buckets: int = 64, text_col: str = "text"):
     """The substring-dedup exchange over an arbitrary ``(doc_id,
     text)`` Dataset — reusable by composed pipelines
     (``pipelines/prep.q_corpus_prep_v2`` runs it over the
-    scrubbed+gated corpus)."""
+    scrubbed+gated corpus).
+
+    The input feeds TWO branches (gram rows and the doc side of the
+    reassembly union); Ray Data re-executes an upstream plan once per
+    consumer, so the input is pinned with ``materialize()`` here —
+    one pass of the (possibly expensive) upstream stages instead of
+    two, at the price of holding one corpus copy in the object store
+    (spillable; the same rows travel through two exchanges anyway, so
+    the pin does not change the memory high-water class)."""
     import zlib
 
     if text_col != "text":
@@ -561,6 +569,7 @@ def substring_dedup_ds(ds, n_buckets: int = 64, text_col: str = "text"):
             batch_format="pyarrow",
             batch_size=None,
         )
+    ds = ds.materialize()
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         o_id: list[int] = []
@@ -669,8 +678,14 @@ def substring_dedup_ds(ds, n_buckets: int = 64, text_col: str = "text"):
     return both.groupby("doc_bucket").map_groups(rebuild, batch_format="pandas")
 
 
-_SQL_SUBSTRING_DEDUP = f"""
-WITH words AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM ({_AUG_SQL})),
+def substring_dedup_ctes(source_sql: str) -> str:
+    """The substring-dedup CTE chain rendered over an arbitrary
+    ``(doc_id, text)`` source query — the SINGLE maintained copy of
+    the SQL spec, shared by ``_SQL_SUBSTRING_DEDUP`` and the composed
+    pipeline oracle (``pipelines/prep``). Callers append their own
+    final SELECT over the ``words`` / ``rebuilt`` CTEs."""
+    return rf"""
+WITH words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM ({source_sql})),
 grams AS (
     SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
            array_to_string(w[t.i+1 : t.i+{_KG}], ' ') AS gram
@@ -701,6 +716,10 @@ rebuilt AS (
            count(*) AS kept_words
     FROM kept GROUP BY doc_id
 )
+"""
+
+
+_SQL_SUBSTRING_DEDUP = substring_dedup_ctes(_AUG_SQL) + """
 SELECT w.doc_id,
        COALESCE(r.text, '') AS text,
        CAST(len(w.w) AS BIGINT) AS n_words,

@@ -654,17 +654,23 @@ def ngram_candidate_pairs_df(corpus, threshold: float, n_buckets: int = 32):
     thr_num, thr_den = float(threshold).as_integer_ratio()
 
     def gram_doc_rows(batch: pa.Table) -> pa.Table:
-        out_bucket, out_gram, out_doc = [], [], []
+        out_crc, out_gram, out_doc = [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             grams = _gram_set(text) or {""}  # sentinel: empty docs still pair
             for g in grams:
-                out_bucket.append(zlib.crc32(g.encode()) % n_buckets)
+                out_crc.append(zlib.crc32(g.encode()))
                 out_gram.append(g)
                 out_doc.append(doc_id)
+        crc = np.array(out_crc, dtype=np.int64)
         return pa.table(
             {
-                "gram_bucket": pa.array(out_bucket, pa.int64()),
+                "gram_bucket": pa.array(crc % n_buckets, pa.int64()),
                 "gram": pa.array(out_gram, pa.string()),
+                # hashed ONCE here and carried through both exchanges —
+                # the per-doc prefix sort and the final re-bucketing
+                # reuse it instead of re-running a Python crc loop over
+                # the full gram volume
+                "crc": pa.array(crc, pa.int64()),
                 "doc_id": pa.array(out_doc, pa.int64()),
             }
         )
@@ -680,6 +686,7 @@ def ngram_candidate_pairs_df(corpus, threshold: float, n_buckets: int = 32):
                 "doc_bucket": pa.array(ids % n_buckets, pa.int64()),
                 "doc_id": pa.array(ids, pa.int64()),
                 "gram": pa.array(g["gram"].tolist(), pa.string()),
+                "crc": pa.array(g["crc"].to_numpy(dtype=np.int64), pa.int64()),
                 "df": pa.array(df_col.astype(np.int64), pa.int64()),
             }
         )
@@ -688,7 +695,7 @@ def ngram_candidate_pairs_df(corpus, threshold: float, n_buckets: int = 32):
 
     def prefix_per_doc(g: pd.DataFrame) -> pa.Table:
         grams = np.asarray(g["gram"].tolist(), dtype=object)
-        crc = np.array([zlib.crc32(s.encode()) for s in grams], dtype=np.int64)
+        crc = g["crc"].to_numpy(dtype=np.int64)
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         dfs = g["df"].to_numpy(dtype=np.int64)
         order = np.lexsort((grams, crc, dfs, ids))

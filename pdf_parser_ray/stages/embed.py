@@ -181,9 +181,13 @@ def q_label_centroids(sf_dir: str):
 
     def partials(batch: pa.Table) -> pa.Table:
         labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = np.rint(
-            np.stack(batch["embedding"].to_pylist()).astype(np.float64) * 1e6
-        ).astype(np.int64)
+        raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64) * 1e6
+        # half-AWAY-FROM-ZERO to match DuckDB ROUND: unlike the cosine
+        # scores (where exact .5 micro-boundaries are unreachable),
+        # raw stored float32 components CAN be odd multiples of 2⁻ᵏ
+        # whose ×1e6 lands exactly on .5 — np.rint's banker's rounding
+        # would diverge from the oracle there.
+        vecs = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype(np.int64)
         uniq = np.unique(labels)
         dim = vecs.shape[1]
         out_l, out_d, out_s, out_n = [], [], [], []

@@ -31,24 +31,27 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def docs_to_media_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) rows → synthetic binary media rows — the single
+    copy of the payload/typing rule, shared by
+    :func:`synth_media_corpus` and :func:`q_media_dedup`."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    payloads = [(t or "").encode("utf-8") for t in texts]
+    types = ["image" if i % 3 else "audio" for i in ids]
+    return pa.Table.from_pydict(
+        {"doc_id": ids, "media_type": types, "payload": payloads},
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def synth_media_corpus(sf_dir: str):
     """Deterministic binary payloads derived from each document's text
     (stand-in for real image bytes; built inside map_batches)."""
     from ..io.sources import read_parquet_clean
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def fn(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        payloads = [(t or "").encode("utf-8") for t in texts]
-        types = ["image" if i % 3 else "audio" for i in ids]
-        return pa.Table.from_pydict(
-            {"doc_id": ids, "media_type": types, "payload": payloads},
-            schema=MEDIA_SCHEMA,
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+    return ds.map_batches(docs_to_media_batch, batch_format="pyarrow", batch_size=1024)
 
 
 class MediaDecodeStub:
@@ -185,19 +188,9 @@ def q_media_dedup(sf_dir: str, n_buckets: int = 32):
 
     docs = augmented_corpus(sf_dir)
 
-    def to_media(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        return pa.Table.from_pydict(
-            {
-                "doc_id": ids,
-                "media_type": ["image" if i % 3 else "audio" for i in ids],
-                "payload": [(t or "").encode("utf-8") for t in texts],
-            },
-            schema=MEDIA_SCHEMA,
-        )
-
-    feats = docs.map_batches(to_media, batch_format="pyarrow", batch_size=1024).map_batches(
+    feats = docs.map_batches(
+        docs_to_media_batch, batch_format="pyarrow", batch_size=1024
+    ).map_batches(
         MediaDecodeStub,
         fn_constructor_kwargs={"use_real_codecs": False},
         batch_format="pyarrow",
@@ -237,17 +230,10 @@ def q_media_dedup(sf_dir: str, n_buckets: int = 32):
     )
 
 
-_SQL_MEDIA_DEDUP = """
-WITH aug AS (
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text
-    FROM documents WHERE doc_id % 10 = 0
-    UNION ALL
-    SELECT doc_id + 2000000 AS doc_id,
-           regexp_replace(text, '^\\S+', 'MUTATED') AS text
-    FROM documents WHERE doc_id % 7 = 0
-),
+from .dedup import _AUG_SQL as _DEDUP_AUG_SQL
+
+_SQL_MEDIA_DEDUP = f"""
+WITH aug AS ({_DEDUP_AUG_SQL}),
 h AS (SELECT doc_id, sha256(text) AS sha256 FROM aug)
 SELECT doc_id,
        CASE WHEN doc_id % 3 <> 0 THEN 'image' ELSE 'audio' END AS media_type,

@@ -872,9 +872,13 @@ def q_term_search(sf_dir: str, min_hits: int = 2):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        padded = pc.binary_join_element_wise(
-            " ", pc.utf8_lower(batch["text"]), " ", ""
+        # collapse runs of any whitespace to single spaces before
+        # padding so the " term " membership probe sees exactly the
+        # \S+ tokens both sides of the oracle tokenize on
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]), r"\s+", " "
         )
+        padded = pc.binary_join_element_wise(" ", norm, " ", "")
         hits = np.zeros(batch.num_rows, dtype=np.int64)
         for term in probe:
             hits += pc.match_substring(padded, f" {term} ").to_numpy(
@@ -891,15 +895,15 @@ def q_term_search(sf_dir: str, min_hits: int = 2):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
-_SQL_TERM_SEARCH = """
+_SQL_TERM_SEARCH = r"""
 WITH probe AS (
     SELECT DISTINCT term FROM (
-        SELECT unnest(string_split(lower(text), ' ')[1:3]) AS term
+        SELECT unnest(regexp_extract_all(lower(text), '\S+')[1:3]) AS term
         FROM documents WHERE doc_id = 0
     )
 ),
 doc_terms AS (
-    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS term
     FROM documents
 )
 SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
