@@ -749,6 +749,103 @@ QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
 """
 
 
+def q_customer_spend_quartiles(sf_dir: str, k_tiles: int = 4):
+    """NTILE — the fourth window sibling (rank, prefix-scan, LAG, and
+    now equal-frequency tiling): every ordering customer gets a spend
+    quartile, ordered by (spend DESC, custkey). The global rank that
+    NTILE needs is computed WITHOUT a driver-side sort of the grain:
+    spend totals (already aggregated — distinct custkeys, tiny next to
+    orders) land in VALUE-RANGE buckets (the quantile sketch's integer
+    ``(bit_length, mantissa)`` binning — bucket order IS value order),
+    per-bucket counts prefix-sum on the driver (O(buckets) ints), and
+    each bucket assigns ``offset + local vectorized rank`` — the same
+    ordered-bucket-range pattern as ``epoch_shuffle``. Tile boundaries
+    replicate DuckDB's NTILE exactly (first ``n % k`` tiles take one
+    extra row)."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "cents": _cents(batch["o_totalprice"]).to_numpy(),
+            }
+        )
+        agg = df.groupby("c_custkey", sort=False)["cents"].sum()
+        return pa.table(
+            {
+                "c_custkey": pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+                "spend_cents": pa.array(agg.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        orders.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("c_custkey")
+        .aggregate(Sum("spend_cents", alias_name="spend_cents"))
+    )
+
+    m1 = _QSK_MBITS + 1
+
+    def add_vbucket(batch: pa.Table) -> pa.Table:
+        c = batch["spend_cents"].to_numpy(zero_copy_only=False)
+        if (c <= 0).any():
+            raise ValueError("spend quartiles assume positive totals")
+        bl = np.frexp(c.astype(np.float64))[1].astype(np.int64)
+        sub = c >> np.maximum(bl - m1, 0)
+        return batch.append_column(
+            "vbucket", pa.array(bl * (1 << m1) + sub, pa.int64())
+        )
+
+    # consumed twice (counts pass + assign pass) — pin the tiny
+    # aggregated grain rather than re-running the orders aggregation
+    keyed = totals.map_batches(
+        add_vbucket, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    counts = keyed.groupby("vbucket").count().to_pandas()
+    counts = counts.sort_values("vbucket", ascending=False)  # DESC spend order
+    n_total = int(counts["count()"].sum())
+    offsets = dict(
+        zip(
+            counts["vbucket"].tolist(),
+            np.concatenate([[0], counts["count()"].cumsum().to_numpy()[:-1]]).tolist(),
+        )
+    )
+    base, rem = divmod(n_total, k_tiles)
+
+    def assign(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["spend_cents", "c_custkey"], ascending=[False, True], kind="mergesort")
+        rank = offsets[int(g["vbucket"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        cut = rem * (base + 1)
+        tile = np.where(rank < cut, rank // (base + 1), rem + (rank - cut) // max(base, 1))
+        return pa.table(
+            {
+                "c_custkey": pa.array(g["c_custkey"].to_numpy(dtype=np.int64), pa.int64()),
+                "spend_cents": pa.array(g["spend_cents"].to_numpy(dtype=np.int64), pa.int64()),
+                "quartile": pa.array(tile + 1, pa.int64()),
+            }
+        )
+
+    return keyed.groupby("vbucket").map_groups(assign, batch_format="pandas")
+
+
+_SQL_SPEND_QUARTILES = """
+WITH t AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents
+    FROM orders GROUP BY 1
+)
+SELECT c_custkey, spend_cents,
+       CAST(ntile(4) OVER (ORDER BY spend_cents DESC, c_custkey) AS BIGINT) AS quartile
+FROM t
+"""
+
+
 def q_event_dedup_windowed(sf_dir: str, window_sec: int = 3600, n_buckets: int = 32):
     """Streaming-style windowed dedup: drop an event when the SAME
     (user, event_type) fired within the previous ``window_sec``
@@ -2412,6 +2509,7 @@ QUERIES = {
     "segment_revenue_salted": q_segment_revenue_salted,
     "event_gaps": q_event_gaps,
     "event_dedup_windowed": q_event_dedup_windowed,
+    "customer_spend_quartiles": q_customer_spend_quartiles,
     "price_percentiles_sketch": q_price_percentiles_sketch,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
@@ -2451,6 +2549,7 @@ ORACLE_SQL = {
     "segment_revenue_salted": _SQL_SEGMENT_REVENUE,
     "event_gaps": _SQL_EVENT_GAPS,
     "event_dedup_windowed": _SQL_EVENT_DEDUP_WINDOWED,
+    "customer_spend_quartiles": _SQL_SPEND_QUARTILES,
     "price_percentiles_sketch": _SQL_PERCENTILES_SKETCH,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
