@@ -2164,6 +2164,88 @@ SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
 _HLL_P = 12  # 4096 registers → ~1.6% standard error
 
 
+def _hll_reg_rho(keys: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register, ρ) per key — splitmix64 finalizer + 6-step binary
+    clz, all vectorized uint64 ops. Shared by the global and grouped
+    HLL variants."""
+    h = _splitmix64(keys.astype(np.uint64))
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    v = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    clz = np.zeros(len(v), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = v < (np.uint64(1) << np.uint64(64 - s))
+        clz[mask] += s
+        v[mask] = v[mask] << np.uint64(s)
+    rho = np.minimum(clz + 1, 64 - p + 1)
+    return reg, rho
+
+
+def _hll_estimate(registers: np.ndarray) -> int:
+    """Standard HLL fold with small-range correction over a dense
+    register array."""
+    m = len(registers)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    E = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if E <= 2.5 * m and zeros:
+        E = m * np.log(m / zeros)
+    return int(round(E))
+
+
+def q_type_user_counts_hll(sf_dir: str, p: int = _HLL_P):
+    """GROUPED HyperLogLog — approximate distinct users per event
+    type, the sketch twin of :func:`q_type_user_counts` for when even
+    the composite-key dedup shuffle is too much (distinct URLs per
+    domain at 100 TB). One sketch per group with no extra machinery:
+    batches emit (group, register, ρ) rows for their locally-distinct
+    (group, user) pairs and ``groupby([group, register]).Max`` IS the
+    per-group merge; the driver folds groups × 2^p register rows
+    (bounded by the group cardinality, not the data). Rows-only
+    (approximate); the unit test pins every group's estimate within
+    3σ of the exact grouped distinct."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def registers(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "t": batch["event_type"].to_pylist(),
+                "u": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        reg, rho = _hll_reg_rho(df["u"].to_numpy(dtype=np.int64), p)
+        return pa.table(
+            {
+                "event_type": pa.array(df["t"].tolist(), pa.string()),
+                "register": pa.array(reg, pa.int64()),
+                "rho": pa.array(rho, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    regs = (
+        ds.map_batches(registers, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()  # groups × ≤2^p rows — the sketches, not the data
+    )
+    m = 1 << p
+    out_t, out_n = [], []
+    for t, sub in regs.groupby("event_type", sort=True):
+        M = np.zeros(m, dtype=np.int64)
+        M[sub["register"].to_numpy()] = sub["rho"].to_numpy()
+        out_t.append(t)
+        out_n.append(_hll_estimate(M))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(out_t, dtype="string"),
+            "n_users_approx": pd.Series(out_n, dtype="int64"),
+        }
+    )
+
+
 def q_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
     """HyperLogLog distinct-user estimate — the sketch twin of
     :func:`q_distinct_users` for domains where the exact distinct
@@ -2185,21 +2267,7 @@ def q_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
 
     def registers(batch: pa.Table) -> pa.Table:
         users = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
-        # splitmix64 finalizer — the standard 64-bit mixer, vectorized
-        h = users.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        h = h ^ (h >> np.uint64(31))
-        reg = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
-        # clz via binary search (6 vectorized steps); ρ = min(clz+1, 64-p+1)
-        v = rest.copy()
-        clz = np.zeros(len(v), dtype=np.int64)
-        for s in (32, 16, 8, 4, 2, 1):
-            mask = v < (np.uint64(1) << np.uint64(64 - s))
-            clz[mask] += s
-            v[mask] = v[mask] << np.uint64(s)
-        rho = np.minimum(clz + 1, 64 - p + 1)
+        reg, rho = _hll_reg_rho(users, p)
         return pa.table({"register": pa.array(reg), "rho": pa.array(rho)})
 
     from ray.data.aggregate import Max
@@ -2210,17 +2278,13 @@ def q_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
         .aggregate(Max("rho", alias_name="rho"))
         .to_pandas()
     )
-    M = np.zeros(m, dtype=np.float64)
+    M = np.zeros(m, dtype=np.int64)
     M[regs["register"].to_numpy()] = regs["rho"].to_numpy()
-    # standard HLL estimator with small-range correction
-    alpha = 0.7213 / (1 + 1.079 / m)
-    E = alpha * m * m / np.sum(np.exp2(-M))
-    zeros = int((M == 0).sum())
-    if E <= 2.5 * m and zeros:
-        E = m * np.log(m / zeros)
     import pandas as pd
 
-    return pd.DataFrame({"n_users_approx": pd.Series([int(round(E))], dtype="int64")})
+    return pd.DataFrame(
+        {"n_users_approx": pd.Series([_hll_estimate(M)], dtype="int64")}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2510,6 +2574,7 @@ QUERIES = {
     "event_gaps": q_event_gaps,
     "event_dedup_windowed": q_event_dedup_windowed,
     "customer_spend_quartiles": q_customer_spend_quartiles,
+    "type_user_counts_hll": q_type_user_counts_hll,
     "price_percentiles_sketch": q_price_percentiles_sketch,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,

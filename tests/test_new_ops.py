@@ -328,6 +328,34 @@ class TestBroadcastShuffleCrossover:
         pd.testing.assert_frame_equal(broadcast, bloom)
 
 
+class TestGroupedHll:
+    """Per-group HLL: every event type's estimate must sit within 3σ
+    (σ = 1.04/√m relative) of the exact grouped distinct, and the
+    global sketch must still agree with its own exact twin after the
+    shared-helper refactor."""
+
+    def test_grouped_estimates_within_3_sigma(self, ray_session):
+        import duckdb
+
+        from pdf_parser_ray.relational.ops import _HLL_P, q_type_user_counts_hll
+
+        sf = "/root/testdata/sf0.01"
+        approx = q_type_user_counts_hll(sf).set_index("event_type")["n_users_approx"]
+        exact = (
+            duckdb.sql(
+                f"SELECT event_type, count(DISTINCT user_id) AS n "
+                f"FROM '{sf}/events.parquet' GROUP BY 1"
+            )
+            .df()
+            .set_index("event_type")["n"]
+        )
+        sigma = 1.04 / np.sqrt(1 << _HLL_P)
+        assert set(approx.index) == set(exact.index)
+        for t in exact.index:
+            rel = abs(int(approx[t]) - int(exact[t])) / int(exact[t])
+            assert rel <= 3 * sigma, (t, int(approx[t]), int(exact[t]), rel)
+
+
 class TestMultiFormatIO:
     """read_table_auto / write_table_auto: the same table must survive
     a Parquet → CSV and Parquet → JSONL round trip bit-identically, so
@@ -402,6 +430,44 @@ class TestQuantileSketch:
         )
         bl = np.frexp(vals.astype(np.float64))[1]
         assert bl.tolist() == [int(v).bit_length() for v in vals]
+
+    def test_binning_properties_random(self):
+        """Hypothesis sweep of the sketch's core invariants over
+        arbitrary positive int64 values (up to 2⁴⁸ — beyond any cents
+        domain): exponent == bit_length, the bin lower bound brackets
+        the value within one mantissa step, and (bl, sub) ordering is
+        value-consistent (bins never interleave)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pdf_parser_ray.relational.ops import _QSK_MBITS
+
+        m1 = _QSK_MBITS + 1
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.integers(min_value=1, max_value=(1 << 48) - 1))
+        def check(v):
+            arr = np.array([v], dtype=np.int64)
+            bl = int(np.frexp(arr.astype(np.float64))[1][0])
+            assert bl == v.bit_length()
+            shift = max(bl - m1, 0)
+            sub = v >> shift
+            lb = sub << shift
+            assert lb <= v < lb + (1 << shift)  # one mantissa step wide
+            # relative error of the lower-bound read-off
+            assert (v - lb) / v <= 2.0 ** -_QSK_MBITS + 1e-12
+
+        check()
+
+        # ordering consistency on random pairs: v1 < v2 implies
+        # (bl1, sub1) <= (bl2, sub2)
+        rng = np.random.default_rng(5)
+        v = rng.integers(1, 1 << 40, size=2000).astype(np.int64)
+        bl = np.frexp(v.astype(np.float64))[1].astype(np.int64)
+        sub = v >> np.maximum(bl - m1, 0)
+        order_v = np.argsort(v, kind="stable")
+        keys = list(zip(bl[order_v].tolist(), sub[order_v].tolist()))
+        assert keys == sorted(keys)
 
 
 class TestTermSearch:
