@@ -230,6 +230,93 @@ FROM ex GROUP BY 1, 2
 """
 
 
+def q_label_token_stats(sf_dir: str, n_buckets: int = 16):
+    """Cross-modal join — the one table pair no other query touches:
+    ``documents.text`` statistics aggregated per ``embeddings.label``
+    (the "token budget per semantic cluster" readout a curriculum
+    builder wants). Bucket join on ``doc_id = vec_id`` with BOTH sides
+    reduced before the exchange: the documents side ships
+    ``(doc_id, n_tokens)`` ints (never text), the embeddings side
+    ``(vec_id, label)`` (never vectors); per-bucket merge emits
+    per-label partials and a k-group Sum finishes. At 100 TB neither
+    raw column crosses the wire."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..io.sources import read_parquet_clean
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.cast(
+            pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ids % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(len(ids), dtype=np.int8)),
+                "key": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "label": pa.nulls(len(ids), pa.int64()),
+            }
+        )
+
+    def emb_side(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ids % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(len(ids), dtype=np.int8)),
+                "key": pa.array(ids, pa.int64()),
+                "n_tokens": pa.nulls(len(ids), pa.int64()),
+                "label": pc.cast(batch["label"], pa.int64()),
+            }
+        )
+
+    both = docs.map_batches(doc_side, batch_format="pyarrow", batch_size=None).union(
+        emb.map_batches(emb_side, batch_format="pyarrow", batch_size=None)
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        d = g[g["side"] == 0][["key", "n_tokens"]]
+        e = g[g["side"] == 1][["key", "label"]]
+        j = e.merge(d, on="key", how="inner")
+        agg = j.groupby("label", sort=False).agg(
+            total_tokens=("n_tokens", "sum"), n_docs=("n_tokens", "size")
+        )
+        return pa.table(
+            {
+                "label": pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+                "total_tokens": pa.array(
+                    agg["total_tokens"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "n_docs": pa.array(agg["n_docs"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_bucket = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    return per_bucket.groupby("label").aggregate(
+        Sum("total_tokens", alias_name="total_tokens"), Sum("n_docs", alias_name="n_docs")
+    )
+
+
+_SQL_LABEL_TOKEN_STATS = r"""
+SELECT CAST(e.label AS BIGINT) AS label,
+       CAST(SUM(length(regexp_extract_all(d.text, '\S+'))) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+GROUP BY 1
+"""
+
+
 def q_knn_join(sf_dir: str, k: int = 5):
     """k-NN join: top-k neighbors for each of the first 8 vectors —
     one matmul per batch against the broadcast query matrix, local
@@ -706,6 +793,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_filtered": q_ann_topk_filtered,
     "label_centroids": q_label_centroids,
+    "label_token_stats": q_label_token_stats,
     "knn_join": q_knn_join,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
@@ -718,6 +806,7 @@ ORACLE_SQL = {
     "ann_topk": _SQL_ANN_TOPK,
     "ann_topk_filtered": _SQL_ANN_TOPK_FILTERED,
     "label_centroids": _SQL_LABEL_CENTROIDS,
+    "label_token_stats": _SQL_LABEL_TOKEN_STATS,
     "knn_join": _SQL_KNN_JOIN,
     "embed_near_dup": _SQL_EMBED_NEAR_DUP,
     # embed_near_dup_ivf matches the same exact-pair spec at m_probe=8
