@@ -1295,6 +1295,86 @@ GROUP BY 1, 2
 """
 
 
+def q_hourly_top_user(sf_dir: str, n_buckets: int = 32):
+    """Windowed grouped ARGMAX — the per-window leaderboard (top
+    spender per tumbling hour), composing the hour-bucket window with
+    a per-group top-1: per-batch ``(hour, user)`` partial cent sums →
+    ``groupby([hour, user]).Sum`` (the exchange carries distinct
+    pairs, never events) → per-hour argmax inside a coarse
+    ``hour % B`` bucket, one vectorized ``idxmax`` per partition with
+    the (cents DESC, user ASC) tie-break. The streaming analog is a
+    keyed window + per-window reduce; the batch shape never holds more
+    than a bucket's distinct pairs in one task."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "value", "ts"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(batch["ts"], pa.int64()), 3_600_000_000)
+        df = pd.DataFrame(
+            {
+                "hour_bucket": hour.to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "cents": _cents(batch["value"]).to_numpy(),
+            }
+        )
+        agg = df.groupby(["hour_bucket", "user_id"], sort=False, as_index=False)["cents"].sum()
+        return pa.table(
+            {
+                "hour_bucket": pa.array(agg["hour_bucket"].to_numpy(dtype=np.int64), pa.int64()),
+                "user_id": pa.array(agg["user_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "cents": pa.array(agg["cents"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    pairs = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby(["hour_bucket", "user_id"])
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["hour_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("bucket", pa.array(h % n_buckets, pa.int64()))
+
+    def top_per_hour(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["hour_bucket", "cents", "user_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        first = ~g.duplicated("hour_bucket", keep="first")
+        kept = g[first]
+        return pa.table(
+            {
+                "hour_bucket": pa.array(kept["hour_bucket"].to_numpy(dtype=np.int64), pa.int64()),
+                "user_id": pa.array(kept["user_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "cents": pa.array(kept["cents"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(top_per_hour, batch_format="pandas")
+    )
+
+
+_SQL_HOURLY_TOP_USER = """
+WITH hu AS (
+    SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
+           user_id,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY hour_bucket
+                                 ORDER BY cents DESC, user_id) AS rn
+    FROM hu
+)
+SELECT hour_bucket, user_id, cents FROM r WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Q11 — sessionization via groupby().map_groups (ordered per-key scan)
 # ---------------------------------------------------------------------------
@@ -2575,6 +2655,7 @@ QUERIES = {
     "event_dedup_windowed": q_event_dedup_windowed,
     "customer_spend_quartiles": q_customer_spend_quartiles,
     "type_user_counts_hll": q_type_user_counts_hll,
+    "hourly_top_user": q_hourly_top_user,
     "price_percentiles_sketch": q_price_percentiles_sketch,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
@@ -2615,6 +2696,7 @@ ORACLE_SQL = {
     "event_gaps": _SQL_EVENT_GAPS,
     "event_dedup_windowed": _SQL_EVENT_DEDUP_WINDOWED,
     "customer_spend_quartiles": _SQL_SPEND_QUARTILES,
+    "hourly_top_user": _SQL_HOURLY_TOP_USER,
     "price_percentiles_sketch": _SQL_PERCENTILES_SKETCH,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
