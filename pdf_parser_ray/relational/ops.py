@@ -1002,6 +1002,52 @@ LIMIT 10
 """
 
 
+def q_active_buyers(sf_dir: str, n_buckets: int = 32):
+    """Distributed INTERSECT — the set-operation class (vs the
+    row-preserving joins): customer keys that appear in BOTH orders
+    and events (``events.user_id`` shares the custkey domain). Each
+    side dedupes per batch and ships bare keys tagged with a side BIT;
+    one coarse ``key % B`` groupby; a partition keeps the keys whose
+    OR-of-side-bits is 3 — the same exchange EXCEPT/UNION-distinct
+    fall out of by changing the final mask (== 1 / any). Exchange
+    volume is O(distinct keys × blocks), never rows."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def tag(col: str, bit: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = np.unique(batch[col].to_numpy(zero_copy_only=False)).astype(np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(keys % n_buckets, pa.int64()),
+                    "key": pa.array(keys, pa.int64()),
+                    "side": pa.array(np.full(len(keys), bit, dtype=np.int64), pa.int64()),
+                }
+            )
+
+        return fn
+
+    both = orders.map_batches(tag("o_custkey", 1), batch_format="pyarrow", batch_size=None).union(
+        events.map_batches(tag("user_id", 2), batch_format="pyarrow", batch_size=None)
+    )
+
+    def intersect(g: pd.DataFrame) -> pa.Table:
+        k1 = np.unique(g.loc[g["side"] == 1, "key"].to_numpy(dtype=np.int64))
+        k2 = np.unique(g.loc[g["side"] == 2, "key"].to_numpy(dtype=np.int64))
+        return pa.table({"c_custkey": pa.array(np.intersect1d(k1, k2), pa.int64())})
+
+    return both.groupby("bucket").map_groups(intersect, batch_format="pandas")
+
+
+_SQL_ACTIVE_BUYERS = """
+SELECT o_custkey AS c_custkey FROM orders
+INTERSECT
+SELECT user_id AS c_custkey FROM events
+"""
+
+
 def q_customer_order_profile(sf_dir: str, n_buckets: int = 16):
     """LEFT OUTER join — every customer retained, matchless ones with
     zero counts (the shape the semi/anti twins can't express). The
@@ -2656,6 +2702,7 @@ QUERIES = {
     "customer_spend_quartiles": q_customer_spend_quartiles,
     "type_user_counts_hll": q_type_user_counts_hll,
     "hourly_top_user": q_hourly_top_user,
+    "active_buyers": q_active_buyers,
     "price_percentiles_sketch": q_price_percentiles_sketch,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
@@ -2697,6 +2744,7 @@ ORACLE_SQL = {
     "event_dedup_windowed": _SQL_EVENT_DEDUP_WINDOWED,
     "customer_spend_quartiles": _SQL_SPEND_QUARTILES,
     "hourly_top_user": _SQL_HOURLY_TOP_USER,
+    "active_buyers": _SQL_ACTIVE_BUYERS,
     "price_percentiles_sketch": _SQL_PERCENTILES_SKETCH,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
