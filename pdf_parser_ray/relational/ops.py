@@ -1048,6 +1048,50 @@ SELECT user_id AS c_custkey FROM events
 """
 
 
+def q_silent_buyers(sf_dir: str, n_buckets: int = 32):
+    """Distributed EXCEPT — the promised second mask over the same
+    side-bit key exchange as :func:`q_active_buyers`: ordering
+    customers with NO events (``setdiff`` instead of ``intersect1d``
+    per bucket; this direction is non-empty — every event user also
+    orders, so the reverse difference would be the empty-schema
+    trap)."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def tag(col: str, bit: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = np.unique(batch[col].to_numpy(zero_copy_only=False)).astype(np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(keys % n_buckets, pa.int64()),
+                    "key": pa.array(keys, pa.int64()),
+                    "side": pa.array(np.full(len(keys), bit, dtype=np.int64), pa.int64()),
+                }
+            )
+
+        return fn
+
+    both = orders.map_batches(tag("o_custkey", 1), batch_format="pyarrow", batch_size=None).union(
+        events.map_batches(tag("user_id", 2), batch_format="pyarrow", batch_size=None)
+    )
+
+    def diff(g: pd.DataFrame) -> pa.Table:
+        od = np.unique(g.loc[g["side"] == 1, "key"].to_numpy(dtype=np.int64))
+        ev = np.unique(g.loc[g["side"] == 2, "key"].to_numpy(dtype=np.int64))
+        return pa.table({"c_custkey": pa.array(np.setdiff1d(od, ev), pa.int64())})
+
+    return both.groupby("bucket").map_groups(diff, batch_format="pandas")
+
+
+_SQL_SILENT_BUYERS = """
+SELECT o_custkey AS c_custkey FROM orders
+EXCEPT
+SELECT user_id AS c_custkey FROM events
+"""
+
+
 def q_customer_order_profile(sf_dir: str, n_buckets: int = 16):
     """LEFT OUTER join — every customer retained, matchless ones with
     zero counts (the shape the semi/anti twins can't express). The
@@ -2703,6 +2747,7 @@ QUERIES = {
     "type_user_counts_hll": q_type_user_counts_hll,
     "hourly_top_user": q_hourly_top_user,
     "active_buyers": q_active_buyers,
+    "silent_buyers": q_silent_buyers,
     "price_percentiles_sketch": q_price_percentiles_sketch,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
@@ -2745,6 +2790,7 @@ ORACLE_SQL = {
     "customer_spend_quartiles": _SQL_SPEND_QUARTILES,
     "hourly_top_user": _SQL_HOURLY_TOP_USER,
     "active_buyers": _SQL_ACTIVE_BUYERS,
+    "silent_buyers": _SQL_SILENT_BUYERS,
     "price_percentiles_sketch": _SQL_PERCENTILES_SKETCH,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
