@@ -2168,6 +2168,104 @@ FROM ordered
 """
 
 
+def q_priority_percentiles_sketch(sf_dir: str, n_buckets: int = 8):
+    """GROUPED approximate percentiles — the log-histogram sketch per
+    order priority, with the percentile read-off running entirely ON
+    WORKERS (``groupby(priority)`` over the aggregated bin grain):
+    unlike the global sketch (driver folds one bin table) and the
+    exact grouped percentiles (value-count histogram), nothing here
+    touches the driver at any group count — the shape that holds when
+    "per priority" becomes "per domain" with millions of groups.
+    Exchange: (group, bl, sub) count partials per batch, one
+    ``groupby([group, bl, sub]).Sum``, then the per-group cumsum +
+    read-off over O(bins) rows each. Same pure-integer binning as
+    :func:`q_price_percentiles_sketch`, so the approximate answer is
+    exactly SQL-mirrorable."""
+    import pandas as pd
+
+    m1 = _QSK_MBITS + 1
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        if (c <= 0).any():
+            raise ValueError("log-histogram sketch requires positive values")
+        bl = np.frexp(c.astype(np.float64))[1].astype(np.int64)
+        sub = c >> np.maximum(bl - m1, 0)
+        df = pd.DataFrame(
+            {"pri": batch["o_orderpriority"].to_pylist(), "bl": bl, "sub": sub}
+        )
+        agg = df.groupby(["pri", "bl", "sub"], sort=False).size()
+        idx = agg.index.to_frame(index=False)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(idx["pri"].tolist(), pa.string()),
+                "bl": pa.array(idx["bl"].to_numpy(dtype=np.int64), pa.int64()),
+                "sub": pa.array(idx["sub"].to_numpy(dtype=np.int64), pa.int64()),
+                "cnt": pa.array(agg.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    bins = (
+        ds.map_batches(bin_counts, batch_format="pyarrow", batch_size=None)
+        .groupby(["o_orderpriority", "bl", "sub"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def read_off(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["bl", "sub"], kind="mergesort")
+        cum = g["cnt"].cumsum().to_numpy()
+        total = int(cum[-1])
+        lb = (
+            g["sub"].to_numpy(dtype=np.int64)
+            << np.maximum(g["bl"].to_numpy(dtype=np.int64) - m1, 0)
+        )
+
+        def pick(q: float) -> int:
+            return int(lb[np.searchsorted(cum, int(np.ceil(q * total)))])
+
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([g["o_orderpriority"].iloc[0]], pa.string()),
+                "p50_lb_cents": pa.array([pick(0.5)], pa.int64()),
+                "p90_lb_cents": pa.array([pick(0.9)], pa.int64()),
+                "p99_lb_cents": pa.array([pick(0.99)], pa.int64()),
+            }
+        )
+
+    # few groups here → direct per-group map_groups; at huge group
+    # counts wrap in the coarse `group % B` bucket like the exact twin
+    return bins.groupby("o_orderpriority").map_groups(read_off, batch_format="pandas")
+
+
+_SQL_PRIORITY_PCT_SKETCH = f"""
+WITH v AS (
+    SELECT o_orderpriority, CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders
+),
+b AS (SELECT o_orderpriority, c, length(printf('%b', c)) AS bl FROM v),
+bins AS (
+    SELECT o_orderpriority, bl,
+           c >> greatest(bl - {_QSK_MBITS + 1}, 0) AS sub,
+           count(*) AS cnt
+    FROM b GROUP BY 1, 2, 3
+),
+ordered AS (
+    SELECT o_orderpriority, bl, sub,
+           sub << greatest(bl - {_QSK_MBITS + 1}, 0) AS lb,
+           SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bl, sub) AS cum,
+           SUM(cnt) OVER (PARTITION BY o_orderpriority) AS total
+    FROM bins
+)
+SELECT o_orderpriority,
+  CAST(MIN(CASE WHEN cum >= ceil(0.5  * total) THEN lb END) AS BIGINT) AS p50_lb_cents,
+  CAST(MIN(CASE WHEN cum >= ceil(0.9  * total) THEN lb END) AS BIGINT) AS p90_lb_cents,
+  CAST(MIN(CASE WHEN cum >= ceil(0.99 * total) THEN lb END) AS BIGINT) AS p99_lb_cents
+FROM ordered GROUP BY 1
+"""
+
+
 _SQL_PERCENTILES = """
 SELECT
   CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p50_cents,
@@ -2749,6 +2847,7 @@ QUERIES = {
     "active_buyers": q_active_buyers,
     "silent_buyers": q_silent_buyers,
     "price_percentiles_sketch": q_price_percentiles_sketch,
+    "priority_percentiles_sketch": q_priority_percentiles_sketch,
     "customers_without_orders": q_customers_without_orders,
     "events_by_type": q_events_by_type,
     "hourly_events": q_hourly_events,
@@ -2792,6 +2891,7 @@ ORACLE_SQL = {
     "active_buyers": _SQL_ACTIVE_BUYERS,
     "silent_buyers": _SQL_SILENT_BUYERS,
     "price_percentiles_sketch": _SQL_PERCENTILES_SKETCH,
+    "priority_percentiles_sketch": _SQL_PRIORITY_PCT_SKETCH,
     "customers_without_orders": _SQL_ANTI,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "hourly_events": _SQL_HOURLY,
