@@ -35,7 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    assert len(queries) >= 30
+    # lock the round-3 coverage floor: 90 queries, ≥83 oracled —
+    # a registration regression (lost import, dropped dict entry)
+    # must fail loudly here, not silently shrink the driver surface
+    assert len(queries) >= 90
+    assert len(oracles) >= 83
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
