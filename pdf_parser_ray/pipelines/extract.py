@@ -30,25 +30,61 @@ import os as _os
 
 _BLOCKS_PER_CPU = int(_os.environ.get("GRAFT_BLOCKS_PER_CPU", "2"))
 
-# Per-worker-process cache for the fused-read path: one decode of the
-# (single-row-group) sandbox corpus per worker, then every task slices
-# zero-copy. A production corpus has thousands of fragments and each
-# task reads only its own — this cache only exists because the sandbox
-# corpus is ONE file with ONE row group.
-_TABLE_CACHE: dict = {}
+# Per-worker-process row-group cache for the fused-read path. A task
+# asking for rows [lo, hi) decodes ONLY the row groups that cover that
+# range (pq.ParquetFile.read_row_group) and caches them per group, so
+# worker memory is O(row groups this worker's tasks touched), never
+# O(whole file) — unless the file IS one row group, where this
+# degenerates to exactly the old one-decode-per-worker behavior. A
+# production corpus has thousands of Lance fragments and each task
+# reads only its own; the row-group grain is the parquet analog.
+_RG_CACHE: dict = {}
 
 
-def _cached_documents(path: str):
+def _rg_starts(meta) -> "list[int]":
+    """Cumulative row offsets of each row group: starts[g] is the
+    absolute row index where group ``g`` begins; starts[-1] == n_rows."""
+    starts = [0]
+    for g in range(meta.num_row_groups):
+        starts.append(starts[-1] + meta.row_group(g).num_rows)
+    return starts
+
+
+def _covering_groups(starts: "list[int]", lo: int, hi: int) -> "tuple[int, int]":
+    """Half-open row-group range [g0, g1) covering rows [lo, hi)."""
+    import bisect
+
+    g0 = bisect.bisect_right(starts, lo) - 1
+    g1 = bisect.bisect_left(starts, hi)
+    return g0, g1
+
+
+def _documents_slice(path: str, lo: int, hi: int) -> pa.Table:
+    """Rows [lo, hi) of the corpus file, decoding only covering row
+    groups (cached per worker per group)."""
     import os
 
     import pyarrow.parquet as pq
 
     key = (path, os.path.getmtime(path))
-    t = _TABLE_CACHE.get(key)
-    if t is None:
-        _TABLE_CACHE.clear()
-        _TABLE_CACHE[key] = t = pq.read_table(path, columns=["doc_id", "text"])
-    return t
+    ent = _RG_CACHE.get(key)
+    if ent is None:
+        _RG_CACHE.clear()
+        pf = pq.ParquetFile(path)
+        ent = {"pf": pf, "starts": _rg_starts(pf.metadata), "groups": {}}
+        _RG_CACHE[key] = ent
+    starts = ent["starts"]
+    g0, g1 = _covering_groups(starts, lo, hi)
+    parts = []
+    for g in range(g0, g1):
+        t = ent["groups"].get(g)
+        if t is None:
+            ent["groups"][g] = t = ent["pf"].read_row_group(
+                g, columns=["doc_id", "text"]
+            )
+        parts.append(t)
+    tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+    return tbl.slice(lo - starts[g0], hi - lo)
 
 
 def corpus_from_documents(
@@ -137,44 +173,101 @@ def extract_pipeline(
     return ds.map_batches(extractor, **kwargs)
 
 
-def _fixture_path() -> str:
+def _fixtures_dir() -> str:
     import os
 
     return os.path.abspath(
-        os.path.join(
-            os.path.dirname(__file__), "..", "..", "tests", "fixtures",
-            "extract_spans_sf0.01.parquet",
-        )
+        os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures")
     )
+
+
+def fixture_manifest() -> dict:
+    """Committed extract-fixture manifest: sf tag → {fixture file,
+    corpus signature (n_docs, sum_len_text)}. Written by
+    tools/freeze_extract_fixture.py alongside each frozen fixture."""
+    import json
+    import os
+
+    p = os.path.join(_fixtures_dir(), "extract_fixtures.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def corpus_signature(documents_path: str) -> "tuple[int, int]":
+    """(n_docs, sum_len_text) of a documents.parquet — the signature
+    that keys fixture selection. sum(length(text)) distinguishes sfs
+    whose row counts coincide (sf0.001 and sf0.01 are both 500 docs)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(documents_path, columns=["text"])
+    total = pc.sum(pc.utf8_length(pc.coalesce(t["text"], ""))).as_py() or 0
+    return t.num_rows, int(total)
+
+
+def fixture_tag_for(sf_dir: str) -> "str | None":
+    """The manifest tag whose frozen corpus signature matches
+    ``sf_dir``'s documents table, or None (no committed fixture)."""
+    n, s = corpus_signature(f"{sf_dir}/documents.parquet")
+    for tag, m in fixture_manifest().items():
+        if m["n_docs"] == n and m["sum_len_text"] == s:
+            return tag
+    return None
+
+
+def _guarded_fixture_sql(cols: str) -> str:
+    """Self-gating fixture oracle: UNION ALL over every committed
+    fixture, each branch guarded by the LIVE ``documents`` view's
+    corpus signature, so whichever sf the consumer registered selects
+    exactly its own fixture. A corpus matching no committed signature
+    yields ZERO rows — a loud red row, never a silent comparison
+    against the wrong corpus (ADVICE r3, medium). Signature
+    uniqueness across tags is asserted at freeze time."""
+    import os
+
+    branches = []
+    for tag, m in sorted(fixture_manifest().items()):
+        path = os.path.join(_fixtures_dir(), m["fixture"])
+        if not os.path.exists(path):
+            continue
+        guard = (
+            f"(SELECT COUNT(*) FROM documents) = {m['n_docs']} AND "
+            f"(SELECT COALESCE(SUM(LENGTH(text)), 0) FROM documents)"
+            f" = {m['sum_len_text']}"
+        )
+        branches.append(f"SELECT {cols} FROM read_parquet('{path}') WHERE {guard}")
+    return " UNION ALL ".join(branches)
 
 
 # Oracles for the flagship extraction family. The pipeline is pure
 # geometry — not SQL-expressible from the base tables — so the oracle
-# is a frozen output fixture at the driver's correctness sf (0.01),
-# produced by tools/freeze_extract_fixture.py. Semantic correctness is
-# pinned independently by the 40-doc golden (strict span-sequence
-# equality, tests/test_document.py) and the hypothesis equivalence
-# suites; the fixture extends that pin to the full graded corpus, so
-# any kernel drift turns the CORRECTNESS row red instead of passing
-# silently as rows-only. Regenerate ONLY after re-validating the
-# golden. NOTE: valid at sf0.01 only (the correctness sf) — the
-# corpus derives from documents.parquet text, which differs per sf.
-ORACLE_SQL = {
-    "extract_spans": (
-        'SELECT doc_id, kind, text, media_ref, "offset" '
-        f"FROM read_parquet('{_fixture_path()}')"
-    ),
-    # the staged (actor-pool) path is row-for-row equal to the fused
-    # flagship (pinned by TestEntry.test_fused_equals_two_stage)
-    "extract_spans_staged": (
-        'SELECT doc_id, kind, text, media_ref, "offset" '
-        f"FROM read_parquet('{_fixture_path()}')"
-    ),
-    "extract_kind_stats": (
-        "SELECT kind, COUNT(*) AS n_spans "
-        f"FROM read_parquet('{_fixture_path()}') GROUP BY kind"
-    ),
-}
+# is a frozen output fixture per sf, produced by
+# tools/freeze_extract_fixture.py and selected at query time by the
+# live corpus signature (see _guarded_fixture_sql). Semantic
+# correctness is pinned independently by the 40-doc golden (strict
+# span-sequence equality, tests/test_document.py) and the hypothesis
+# equivalence suites; the fixtures extend that pin to the full graded
+# corpus, so any kernel drift turns the CORRECTNESS row red instead of
+# passing silently as rows-only. Regenerate ONLY after re-validating
+# the golden.
+_FIXTURE_COLS = 'doc_id, kind, text, media_ref, "offset"'
+ORACLE_SQL = (
+    {
+        "extract_spans": _guarded_fixture_sql(_FIXTURE_COLS),
+        # the staged (actor-pool) path is row-for-row equal to the fused
+        # flagship (pinned by TestEntry.test_fused_equals_two_stage)
+        "extract_spans_staged": _guarded_fixture_sql(_FIXTURE_COLS),
+        "extract_kind_stats": (
+            "SELECT kind, COUNT(*) AS n_spans FROM ("
+            + _guarded_fixture_sql(_FIXTURE_COLS)
+            + ") GROUP BY kind"
+        ),
+    }
+    if fixture_manifest()
+    else {}
+)
 
 
 def extract_kind_stats(sf_dir: str):
@@ -596,8 +689,7 @@ def flagship(
                 out = []
                 for i in batch["slice_id"].to_pylist():
                     lo, hi = int(bounds[i]), int(bounds[i + 1])
-                    part = _cached_documents(path).slice(lo, hi - lo)
-                    out.append(synth(part))
+                    out.append(synth(_documents_slice(path, lo, hi)))
                 return pa.concat_tables(out)
 
             n_slices = len(bounds) - 1

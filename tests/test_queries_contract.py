@@ -81,6 +81,57 @@ def test_flagship_matches_frozen_fixture():
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
 
 
+def test_guarded_fixture_oracle_selects_per_sf(tmp_path):
+    """The extract oracle is one self-gating SQL string: whichever sf's
+    ``documents`` view is registered, the guarded UNION selects exactly
+    that sf's committed fixture; an unknown corpus matches no branch
+    (zero rows — loud, never a silent wrong-corpus compare). ADVICE r3
+    medium."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.extract import (
+        ORACLE_SQL,
+        fixture_manifest,
+        fixture_tag_for,
+    )
+
+    manifest = fixture_manifest()
+    assert set(manifest) >= {"sf0.001", "sf0.01", "sf0.1"}
+    # signatures are unique — the guard of one sf can never match another
+    sigs = [(m["n_docs"], m["sum_len_text"]) for m in manifest.values()]
+    assert len(set(sigs)) == len(sigs)
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    for tag in ("sf0.001", "sf0.01"):
+        sf_dir = f"/root/testdata/{tag}"
+        assert fixture_tag_for(sf_dir) == tag
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        n = con.sql(ORACLE_SQL["extract_spans"]).df().shape[0]
+        want = pq.ParquetFile(
+            os.path.join(fixdir, manifest[tag]["fixture"])
+        ).metadata.num_rows
+        assert n == want
+        con.close()
+
+    # unknown corpus: no manifest tag, no branch fires
+    unknown = pa.table({"doc_id": [1, 2], "text": ["a", "bb"]})
+    pq.write_table(unknown, str(tmp_path / "documents.parquet"))
+    assert fixture_tag_for(str(tmp_path)) is None
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    assert con.sql(ORACLE_SQL["extract_spans"]).df().shape[0] == 0
+    con.close()
+
+
 def test_skew_aware_flagship_equality():
     """The default flagship routes giant docs through the page-sharded
     path (is_giant_doc probe); output must be bit-identical to the

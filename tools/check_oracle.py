@@ -54,32 +54,25 @@ def main():
 
     rd.DataContext.get_current().enable_progress_bars = False
 
-    sys.path.insert(0, "/root/repo")
+    import os
+
+    sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
     import __ray_entry__ as entrymod
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    # The extraction-family oracles read a frozen fixture pinned at the
-    # driver's correctness sf (0.01). When checking another sf locally,
-    # substitute that sf's committed fixture so the check stays
-    # meaningful (the driver itself only ever runs sf0.01).
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]  # e.g. "sf0.001"
-    if sf_tag != "sf0.01":
-        import os
+    # The extraction-family oracles are self-gating (a guarded UNION
+    # over the committed per-sf fixtures — pipelines/extract). When the
+    # chosen sf matches NO committed fixture, the guards would return
+    # zero rows; drop those entries to rows-only instead of recording
+    # a false failure.
+    from pdf_parser_ray.pipelines.extract import ORACLE_SQL as _EXTRACT_ORACLES
+    from pdf_parser_ray.pipelines.extract import fixture_tag_for
 
-        alt = os.path.join(
-            "/root/repo/tests/fixtures", f"extract_spans_{sf_tag}.parquet"
-        )
-        for name, sql in list(oracles.items()):
-            if "extract_spans_sf0.01.parquet" in sql:
-                if os.path.exists(alt):
-                    oracles[name] = sql.replace(
-                        "tests/fixtures/extract_spans_sf0.01.parquet",
-                        f"tests/fixtures/extract_spans_{sf_tag}.parquet",
-                    )
-                else:
-                    del oracles[name]  # no fixture for this sf → rows-only
+    if _EXTRACT_ORACLES and fixture_tag_for(sf_dir) is None:
+        for name in _EXTRACT_ORACLES:
+            oracles.pop(name, None)  # no fixture for this sf → rows-only
 
     con = duckdb.connect()
     for t in TABLES:
