@@ -16,19 +16,60 @@ def broadcast_build_fits(
     parquet_path: str,
     bytes_per_key: int = 8,
     budget_bytes: int = BROADCAST_BUDGET_BYTES,
+    distinct_ratio: float = 1.0,
 ) -> bool:
     """Measured broadcast-vs-shuffle crossover for a join build side.
 
     Reads ONLY the parquet footer (row count — no data pages touched),
-    upper-bounds the broadcast key set as ``rows × bytes_per_key``, and
-    returns whether it fits the heap budget. Callers use this to pick
-    the broadcast shape (key set rides to every task; no second
-    shuffle) while it is safe and the bucket-shuffle twin beyond —
-    one measured rule instead of shipping the choice as two queries."""
+    upper-bounds the broadcast key set as ``rows × distinct_ratio ×
+    bytes_per_key``, and returns whether it fits the heap budget.
+    Callers use this to pick the broadcast shape (key set rides to
+    every task; no second shuffle) while it is safe and the
+    bucket-shuffle twin beyond — one measured rule instead of shipping
+    the choice as two queries.
+
+    The default ``distinct_ratio=1.0`` deliberately OVER-estimates:
+    what actually broadcasts is the DISTINCT key set (orders →
+    distinct custkeys is often ~10× smaller), so the probe may switch
+    to the shuffle twin well before the broadcast truly stops fitting.
+    That direction is safe (never OOMs a worker; the shuffle twin is
+    merely slower) and correctness is unaffected — both twins share
+    one oracle. A caller with domain knowledge (column statistics, a
+    known fan-out like orders-per-customer) passes ``distinct_ratio <
+    1`` to tighten the bound."""
     import pyarrow.parquet as pq
 
     n_rows = pq.ParquetFile(parquet_path).metadata.num_rows
-    return n_rows * bytes_per_key <= budget_bytes
+    return n_rows * distinct_ratio * bytes_per_key <= budget_bytes
+
+
+# Budget for pinning a Dataset in the object store (materialize()) so
+# two consumers share one upstream pass. The pin is spillable, but past
+# this size recomputing the upstream for the second consumer is cheaper
+# than the spill-and-reload churn of holding a corpus copy.
+PIN_BUDGET_BYTES = 1 << 30
+
+
+def parquet_uncompressed_bytes(parquet_path: str) -> int:
+    """Footer-only estimate of a parquet file's in-memory (Arrow)
+    footprint: sum of per-row-group UNcompressed byte sizes. No data
+    pages touched — the same discipline as broadcast_build_fits."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(parquet_path).metadata
+    return sum(meta.row_group(g).total_byte_size for g in range(meta.num_row_groups))
+
+
+def pin_fits(
+    input_bytes_hint: "int | None",
+    budget_bytes: int = PIN_BUDGET_BYTES,
+) -> bool:
+    """Whether a two-consumer input pin (materialize) fits the budget.
+    ``None`` (no estimate available) pins — the sandbox default, where
+    corpora are far below budget; callers with footer metadata pass an
+    estimate so a 100-TB corpus degrades to recompute-upstream instead
+    of pinning itself into the object store."""
+    return input_bytes_hint is None or input_bytes_hint <= budget_bytes
 
 
 def hash_bucket(value, n_buckets: int) -> int:

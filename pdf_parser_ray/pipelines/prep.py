@@ -303,7 +303,14 @@ def q_corpus_prep_v2(sf_dir: str):
     survivors = scrub_docs(sf_dir).map_batches(
         scrub_and_gate, batch_format="pyarrow", batch_size=None
     )
-    deduped = substring_dedup_ds(survivors)
+    # scrub+gate only shrinks the corpus, so the source file's footer
+    # estimate upper-bounds the pin (core.util.pin_fits gate).
+    from ..core.util import parquet_uncompressed_bytes
+
+    deduped = substring_dedup_ds(
+        survivors,
+        input_bytes_hint=parquet_uncompressed_bytes(f"{sf_dir}/documents.parquet"),
+    )
 
     def finalize(batch: pa.Table) -> pa.Table:
         n_tok = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())

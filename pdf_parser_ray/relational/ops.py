@@ -576,15 +576,22 @@ def q_top_revenue_orders(
     segment: str = "BUILDING",
     k: int = 10,
     n_buckets: int = 16,
+    budget_bytes: int | None = None,
 ):
     """TPC-H Q3 shape — the suite's three-table join chain:
     ``customer(segment) ⊳ orders(< cutoff) ⋈ lineitem(> cutoff,
     pre-aggregated)`` → top-k orders by exact revenue.
 
-    Scale shape, stage by stage: the segment's customer KEYS come from
-    a row-group-filtered dimension read and broadcast into the orders
-    scan (customer is the small side; were it not, the semi join's
-    bucket/Bloom twins apply unchanged). Lineitem — the 100-TB fact
+    Scale shape, stage by stage: the customer⊳orders semi join is
+    sized like every other build side
+    (:func:`~..core.util.broadcast_build_fits` on the customer
+    footer): within budget the segment's customer KEYS come from a
+    row-group-filtered dimension read and broadcast into the orders
+    scan; beyond it the keys and orders meet in an extra ``custkey %
+    B`` bucket exchange (same semi-join shape as
+    ``q_customers_with_orders``'s shuffle twin; both shapes share this
+    query's oracle and the switch is exercised both ways in
+    ``TestBroadcastShuffleCrossover``). Lineitem — the 100-TB fact
     side — never joins raw: each batch pre-sums exact revenue
     (cents × (100−disc), the ``cents2`` convention) per orderkey, so
     the orderkey exchange carries O(distinct keys × blocks) partials.
@@ -595,32 +602,102 @@ def q_top_revenue_orders(
     import pandas as pd
     import pyarrow.parquet as pq
 
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
+
     cut = np.datetime64(cutoff)
-
-    ck_tbl = pq.read_table(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"],
-        filters=[("c_mktsegment", "=", segment)],
-    )
-    key_arr = np.sort(ck_tbl["c_custkey"].to_numpy(zero_copy_only=False))
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def order_side(batch: pa.Table) -> pa.Table:
-        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
-        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.clip(np.searchsorted(key_arr, ck), 0, max(len(key_arr) - 1, 0))
-        in_seg = key_arr[idx] == ck if len(key_arr) else np.zeros(len(ck), bool)
-        t = batch.filter(pa.array(in_seg & (od < cut)))
-        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(ok % n_buckets, pa.int64()),
-                "side": pa.array(np.ones(len(ok), dtype=np.int8)),
-                "key": pa.array(ok, pa.int64()),
-                "rev": pa.nulls(len(ok), pa.int64()),
-                "o_orderdate": t["o_orderdate"],
-            }
+    if broadcast_build_fits(
+        f"{sf_dir}/customer.parquet",
+        budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES,
+    ):
+        ck_tbl = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+            filters=[("c_mktsegment", "=", segment)],
+        )
+        key_arr = np.sort(ck_tbl["c_custkey"].to_numpy(zero_copy_only=False))
+
+        def order_side(batch: pa.Table) -> pa.Table:
+            od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(key_arr, ck), 0, max(len(key_arr) - 1, 0))
+            in_seg = key_arr[idx] == ck if len(key_arr) else np.zeros(len(ck), bool)
+            t = batch.filter(pa.array(in_seg & (od < cut)))
+            ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(ok % n_buckets, pa.int64()),
+                    "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+                    "key": pa.array(ok, pa.int64()),
+                    "rev": pa.nulls(len(ok), pa.int64()),
+                    "o_orderdate": t["o_orderdate"],
+                }
+            )
+
+        seg_orders = orders.map_batches(
+            order_side, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        # Shuffle twin for the semi join: orders (date-filtered) and
+        # segment customer keys exchange once on custkey; a partition
+        # keeps its orders whose custkey appears on the customer side,
+        # re-tagged to the orderkey grain for the downstream join.
+        customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+        def tag_order(batch: pa.Table) -> pa.Table:
+            od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            t = batch.filter(pa.array(od < cut))
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "cbucket": pa.array(ck % n_buckets, pa.int64()),
+                    "cside": pa.array(np.zeros(len(ck), dtype=np.int8)),
+                    "ckey": pa.array(ck, pa.int64()),
+                    "o_orderkey": pa.array(
+                        t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "o_orderdate": t["o_orderdate"],
+                }
+            )
+
+        def tag_cust(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.equal(batch["c_mktsegment"], segment))
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "cbucket": pa.array(ck % n_buckets, pa.int64()),
+                    "cside": pa.array(np.ones(len(ck), dtype=np.int8)),
+                    "ckey": pa.array(ck, pa.int64()),
+                    "o_orderkey": pa.nulls(len(ck), pa.int64()),
+                    "o_orderdate": pa.nulls(len(ck), pa.timestamp("us")),
+                }
+            )
+
+        both_c = orders.map_batches(
+            tag_order, batch_format="pyarrow", batch_size=None
+        ).union(customer.map_batches(tag_cust, batch_format="pyarrow", batch_size=None))
+
+        def semi_bucket(g: pd.DataFrame) -> pa.Table:
+            seg_keys = g.loc[g["cside"] == 1, "ckey"].to_numpy(dtype=np.int64)
+            ords = g[g["cside"] == 0]
+            kept = ords[ords["ckey"].isin(seg_keys).to_numpy()]
+            ok = kept["o_orderkey"].to_numpy(dtype=np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(ok % n_buckets, pa.int64()),
+                    "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+                    "key": pa.array(ok, pa.int64()),
+                    "rev": pa.nulls(len(ok), pa.int64()),
+                    "o_orderdate": pa.array(kept["o_orderdate"], pa.timestamp("us")),
+                }
+            )
+
+        seg_orders = both_c.groupby("cbucket").map_groups(
+            semi_bucket, batch_format="pandas"
         )
 
     lineitem = _read(
@@ -650,7 +727,7 @@ def q_top_revenue_orders(
             }
         )
 
-    both = orders.map_batches(order_side, batch_format="pyarrow", batch_size=None).union(
+    both = seg_orders.union(
         lineitem.map_batches(li_partials, batch_format="pyarrow", batch_size=None)
     )
 
@@ -913,31 +990,41 @@ QUALIFY lag(epoch_us(ts)) OVER
 """
 
 
-def q_supplier_revenue(sf_dir: str, k: int = 10):
+def q_supplier_revenue(
+    sf_dir: str, k: int = 10, budget_bytes: int | None = None, n_buckets: int = 16
+):
     """Revenue per supplier with nation names (completes the schema:
     supplier was the one input table no query touched). Classic
     fact-into-dimension shape: lineitem pre-sums exact revenue per
     suppkey inside each batch, one tiny ``groupby(s_suppkey)`` merges
-    the partials, and the supplier/nation dimension rows — read once,
-    row-group-pruned columns only — resolve names in a vectorized
-    searchsorted lookup on the already-aggregated grain. Top-k by
-    revenue with suppkey tie-break."""
+    the partials, and the supplier/nation dimension rows resolve names
+    on the already-aggregated grain. Top-k by revenue with suppkey
+    tie-break.
+
+    Name resolution is sized like every other build side
+    (:func:`~..core.util.broadcast_build_fits` on the supplier footer
+    — supplier GROWS with sf, unlike nation/region which are spec-
+    bounded at 25/5 rows and always ride the closure): within budget
+    the (s_name, n_name) arrays broadcast and resolve via vectorized
+    searchsorted; beyond it the dim rows join the totals in one extra
+    ``suppkey % B`` bucket exchange on the aggregated grain. Both
+    shapes share one oracle; the switch is exercised both ways in
+    ``TestBroadcastShuffleCrossover``."""
     import pandas as pd
     import pyarrow.parquet as pq
 
-    sup = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
+
+    # ~(8B key + two short names) per supplier row
+    fits = broadcast_build_fits(
+        f"{sf_dir}/supplier.parquet",
+        bytes_per_key=64,
+        budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES,
     )
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    sup_keys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(sup_keys)
-    sup_keys = sup_keys[order]
-    sup_names = np.asarray(sup["s_name"].to_pylist(), dtype=object)[order]
-    nk = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
     n_map = dict(
         zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
     )
-    nat_names = np.asarray([n_map[int(x)] for x in nk], dtype=object)
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
 
@@ -966,23 +1053,100 @@ def q_supplier_revenue(sf_dir: str, k: int = 10):
         .aggregate(Sum("revenue_cents2", alias_name="revenue_cents2"))
     )
 
-    def resolve(batch: pa.Table) -> pa.Table:
-        keys = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.clip(np.searchsorted(sup_keys, keys), 0, max(len(sup_keys) - 1, 0))
-        # fail loudly on FK violation rather than resolving a wrong name
-        if len(sup_keys) == 0 or not (sup_keys[idx] == keys).all():
-            missing = keys[sup_keys[idx] != keys] if len(sup_keys) else keys
-            raise ValueError(f"lineitem suppkeys missing from supplier: {missing[:5]}")
-        return pa.table(
-            {
-                "s_suppkey": batch["s_suppkey"],
-                "s_name": pa.array(sup_names[idx].tolist(), pa.string()),
-                "n_name": pa.array(nat_names[idx].tolist(), pa.string()),
-                "revenue_cents2": batch["revenue_cents2"],
-            }
+    if fits:
+        sup = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+        )
+        sup_keys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sup_keys)
+        sup_keys = sup_keys[order]
+        sup_names = np.asarray(sup["s_name"].to_pylist(), dtype=object)[order]
+        nk = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        nat_names = np.asarray([n_map[int(x)] for x in nk], dtype=object)
+
+        def resolve(batch: pa.Table) -> pa.Table:
+            keys = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.clip(np.searchsorted(sup_keys, keys), 0, max(len(sup_keys) - 1, 0))
+            # fail loudly on FK violation rather than resolving a wrong name
+            if len(sup_keys) == 0 or not (sup_keys[idx] == keys).all():
+                missing = keys[sup_keys[idx] != keys] if len(sup_keys) else keys
+                raise ValueError(
+                    f"lineitem suppkeys missing from supplier: {missing[:5]}"
+                )
+            return pa.table(
+                {
+                    "s_suppkey": batch["s_suppkey"],
+                    "s_name": pa.array(sup_names[idx].tolist(), pa.string()),
+                    "n_name": pa.array(nat_names[idx].tolist(), pa.string()),
+                    "revenue_cents2": batch["revenue_cents2"],
+                }
+            )
+
+        resolved = totals.map_batches(resolve, batch_format="pyarrow", batch_size=None)
+    else:
+        # Shuffle twin: dim rows (nation resolved via the 25-row map)
+        # and totals meet in a suppkey-bucket exchange — O(suppliers +
+        # distinct suppkeys) rows, both already at aggregated grain.
+        import ray.data as rd
+
+        sup_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+
+        def tag_dim(batch: pa.Table) -> pa.Table:
+            keys = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nk = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array(keys % n_buckets, pa.int64()),
+                    "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+                    "s_suppkey": pa.array(keys, pa.int64()),
+                    "s_name": batch["s_name"],
+                    "n_name": pa.array(
+                        [n_map[int(x)] for x in nk], pa.string()
+                    ),
+                    "revenue_cents2": pa.nulls(len(keys), pa.int64()),
+                }
+            )
+
+        def tag_tot(batch: pa.Table) -> pa.Table:
+            keys = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(keys % n_buckets, pa.int64()),
+                    "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                    "s_suppkey": pa.array(keys, pa.int64()),
+                    "s_name": pa.nulls(len(keys), pa.string()),
+                    "n_name": pa.nulls(len(keys), pa.string()),
+                    "revenue_cents2": batch["revenue_cents2"],
+                }
+            )
+
+        both = sup_ds.map_batches(tag_dim, batch_format="pyarrow", batch_size=None).union(
+            totals.map_batches(tag_tot, batch_format="pyarrow", batch_size=None)
         )
 
-    resolved = totals.map_batches(resolve, batch_format="pyarrow", batch_size=None)
+        def join_bucket(g: pd.DataFrame) -> pa.Table:
+            dim = g[g["side"] == 1][["s_suppkey", "s_name", "n_name"]]
+            tot = g[g["side"] == 0][["s_suppkey", "revenue_cents2"]]
+            merged = tot.merge(dim, how="left", on="s_suppkey")
+            if merged["s_name"].isna().any():
+                missing = merged.loc[merged["s_name"].isna(), "s_suppkey"]
+                raise ValueError(
+                    f"lineitem suppkeys missing from supplier: {missing.head().tolist()}"
+                )
+            return pa.table(
+                {
+                    "s_suppkey": pa.array(
+                        merged["s_suppkey"].to_numpy(dtype=np.int64), pa.int64()
+                    ),
+                    "s_name": pa.array(merged["s_name"].tolist(), pa.string()),
+                    "n_name": pa.array(merged["n_name"].tolist(), pa.string()),
+                    "revenue_cents2": pa.array(
+                        merged["revenue_cents2"].to_numpy(dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        resolved = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
     return resolved.sort(["revenue_cents2", "s_suppkey"], descending=[True, False]).limit(k)
 
 

@@ -545,10 +545,24 @@ def q_substring_dedup(sf_dir: str, n_buckets: int = 64):
     and union with the docs; each doc expands its flagged intervals
     with one numpy broadcast and rebuilds the surviving text.
     Per-task memory O(corpus/B); nothing lands on the driver."""
-    return substring_dedup_ds(augmented_corpus(sf_dir), n_buckets=n_buckets)
+    from ..core.util import parquet_uncompressed_bytes
+
+    # Footer-only pin sizing: the augmented corpus is the source file
+    # plus an exact copy every 10th doc and a near copy every 7th
+    # (~1.25×); 2× upper-bounds it without touching data pages.
+    hint = 2 * parquet_uncompressed_bytes(f"{sf_dir}/documents.parquet")
+    return substring_dedup_ds(
+        augmented_corpus(sf_dir), n_buckets=n_buckets, input_bytes_hint=hint
+    )
 
 
-def substring_dedup_ds(ds, n_buckets: int = 64, text_col: str = "text"):
+def substring_dedup_ds(
+    ds,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    input_bytes_hint: "int | None" = None,
+    pin_budget_bytes: "int | None" = None,
+):
     """The substring-dedup exchange over an arbitrary ``(doc_id,
     text)`` Dataset — reusable by composed pipelines
     (``pipelines/prep.q_corpus_prep_v2`` runs it over the
@@ -556,12 +570,19 @@ def substring_dedup_ds(ds, n_buckets: int = 64, text_col: str = "text"):
 
     The input feeds TWO branches (gram rows and the doc side of the
     reassembly union); Ray Data re-executes an upstream plan once per
-    consumer, so the input is pinned with ``materialize()`` here —
+    consumer, so the input is pinned with ``materialize()`` —
     one pass of the (possibly expensive) upstream stages instead of
-    two, at the price of holding one corpus copy in the object store
-    (spillable; the same rows travel through two exchanges anyway, so
-    the pin does not change the memory high-water class)."""
+    two, at the price of holding one corpus copy in the object store.
+    The pin is SIZE-GATED (``core.util.pin_fits``, the
+    broadcast_build_fits discipline applied to pins): callers pass a
+    footer-metadata estimate via ``input_bytes_hint``; past the budget
+    the pin is dropped and the upstream recomputes for the second
+    consumer — linear re-read instead of pinning a corpus-scale copy
+    into the object store. Output is identical either way (both paths
+    exercised in ``TestSubstringDedup``)."""
     import zlib
+
+    from ..core.util import PIN_BUDGET_BYTES, pin_fits
 
     if text_col != "text":
         ds = ds.map_batches(
@@ -569,7 +590,8 @@ def substring_dedup_ds(ds, n_buckets: int = 64, text_col: str = "text"):
             batch_format="pyarrow",
             batch_size=None,
         )
-    ds = ds.materialize()
+    if pin_fits(input_bytes_hint, pin_budget_bytes or PIN_BUDGET_BYTES):
+        ds = ds.materialize()
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         o_id: list[int] = []

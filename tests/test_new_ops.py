@@ -222,6 +222,34 @@ class TestBroadcastShuffleCrossover:
         assert len(broadcast) > 0
         pd.testing.assert_frame_equal(broadcast, shuffle)
 
+    def test_supplier_revenue_switches_both_ways(self):
+        from pdf_parser_ray.relational.ops import q_supplier_revenue
+
+        broadcast = self._sorted(q_supplier_revenue(self.SF))
+        shuffle = self._sorted(q_supplier_revenue(self.SF, budget_bytes=1))
+        assert len(broadcast) > 0
+        pd.testing.assert_frame_equal(broadcast, shuffle)
+
+    def test_top_revenue_orders_switches_both_ways(self):
+        from pdf_parser_ray.relational.ops import q_top_revenue_orders
+
+        broadcast = self._sorted(q_top_revenue_orders(self.SF))
+        shuffle = self._sorted(q_top_revenue_orders(self.SF, budget_bytes=1))
+        assert len(broadcast) > 0
+        pd.testing.assert_frame_equal(broadcast, shuffle)
+
+    def test_distinct_ratio_tightens_bound(self):
+        from pdf_parser_ray.core.util import broadcast_build_fits
+
+        p = f"{self.SF}/orders.parquet"
+        import pyarrow.parquet as pq_
+
+        rows = pq_.ParquetFile(p).metadata.num_rows
+        # a budget exactly one key short of the row-count bound fails …
+        assert not broadcast_build_fits(p, budget_bytes=rows * 8 - 1)
+        # … but a 10%-distinct hint (orders → distinct custkeys) fits
+        assert broadcast_build_fits(p, budget_bytes=rows * 8 - 1, distinct_ratio=0.1)
+
     def test_bloom_no_false_negatives_and_bounded_fp(self):
         import numpy as np
 
@@ -1414,3 +1442,53 @@ class TestWindowPivotGroupedPct:
         assert got.loc["view"].tolist() == [2, 3]     # users {1,2}, 3 events
         assert got.loc["click"].tolist() == [2, 4]    # users {1,3}, 4 events
         assert got.loc["error"].tolist() == [1, 1]
+
+
+class TestPinGate:
+    """Size-gated input pin for two-consumer stages (VERDICT r3 item 3:
+    the broadcast_build_fits discipline applied to materialize pins)."""
+
+    def test_pin_fits_rule(self, tmp_path):
+        from pdf_parser_ray.core.util import parquet_uncompressed_bytes, pin_fits
+
+        assert pin_fits(None)                      # no estimate → pin (sandbox)
+        assert pin_fits(100, budget_bytes=100)
+        assert not pin_fits(101, budget_bytes=100)
+
+        t = pa.table({"a": pa.array(range(1000), pa.int64())})
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(t, p, row_group_size=100)
+        est = parquet_uncompressed_bytes(p)
+        assert est >= 1000 * 8  # at least the raw column payload
+
+    def test_substring_dedup_identical_with_and_without_pin(
+        self, tmp_path, ray_session
+    ):
+        """Both pin paths (materialize vs recompute-upstream) must give
+        identical output; the gate must actually flip on the hint."""
+        import ray.data as rd
+
+        from pdf_parser_ray.stages.corpus import substring_dedup_ds
+
+        words = [f"w{i}" for i in range(20)]
+        texts = [
+            " ".join(words),                      # doc 1: first occurrence
+            " ".join(words),                      # doc 2: verbatim copy
+            " ".join(["zz"] + words[:10]),        # doc 3: short, partial overlap
+        ]
+        tbl = pa.table(
+            {"doc_id": pa.array([1, 2, 3], pa.int64()), "text": pa.array(texts)}
+        )
+
+        def run(**kw):
+            return (
+                substring_dedup_ds(rd.from_arrow(tbl), n_buckets=4, **kw)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+        pinned = run(input_bytes_hint=1, pin_budget_bytes=10)      # fits → pin
+        unpinned = run(input_bytes_hint=11, pin_budget_bytes=10)   # over → recompute
+        pd.testing.assert_frame_equal(pinned, unpinned)
+        assert pinned.loc[1, "removed_words"] == 20  # copy fully covered
