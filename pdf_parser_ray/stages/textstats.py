@@ -720,6 +720,62 @@ FROM (
 # ---------------------------------------------------------------------------
 
 
+# --- shared integer-ln: one IEEE expression tree, two evaluators -----------
+#
+# tfidf_micro's hash-exact oracle needs the engine (CPython/numpy) and
+# DuckDB to produce bit-identical doubles for ln(N/df). Relying on both
+# calling the same platform libm is fragile (DuckDB bundles its own C++
+# runtime on some builds — ADVICE r3). Instead ln is SPECIFIED as a
+# fixed finite IEEE-754 expression over an integer k ≥ 1:
+#
+#   e = bit_length(k) - 1            (exact integer, both sides)
+#   m = k / 2^e ∈ [1, 2)             (division by a power of two: exact)
+#   t = (m-1)/(m+1) ∈ [0, 1/3)
+#   ln(k) = e·LN2 + 2·t·(1 + t²·(1/3 + t²·(1/5 + … + t²·(1/13))))
+#
+# Every step is a single correctly-rounded IEEE double op in a fixed
+# order, so ANY conforming evaluator produces the same bits — no libm
+# involved. _shared_ln evaluates it in Python; _shared_ln_cte renders
+# the IDENTICAL tree as SQL (constants embedded via repr, which
+# round-trips doubles exactly). Truncation error ≤ 2·(1/3)¹⁵/15 ≈ 1e-8
+# — immaterial: the oracle checks agreement, and the score's SPEC is
+# this polynomial. Bit-equality over k = 1..200k and the corpus dfs is
+# pinned by TestSharedLn.
+_LN2 = 0.6931471805599453  # repr(math.log(2)) — parses to the same double
+_LN_COEFFS = (1.0 / 3.0, 1.0 / 5.0, 1.0 / 7.0, 1.0 / 9.0, 1.0 / 11.0, 1.0 / 13.0)
+
+
+def _shared_ln(k: int) -> float:
+    e = k.bit_length() - 1
+    m = float(k) / (2.0 ** e)
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    p = _LN_COEFFS[-1]
+    for c in reversed(_LN_COEFFS[:-1]):
+        p = c + t2 * p
+    p = 1.0 + t2 * p
+    return e * _LN2 + 2.0 * (t * p)
+
+
+def _shared_ln_cte(src: str, col: str) -> str:
+    """SQL rendering of ``_shared_ln`` over integer column ``col`` of
+    ``src`` — the same expression tree, each intermediate computed once
+    in its own subselect (bit-equality depends on op ORDER; constants
+    are CAST to DOUBLE so DuckDB never routes through DECIMAL).
+    Emits all source columns plus ``lnk``."""
+    poly = f"CAST({_LN_COEFFS[-1]!r} AS DOUBLE)"
+    for c in reversed(_LN_COEFFS[:-1]):
+        poly = f"CAST({c!r} AS DOUBLE) + t2 * ({poly})"
+    poly = f"CAST(1.0 AS DOUBLE) + t2 * ({poly})"
+    return f"""(
+  SELECT *, e * CAST({_LN2!r} AS DOUBLE) + CAST(2.0 AS DOUBLE) * (t * ({poly})) AS lnk
+  FROM (SELECT *, t * t AS t2 FROM (
+        SELECT *, (m - CAST(1.0 AS DOUBLE)) / (m + CAST(1.0 AS DOUBLE)) AS t FROM (
+        SELECT *, CAST({col} AS DOUBLE) / power(CAST(2.0 AS DOUBLE), e) AS m FROM (
+        SELECT *, (length(printf('%b', {col})) - 1) AS e FROM {src}))))
+)"""
+
+
 def q_tfidf_top_terms(sf_dir: str, k: int = 3, n_buckets: int = 32):
     """Per-document top-k terms by TF-IDF — the classic corpus
     weighting every retrieval/quality pipeline needs. Two exchanges:
@@ -735,18 +791,17 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3, n_buckets: int = 32):
        top-k by ``(tfidf_micro DESC, term ASC)``.
 
     The driver touches only the parquet footer row count (N). Scores
-    are ``tfidf_micro = round(tf·ln(N/df)·10⁶)`` with ``ln`` computed
-    per distinct df via scalar ``math.log`` — CPython and DuckDB both
-    call the platform libm, so the doubles (and hence the rounded
-    micro-units the oracle hashes) match bit-for-bit; ranking happens
-    on the integer, never on a float."""
-    import math
-
+    are ``tfidf_micro = round(tf·(ln N − ln df)·10⁶)`` with ``ln``
+    the SHARED fixed IEEE expression (:func:`_shared_ln`) evaluated
+    once per distinct df — no libm on either side, so the doubles (and
+    hence the rounded micro-units the oracle hashes) match bit-for-bit
+    on any platform; ranking happens on the integer, never a float."""
     import pandas as pd
     import pyarrow.parquet as pq
     import zlib
 
-    n_docs = float(pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows)
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ln_n = _shared_ln(int(n_docs))
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def tf_rows(batch: pa.Table) -> pa.Table:
@@ -771,8 +826,8 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3, n_buckets: int = 32):
 
     def score(g: pd.DataFrame) -> pa.Table:
         df_per_term = g.groupby("term", sort=False)["doc_id"].transform("size")
-        # one libm call per distinct df value, broadcast vectorized
-        idf = {int(d): math.log(n_docs / int(d)) for d in df_per_term.unique()}
+        # one shared-ln evaluation per distinct df value
+        idf = {int(d): ln_n - _shared_ln(int(d)) for d in df_per_term.unique()}
         tf = g["tf"].to_numpy(dtype=np.int64)
         dfv = df_per_term.to_numpy(dtype=np.int64)
         micro = np.array(
@@ -813,7 +868,10 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3, n_buckets: int = 32):
     return scored.groupby("doc_bucket").map_groups(topk, batch_format="pandas")
 
 
-_SQL_TFIDF = r"""
+# idf via the shared-ln expression tree (see _shared_ln above): lnd
+# evaluates it per DISTINCT df, lnn once over N — the identical ops
+# the engine runs, so the hash-exact compare holds on any platform.
+_SQL_TFIDF = rf"""
 WITH tf AS (
     SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
     FROM (SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS term
@@ -821,12 +879,15 @@ WITH tf AS (
     GROUP BY doc_id, term
 ),
 df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+dfd AS (SELECT DISTINCT df AS kint FROM df),
+lnd AS {_shared_ln_cte("dfd", "kint")},
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS kint FROM documents),
+lnn AS {_shared_ln_cte("nn", "kint")},
 scored AS (
     SELECT tf.doc_id, tf.term, tf.tf, df.df,
-           CAST(FLOOR((tf.tf * ln(n.n_docs / df.df)) * 1000000 + 0.5) AS BIGINT)
+           CAST(FLOOR((tf.tf * (lnn.lnk - lnd.lnk)) * 1000000 + 0.5) AS BIGINT)
                AS tfidf_micro
-    FROM tf JOIN df USING (term) CROSS JOIN n
+    FROM tf JOIN df USING (term) JOIN lnd ON lnd.kint = df.df CROSS JOIN lnn
 )
 SELECT doc_id, term, tf, df, tfidf_micro
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id

@@ -1492,3 +1492,41 @@ class TestPinGate:
         unpinned = run(input_bytes_hint=11, pin_budget_bytes=10)   # over → recompute
         pd.testing.assert_frame_equal(pinned, unpinned)
         assert pinned.loc[1, "removed_words"] == 20  # copy fully covered
+
+
+class TestSharedLn:
+    """tfidf's idf is SPECIFIED as a fixed IEEE expression tree
+    (textstats._shared_ln) so the hash-exact oracle never depends on
+    two libm builds agreeing (ADVICE r3). Pin: bit-for-bit equality
+    between the Python evaluator and the DuckDB rendering."""
+
+    def test_bit_equality_python_vs_duckdb(self):
+        import duckdb
+        import math
+
+        from pdf_parser_ray.stages.textstats import _shared_ln, _shared_ln_cte
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE ks AS SELECT CAST(range AS BIGINT) AS kint"
+            " FROM range(1, 50001)"
+        )
+        # plus large magnitudes (bit_length up to 62)
+        con.sql(
+            "INSERT INTO ks SELECT CAST(1 AS BIGINT) << b FROM range(20, 62) t(b)"
+        )
+        con.sql(
+            "INSERT INTO ks SELECT (CAST(1 AS BIGINT) << b) + 12345"
+            " FROM range(20, 62) t(b)"
+        )
+        rows = con.sql(
+            f"SELECT kint, lnk FROM {_shared_ln_cte('ks', 'kint')} t"
+        ).fetchall()
+        assert len(rows) == 50000 + 84
+        for k, lnk in rows:
+            assert _shared_ln(k) == lnk, (k, repr(_shared_ln(k)), repr(lnk))
+        # and the polynomial is a faithful ln (score semantics intact)
+        assert max(
+            abs(_shared_ln(k) - math.log(k)) for k in range(1, 10000)
+        ) < 2e-8
+        con.close()
