@@ -97,6 +97,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(CORPUS)
     except ImportError:
         pass
+    try:
+        from pdf_parser_ray.stages.tokenize import QUERIES as TOKENIZE
+
+        out.update(TOKENIZE)
+    except ImportError:
+        pass
     return out
 
 
@@ -154,6 +160,12 @@ def oracle_sql() -> dict[str, str]:
         from pdf_parser_ray.stages.corpus import ORACLE_SQL as CORPUS
 
         out.update(CORPUS)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.stages.tokenize import ORACLE_SQL as TOKENIZE
+
+        out.update(TOKENIZE)
     except ImportError:
         pass
     return out

@@ -631,7 +631,7 @@ GROUP BY d.doc_id
 # Sequence packing (distributed prefix sum)
 # ---------------------------------------------------------------------------
 
-def q_pack_sequences(sf_dir: str, budget: int = 512):
+def q_pack_sequences(sf_dir: str, budget: int = 512, tokenizer: str = "whitespace"):
     """Assign every document to a training-sequence pack: documents in
     doc_id order fill fixed token budgets, ``pack_id =
     ⌊exclusive_prefix_sum(n_tokens) / budget⌋`` — the deterministic
@@ -644,7 +644,10 @@ def q_pack_sequences(sf_dir: str, budget: int = 512):
     its offset. Partitions are contiguous doc_id ranges
     (``sort`` before the scan keeps ranges disjoint; here the read is
     already doc_id-ordered and the partition key is the block index).
-    Tokens counted with the same \\S+ kernel as ``q_token_count``."""
+    ``tokenizer="whitespace"`` (default) counts with the same \\S+
+    kernel as ``q_token_count``; ``"bigram"`` consumes REAL subword
+    counts from the :class:`~.tokenize.TokenizerActor` stub — the
+    wiring a production pack stage uses with a real BPE vocab."""
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -658,10 +661,7 @@ def q_pack_sequences(sf_dir: str, budget: int = 512):
     # one row per (partition, doc): partition = contiguous doc_id range
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def count_tokens(batch: pa.Table) -> pa.Table:
-        n_tok = pc.cast(
-            pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
-        )
+    def _with_part(batch: pa.Table, n_tok: pa.Array) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         part = np.searchsorted(bounds, ids, side="right") - 1
         part = np.clip(part, 0, n_parts - 1)
@@ -673,7 +673,33 @@ def q_pack_sequences(sf_dir: str, budget: int = 512):
             }
         )
 
-    counted = ds.map_batches(count_tokens, batch_format="pyarrow", batch_size=None)
+    if tokenizer == "bigram":
+        from .tokenize import TokenizerActor
+
+        class CountTokens:
+            def __init__(self) -> None:
+                self.tok = TokenizerActor()
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                n = self.tok.count_column(batch["text"].to_pylist())
+                return _with_part(batch, pa.array(n, pa.int64()))
+
+        counted = ds.map_batches(
+            CountTokens,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+    else:
+
+        def count_tokens(batch: pa.Table) -> pa.Table:
+            n_tok = pc.cast(
+                pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+            )
+            return _with_part(batch, n_tok)
+
+        counted = ds.map_batches(count_tokens, batch_format="pyarrow", batch_size=None)
 
     # per-partition subtotals (P tiny rows) → exclusive prefix on driver
     from ray.data.aggregate import Sum

@@ -1530,3 +1530,64 @@ class TestSharedLn:
             abs(_shared_ln(k) - math.log(k)) for k in range(1, 10000)
         ) < 2e-8
         con.close()
+
+
+class TestTokenizer:
+    """Greedy bigram-BPE tokenizer stub (VERDICT r3 item 4): the ST1
+    actor pattern with an exact-oracle-able spec."""
+
+    def test_greedy_spec_cases(self):
+        from pdf_parser_ray.stages.tokenize import (
+            BIGRAMS,
+            TokenizerActor,
+            tokenize_word,
+        )
+
+        vocab = TokenizerActor().vocab
+        # greedy: 'the' → 'th'(vocab) + 'e'(char), never 't'+'he'
+        assert tokenize_word("the", vocab) == [
+            (1_000_000 + BIGRAMS.index("th"), "th"),
+            (ord("e"), "e"),
+        ]
+        # taking a bigram skips the next char: 'that' → 'th','at'
+        assert [p for _, p in tokenize_word("that", vocab)] == ["th", "at"]
+        # no match anywhere → per-char fallback with codepoint ids
+        assert tokenize_word("zz", vocab) == [(122, "z"), (122, "z")]
+        # trailing single char can't match a 2-char piece
+        assert [p for _, p in tokenize_word("cat", vocab)] == ["c", "at"]
+        assert tokenize_word("", vocab) == []
+        # unicode fallback id = codepoint
+        assert tokenize_word("é", vocab) == [(0xE9, "é")]
+
+    def test_actor_explode_and_counts_agree(self, ray_session):
+        import ray.data as rd
+
+        from pdf_parser_ray.stages.tokenize import TokenizerActor
+
+        texts = ["the cat in that hat", "", "zz", "a b   c"]
+        tbl = pa.table(
+            {"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": pa.array(texts)}
+        )
+        actor = TokenizerActor()
+        exploded = actor(tbl).to_pandas()
+        counts = actor.count_column(texts)
+        got_counts = exploded.groupby("doc_id").size()
+        assert counts.tolist() == [
+            int(got_counts.get(i, 0)) for i in (1, 2, 3, 4)
+        ]
+        # tok_idx is the dense per-doc sequence position
+        for d, sub in exploded.groupby("doc_id"):
+            assert sub["tok_idx"].tolist() == list(range(len(sub)))
+        # and the actor-pool path through Ray equals the direct call
+        ds = rd.from_arrow(tbl).map_batches(
+            TokenizerActor,
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=2,
+            num_cpus=1,
+        )
+        via_ray = (
+            ds.to_pandas().sort_values(["doc_id", "tok_idx"]).reset_index(drop=True)
+        )
+        direct = exploded.sort_values(["doc_id", "tok_idx"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(via_ray, direct)

@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-3 coverage floor: 90 queries, ≥83 oracled —
+    # lock the round-4 coverage floor: 93 queries, ≥86 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 90
-    assert len(oracles) >= 83
+    assert len(queries) >= 93
+    assert len(oracles) >= 86
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
