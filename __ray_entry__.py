@@ -103,6 +103,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(TOKENIZE)
     except ImportError:
         pass
+    try:
+        from pdf_parser_ray.pipelines.ingest import QUERIES as INGEST
+
+        out.update(INGEST)
+    except ImportError:
+        pass
     return out
 
 
@@ -166,6 +172,12 @@ def oracle_sql() -> dict[str, str]:
         from pdf_parser_ray.stages.tokenize import ORACLE_SQL as TOKENIZE
 
         out.update(TOKENIZE)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.pipelines.ingest import ORACLE_SQL as INGEST
+
+        out.update(INGEST)
     except ImportError:
         pass
     return out

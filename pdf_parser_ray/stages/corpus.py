@@ -403,9 +403,17 @@ def q_epoch_shuffle(sf_dir: str, salt: str = "epoch0", n_buckets: int = 64):
     The same two-pass scan shape as :func:`..stages.textstats.
     q_pack_sequences`; hashing runs twice (count pass + rank pass),
     which at scale is noise next to the exchange it avoids."""
-    import hashlib
+    return epoch_shuffle_ds(
+        _documents(sf_dir).select_columns(["doc_id"]), salt=salt, n_buckets=n_buckets
+    )
 
-    ds = _documents(sf_dir).select_columns(["doc_id"])
+
+def epoch_shuffle_ds(ds, salt: str = "epoch0", n_buckets: int = 64):
+    """The epoch-shuffle rank exchange over an arbitrary ``doc_id``
+    Dataset — extra columns ride through and come out next to
+    ``shuffle_key``/``epoch_rank`` (the training-ingest loader feeds
+    the split-filtered corpus WITH text through here)."""
+    import hashlib
 
     def keyed(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -417,13 +425,9 @@ def q_epoch_shuffle(sf_dir: str, salt: str = "epoch0", n_buckets: int = 64):
         # compose into the global rank. n_buckets must divide 256.
         width = 256 // n_buckets
         bucket = np.array([int(k[:2], 16) // width for k in keys], dtype=np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "shuffle_key": pa.array(keys, pa.string()),
-                "bucket": pa.array(bucket, pa.int64()),
-            }
-        )
+        return batch.append_column(
+            "shuffle_key", pa.array(keys, pa.string())
+        ).append_column("bucket", pa.array(bucket, pa.int64()))
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
 
@@ -440,13 +444,9 @@ def q_epoch_shuffle(sf_dir: str, salt: str = "epoch0", n_buckets: int = 64):
     def rank_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["shuffle_key", "doc_id"], kind="mergesort")
         rank = offsets[int(g["bucket"].iloc[0])] + np.arange(len(g), dtype=np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
-                "shuffle_key": pa.array(g["shuffle_key"].tolist(), pa.string()),
-                "epoch_rank": pa.array(rank, pa.int64()),
-            }
-        )
+        g = g.drop(columns=["bucket"])
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        return out.append_column("epoch_rank", pa.array(rank, pa.int64()))
 
     return keyed_ds.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
 
@@ -470,26 +470,31 @@ def q_train_split(sf_dir: str):
     map 90/5/5. Pure map, zero shuffles, stable under corpus growth
     (a document's split never depends on the rest of the corpus —
     the property that keeps eval sets frozen across crawls)."""
-    import hashlib
-
     ds = _documents(sf_dir).select_columns(["doc_id"])
 
     def split(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = np.array(
-            [int(hashlib.md5(f"split:{i}".encode()).hexdigest()[-2:], 16) for i in ids],
-            dtype=np.int64,
-        )
-        frac = h * 100 // 256  # 0..99, uniform enough for 90/5/5
-        label = np.where(frac < 90, "train", np.where(frac < 95, "val", "test"))
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "split": pa.array(label.tolist(), pa.string()),
+                "split": pa.array(split_labels(ids).tolist(), pa.string()),
             }
         )
 
     return ds.map_batches(split, batch_format="pyarrow", batch_size=None)
+
+
+def split_labels(ids: np.ndarray) -> np.ndarray:
+    """The 90/5/5 hash-split kernel, shared with the training-ingest
+    loader (``pipelines/ingest``) so both assign identical splits."""
+    import hashlib
+
+    h = np.array(
+        [int(hashlib.md5(f"split:{i}".encode()).hexdigest()[-2:], 16) for i in ids],
+        dtype=np.int64,
+    )
+    frac = h * 100 // 256  # 0..99, uniform enough for 90/5/5
+    return np.where(frac < 90, "train", np.where(frac < 95, "val", "test"))
 
 
 _SQL_TRAIN_SPLIT = """

@@ -863,3 +863,76 @@ class TestNestedOutput:
         first = out["spans"].iloc[0]
         assert {s["kind"] for s in first} <= {"section", "label", "qsection", "question", "answer"}
         assert [s["offset"] for s in first] == list(range(len(first)))
+
+
+class TestTrainingIngest:
+    """Training-ingest consumer surface (VERDICT r3 item 5): the
+    epoch_shuffle + train_split composition consumed through
+    iter_batches and streaming_split, with the determinism contract
+    pinned through the ITERATOR path (not just the Dataset)."""
+
+    def _doc_seq(self, epoch: int, split: str = "train"):
+        from pdf_parser_ray.pipelines.ingest import iter_epoch_batches
+
+        out = []
+        for b in iter_epoch_batches(SF, epoch=epoch, split=split, batch_size=97):
+            out.extend(b["doc_id"].to_pylist())
+        return out
+
+    def test_per_epoch_permutation_deterministic(self):
+        e0a = self._doc_seq(0)
+        e0b = self._doc_seq(0)
+        assert e0a == e0b  # same epoch → identical batch sequence
+        e1 = self._doc_seq(1)
+        assert set(e1) == set(e0a)  # an epoch re-deals, never drops
+        assert e1 != e0a  # different salt → different permutation
+
+    def test_rank_order_through_iterator(self):
+        from pdf_parser_ray.pipelines.ingest import iter_epoch_batches
+
+        ranks = []
+        for b in iter_epoch_batches(SF, epoch=0, batch_size=64):
+            ranks.extend(b["epoch_rank"].to_pylist())
+        assert ranks == list(range(len(ranks)))  # dense, ordered, complete
+
+    def test_split_disjointness_through_loader(self):
+        import pyarrow.parquet as pq
+
+        seqs = {s: self._doc_seq(0, split=s) for s in ("train", "val", "test")}
+        sets = {s: set(v) for s, v in seqs.items()}
+        assert sets["train"] & sets["val"] == set()
+        assert sets["train"] & sets["test"] == set()
+        assert sets["val"] & sets["test"] == set()
+        all_ids = set(
+            pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+            ["doc_id"].to_pylist()
+        )
+        assert sets["train"] | sets["val"] | sets["test"] == all_ids
+        for s, v in seqs.items():
+            assert len(v) == len(sets[s])  # no duplicated rows per split
+
+    def test_streaming_split_exact_coverage(self):
+        import threading
+
+        from pdf_parser_ray.pipelines.ingest import streaming_shards
+
+        shards = streaming_shards(SF, n_shards=3, epoch=0)
+        got: list[list[int]] = [[] for _ in shards]
+
+        def consume(i, it):
+            for b in it.iter_batches(batch_size=64, batch_format="pyarrow"):
+                got[i].extend(b["doc_id"].to_pylist())
+
+        threads = [
+            threading.Thread(target=consume, args=(i, it))
+            for i, it in enumerate(shards)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        flat = [d for shard in got for d in shard]
+        want = set(self._doc_seq(0))
+        assert len(flat) == len(want)  # no duplication across trainers
+        assert set(flat) == want       # no loss
+        assert sum(1 for s in got if s) >= 2  # actually sharded
