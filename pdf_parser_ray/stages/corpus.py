@@ -21,6 +21,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import _AUG_SQL, augmented_corpus, label_propagation_clusters
 
@@ -561,6 +562,107 @@ def q_substring_dedup(sf_dir: str, n_buckets: int = 64):
     )
 
 
+def gram_rows_loop(n_buckets: int):
+    """Per-doc Python loop emitting ``(doc_id, pos, gram)`` rows — the
+    ADOPTED formulation: the r4 A/B (tools/ab_text_kernels.py, sf0.1,
+    best-of-7) measured it 1.35× FASTER than the vectorized twin —
+    8-way ``binary_join_element_wise`` materializes every shifted
+    slice while the loop's ``" ".join`` reuses the one word list, and
+    crc32-per-gram dominates both. Numbers in BASELINE.md."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        o_id: list[int] = []
+        o_pos: list[int] = []
+        o_gram: list[str] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split()
+            for i in range(len(words) - _KG + 1):
+                o_id.append(d)
+                o_pos.append(i)
+                o_gram.append(" ".join(words[i : i + _KG]))
+        bucket = np.array(
+            [zlib.crc32(s.encode()) % n_buckets for s in o_gram], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "pos": pa.array(o_pos, pa.int64()),
+                "gram": pa.array(o_gram, pa.string()),
+                "gram_bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def gram_rows_vec(n_buckets: int):
+    """Vectorized twin (VERDICT r3 item 6): Arrow whitespace split →
+    one flat token array; the k-gram at flat position i is the
+    C-level ``binary_join_element_wise`` of the k shifted slices,
+    masked to positions whose k-th token is still the same document;
+    per-doc positions come from a cumulative-max over doc starts. Only
+    the crc32 bucket key remains a per-gram Python call (it is the
+    committed partition function). Identical output to
+    :func:`gram_rows_loop`; measured 0.74× (SLOWER) at sf0.1 — kept as
+    the A/B counter-evidence, NOT adopted (BASELINE.md)."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+                "gram_bucket": pa.array([], pa.int64()),
+            }
+        )
+        toks = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(toks).combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # Arrow's splitter can emit empty tokens at whitespace edges
+        # where str.split() drops them — filter to match the spec
+        keep = pc.not_equal(flat, "")
+        if len(flat) and not pc.all(keep).as_py():
+            mask = keep.to_numpy(zero_copy_only=False)
+            flat = flat.filter(keep)
+            parent = parent[mask]
+        L = len(flat)
+        if L < _KG:
+            return empty
+        n_g = L - _KG + 1
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(i, n_g) for i in range(_KG)], " "
+        )
+        valid = parent[:n_g] == parent[_KG - 1 :]
+        if not valid.any():
+            return empty
+        # position within document: flat index − index of doc start
+        starts = np.zeros(L, dtype=np.int64)
+        changed = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        starts[changed] = changed
+        np.maximum.accumulate(starts, out=starts)
+        pos = (np.arange(n_g, dtype=np.int64) - starts[:n_g])[valid]
+        grams = grams.filter(pa.array(valid))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = ids[parent[:n_g][valid]]
+        bucket = np.fromiter(
+            (zlib.crc32(s.encode()) % n_buckets for s in grams.to_pylist()),
+            dtype=np.int64,
+            count=len(grams),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "gram": grams,
+                "gram_bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return fn
+
+
 def substring_dedup_ds(
     ds,
     n_buckets: int = 64,
@@ -598,29 +700,9 @@ def substring_dedup_ds(
     if pin_fits(input_bytes_hint, pin_budget_bytes or PIN_BUDGET_BYTES):
         ds = ds.materialize()
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        o_id: list[int] = []
-        o_pos: list[int] = []
-        o_gram: list[str] = []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            words = (t or "").split()
-            for i in range(len(words) - _KG + 1):
-                o_id.append(d)
-                o_pos.append(i)
-                o_gram.append(" ".join(words[i : i + _KG]))
-        bucket = np.array(
-            [zlib.crc32(s.encode()) % n_buckets for s in o_gram], dtype=np.int64
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(o_id, pa.int64()),
-                "pos": pa.array(o_pos, pa.int64()),
-                "gram": pa.array(o_gram, pa.string()),
-                "gram_bucket": pa.array(bucket, pa.int64()),
-            }
-        )
-
-    grams = ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=None)
+    grams = ds.map_batches(
+        gram_rows_loop(n_buckets), batch_format="pyarrow", batch_size=None
+    )
 
     def flag_non_first(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["gram", "doc_id", "pos"], kind="mergesort")

@@ -488,7 +488,7 @@ def _prefix_len(n: int, thr_num: int, thr_den: int) -> int:
     return n - alpha + 1
 
 
-def prefix_gram_rows(threshold: float, n_buckets: int = 32):
+def prefix_gram_rows_loop(threshold: float, n_buckets: int = 32):
     """doc → one ``(gram_bucket, gram, doc_id, n_grams)`` row per
     *prefix* gram, for the inverted-index groupby. Global gram order is
     (crc32(gram), gram) — deterministic across processes with no
@@ -531,6 +531,97 @@ def prefix_gram_rows(threshold: float, n_buckets: int = 32):
         )
 
     return fn
+
+
+def prefix_gram_rows_vec(threshold: float, n_buckets: int = 32, k: int = 3):
+    """Vectorized twin of :func:`prefix_gram_rows_loop` (VERDICT r3
+    item 6): flat-token k-gram construction via C-level
+    ``binary_join_element_wise``, per-doc SET + (crc32, gram) order +
+    prefix cut all as one pandas sort/groupby; crc32 runs once per
+    DISTINCT gram. Output identical to the loop (asserted by the A/B
+    tool and ``test_prefix_gram_rows_vec_equals_loop``); measured
+    1.13× faster at sf0.1 (best-of-7, BASELINE.md) — the adopted
+    formulation."""
+    thr_num, thr_den = float(threshold).as_integer_ratio()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(toks).combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        if len(flat) and not pc.all(keep).as_py():
+            m = keep.to_numpy(zero_copy_only=False)
+            flat = flat.filter(keep)
+            parent = parent[m]
+        L = len(flat)
+        wc = np.zeros(batch.num_rows, dtype=np.int64)
+        if L:
+            np.add.at(wc, parent, 1)
+
+        if L >= k:
+            n_g = L - k + 1
+            grams = pc.binary_join_element_wise(
+                *[flat.slice(i, n_g) for i in range(k)], " "
+            )
+            valid = parent[:n_g] == parent[k - 1 :]
+            df = pd.DataFrame(
+                {"d": parent[:n_g][valid], "g": grams.filter(pa.array(valid)).to_pandas()}
+            )
+        else:
+            df = pd.DataFrame({"d": np.array([], np.int64), "g": pd.Series([], dtype=object)})
+
+        short = np.flatnonzero((wc > 0) & (wc < k))  # whole-doc gram
+        if len(short):
+            s = pd.DataFrame({"d": parent, "g": flat.to_pandas()})
+            s = s[np.isin(parent, short)]
+            joined = s.groupby("d", sort=False)["g"].agg(" ".join)
+            df = pd.concat(
+                [df, pd.DataFrame({"d": joined.index.to_numpy(), "g": joined.to_numpy()})],
+                ignore_index=True,
+            )
+
+        df = df.drop_duplicates()  # gram SET per doc
+        cmap = {g: zlib.crc32(g.encode()) for g in pd.unique(df["g"])}
+        df = df.assign(crc=df["g"].map(cmap)).sort_values(
+            ["d", "crc", "g"], kind="mergesort"
+        )
+        n = df.groupby("d", sort=False)["g"].transform("size").to_numpy(np.int64)
+        pos = df.groupby("d", sort=False).cumcount().to_numpy(np.int64)
+        alpha = -((-thr_num * n) // thr_den)  # ⌈t·n⌉
+        m = pos < (n - alpha + 1)
+        out_d = ids[df["d"].to_numpy()[m]]
+        out_g = df["g"].to_numpy()[m]
+        out_n = n[m]
+        out_pos = pos[m]
+        out_bucket = df["crc"].to_numpy(np.int64)[m] % n_buckets
+
+        empties = np.flatnonzero(wc == 0)  # sentinel "" rows, n_grams=0
+        if len(empties):
+            out_d = np.concatenate([out_d, ids[empties]])
+            out_g = np.concatenate([out_g, np.full(len(empties), "", object)])
+            out_n = np.concatenate([out_n, np.zeros(len(empties), np.int64)])
+            out_pos = np.concatenate([out_pos, np.zeros(len(empties), np.int64)])
+            out_bucket = np.concatenate(
+                [out_bucket, np.zeros(len(empties), np.int64)]  # crc32(b'') == 0
+            )
+        return pa.table(
+            {
+                "gram_bucket": pa.array(out_bucket, pa.int64()),
+                "gram": pa.array(out_g.tolist(), pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_grams": pa.array(out_n, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+# adopted formulation (see BASELINE.md A/B table)
+prefix_gram_rows = prefix_gram_rows_vec
 
 
 def ngram_candidate_pairs(corpus, threshold: float, n_buckets: int = 32):

@@ -802,6 +802,73 @@ def _shared_ln_cte(src: str, col: str) -> str:
 )"""
 
 
+def tf_rows_loop(n_buckets: int):
+    """Python-dict per-doc term counting — the round-3 formulation,
+    kept as the A/B baseline (tools/ab_text_kernels.py)."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_b, out_t, out_d, out_tf = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in (text or "").split():
+                counts[w] = counts.get(w, 0) + 1
+            for term, tf in counts.items():
+                out_b.append(zlib.crc32(term.encode()) % n_buckets)
+                out_t.append(term)
+                out_d.append(doc_id)
+                out_tf.append(tf)
+        return pa.table(
+            {
+                "term_bucket": pa.array(out_b, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def tf_rows_vec(n_buckets: int):
+    """Vectorized twin (VERDICT r3 item 6): Arrow whitespace split +
+    list_flatten/parent_indices + one pandas hash groupby; crc32 runs
+    only once per DISTINCT term for the bucket key. Identical output
+    to :func:`tf_rows_loop` (asserted by the A/B tool and
+    ``test_tf_rows_vec_equals_loop``); measured 1.2× faster at sf0.1
+    (best-of-7, BASELINE.md) — the adopted formulation."""
+    import zlib
+
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        s = flat.to_pandas()
+        keep = (s != "").to_numpy()  # Arrow split can emit edge empties
+        df = pd.DataFrame({"d": parent, "t": s})
+        if not keep.all():
+            df = df[keep]
+        agg = df.groupby(["d", "t"], sort=False).size().reset_index(name="tf")
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bmap = {
+            t: zlib.crc32(t.encode()) % n_buckets for t in pd.unique(agg["t"])
+        }
+        return pa.table(
+            {
+                "term_bucket": pa.array(
+                    agg["t"].map(bmap).to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "term": pa.array(agg["t"].tolist(), pa.string()),
+                "doc_id": pa.array(ids[agg["d"].to_numpy()], pa.int64()),
+                "tf": pa.array(agg["tf"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return fn
+
+
 def q_tfidf_top_terms(sf_dir: str, k: int = 3, n_buckets: int = 32):
     """Per-document top-k terms by TF-IDF — the classic corpus
     weighting every retrieval/quality pipeline needs. Two exchanges:
@@ -830,25 +897,7 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3, n_buckets: int = 32):
     ln_n = _shared_ln(int(n_docs))
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def tf_rows(batch: pa.Table) -> pa.Table:
-        out_b, out_t, out_d, out_tf = [], [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            counts: dict[str, int] = {}
-            for w in (text or "").split():
-                counts[w] = counts.get(w, 0) + 1
-            for term, tf in counts.items():
-                out_b.append(zlib.crc32(term.encode()) % n_buckets)
-                out_t.append(term)
-                out_d.append(doc_id)
-                out_tf.append(tf)
-        return pa.table(
-            {
-                "term_bucket": pa.array(out_b, pa.int64()),
-                "term": pa.array(out_t, pa.string()),
-                "doc_id": pa.array(out_d, pa.int64()),
-                "tf": pa.array(out_tf, pa.int64()),
-            }
-        )
+    tf_rows = tf_rows_vec(n_buckets)
 
     def score(g: pd.DataFrame) -> pa.Table:
         df_per_term = g.groupby("term", sort=False)["doc_id"].transform("size")

@@ -1591,3 +1591,57 @@ class TestTokenizer:
         )
         direct = exploded.sort_values(["doc_id", "tok_idx"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(via_ray, direct)
+
+
+class TestKernelTwins:
+    """The A/B'd text kernels (VERDICT r3 item 6): loop and vectorized
+    twins must emit identical rows on adversarial inputs — empty docs,
+    whitespace-only, short docs, unicode, duplicate grams."""
+
+    CASES = [
+        "", "   ", "one", "two words", "a b c d e f g h i j",
+        "dup dup dup dup dup dup dup dup dup dup",
+        "x " * 20, "é ü ß 漢字 a b c d", None,
+        "tab\tand\nnewline separated words here now ok fine",
+    ]
+
+    def _batch(self):
+        ids = list(range(1, len(self.CASES) + 1))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(self.CASES)}
+        )
+
+    @staticmethod
+    def _canon(t):
+        df = t.to_pandas()
+        return df[sorted(df.columns)].sort_values(
+            sorted(df.columns), kind="mergesort"
+        ).reset_index(drop=True)
+
+    def test_tf_rows_vec_equals_loop(self):
+        from pdf_parser_ray.stages.textstats import tf_rows_loop, tf_rows_vec
+
+        pd.testing.assert_frame_equal(
+            self._canon(tf_rows_loop(32)(self._batch())),
+            self._canon(tf_rows_vec(32)(self._batch())),
+        )
+
+    def test_gram_rows_vec_equals_loop(self):
+        from pdf_parser_ray.stages.corpus import gram_rows_loop, gram_rows_vec
+
+        pd.testing.assert_frame_equal(
+            self._canon(gram_rows_loop(64)(self._batch())),
+            self._canon(gram_rows_vec(64)(self._batch())),
+        )
+
+    def test_prefix_gram_rows_vec_equals_loop(self):
+        from pdf_parser_ray.stages.dedup import (
+            prefix_gram_rows_loop,
+            prefix_gram_rows_vec,
+        )
+
+        for thr in (0.5, 0.8, 0.95):
+            pd.testing.assert_frame_equal(
+                self._canon(prefix_gram_rows_loop(thr, 32)(self._batch())),
+                self._canon(prefix_gram_rows_vec(thr, 32)(self._batch())),
+            )
