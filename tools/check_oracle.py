@@ -6,6 +6,13 @@ an order-insensitive value hash (columns sorted by name, rows sorted,
 values stringified with float rounding). Usage::
 
     python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` additionally writes one driver-format record per query
+(rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err) so the full 90+-query surface carries committed, auditable
+correctness evidence each round — the driver itself samples only ~50
+(VERDICT r3 "Next round" item 2).
 """
 
 from __future__ import annotations
@@ -43,8 +50,13 @@ def canon(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import ray
 
@@ -79,6 +91,7 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    records = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -87,21 +100,39 @@ def main():
         except Exception as e:
             print(f"[ERR ] {name}: query raised {type(e).__name__}: {e}")
             failures.append(name)
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"query:{type(e).__name__}",
+            }
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"[rows] {name}: {len(mine)} rows (no oracle)")
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(mine), "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             ref = con.sql(sql).df()
         except Exception as e:
             print(f"[ERR ] {name}: oracle raised {e}")
             failures.append(name)
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(mine), "oracle_rows": None,
+                "err": f"oracle:{type(e).__name__}",
+            }
             continue
         ok_rows = len(mine) == len(ref)
         ok_cols = sorted(mine.columns) == sorted(ref.columns)
         ok_hash = ok_cols and canon(mine) == canon(ref)
         status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        records[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols, "hash_match": ok_hash,
+            "spark_rows": len(mine), "oracle_rows": len(ref), "err": None,
+        }
         print(f"[{status}] {name}: rows {len(mine)}/{len(ref)} cols_ok={ok_cols} hash_ok={ok_hash}")
         if status == "FAIL":
             failures.append(name)
@@ -112,6 +143,12 @@ def main():
                 r = ref[sorted(ref.columns)].sort_values(sorted(ref.columns)).head(3)
                 print("   mine:\n", m.to_string(), "\n   ref:\n", r.to_string())
     ray.shutdown()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {len(records)} records to {json_out}")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
