@@ -2989,6 +2989,294 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q24 — per-user conversion funnel (ordered event-sequence detection)
+# ---------------------------------------------------------------------------
+
+def q_conversion_funnel(sf_dir: str, n_buckets: int = 16):
+    """Per-user view→click→purchase funnel: the deepest stage each
+    user reached following the EARLIEST possible chain (first view,
+    first click strictly after it, first purchase strictly after
+    that). The sequence-detection shape analytics engines expose as
+    ``window_funnel``; no single SQL window expresses it, so the
+    oracle decorrelates it the same way the engine does.
+
+    Scale shape: only funnel-type rows enter the exchange, already
+    projected to fixed-width ``(user_id, code, us)`` triples — at
+    corpus scale the shuffle carries the funnel events, never the
+    event log. One coarse ``hash(user) % B`` groupby co-locates each
+    user; the chain itself is three vectorized merge+min passes per
+    partition (strict ``>`` makes the result independent of intra-ts
+    tie order, so no tie-break column is needed)."""
+    import pandas as pd
+
+    _STAGES = ("view", "click", "purchase")
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        code = np.full(batch.num_rows, -1, dtype=np.int8)
+        for i, s in enumerate(_STAGES):
+            code[pc.equal(et, s).to_numpy(zero_copy_only=False)] = i
+        keep = code >= 0
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)[keep]
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "bucket": pa.array((uid % n_buckets).astype(np.int64)),
+                "user_id": pa.array(uid.astype(np.int64)),
+                "code": pa.array(code[keep]),
+                "us": pa.array(us),
+            }
+        )
+
+    def funnel_bucket(g: pd.DataFrame) -> pa.Table:
+        users = np.sort(g["user_id"].unique())
+        t1 = g[g["code"] == 0].groupby("user_id")["us"].min()
+        c = g[g["code"] == 1].merge(t1.rename("t1").reset_index(), on="user_id")
+        t2 = c[c["us"] > c["t1"]].groupby("user_id")["us"].min()
+        p = g[g["code"] == 2].merge(t2.rename("t2").reset_index(), on="user_id")
+        t3 = p[p["us"] > p["t2"]].groupby("user_id")["us"].min()
+        out = pd.DataFrame({"user_id": users})
+        out["t1"] = out["user_id"].map(t1)
+        out["t2"] = out["user_id"].map(t2)
+        out["t3"] = out["user_id"].map(t3)
+        stage = (
+            out["t1"].notna().astype(np.int64)
+            + out["t2"].notna().astype(np.int64)
+            + out["t3"].notna().astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(dtype=np.int64)),
+                "funnel_stage": pa.array(stage.to_numpy(dtype=np.int64)),
+                "first_view_us": pa.array(
+                    out["t1"].fillna(-1).to_numpy(dtype=np.int64)
+                ),
+                "converted_us": pa.array(
+                    out["t3"].fillna(-1).to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(funnel_bucket, batch_format="pandas")
+    )
+
+
+_SQL_FUNNEL = """
+WITH u AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type IN ('view','click','purchase')),
+v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage,
+       COALESCE(CAST(epoch_us(t1) AS BIGINT), -1) AS first_view_us,
+       COALESCE(CAST(epoch_us(t3) AS BIGINT), -1) AS converted_us
+FROM u LEFT JOIN v ON u.user_id = v.user_id
+       LEFT JOIN c ON u.user_id = c.user_id
+       LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q25 — CUBE grouping sets over (market segment, order priority)
+# ---------------------------------------------------------------------------
+
+def q_revenue_cube(sf_dir: str, n_buckets: int = 16):
+    """Order revenue over ``CUBE(c_mktsegment, o_orderpriority)`` —
+    the full 2^d grouping-set lattice next to :func:`q_revenue_rollup`
+    's linear hierarchy. Orders pre-aggregate to
+    (custkey, priority) partials per batch, the custkey→segment
+    resolution is the explicit bucket join, and the cube fans each
+    (segment, priority) LEAF row out to its four grouping sets before
+    ONE fine re-aggregation — the fan-out multiplies the few dozen
+    leaf rows, never the fact table, which is what keeps 2^d
+    affordable at any corpus size (cost is 2^d × |leaf|, not
+    2^d × |orders|)."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": b["o_custkey"].to_numpy(zero_copy_only=False),
+                "priority": b["o_orderpriority"].to_pylist(),
+                "cents": _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["key", "priority"], as_index=False)["cents"].sum()
+        keys = g["key"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets),
+                "side": pa.array(np.zeros(len(g), dtype=np.int8)),
+                "key": pa.array(keys),
+                "priority": pa.array(g["priority"], pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                "key": pa.array(ck),
+                "priority": b["c_mktsegment"],  # segment rides the priority slot
+                "cents": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    both = orders.map_batches(prep_orders, batch_format="pyarrow", batch_size=None).union(
+        customer.map_batches(prep_cust, batch_format="pyarrow", batch_size=None)
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        probe = g[g["side"] == 0][["key", "priority", "cents"]]
+        build = g[g["side"] == 1][["key", "priority"]].rename(
+            columns={"priority": "segment"}
+        )
+        j = probe.merge(build, on="key", how="inner")
+        agg = j.groupby(["segment", "priority"], as_index=False)["cents"].sum()
+        return pa.table(
+            {
+                "segment": pa.array(agg["segment"], pa.string()),
+                "priority": pa.array(agg["priority"], pa.string()),
+                "revenue_cents": pa.array(agg["cents"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    leaf = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        s = batch["segment"].to_pylist()
+        p = batch["priority"].to_pylist()
+        c = batch["revenue_cents"].to_numpy(zero_copy_only=False)
+        all_ = ["ALL"] * len(s)
+        return pa.table(
+            {
+                "segment": pa.array(s + s + all_ + all_, pa.string()),
+                "priority": pa.array(p + all_ + p + all_, pa.string()),
+                "revenue_cents": pa.array(np.concatenate([c, c, c, c])),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        leaf.map_batches(fan_out, batch_format="pyarrow", batch_size=None)
+        .groupby(["segment", "priority"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+_SQL_CUBE = """
+SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q26 — correlated scalar subquery, decorrelated
+# ---------------------------------------------------------------------------
+
+def q_orders_above_avg(sf_dir: str, n_buckets: int = 16):
+    """Orders strictly above their own customer's average order value
+    — the classic correlated scalar subquery (``WHERE price > (SELECT
+    AVG(...) WHERE same customer)``), decorrelated into the standard
+    partial-aggregate + co-located rejoin the engine's bucket join
+    already provides. ONE pruned read feeds both sides: each batch
+    emits its order rows (side 0) AND its per-customer (count, sum)
+    partials (side 1) into the same custkey-bucket exchange, so the
+    fact table is scanned once and the partials the shuffle carries
+    are one row per distinct customer per batch. The comparison is
+    exact integer cross-multiplication (``cents·cnt > sum_cents``) —
+    no division, no float, hash-identical to the oracle."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        part = (
+            pd.DataFrame({"ck": ck, "cents": cents})
+            .groupby("ck")["cents"]
+            .agg(["count", "sum"])
+        )
+        pk = part.index.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate([ck % n_buckets, pk % n_buckets])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(ck), dtype=np.int8), np.ones(len(pk), dtype=np.int8)]
+                    )
+                ),
+                "custkey": pa.array(np.concatenate([ck, pk])),
+                "orderkey": pa.array(np.concatenate([ok, np.zeros(len(pk), dtype=np.int64)])),
+                "cents": pa.array(np.concatenate([cents, part["sum"].to_numpy(dtype=np.int64)])),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(ck), dtype=np.int64), part["count"].to_numpy(dtype=np.int64)]
+                    )
+                ),
+            }
+        )
+
+    def filter_bucket(g: pd.DataFrame) -> pa.Table:
+        parts = g[g["side"] == 1].groupby("custkey")[["cents", "cnt"]].sum()
+        rows = g[g["side"] == 0].merge(
+            parts, left_on="custkey", right_index=True, suffixes=("", "_tot")
+        )
+        keep = rows[rows["cents"] * rows["cnt_tot"] > rows["cents_tot"]]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keep["orderkey"].to_numpy(dtype=np.int64)),
+                "o_custkey": pa.array(keep["custkey"].to_numpy(dtype=np.int64)),
+                "price_cents": pa.array(keep["cents"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return (
+        orders.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(filter_bucket, batch_format="pandas")
+    )
+
+
+_SQL_ABOVE_AVG = """
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+           FROM orders),
+s AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(price_cents) AS BIGINT) AS total
+      FROM o GROUP BY o_custkey)
+SELECT o.o_orderkey, o.o_custkey, o.price_cents
+FROM o JOIN s ON o.o_custkey = s.o_custkey
+WHERE o.price_cents * s.cnt > s.total
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -3032,6 +3320,9 @@ QUERIES = {
     "event_pivot": q_event_pivot,
     "priority_percentiles": q_priority_percentiles,
     "type_user_counts": q_type_user_counts,
+    "conversion_funnel": q_conversion_funnel,
+    "revenue_cube": q_revenue_cube,
+    "orders_above_avg": q_orders_above_avg,
 }
 
 ORACLE_SQL = {
@@ -3075,6 +3366,9 @@ ORACLE_SQL = {
     "event_pivot": _SQL_EVENT_PIVOT,
     "priority_percentiles": _SQL_PRIORITY_PERCENTILES,
     "type_user_counts": _SQL_TYPE_USER_COUNTS,
+    "conversion_funnel": _SQL_FUNNEL,
+    "revenue_cube": _SQL_CUBE,
+    "orders_above_avg": _SQL_ABOVE_AVG,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

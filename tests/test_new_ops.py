@@ -1645,3 +1645,140 @@ class TestKernelTwins:
                 self._canon(prefix_gram_rows_loop(thr, 32)(self._batch())),
                 self._canon(prefix_gram_rows_vec(thr, 32)(self._batch())),
             )
+
+
+class TestFunnelCubeAboveAvg:
+    """Round-4 relational additions: ordered-sequence funnel (strict-
+    inequality chain, tie and out-of-order edges), CUBE grouping-set
+    lattice (subtotal conservation), and the decorrelated correlated
+    scalar subquery (strict > means all-equal customers keep nothing)."""
+
+    @pytest.fixture(scope="class")
+    def funnel_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("funnel_sf")
+        t0 = np.int64(1_700_000_000_000_000)
+        s = 1_000_000
+        rows = [
+            # user 1: clean full chain view<click<purchase -> stage 3
+            (1, "view", t0), (1, "click", t0 + s), (1, "purchase", t0 + 2 * s),
+            # user 2: click BEFORE the first view only -> stage 1
+            (2, "click", t0), (2, "view", t0 + s),
+            # user 3: purchase before the click, none after -> stage 2
+            (3, "view", t0), (3, "purchase", t0 + s), (3, "click", t0 + 2 * s),
+            # user 4: click+purchase but never a view -> stage 0
+            (4, "click", t0), (4, "purchase", t0 + s),
+            # user 5: click at EXACTLY the view ts (strict > rejects it),
+            # a later click rescues stage 2; purchase tied with that
+            # click is likewise rejected -> stage 2
+            (5, "view", t0), (5, "click", t0), (5, "click", t0 + s),
+            (5, "purchase", t0 + s),
+            # user 6: unrelated types only -> absent from output
+            (6, "error", t0), (6, "signup", t0 + s),
+        ]
+        ev = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(ev, str(d / "events.parquet"))
+        return str(d)
+
+    def test_funnel_stages_and_edges(self, funnel_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_conversion_funnel
+
+        got = (
+            q_conversion_funnel(funnel_sf, n_buckets=4)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert got["user_id"].tolist() == [1, 2, 3, 4, 5]
+        assert got["funnel_stage"].tolist() == [3, 1, 2, 0, 2]
+        t0 = np.int64(1_700_000_000_000_000)
+        assert got["first_view_us"].tolist() == [t0, t0 + 1_000_000, t0, -1, t0]
+        assert got["converted_us"].tolist() == [t0 + 2_000_000, -1, -1, -1, -1]
+
+    @pytest.fixture(scope="class")
+    def cube_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("cube_sf")
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "2-HIGH", "1-URGENT", "2-HIGH", "1-URGENT"],
+                    pa.string(),
+                ),
+                "o_totalprice": pa.array([10.00, 20.00, 30.00, 40.00, 50.00]),
+            }
+        )
+        customer = pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_mktsegment": pa.array(["AUTO", "BUILDING", "AUTO"], pa.string()),
+            }
+        )
+        pq.write_table(orders, str(d / "orders.parquet"))
+        pq.write_table(customer, str(d / "customer.parquet"))
+        return str(d)
+
+    def test_cube_lattice_and_conservation(self, cube_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_revenue_cube
+
+        got = (
+            q_revenue_cube(cube_sf, n_buckets=4)
+            .to_pandas()
+            .sort_values(["segment", "priority"])
+            .reset_index(drop=True)
+        )
+        # lattice: 4 leaf cells + 2 segment + 2 priority subtotals + grand
+        assert len(got) == 9
+        cell = {
+            (r["segment"], r["priority"]): r["revenue_cents"]
+            for _, r in got.iterrows()
+        }
+        assert cell[("AUTO", "1-URGENT")] == 6000   # 10 + 50
+        assert cell[("AUTO", "2-HIGH")] == 2000
+        assert cell[("BUILDING", "1-URGENT")] == 3000
+        assert cell[("BUILDING", "2-HIGH")] == 4000
+        assert cell[("AUTO", "ALL")] == 8000
+        assert cell[("ALL", "1-URGENT")] == 9000
+        assert cell[("ALL", "ALL")] == 15000
+        # every slice sums to the grand total
+        seg_tot = sum(v for (s, p), v in cell.items() if s != "ALL" and p == "ALL")
+        pri_tot = sum(v for (s, p), v in cell.items() if p != "ALL" and s == "ALL")
+        assert seg_tot == pri_tot == cell[("ALL", "ALL")]
+
+    @pytest.fixture(scope="class")
+    def aavg_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("aavg_sf")
+        orders = pa.table(
+            {
+                # cust 1: all orders identical -> strict > keeps nothing
+                # cust 2: 10,20,30 -> avg 20, only the 30 survives
+                # cust 3: single order == its own avg -> nothing
+                "o_orderkey": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+                "o_totalprice": pa.array(
+                    [5.00, 5.00, 5.00, 10.00, 20.00, 30.00, 99.99]
+                ),
+            }
+        )
+        pq.write_table(orders, str(d / "orders.parquet"))
+        return str(d)
+
+    def test_above_avg_strictness(self, aavg_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_orders_above_avg
+
+        got = (
+            q_orders_above_avg(aavg_sf, n_buckets=4)
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        assert got["o_orderkey"].tolist() == [6]
+        assert got["price_cents"].tolist() == [3000]
