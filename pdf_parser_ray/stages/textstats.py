@@ -1049,6 +1049,195 @@ HAVING count(*) >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson/Sparck-Jones k1-b weighting)
+# ---------------------------------------------------------------------------
+
+def q_bm25_search(sf_dir: str, k: int = 10):
+    """Top-k documents by BM25 for a deterministic probe (the first
+    three distinct lowercased words of document 0, as
+    :func:`q_term_search`) — completing the lexical-retrieval family:
+    term_search is boolean hit-counting, tfidf is corpus weighting,
+    this is the ranked scorer search engines actually run.
+
+    Shape: ONE pruned streaming pass over the corpus emits (a) one
+    fixed-width row per (matching doc, probe term) with its tf and the
+    doc's token length, and (b) one stats partial per batch
+    (doc count, token-length sum). That tagged dataset is tiny (≤
+    |probe| rows per matching doc + 1 per batch) and is consumed twice
+    — once to reduce the global constants (N, total_dl, df per term:
+    a bounded driver-side fold over per-batch partials), once to score
+    — so it is pinned with ``materialize()``; the CORPUS is never
+    pinned or re-read. Scoring sums per-term micro contributions per
+    doc inside a coarse ``doc_id % B`` groupby, then one top-k sort on
+    the integer score.
+
+    Exactness: ``bm25 = idf · (tf·(k1+1)) / (tf + k1·(1−b) + k1·b·
+    dl·N/total_dl)`` with k1 = 1.2, b = 0.75 folded into the literal
+    constants 2.2 / 0.3 / 0.9. idf = lnN − lndf via the shared fixed
+    IEEE expression tree (:func:`_shared_ln` — no libm), every other
+    step a single correctly-rounded IEEE double op in a fixed order
+    the oracle SQL replicates verbatim, and the per-term score is
+    micro-rounded to an int BEFORE the per-doc sum — so the hash-exact
+    compare holds on any platform."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    probe_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "=", 0)],
+    )
+    first_words = (probe_tbl["text"][0].as_py() or "").lower().split()[:3]
+    probe = sorted(set(first_words))
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    term_of = {i: t for i, t in enumerate(probe)}
+    idx_of = {t: i for i, t in enumerate(probe)}
+
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        parent = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)
+        s = pc.list_flatten(flat).to_pandas()
+        keep = (s != "").to_numpy()
+        parent = parent[keep]
+        s = s[keep]
+        dl = np.bincount(parent, minlength=batch.num_rows).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s.isin(probe).to_numpy()
+        df = pd.DataFrame({"d": parent[m], "t": s[m].map(idx_of).to_numpy()})
+        agg = df.groupby(["d", "t"], sort=False).size().reset_index(name="tf")
+        drows = agg["d"].to_numpy()
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([np.zeros(len(agg), dtype=np.int8), [1]])
+                ),
+                "doc_id": pa.array(np.concatenate([ids[drows], [-1]]), pa.int64()),
+                "term_idx": pa.array(
+                    np.concatenate([agg["t"].to_numpy(dtype=np.int64), [-1]])
+                ),
+                "tf": pa.array(
+                    np.concatenate(
+                        [agg["tf"].to_numpy(dtype=np.int64), [batch.num_rows]]
+                    )
+                ),
+                "dl": pa.array(
+                    np.concatenate([dl[drows], [int(dl.sum())]]), pa.int64()
+                ),
+            }
+        )
+
+    tagged = ds.map_batches(
+        hit_rows, batch_format="pyarrow", batch_size=None
+    ).materialize()  # tiny: |probe| rows per matching doc + 1 per batch
+
+    parts = tagged.filter(lambda r: r["kind"] == 1).to_pandas()
+    total_dl = int(parts["dl"].sum())
+    assert int(parts["tf"].sum()) == n_docs  # partials cover the corpus
+    hits = tagged.filter(lambda r: r["kind"] == 0)
+    df_per_term = (
+        hits.groupby("term_idx")
+        .count()
+        .to_pandas()
+        .set_index("term_idx")["count()"]
+        .to_dict()
+    )
+
+    ln_n = _shared_ln(int(n_docs))
+    idf = {ti: ln_n - _shared_ln(int(dfv)) for ti, dfv in df_per_term.items()}
+    k1p1, k1_1mb, k1b = float("2.2"), float("0.3"), float("0.9")
+    n_f, total_f = float(n_docs), float(total_dl)
+
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        tf = g["tf"].to_numpy(dtype=np.int64)
+        dl = g["dl"].to_numpy(dtype=np.int64)
+        ti = g["term_idx"].to_numpy(dtype=np.int64)
+        micro = np.empty(len(g), dtype=np.int64)
+        for i in range(len(g)):
+            tf_f, dl_f = float(tf[i]), float(dl[i])
+            r = (dl_f * n_f) / total_f
+            den = tf_f + (k1_1mb + k1b * r)
+            num = tf_f * k1p1
+            micro[i] = int(np.floor((idf[int(ti[i])] * (num / den)) * 1_000_000 + 0.5))
+        out = (
+            pd.DataFrame({"doc_id": g["doc_id"].to_numpy(dtype=np.int64), "m": micro})
+            .groupby("doc_id", sort=False)
+            .agg(bm25_micro=("m", "sum"), n_terms=("m", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64)),
+                "bm25_micro": pa.array(out["bm25_micro"].to_numpy(dtype=np.int64)),
+                "n_terms": pa.array(out["n_terms"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pc.cast(
+                pc.bit_wise_and(batch["doc_id"], pa.scalar(15, pa.int64())), pa.int64()
+            ),
+        )
+
+    scored = (
+        hits.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+    )
+    return scored.sort(["bm25_micro", "doc_id"], descending=[True, False]).limit(k)
+
+
+# constants forced through string->double parse on both sides
+# (CAST('2.2' AS DOUBLE) in SQL, float("2.2") in the engine) so even
+# short decimal literals take the correctly-rounded parse path
+_SQL_BM25 = rf"""
+WITH probe AS (
+    SELECT DISTINCT term FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '\S+')[1:3]) AS term
+        FROM documents WHERE doc_id = 0
+    )
+),
+toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+    FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+ns AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+              CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+tf AS (SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks t JOIN probe USING (term) GROUP BY t.doc_id, t.term),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+dfd AS (SELECT DISTINCT df AS kint FROM dft),
+lnd AS {_shared_ln_cte("dfd", "kint")},
+nn AS (SELECT n_docs AS kint FROM ns),
+lnn AS {_shared_ln_cte("nn", "kint")},
+scored AS (
+    SELECT tf.doc_id,
+           CAST(FLOOR(((lnn.lnk - lnd.lnk) *
+                ((CAST(tf.tf AS DOUBLE) * CAST('2.2' AS DOUBLE)) /
+                 (CAST(tf.tf AS DOUBLE) + (CAST('0.3' AS DOUBLE) +
+                  CAST('0.9' AS DOUBLE) *
+                  ((CAST(dl.dl AS DOUBLE) * CAST(ns.n_docs AS DOUBLE))
+                   / CAST(ns.total_dl AS DOUBLE))))))
+                * 1000000 + 0.5) AS BIGINT) AS term_micro
+    FROM tf
+    JOIN dft USING (term)
+    JOIN lnd ON lnd.kint = dft.df
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN ns CROSS JOIN lnn
+)
+SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS bm25_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1063,6 +1252,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "term_search": q_term_search,
     "top_tokens_per_lang": q_top_tokens_per_lang,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLE_SQL = {
@@ -1080,4 +1270,5 @@ ORACLE_SQL = {
     "tfidf_top_terms": _SQL_TFIDF,
     "term_search": _SQL_TERM_SEARCH,
     "top_tokens_per_lang": _SQL_TOP_TOKENS_PER_LANG,
+    "bm25_search": _SQL_BM25,
 }

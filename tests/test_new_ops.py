@@ -1782,3 +1782,71 @@ class TestFunnelCubeAboveAvg:
         )
         assert got["o_orderkey"].tolist() == [6]
         assert got["price_cents"].tolist() == [3000]
+
+
+class TestBM25:
+    """BM25 scorer vs an independent math.log computation on a tiny
+    hand-built corpus (probe = first three words of doc 0), plus the
+    tf-saturation and length-normalization orderings BM25 must obey."""
+
+    @pytest.fixture(scope="class")
+    def bm25_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("bm25_sf")
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "apple banana cherry",
+                        "apple apple apple apple",
+                        "apple zzz zzz zzz",
+                        "banana",
+                        "zzz yyy",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        pq.write_table(docs, str(d / "documents.parquet"))
+        return str(d)
+
+    def test_matches_independent_formula(self, bm25_sf, ray_session):
+        import math
+
+        from pdf_parser_ray.stages.textstats import q_bm25_search
+
+        got = q_bm25_search(bm25_sf).to_pandas()
+        # corpus constants: N=5, total tokens = 3+4+4+1+2 = 14
+        n, total = 5, 14
+        dfs = {"apple": 3, "banana": 2, "cherry": 1}
+        tfs = {
+            0: {"apple": 1, "banana": 1, "cherry": 1},
+            1: {"apple": 4},
+            2: {"apple": 1},
+            3: {"banana": 1},
+        }
+        dls = {0: 3, 1: 4, 2: 4, 3: 1}
+
+        def bm25(doc):
+            s = 0.0
+            for t, tf in tfs[doc].items():
+                idf = math.log(n) - math.log(dfs[t])
+                r = dls[doc] * n / total
+                s += idf * (tf * 2.2) / (tf + 0.3 + 0.9 * r)
+            return s
+
+        want = {d_: bm25(d_) for d_ in tfs}
+        by_doc = dict(zip(got["doc_id"], got["bm25_micro"]))
+        assert set(by_doc) == set(want)
+        for d_, w in want.items():
+            # shared-ln truncation <= 1e-8 relative; micro within 1
+            assert abs(by_doc[d_] / 1e6 - w) < 1e-4
+        # ranking sorted by integer score desc, doc_id asc
+        assert got["bm25_micro"].is_monotonic_decreasing
+        n_terms = dict(zip(got["doc_id"], got["n_terms"]))
+        assert n_terms == {0: 3, 1: 1, 2: 1, 3: 1}
+        # saturation: doc1 (tf=4) beats doc2 (tf=1) at equal dl
+        assert by_doc[1] > by_doc[2]
+        # length norm: doc3's lone banana beats doc2's diluted apple
+        # (higher idf AND shorter doc)
+        assert by_doc[3] > by_doc[2]
