@@ -107,11 +107,19 @@ def run_suite() -> dict:
     headline = min(reps)
 
     qtimes = {}
+    qreps: dict[str, list[float]] = {}
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        # best-of-2 per query: single samples of sub-2s queries swing
+        # ±0.5s on this shared box (BASELINE.md round-4 confirmation);
+        # both reps are disclosed in query_reps
         for name, builder in _bench_queries().items():
-            t0 = time.perf_counter()
-            builder(SF_DIR).count()
-            qtimes[name] = round(time.perf_counter() - t0, 3)
+            reps_q = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                builder(SF_DIR).count()
+                reps_q.append(round(time.perf_counter() - t0, 3))
+            qreps[name] = reps_q
+            qtimes[name] = min(reps_q)
 
     ray.shutdown()
     return {
@@ -121,6 +129,7 @@ def run_suite() -> dict:
         # every in-session rep, so the min-selection is auditable
         "headline_reps": reps,
         "queries": qtimes,
+        "query_reps": qreps,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "docs": n_total,
