@@ -2990,6 +2990,282 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Q23b — FIRST_VALUE/LAST_VALUE per partition as decomposable argmin/argmax
+# ---------------------------------------------------------------------------
+
+def q_customer_order_span(sf_dir: str, n_buckets: int = 16):
+    """Each customer's first and last order (key, date, price) plus
+    order count — the FIRST_VALUE/LAST_VALUE window pair. Unlike
+    rank-family windows, first/last are DECOMPOSABLE: each batch
+    reduces its rows to one (first-candidate, last-candidate, count)
+    partial per customer, so the exchange carries one fixed-width row
+    per (customer × batch), never the orders; the bucket groupby then
+    re-reduces partials with the same lexicographic (date, orderkey)
+    argmin/argmax. Total ordering via the orderkey tiebreak keeps the
+    result exact under any block arrival order."""
+    import pandas as pd
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ck": b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "ok": b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "dt": b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "cents": _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["ck", "dt", "ok"])
+        g = df.groupby("ck", sort=False)
+        f, l, n = g.head(1), g.tail(1), g.size()
+        ck = f["ck"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets),
+                "ck": pa.array(ck),
+                "f_ok": pa.array(f["ok"].to_numpy(dtype=np.int64)),
+                "f_dt": pa.array(f["dt"].to_numpy(dtype=np.int64)),
+                "f_cents": pa.array(f["cents"].to_numpy(dtype=np.int64)),
+                "l_ok": pa.array(l["ok"].to_numpy(dtype=np.int64)),
+                "l_dt": pa.array(l["dt"].to_numpy(dtype=np.int64)),
+                "l_cents": pa.array(l["cents"].to_numpy(dtype=np.int64)),
+                "n": pa.array(n.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        f = (
+            g.sort_values(["ck", "f_dt", "f_ok"])
+            .groupby("ck", sort=False)
+            .head(1)[["ck", "f_ok", "f_dt", "f_cents"]]
+        )
+        l = (
+            g.sort_values(["ck", "l_dt", "l_ok"])
+            .groupby("ck", sort=False)
+            .tail(1)[["ck", "l_ok", "l_dt", "l_cents"]]
+        )
+        n = g.groupby("ck", sort=False)["n"].sum()
+        out = f.merge(l, on="ck").merge(n.rename("n_orders").reset_index(), on="ck")
+        return pa.table(
+            {
+                "c_custkey": pa.array(out["ck"].to_numpy(dtype=np.int64)),
+                "first_orderkey": pa.array(out["f_ok"].to_numpy(dtype=np.int64)),
+                "first_date": pa.array(out["f_dt"].to_numpy(), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "first_cents": pa.array(out["f_cents"].to_numpy(dtype=np.int64)),
+                "last_orderkey": pa.array(out["l_ok"].to_numpy(dtype=np.int64)),
+                "last_date": pa.array(out["l_dt"].to_numpy(), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "last_cents": pa.array(out["l_cents"].to_numpy(dtype=np.int64)),
+                "n_orders": pa.array(out["n_orders"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return (
+        orders.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+_SQL_ORDER_SPAN = """
+WITH o AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS n
+    FROM orders
+)
+SELECT f.o_custkey AS c_custkey,
+       f.o_orderkey AS first_orderkey, f.o_orderdate AS first_date,
+       f.cents AS first_cents,
+       l.o_orderkey AS last_orderkey, l.o_orderdate AS last_date,
+       l.cents AS last_cents,
+       CAST(f.n AS BIGINT) AS n_orders
+FROM (SELECT * FROM o WHERE rf = 1) f
+JOIN (SELECT * FROM o WHERE rl = 1) l ON f.o_custkey = l.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q23c — fact-to-fact join + grouped COUNT(DISTINCT) re-key
+# ---------------------------------------------------------------------------
+
+def q_customer_supplier_reach(sf_dir: str, min_suppliers: int = 5, n_buckets: int = 32):
+    """How many DISTINCT suppliers each customer has bought from
+    (keeping customers reaching ``min_suppliers``) — the one join the
+    suite hadn't exercised: FACT⋈FACT (lineitem⋈orders on orderkey,
+    both too big to broadcast), then a re-key to a different grouping
+    column (custkey) with a grouped COUNT(DISTINCT).
+
+    Two exchanges, both carrying pre-reduced fixed-width rows:
+
+    1. orderkey-bucket join — lineitem batches emit DISTINCT
+       (orderkey, suppkey) pairs (per-batch dedup; the exchange never
+       carries one row per line item), orders emit (orderkey, custkey);
+       the per-bucket merge rewrites pairs to (custkey, suppkey).
+    2. custkey-bucket distinct-count — pairs dedup once more per
+       bucket task before the exchange (cross-block duplicates of the
+       same pair collapse), then the custkey groupby counts distinct
+       suppliers vectorized per partition.
+
+    At 100 TB this is the canonical big-join template: co-partition
+    both facts on the join key once, keep every exchanged row a pair
+    of int64s, and never let a count-distinct ship raw values to the
+    driver."""
+    import pandas as pd
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def li_pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "val": b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(df["key"].to_numpy() % n_buckets),
+                "side": pa.array(np.zeros(len(df), dtype=np.int8)),
+                "key": pa.array(df["key"].to_numpy()),
+                "val": pa.array(df["val"].to_numpy()),
+            }
+        )
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ok % n_buckets),
+                "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+                "key": pa.array(ok),
+                "val": pa.array(
+                    b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    both = lineitem.map_batches(li_pairs, batch_format="pyarrow", batch_size=None).union(
+        orders.map_batches(o_rows, batch_format="pyarrow", batch_size=None)
+    )
+
+    def rekey_bucket(g: pd.DataFrame) -> pa.Table:
+        pairs = g[g["side"] == 0][["key", "val"]]
+        owner = g[g["side"] == 1][["key", "val"]].rename(columns={"val": "ck"})
+        j = pairs.merge(owner, on="key")[["ck", "val"]].drop_duplicates()
+        ck = j["ck"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "cbucket": pa.array(ck % n_buckets),
+                "ck": pa.array(ck),
+                "supp": pa.array(j["val"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    pairs = both.groupby("bucket").map_groups(rekey_bucket, batch_format="pandas")
+
+    def count_bucket(g: pd.DataFrame) -> pa.Table:
+        agg = (
+            g.drop_duplicates(["ck", "supp"])
+            .groupby("ck", sort=False)
+            .size()
+            .reset_index(name="n_suppliers")
+        )
+        agg = agg[agg["n_suppliers"] >= min_suppliers]
+        return pa.table(
+            {
+                "c_custkey": pa.array(agg["ck"].to_numpy(dtype=np.int64)),
+                "n_suppliers": pa.array(agg["n_suppliers"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return pairs.groupby("cbucket").map_groups(count_bucket, batch_format="pandas")
+
+
+_SQL_SUPPLIER_REACH = """
+SELECT o.o_custkey AS c_custkey,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_custkey
+HAVING COUNT(DISTINCT l.l_suppkey) >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q23d — key-skew profiler (the diagnostic behind salted shuffles)
+# ---------------------------------------------------------------------------
+
+def q_key_skew(sf_dir: str, k: int = 20, n_buckets: int = 32):
+    """The 20 hottest order custkeys with their absolute counts and
+    integer parts-per-million share of the table — the profile a
+    planner reads BEFORE choosing between the plain and salted
+    segment-revenue twins (SCALE.md): if the top key's share_ppm
+    crosses the per-partition budget, salt it. Per-batch partial
+    counts → coarse key-bucket sums → per-bucket local top-k → one
+    k×buckets-row sort. The denominator is the parquet footer row
+    count (no extra pass); share is exact integer floor division, so
+    the profile hash-matches the oracle."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    total = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        agg = pd.Series(ck).value_counts()
+        keys = agg.index.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets),
+                "key": pa.array(keys),
+                "cnt": pa.array(agg.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def local_topk(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("key", sort=False)["cnt"].sum().reset_index()
+        agg = agg.sort_values(["cnt", "key"], ascending=[False, True]).head(k)
+        cnt = agg["cnt"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(agg["key"].to_numpy(dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "share_ppm": pa.array(cnt * 1_000_000 // total),
+            }
+        )
+
+    return (
+        orders.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(local_topk, batch_format="pandas")
+        .sort(["cnt", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+_SQL_KEY_SKEW = """
+WITH c AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders
+    GROUP BY o_custkey
+)
+SELECT o_custkey, cnt,
+       CAST(cnt * 1000000 // (SELECT COUNT(*) FROM orders) AS BIGINT)
+           AS share_ppm
+FROM c ORDER BY cnt DESC, o_custkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q24 — per-user conversion funnel (ordered event-sequence detection)
 # ---------------------------------------------------------------------------
 
@@ -3323,6 +3599,9 @@ QUERIES = {
     "conversion_funnel": q_conversion_funnel,
     "revenue_cube": q_revenue_cube,
     "orders_above_avg": q_orders_above_avg,
+    "customer_order_span": q_customer_order_span,
+    "customer_supplier_reach": q_customer_supplier_reach,
+    "key_skew": q_key_skew,
 }
 
 ORACLE_SQL = {
@@ -3369,6 +3648,9 @@ ORACLE_SQL = {
     "conversion_funnel": _SQL_FUNNEL,
     "revenue_cube": _SQL_CUBE,
     "orders_above_avg": _SQL_ABOVE_AVG,
+    "customer_order_span": _SQL_ORDER_SPAN,
+    "customer_supplier_reach": _SQL_SUPPLIER_REACH,
+    "key_skew": _SQL_KEY_SKEW,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

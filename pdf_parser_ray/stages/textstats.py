@@ -1049,6 +1049,64 @@ HAVING count(*) >= 2
 """
 
 
+# target mixture weights per predicted language, expressed as 4-hex-
+# char thresholds over md5(doc_id): keep iff md5[:4] < threshold. 'g'
+# sorts above every hex char, so it means "keep all" — the comparison
+# is plain bytewise string order, identical in CPython and DuckDB
+# VARCHAR collation, which keeps the sampler exactly reproducible on
+# both sides with no integer parsing of hex anywhere.
+_MIX_THRESHOLDS = {
+    "en": "g",      # 1.0 — head language kept whole
+    "es": "8000",   # 0.5
+    "de": "6000",   # 0.375
+    "fr": "4000",   # 0.25
+    "und": "2000",  # 0.125 — unidentified text down-weighted hardest
+}
+
+
+def q_lang_mix(sf_dir: str):
+    """Weighted language-mixture subsampling — the domain/language
+    reweighting step every multilingual training mix runs (cf. the
+    sampling-weight tables in public LLM data recipes): each predicted
+    language keeps a deterministic hash fraction of its documents
+    (:data:`_MIX_THRESHOLDS`). Pure per-row map+filter — language
+    scoring fused with the membership test in one pass, no RNG state,
+    no shuffle, membership independent of cluster size and run order;
+    :func:`q_balanced_sample` is the hard-cap twin (at most K per
+    stratum), this is the proportional twin (a fixed FRACTION per
+    stratum, corpus-size-proportional — what mixture weights mean)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _, lang = _lang_scores_and_pred(batch["text"])
+        ids = batch["doc_id"].to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest()[:4] < _MIX_THRESHOLDS[lg]
+            for i, lg in zip(ids, lang)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(lang, pa.string()),
+            }
+        ).filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_LANG_MIX = f"""
+SELECT doc_id, lang_pred
+FROM ({_SQL_LANG}) l
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang_pred
+           WHEN 'en' THEN '{_MIX_THRESHOLDS["en"]}'
+           WHEN 'es' THEN '{_MIX_THRESHOLDS["es"]}'
+           WHEN 'de' THEN '{_MIX_THRESHOLDS["de"]}'
+           WHEN 'fr' THEN '{_MIX_THRESHOLDS["fr"]}'
+           ELSE '{_MIX_THRESHOLDS["und"]}' END
+"""
+
+
 # ---------------------------------------------------------------------------
 # BM25 ranked retrieval (Robertson/Sparck-Jones k1-b weighting)
 # ---------------------------------------------------------------------------
@@ -1253,6 +1311,7 @@ QUERIES = {
     "term_search": q_term_search,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "bm25_search": q_bm25_search,
+    "lang_mix": q_lang_mix,
 }
 
 ORACLE_SQL = {
@@ -1271,4 +1330,5 @@ ORACLE_SQL = {
     "term_search": _SQL_TERM_SEARCH,
     "top_tokens_per_lang": _SQL_TOP_TOKENS_PER_LANG,
     "bm25_search": _SQL_BM25,
+    "lang_mix": _SQL_LANG_MIX,
 }

@@ -1850,3 +1850,129 @@ class TestBM25:
         # length norm: doc3's lone banana beats doc2's diluted apple
         # (higher idf AND shorter doc)
         assert by_doc[3] > by_doc[2]
+
+
+class TestLangMixOrderSpan:
+    """Round-4 additions: proportional language-mixture sampling
+    (deterministic hex-threshold membership) and the decomposable
+    FIRST/LAST_VALUE order span (date ties broken by orderkey,
+    single-order customers collapse first==last)."""
+
+    def test_lang_mix_membership_rule(self, ray_session):
+        import hashlib
+
+        from pdf_parser_ray.stages.textstats import (
+            _MIX_THRESHOLDS,
+            q_lang_id,
+            q_lang_mix,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        kept = q_lang_mix(sf).to_pandas()
+        langs = q_lang_id(sf).to_pandas().set_index("doc_id")["lang_pred"]
+        # membership is exactly the hash rule applied to the lang_id
+        # prediction — recomputed independently here
+        want = {
+            int(d)
+            for d, lg in langs.items()
+            if hashlib.md5(str(d).encode()).hexdigest()[:4] < _MIX_THRESHOLDS[lg]
+        }
+        assert set(kept["doc_id"]) == want
+        # labels agree with the lang_id kernel
+        assert all(langs[d] == lg for d, lg in zip(kept["doc_id"], kept["lang_pred"]))
+        # head language ('g' threshold) is kept in full
+        en_all = {int(d) for d, lg in langs.items() if lg == "en"}
+        assert en_all <= set(kept["doc_id"])
+        # deterministic: a second run returns the identical membership
+        again = q_lang_mix(sf).to_pandas()
+        assert set(again["doc_id"]) == set(kept["doc_id"])
+
+    @pytest.fixture(scope="class")
+    def span_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("span_sf")
+        day = 86_400_000_000
+        t0 = np.int64(1_500_000_000_000_000)
+        orders = pa.table(
+            {
+                # cust 1: two orders on the SAME date -> orderkey breaks
+                # the tie both directions; a later third order
+                # cust 2: single order -> first == last, n=1
+                "o_orderkey": pa.array([11, 10, 12, 20], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+                "o_orderdate": pa.array(
+                    [t0, t0, t0 + day, t0], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "o_totalprice": pa.array([5.00, 7.00, 9.00, 3.33]),
+            }
+        )
+        pq.write_table(orders, str(d / "orders.parquet"))
+        return str(d)
+
+    def test_order_span_ties_and_singletons(self, span_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_customer_order_span
+
+        got = (
+            q_customer_order_span(span_sf, n_buckets=4)
+            .to_pandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        assert got["c_custkey"].tolist() == [1, 2]
+        c1 = got.iloc[0]
+        # same-date tie: orderkey 10 is first despite appearing second
+        assert c1["first_orderkey"] == 10 and c1["first_cents"] == 700
+        assert c1["last_orderkey"] == 12 and c1["last_cents"] == 900
+        assert c1["n_orders"] == 3
+        c2 = got.iloc[1]
+        assert c2["first_orderkey"] == c2["last_orderkey"] == 20
+        assert c2["first_date"] == c2["last_date"]
+        assert c2["n_orders"] == 1
+
+    @pytest.fixture(scope="class")
+    def reach_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("reach_sf")
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([7, 7, 8], pa.int64()),
+            }
+        )
+        # cust 7 buys supplier 100 in BOTH orders and 101/102 once;
+        # duplicate (order, supp) pairs inside one order must not
+        # inflate the distinct count
+        lineitem = pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                "l_suppkey": pa.array([100, 100, 101, 100, 102, 100], pa.int64()),
+            }
+        )
+        pq.write_table(orders, str(d / "orders.parquet"))
+        pq.write_table(lineitem, str(d / "lineitem.parquet"))
+        return str(d)
+
+    def test_supplier_reach_distinct_across_orders(self, reach_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_customer_supplier_reach
+
+        got = (
+            q_customer_supplier_reach(reach_sf, min_suppliers=1, n_buckets=4)
+            .to_pandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        assert got["c_custkey"].tolist() == [7, 8]
+        # 100 appears 3 times across two orders but counts once
+        assert got["n_suppliers"].tolist() == [3, 1]
+        # threshold filters
+        from pdf_parser_ray.relational.ops import q_customer_supplier_reach as q
+
+        got2 = q(reach_sf, min_suppliers=2, n_buckets=4).to_pandas()
+        assert got2["c_custkey"].tolist() == [7]
+
+    def test_key_skew_share_and_ties(self, reach_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_key_skew
+
+        got = q_key_skew(reach_sf, k=20, n_buckets=4).to_pandas()
+        # cust 7: 2 of 3 orders -> floor(2e6/3); cust 8: floor(1e6/3)
+        assert got["o_custkey"].tolist() == [7, 8]
+        assert got["cnt"].tolist() == [2, 1]
+        assert got["share_ppm"].tolist() == [666666, 333333]
