@@ -109,6 +109,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(INGEST)
     except ImportError:
         pass
+    try:
+        from pdf_parser_ray.stages.graph import QUERIES as GRAPH
+
+        out.update(GRAPH)
+    except ImportError:
+        pass
     return out
 
 
@@ -178,6 +184,12 @@ def oracle_sql() -> dict[str, str]:
         from pdf_parser_ray.pipelines.ingest import ORACLE_SQL as INGEST
 
         out.update(INGEST)
+    except ImportError:
+        pass
+    try:
+        from pdf_parser_ray.stages.graph import ORACLE_SQL as GRAPH
+
+        out.update(GRAPH)
     except ImportError:
         pass
     return out

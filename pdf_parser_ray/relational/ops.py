@@ -3266,6 +3266,180 @@ FROM c ORDER BY cnt DESC, o_custkey LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Q23e — FULL OUTER join (both-sided key reconciliation)
+# ---------------------------------------------------------------------------
+
+def q_order_event_reconcile(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    n_buckets: int = 16,
+    budget_bytes: int | None = None,
+):
+    """FULL OUTER reconciliation of two per-key aggregate streams —
+    the one join shape the suite hadn't covered (inner / left-outer /
+    semi / anti / as-of / range / fact-to-fact all exist). Left:
+    per-customer order count + exact cent spend for customers in one
+    market segment. Right: per-user event count + exact cent value.
+    Keys live in the same id domain but neither side contains the
+    other (the segment excludes most event users; most segment
+    customers never raise events), so BOTH exclusive sides and the
+    overlap are non-empty — `sides` says which (1 = orders only,
+    2 = events only, 3 = both) and absent-side measures are
+    COALESCEd to 0, keeping every output column exact int64.
+
+    Scale shape: both inputs pre-aggregate per batch inside
+    ``map_batches`` (the exchange carries ``O(keys × blocks)``
+    fixed-width partials, never fact rows), meet once in a key-bucket
+    side-bit exchange, and each bucket does a vectorized outer merge.
+    The segment membership probe is sized like every other build side
+    (:func:`~..core.util.broadcast_build_fits`): within budget the
+    segment keys come from a row-group-filtered dimension read and
+    prune order partials before the exchange; beyond it the keys ride
+    the SAME exchange as a third side-tag and membership resolves per
+    bucket — either way the plan is one all-to-all, and both shapes
+    share this oracle (switch exercised both ways in tests)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    events = _read(sf_dir, "events", ["user_id", "value"])
+
+    fits = broadcast_build_fits(
+        f"{sf_dir}/customer.parquet",
+        budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES,
+    )
+    if fits:
+        seg_tbl = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+            filters=[("c_mktsegment", "=", segment)],
+        )
+        seg_keys = np.sort(seg_tbl["c_custkey"].to_numpy(zero_copy_only=False))
+    else:
+        seg_keys = None  # membership resolves in-bucket via side-2 rows
+
+    def order_partials(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(batch["o_totalprice"]).to_numpy()
+        if seg_keys is not None:
+            idx = np.clip(np.searchsorted(seg_keys, ck), 0, max(len(seg_keys) - 1, 0))
+            in_seg = seg_keys[idx] == ck if len(seg_keys) else np.zeros(len(ck), bool)
+            ck, cents = ck[in_seg], cents[in_seg]
+        df = pd.DataFrame({"key": ck, "cents": cents})
+        agg = df.groupby("key", sort=False).agg(n=("cents", "size"), cents=("cents", "sum"))
+        keys = agg.index.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                "key": pa.array(keys, pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "cents": pa.array(agg["cents"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def seg_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["c_mktsegment"], segment))
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "side": pa.array(np.full(n, 2, dtype=np.int8)),
+                "key": pa.array(ck, pa.int64()),
+                "n": pa.nulls(n, pa.int64()),
+                "cents": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def event_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "cents": _cents(batch["value"]).to_numpy(),
+            }
+        )
+        agg = df.groupby("key", sort=False).agg(n=("cents", "size"), cents=("cents", "sum"))
+        keys = agg.index.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+                "key": pa.array(keys, pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "cents": pa.array(agg["cents"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    both = orders.map_batches(
+        order_partials, batch_format="pyarrow", batch_size=None
+    ).union(events.map_batches(event_partials, batch_format="pyarrow", batch_size=None))
+    if not fits:
+        customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        both = both.union(
+            customer.map_batches(seg_rows, batch_format="pyarrow", batch_size=None)
+        )
+
+    def outer_bucket(g: pd.DataFrame) -> pa.Table:
+        o = g[g["side"] == 0].groupby("key", sort=False)[["n", "cents"]].sum()
+        if seg_keys is None:
+            o = o[o.index.isin(g.loc[g["side"] == 2, "key"])]
+        e = g[g["side"] == 1].groupby("key", sort=False)[["n", "cents"]].sum()
+        m = o.merge(
+            e, how="outer", left_index=True, right_index=True, suffixes=("_o", "_e")
+        )
+        sides = (~m["n_o"].isna()).astype(np.int8) + 2 * (~m["n_e"].isna()).astype(
+            np.int8
+        )
+        return pa.table(
+            {
+                "user_key": pa.array(m.index.to_numpy(dtype=np.int64), pa.int64()),
+                "sides": pa.array(sides.to_numpy(dtype=np.int64), pa.int64()),
+                "n_orders": pa.array(
+                    m["n_o"].fillna(0).to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "order_cents": pa.array(
+                    m["cents_o"].fillna(0).to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "n_events": pa.array(
+                    m["n_e"].fillna(0).to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "event_cents": pa.array(
+                    m["cents_e"].fillna(0).to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return both.groupby("bucket").map_groups(outer_bucket, batch_format="pandas")
+
+
+_SQL_RECONCILE = """
+WITH o AS (
+    SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_custkey
+), e AS (
+    SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY user_id
+)
+SELECT COALESCE(o.key, e.key) AS user_key,
+       CAST(CASE WHEN o.key IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN e.key IS NOT NULL THEN 2 ELSE 0 END AS BIGINT) AS sides,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(o.cents, 0) AS BIGINT) AS order_cents,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(e.cents, 0) AS BIGINT) AS event_cents
+FROM o FULL OUTER JOIN e ON o.key = e.key
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q24 — per-user conversion funnel (ordered event-sequence detection)
 # ---------------------------------------------------------------------------
 
@@ -3602,6 +3776,7 @@ QUERIES = {
     "customer_order_span": q_customer_order_span,
     "customer_supplier_reach": q_customer_supplier_reach,
     "key_skew": q_key_skew,
+    "order_event_reconcile": q_order_event_reconcile,
 }
 
 ORACLE_SQL = {
@@ -3651,6 +3826,7 @@ ORACLE_SQL = {
     "customer_order_span": _SQL_ORDER_SPAN,
     "customer_supplier_reach": _SQL_SUPPLIER_REACH,
     "key_skew": _SQL_KEY_SKEW,
+    "order_event_reconcile": _SQL_RECONCILE,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

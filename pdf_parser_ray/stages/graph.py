@@ -1,0 +1,250 @@
+"""Iterative graph analytics over relational link data.
+
+The engine already covers iterative-broadcast learning (k-means,
+``stages/embed.py``); this module adds the OTHER iterative shape a
+100 TB pipeline needs: **edge-partitioned message passing**, where
+per-iteration state lives in the object store as a Dataset (never on
+the driver) and every round is a fixed number of bucket exchanges.
+
+PageRank is the canonical instance — and a real training-data signal:
+link-graph centrality is a classic web-corpus quality prior (pages
+with high rank are crawled deeper and weighted higher in public
+corpus recipes). Here the graph is the customer↔supplier purchase
+graph induced by ``lineitem ⋈ orders``, so the whole computation
+carries an exact DuckDB oracle (the recursion unrolled as one CTE per
+iteration).
+
+All rank arithmetic is int64 fixed-point micro-units with floor
+division — bit-identical on numpy and DuckDB, so an ITERATIVE
+approximate algorithm still hash-matches its oracle exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+N_ITER = 5
+DAMP_NUM = 850_000  # 0.85 in micro-units
+BASE = 150_000      # (1 − 0.85) in micro-units
+R0 = 1_000_000      # initial rank: 1.0 per node (unnormalised)
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    from ..io.sources import read_parquet_clean, sized_blocks
+
+    path = f"{sf_dir}/{table}.parquet"
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=sized_blocks(path)
+    )
+
+
+def q_purchase_pagerank(sf_dir: str, n_buckets: int = 16):
+    """PageRank (damping 0.85, 5 synchronous iterations) over the
+    bipartite purchase graph: customer node ``2·custkey`` ↔ supplier
+    node ``2·suppkey + 1`` whenever a line item links them through an
+    order, symmetrised to an undirected graph.
+
+    Stage shape, built for a graph that doesn't fit anywhere:
+
+    1. **Edge build** — the ``q_customer_supplier_reach`` fact-to-fact
+       template: lineitem batches emit per-batch-distinct
+       ``(orderkey, suppkey)``, orders emit ``(orderkey, custkey)``,
+       one orderkey-bucket exchange rewrites to ``(cust, supp)``.
+    2. **Adjacency finalise** — a src-bucket exchange dedups each
+       ``(src, dst)`` globally (both directions of a pair land in
+       their own src bucket), computes ``deg(src)`` in the same
+       partition, and emits the initial rank row per node. The result
+       is materialized ONCE — the adjacency is reused by all
+       iterations, and the pin is O(edges), spillable.
+    3. **Per iteration (×5)** — ranks ride the SAME src-bucket layout
+       as the adjacency, so the contribution join is partition-local
+       after one exchange; per-edge ``contrib = (r·850000) //
+       (1000000·deg)`` rows re-bucket by dst and sum into the next
+       rank vector, which is materialized (O(nodes) per iteration,
+       never driver-side). Every exchanged row is three int64s —
+       at web scale the shuffle carries messages, never the graph.
+
+    Returns one row per node: ``(node, rank_micro)`` after 5
+    iterations. Every node of the symmetric graph has in-edges, so the
+    ``BASE`` term needs no dangling-mass correction."""
+    import pandas as pd
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "val": b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(df["key"].to_numpy() % n_buckets),
+                "side": pa.array(np.zeros(len(df), dtype=np.int8)),
+                "key": pa.array(df["key"].to_numpy()),
+                "val": pa.array(df["val"].to_numpy()),
+            }
+        )
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ok % n_buckets),
+                "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+                "key": pa.array(ok),
+                "val": pa.array(
+                    b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    both = lineitem.map_batches(li_rows, batch_format="pyarrow", batch_size=None).union(
+        orders.map_batches(o_rows, batch_format="pyarrow", batch_size=None)
+    )
+
+    def to_edges(g: pd.DataFrame) -> pa.Table:
+        li = g[g["side"] == 0][["key", "val"]]
+        o = g[g["side"] == 1][["key", "val"]].rename(columns={"val": "ck"})
+        j = li.merge(o, on="key")[["ck", "val"]].drop_duplicates()
+        c = j["ck"].to_numpy(dtype=np.int64) * 2
+        s = j["val"].to_numpy(dtype=np.int64) * 2 + 1
+        src = np.concatenate([c, s])
+        dst = np.concatenate([s, c])
+        return pa.table(
+            {
+                "sbucket": pa.array(src % n_buckets),
+                "side": pa.array(np.zeros(len(src), dtype=np.int8)),
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "val": pa.array(np.zeros(len(src), dtype=np.int64)),
+            }
+        )
+
+    sym = both.groupby("bucket").map_groups(to_edges, batch_format="pandas")
+
+    def adjacency(g: pd.DataFrame) -> pa.Table:
+        e = g.drop_duplicates(["src", "dst"])
+        deg = e.groupby("src", sort=False)["dst"].transform("size")
+        src = e["src"].to_numpy(dtype=np.int64)
+        nodes = np.unique(src)
+        return pa.table(
+            {
+                "sbucket": pa.array(
+                    np.concatenate([src % n_buckets, nodes % n_buckets])
+                ),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(src), dtype=np.int8), np.ones(len(nodes), np.int8)]
+                    )
+                ),
+                "src": pa.array(np.concatenate([src, nodes])),
+                "dst": pa.array(
+                    np.concatenate(
+                        [e["dst"].to_numpy(dtype=np.int64), np.zeros(len(nodes), np.int64)]
+                    )
+                ),
+                # edges carry deg(src); rank rows carry the rank
+                "val": pa.array(
+                    np.concatenate(
+                        [deg.to_numpy(dtype=np.int64), np.full(len(nodes), R0, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    graph0 = (
+        sym.groupby("sbucket").map_groups(adjacency, batch_format="pandas").materialize()
+    )
+    edges = graph0.filter(expr="side == 0")
+    ranks = graph0.filter(expr="side == 1").materialize()
+
+    def contribs(g: pd.DataFrame) -> pa.Table:
+        e = g[g["side"] == 0]
+        r = g[g["side"] == 1][["src", "val"]].rename(columns={"val": "r"})
+        j = e.merge(r, on="src")
+        c = (j["r"].to_numpy(dtype=np.int64) * DAMP_NUM) // (
+            1_000_000 * j["val"].to_numpy(dtype=np.int64)
+        )
+        dst = j["dst"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "dbucket": pa.array(dst % n_buckets),
+                "dst": pa.array(dst),
+                "c": pa.array(c),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("dst", sort=False)["c"].sum()
+        node = agg.index.to_numpy(dtype=np.int64)
+        n = len(node)
+        return pa.table(
+            {
+                "sbucket": pa.array(node % n_buckets),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "src": pa.array(node),
+                "dst": pa.array(np.zeros(n, dtype=np.int64)),
+                "val": pa.array(BASE + agg.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    for _ in range(N_ITER):
+        ranks = (
+            edges.union(ranks)
+            .groupby("sbucket")
+            .map_groups(contribs, batch_format="pandas")
+            .groupby("dbucket")
+            .map_groups(fold, batch_format="pandas")
+            .materialize()
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["src"], "rank_micro": b["val"]})
+
+    return ranks.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def _render_pagerank_sql() -> str:
+    head = """
+WITH pairs AS (
+    SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg)"""
+    steps = []
+    for i in range(1, N_ITER + 1):
+        steps.append(
+            f""",
+pr{i} AS (
+    SELECT e.dst AS node,
+           CAST(150000 + SUM((p.r * 850000) // (1000000 * d.d)) AS BIGINT) AS r
+    FROM edges e
+    JOIN pr{i - 1} p ON e.src = p.node
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node, r AS rank_micro FROM pr{N_ITER}\n"
+    )
+
+
+_SQL_PAGERANK = _render_pagerank_sql()
+
+
+QUERIES = {
+    "purchase_pagerank": q_purchase_pagerank,
+}
+
+ORACLE_SQL = {
+    "purchase_pagerank": _SQL_PAGERANK,
+}

@@ -1108,6 +1108,156 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM document scoring (train a corpus model, score every doc)
+# ---------------------------------------------------------------------------
+
+def q_lm_doc_nll(sf_dir: str, vocab_size: int = 32768, n_buckets: int = 32):
+    """Per-document mean negative log-likelihood under a unigram LM
+    trained on the corpus itself — the CCNet/KenLM-style perplexity
+    quality filter reduced to its distributable core: a TRAIN pass
+    builds a global token-frequency model, a SCORE pass applies it to
+    every document, and low-probability (high-NLL) documents are the
+    gibberish/boilerplate candidates a mix curator drops or
+    down-weights.
+
+    Train: the same term-partitioned exchange as tf-idf (per-batch
+    ``(term, doc_id, tf)`` partials → ``crc32(term) % B`` groupby);
+    each bucket emits its token total plus its LOCAL top-``vocab_size``
+    terms by ``(count DESC, term ASC)``. Terms are hash-partitioned, so
+    the global top-V is a subset of the union of local top-Vs — the
+    driver folds ``O(B·V)`` fixed-width rows, never the vocabulary.
+    Truncation to top-V with an out-of-vocabulary floor is exactly how
+    production LMs bound model size at web scale; OOV tokens score
+    ``ln T − ln 1``.
+
+    Score: the model — ``V`` sorted terms + per-term NLL doubles from
+    the shared fixed IEEE ln (:func:`_shared_ln`, no libm) — is put in
+    the object store ONCE and read by every score task (broadcast,
+    never re-shipped per batch). Scoring is one shuffle-free streaming
+    pass: tokenize, ``searchsorted`` into the vocab, per-token
+    ``micro = floor(tf·(ln T − ln c)·10⁶ + 0.5)``, one output row per
+    document with ``nll_micro = Σmicro // Σtf`` — all-integer, so the
+    approximate-by-construction MODEL still carries a hash-exact
+    oracle."""
+    import pandas as pd
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    tf_rows = tf_rows_vec(n_buckets)
+
+    def bucket_model(g: "pd.DataFrame") -> pa.Table:
+        agg = g.groupby("term", sort=False)["tf"].sum().reset_index(name="c")
+        total = int(agg["c"].sum())
+        top = agg.sort_values(["c", "term"], ascending=[False, True]).head(vocab_size)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([[1], np.zeros(len(top), dtype=np.int64)]),
+                    pa.int64(),
+                ),
+                "term": pa.array([""] + top["term"].tolist(), pa.string()),
+                "c": pa.array(
+                    np.concatenate([[total], top["c"].to_numpy(dtype=np.int64)]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    model_rows = (
+        ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("term_bucket")
+        .map_groups(bucket_model, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ B·(V+1) fixed-width rows
+    )
+    total_tokens = int(model_rows.loc[model_rows["kind"] == 1, "c"].sum())
+    vocab = (
+        model_rows[model_rows["kind"] == 0]
+        .sort_values(["c", "term"], ascending=[False, True])
+        .head(vocab_size)
+        .sort_values("term")
+    )
+    ln_t = _shared_ln(total_tokens)
+    terms = vocab["term"].to_numpy()
+    # one shared-ln per distinct count, never per token
+    nll_by_count = {int(c): ln_t - _shared_ln(int(c)) for c in vocab["c"].unique()}
+    nll = vocab["c"].map(nll_by_count).to_numpy(dtype=np.float64)
+    model_ref = ray.put((terms, nll))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_s, nll_s = ray.get(model_ref)
+        toks = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        s = flat.to_pandas()
+        keep = (s != "").to_numpy()
+        df = pd.DataFrame({"d": parent, "t": s})
+        if not keep.all():
+            df = df[keep]
+        agg = df.groupby(["d", "t"], sort=False).size().reset_index(name="tf")
+        tok = agg["t"].to_numpy()
+        if len(terms_s):
+            idx = np.clip(np.searchsorted(terms_s, tok), 0, len(terms_s) - 1)
+            hit = terms_s[idx] == tok
+            # OOV floor: count 1 → nll = ln T − ln 1 = ln T
+            tok_nll = np.where(hit, nll_s[idx], ln_t)
+        else:
+            tok_nll = np.full(len(tok), ln_t)
+        tf = agg["tf"].to_numpy(dtype=np.int64)
+        micro = np.floor((tf.astype(np.float64) * tok_nll) * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+        per_doc = (
+            pd.DataFrame({"d": agg["d"].to_numpy(), "tf": tf, "micro": micro})
+            .groupby("d", sort=False)
+            .sum()
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[per_doc.index.to_numpy()], pa.int64()),
+                "n_tokens": pa.array(per_doc["tf"].to_numpy(dtype=np.int64), pa.int64()),
+                "nll_micro": pa.array(
+                    per_doc["micro"].to_numpy(dtype=np.int64)
+                    // per_doc["tf"].to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_LM_NLL = rf"""
+WITH tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS term
+          FROM documents)
+    GROUP BY doc_id, term
+),
+cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS kint FROM cnt),
+lnt AS {{LNT}},
+vocab AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 32768),
+vd AS (SELECT DISTINCT c AS kint FROM vocab),
+lnv AS {{LNV}},
+scored AS (
+    SELECT tf.doc_id, tf.tf,
+           CAST(FLOOR((tf.tf * (lnt.lnk - COALESCE(lnv.lnk, CAST(0.0 AS DOUBLE))))
+                * 1000000 + 0.5) AS BIGINT) AS micro
+    FROM tf
+    LEFT JOIN vocab v USING (term)
+    LEFT JOIN lnv ON lnv.kint = v.c
+    CROSS JOIN lnt
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(micro) // SUM(tf) AS BIGINT) AS nll_micro
+FROM scored GROUP BY doc_id
+""".replace("{LNT}", _shared_ln_cte("tot", "kint")).replace(
+    "{LNV}", _shared_ln_cte("vd", "kint")
+)
+
+
+# ---------------------------------------------------------------------------
 # BM25 ranked retrieval (Robertson/Sparck-Jones k1-b weighting)
 # ---------------------------------------------------------------------------
 
@@ -1312,6 +1462,7 @@ QUERIES = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "bm25_search": q_bm25_search,
     "lang_mix": q_lang_mix,
+    "lm_doc_nll": q_lm_doc_nll,
 }
 
 ORACLE_SQL = {
@@ -1331,4 +1482,5 @@ ORACLE_SQL = {
     "top_tokens_per_lang": _SQL_TOP_TOKENS_PER_LANG,
     "bm25_search": _SQL_BM25,
     "lang_mix": _SQL_LANG_MIX,
+    "lm_doc_nll": _SQL_LM_NLL,
 }
