@@ -1976,3 +1976,180 @@ class TestLangMixOrderSpan:
         assert got["o_custkey"].tolist() == [7, 8]
         assert got["cnt"].tolist() == [2, 1]
         assert got["share_ppm"].tolist() == [666666, 333333]
+
+
+class TestReconcileLmPagerank:
+    """Round-4 additions: FULL OUTER reconciliation (both twins),
+    unigram-LM NLL scoring (vocab truncation + OOV floor), and
+    integer-fixed-point PageRank against a single-process reference."""
+
+    @pytest.fixture(scope="class")
+    def rec_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("rec_sf")
+        # customers 1,2 in BUILDING; 3 elsewhere. Orders from 1 and 3.
+        # Events from 2 and 4. -> left-only {1}, right-only {2,4},
+        # both: none (cust 2 never orders); cust 3 excluded by segment.
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                    "c_mktsegment": pa.array(
+                        ["BUILDING", "BUILDING", "MACHINERY"], pa.string()
+                    ),
+                }
+            ),
+            str(d / "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array([1, 1, 3], pa.int64()),
+                    "o_totalprice": pa.array([10.00, 2.50, 99.99]),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([2, 4, 4], pa.int64()),
+                    "value": pa.array([1.25, 0.75, 0.25]),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    def _expect(self):
+        return {
+            1: (1, 2, 1250, 0, 0),
+            2: (2, 0, 0, 1, 125),
+            4: (2, 0, 0, 2, 100),
+        }
+
+    def test_reconcile_broadcast_twin(self, rec_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_order_event_reconcile
+
+        got = q_order_event_reconcile(rec_sf, n_buckets=4).to_pandas()
+        rows = {
+            int(r.user_key): (
+                int(r.sides), int(r.n_orders), int(r.order_cents),
+                int(r.n_events), int(r.event_cents),
+            )
+            for r in got.itertuples()
+        }
+        assert rows == self._expect()
+
+    def test_reconcile_shuffle_twin_identical(self, rec_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_order_event_reconcile
+
+        # 1-byte budget forces the segment keys through the exchange
+        got = q_order_event_reconcile(rec_sf, n_buckets=4, budget_bytes=1).to_pandas()
+        rows = {
+            int(r.user_key): (
+                int(r.sides), int(r.n_orders), int(r.order_cents),
+                int(r.n_events), int(r.event_cents),
+            )
+            for r in got.itertuples()
+        }
+        assert rows == self._expect()
+
+    @pytest.fixture(scope="class")
+    def lm_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("lm_sf")
+        # corpus counts: a=3, b=2, c=1  (T=6)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["a a b", "a b c"], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_lm_nll_exact_and_oov_floor(self, lm_sf, ray_session):
+        from pdf_parser_ray.stages.textstats import _shared_ln, q_lm_doc_nll
+
+        ln = _shared_ln
+        T = 6
+
+        def micro(tf, c):
+            import numpy as np
+
+            nll = ln(T) - ln(c)
+            return int(np.floor((float(tf) * nll) * 1_000_000 + 0.5))
+
+        # full vocab: doc0 = a:2,b:1 ; doc1 = a,b,c one each
+        full = {
+            0: (micro(2, 3) + micro(1, 2)) // 3,
+            1: (micro(1, 3) + micro(1, 2) + micro(1, 1)) // 3,
+        }
+        got = q_lm_doc_nll(lm_sf, n_buckets=4).to_pandas()
+        assert {int(r.doc_id): int(r.nll_micro) for r in got.itertuples()} == full
+        assert got.sort_values("doc_id")["n_tokens"].tolist() == [3, 3]
+
+        # vocab_size=1 keeps only 'a' (count 3); b and c score the
+        # OOV floor ln T - ln 1 = ln T
+        def oov_micro(tf):
+            import numpy as np
+
+            return int(np.floor((float(tf) * ln(T)) * 1_000_000 + 0.5))
+
+        trunc = {
+            0: (micro(2, 3) + oov_micro(1)) // 3,
+            1: (micro(1, 3) + oov_micro(1) + oov_micro(1)) // 3,
+        }
+        got1 = q_lm_doc_nll(lm_sf, vocab_size=1, n_buckets=4).to_pandas()
+        assert {int(r.doc_id): int(r.nll_micro) for r in got1.itertuples()} == trunc
+        # truncation can only raise NLL
+        assert all(trunc[k] >= full[k] for k in full)
+
+    @pytest.fixture(scope="class")
+    def pr_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("pr_sf")
+        # customers 1,2 both buy from supplier 5; customer 2 also from 6
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 20, 21], pa.int64()),
+                    "o_custkey": pa.array([1, 2, 2], pa.int64()),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([10, 10, 20, 21], pa.int64()),
+                    "l_suppkey": pa.array([5, 5, 5, 6], pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        return str(d)
+
+    def test_pagerank_matches_single_process_reference(self, pr_sf, ray_session):
+        from pdf_parser_ray.stages.graph import BASE, DAMP_NUM, N_ITER, R0, q_purchase_pagerank
+
+        # reference: plain dict/loop implementation of the same spec
+        pairs = {(1 * 2, 5 * 2 + 1), (2 * 2, 5 * 2 + 1), (2 * 2, 6 * 2 + 1)}
+        edges = list(pairs) + [(b, a) for a, b in pairs]
+        deg: dict[int, int] = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        r = {n: R0 for n in deg}
+        for _ in range(N_ITER):
+            nxt = {n: BASE for n in deg}
+            for s, t in edges:
+                nxt[t] += (r[s] * DAMP_NUM) // (1_000_000 * deg[s])
+            r = nxt
+
+        got = q_purchase_pagerank(pr_sf, n_buckets=4).to_pandas()
+        assert {int(x.node): int(x.rank_micro) for x in got.itertuples()} == r
+        # customer 2 and supplier 5 are structurally symmetric (each
+        # receives one full + one halved in-flow) so they tie at the
+        # top, above the two degree-1 leaves
+        assert r[2 * 2] == r[5 * 2 + 1]
+        assert r[2 * 2] > r[1 * 2] and r[2 * 2] > r[6 * 2 + 1]
