@@ -3440,6 +3440,102 @@ FROM o FULL OUTER JOIN e ON o.key = e.key
 
 
 # ---------------------------------------------------------------------------
+# Q23f — cohort retention matrix (calendar-month cohorts)
+# ---------------------------------------------------------------------------
+
+def q_cohort_retention(sf_dir: str, n_buckets: int = 32):
+    """Classic cohort-retention matrix at day granularity: users
+    grouped by the epoch-day of their FIRST event (``cohort_day``),
+    each cell counting distinct users active ``days_since`` days
+    later. The product-analytics shape (first-touch attribution +
+    per-entity history fold) the suite's window family didn't cover.
+    (Day, not month: the synthetic event stream spans exactly 30 days
+    at every sf, so calendar-month cohorts would be one degenerate
+    cell.)
+
+    One real exchange: per-batch DISTINCT ``(user, day)`` partials
+    bucket by user, so each bucket holds every active day of its
+    users — first day, per-user deltas and the cell counts all
+    resolve vectorized in-bucket, and the second exchange carries only
+    ``O(cohorts × horizon × buckets)`` count partials into a tiny
+    final sum. Day arithmetic is exact integer floor division of the
+    epoch microsecond on both engines, so the matrix hash-matches."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "user": b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "mi": us // 86_400_000_000,
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(df["user"].to_numpy() % n_buckets),
+                "user": pa.array(df["user"].to_numpy()),
+                "mi": pa.array(df["mi"].to_numpy()),
+            }
+        )
+
+    def cells(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["user", "mi"])
+        g = g.assign(cm=g.groupby("user", sort=False)["mi"].transform("min"))
+        agg = (
+            g.assign(delta=g["mi"] - g["cm"])
+            .groupby(["cm", "delta"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(agg["cm"].to_numpy(dtype=np.int64), pa.int64()),
+                "days_since": pa.array(
+                    agg["delta"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(cells, batch_format="pandas")
+        .groupby(["cohort_day", "days_since"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": b["cohort_day"],
+                "days_since": b["days_since"],
+                "n_users": pc.cast(b["n_users"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(clean, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_COHORT = """
+WITH m AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS mi
+    FROM events
+), f AS (
+    SELECT user_id, MIN(mi) AS cm FROM m GROUP BY user_id
+)
+SELECT f.cm AS cohort_day, m.mi - f.cm AS days_since,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM m JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q24 — per-user conversion funnel (ordered event-sequence detection)
 # ---------------------------------------------------------------------------
 
@@ -3777,6 +3873,7 @@ QUERIES = {
     "customer_supplier_reach": q_customer_supplier_reach,
     "key_skew": q_key_skew,
     "order_event_reconcile": q_order_event_reconcile,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -3827,6 +3924,7 @@ ORACLE_SQL = {
     "customer_supplier_reach": _SQL_SUPPLIER_REACH,
     "key_skew": _SQL_KEY_SKEW,
     "order_event_reconcile": _SQL_RECONCILE,
+    "cohort_retention": _SQL_COHORT,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

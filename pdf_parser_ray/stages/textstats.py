@@ -1258,6 +1258,170 @@ FROM scored GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations (top-V token co-occurrence mining)
+# ---------------------------------------------------------------------------
+
+def q_pmi_pairs(sf_dir: str, vocab_size: int = 64, min_docs: int = 5, n_buckets: int = 32):
+    """Pointwise mutual information over document co-occurrence for
+    the corpus's top-``vocab_size`` tokens — collocation mining, the
+    corpus-analytics step behind phrase detection and stop-phrase
+    lists (Church & Hanks 1990). ``pmi = ln N + ln c_ab − ln c_a −
+    ln c_b`` over doc counts, reported in exact integer micro-units
+    via the shared fixed IEEE ln, so sign and magnitude hash-match the
+    oracle.
+
+    Scale shape: vocab selection reuses the LM train exchange
+    (per-bucket top-V, driver folds O(B·V) rows). Co-occurrence is ONE
+    shuffle-free streaming pass: each batch builds a docs×V boolean
+    incidence matrix against the broadcast vocab and emits its V×V
+    co-count upper triangle plus the V-row df partial via one matmul —
+    the exchange carries O(V²) integers per batch regardless of corpus
+    size, and the final fold is a sketch-style bounded read-off
+    (V² ≤ 4096 rows for the default V=64, the same driver-state class
+    as the Count-Min and HLL read-offs)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    tf_rows = tf_rows_vec(n_buckets)
+
+    def bucket_top(g: "pd.DataFrame") -> pa.Table:
+        agg = g.groupby("term", sort=False)["tf"].sum().reset_index(name="c")
+        top = agg.sort_values(["c", "term"], ascending=[False, True]).head(vocab_size)
+        return pa.table(
+            {
+                "term": pa.array(top["term"].tolist(), pa.string()),
+                "c": pa.array(top["c"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("term_bucket")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ B·V fixed-width rows
+    )
+    vocab = (
+        cand.sort_values(["c", "term"], ascending=[False, True])
+        .head(vocab_size)["term"]
+        .sort_values()
+        .to_numpy()
+    )
+    vocab_ref = ray.put(vocab)
+
+    def cooccur(batch: pa.Table) -> pa.Table:
+        terms_s = ray.get(vocab_ref)
+        v = len(terms_s)
+        toks = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        s = flat.to_pandas().to_numpy()
+        idx = np.clip(np.searchsorted(terms_s, s), 0, max(v - 1, 0))
+        hit = terms_s[idx] == s if v else np.zeros(len(s), bool)
+        m = np.zeros((len(batch), v), dtype=np.int64)
+        m[parent[hit], idx[hit]] = 1
+        co = m.T @ m  # V×V doc co-occurrence counts for this batch
+        ai, bi = np.triu_indices(v, k=1)
+        n = co[ai, bi]
+        keep = n > 0
+        df_part = np.diagonal(co)
+        return pa.table(
+            {
+                "ai": pa.array(np.concatenate([ai[keep], np.arange(v)]), pa.int64()),
+                "bi": pa.array(np.concatenate([bi[keep], np.full(v, -1)]), pa.int64()),
+                "n": pa.array(np.concatenate([n[keep], df_part]), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(cooccur, batch_format="pyarrow", batch_size=None)
+        .groupby(["ai", "bi"])
+        .aggregate(Sum("n", alias_name="n_sum"))
+        .to_pandas()  # bounded: ≤ V² + V rows by construction
+    )
+    df_counts = (
+        folded[folded["bi"] == -1].set_index("ai")["n_sum"].astype(np.int64)
+    )
+    pairs = folded[(folded["bi"] >= 0) & (folded["n_sum"] >= min_docs)]
+    ln_n = _shared_ln(int(n_docs))
+    ln_cache: dict[int, float] = {}
+
+    def ln_i(k: int) -> float:
+        if k not in ln_cache:
+            ln_cache[k] = _shared_ln(k)
+        return ln_cache[k]
+
+    ta = vocab[pairs["ai"].to_numpy(dtype=np.int64)]
+    tb = vocab[pairs["bi"].to_numpy(dtype=np.int64)]
+    nab = pairs["n_sum"].to_numpy(dtype=np.int64)
+    da = df_counts.loc[pairs["ai"].to_numpy(dtype=np.int64)].to_numpy(dtype=np.int64)
+    db = df_counts.loc[pairs["bi"].to_numpy(dtype=np.int64)].to_numpy(dtype=np.int64)
+    micro = np.array(
+        [
+            int(
+                np.floor(
+                    (ln_n + ln_i(int(c)) - ln_i(int(a)) - ln_i(int(b))) * 1_000_000
+                    + 0.5
+                )
+            )
+            for c, a, b in zip(nab, da, db)
+        ],
+        dtype=np.int64,
+    )
+    out = pd.DataFrame(
+        {
+            "term_a": ta,
+            "term_b": tb,
+            "n_docs_both": nab,
+            "pmi_micro": micro,
+        }
+    )
+    # canonical pair order is lexicographic on the terms, matching the
+    # oracle's a.term < b.term join (vocab is term-sorted, so ai < bi
+    # already implies term_a < term_b)
+    return out.reset_index(drop=True)
+
+
+_SQL_PMI = rf"""
+WITH occ AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS term
+    FROM documents
+),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY term),
+vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 64),
+vt AS (SELECT DISTINCT o.doc_id, o.term FROM occ o JOIN vocab USING (term)),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS d FROM vt GROUP BY term),
+pairs AS (
+    SELECT a.term AS ta, b.term AS tb, CAST(COUNT(*) AS BIGINT) AS nab
+    FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS kint FROM documents),
+lnn AS {{LNN}},
+dv AS (SELECT DISTINCT d AS kint FROM df),
+lnd AS {{LND}},
+av AS (SELECT DISTINCT nab AS kint FROM pairs),
+lnab AS {{LNAB}}
+SELECT p.ta AS term_a, p.tb AS term_b, p.nab AS n_docs_both,
+       CAST(FLOOR((lnn.lnk + lab.lnk - la.lnk - lb.lnk) * 1000000 + 0.5)
+            AS BIGINT) AS pmi_micro
+FROM pairs p
+JOIN df fa ON fa.term = p.ta
+JOIN df fb ON fb.term = p.tb
+JOIN lnab lab ON lab.kint = p.nab
+JOIN lnd la ON la.kint = fa.d
+JOIN lnd lb ON lb.kint = fb.d
+CROSS JOIN lnn
+""".replace("{LNN}", _shared_ln_cte("nn", "kint")).replace(
+    "{LND}", _shared_ln_cte("dv", "kint")
+).replace("{LNAB}", _shared_ln_cte("av", "kint"))
+
+
+# ---------------------------------------------------------------------------
 # BM25 ranked retrieval (Robertson/Sparck-Jones k1-b weighting)
 # ---------------------------------------------------------------------------
 
@@ -1463,6 +1627,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "lang_mix": q_lang_mix,
     "lm_doc_nll": q_lm_doc_nll,
+    "pmi_pairs": q_pmi_pairs,
 }
 
 ORACLE_SQL = {
@@ -1483,4 +1648,5 @@ ORACLE_SQL = {
     "bm25_search": _SQL_BM25,
     "lang_mix": _SQL_LANG_MIX,
     "lm_doc_nll": _SQL_LM_NLL,
+    "pmi_pairs": _SQL_PMI,
 }

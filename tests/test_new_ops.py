@@ -2153,3 +2153,81 @@ class TestReconcileLmPagerank:
         # top, above the two degree-1 leaves
         assert r[2 * 2] == r[5 * 2 + 1]
         assert r[2 * 2] > r[1 * 2] and r[2 * 2] > r[6 * 2 + 1]
+
+
+class TestCohortPmi:
+    """Round-4 additions: day-cohort retention matrix and PMI
+    collocations, both against hand-computed expectations."""
+
+    @pytest.fixture(scope="class")
+    def coh_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("coh_sf")
+        day = 86_400_000_000
+        # user 1: first day 0, active days {0, 2} (two events day 0 —
+        # per-day dedup). user 2: first day 2, active {2, 3}.
+        us = [0, 3600_000_000, 2 * day, 2 * day + 1, 3 * day]
+        uid = [1, 1, 1, 2, 2]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(uid, pa.int64()),
+                    "ts": pa.array(us, pa.int64()).cast(pa.timestamp("us")),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    def test_cohort_cells(self, coh_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_cohort_retention
+
+        got = q_cohort_retention(coh_sf, n_buckets=4).to_pandas()
+        cells = {
+            (int(r.cohort_day), int(r.days_since)): int(r.n_users)
+            for r in got.itertuples()
+        }
+        assert cells == {(0, 0): 1, (0, 2): 1, (2, 0): 1, (2, 1): 1}
+
+    @pytest.fixture(scope="class")
+    def pmi_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("pmi_sf")
+        # 8 docs; x and y co-occur in all 5 of x's docs (attraction),
+        # x and z never co-occur beyond chance floor
+        texts = ["x y", "x y", "x y", "x y", "x y z", "z q", "z q", "y q"]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_pmi_hand_check(self, pmi_sf, ray_session):
+        import numpy as np
+
+        from pdf_parser_ray.stages.textstats import _shared_ln, q_pmi_pairs
+
+        got = q_pmi_pairs(pmi_sf, vocab_size=4, min_docs=1, n_buckets=4)
+        rows = {
+            (r.term_a, r.term_b): (int(r.n_docs_both), int(r.pmi_micro))
+            for r in got.itertuples()
+        }
+        # doc frequencies: x=5, y=6, z=3 (docs 4,5,6), q=3 (docs
+        # 5,6,7); N=8
+        ln = _shared_ln
+
+        def mic(nab, da, db):
+            return int(
+                np.floor((ln(8) + ln(nab) - ln(da) - ln(db)) * 1_000_000 + 0.5)
+            )
+
+        assert rows[("x", "y")] == (5, mic(5, 5, 6))
+        assert rows[("x", "z")] == (1, mic(1, 5, 3))
+        assert rows[("q", "z")] == (2, mic(2, 3, 3))
+        # x/y attract (pmi > 0); x/z repel (pmi < 0)
+        assert rows[("x", "y")][1] > 0 > rows[("x", "z")][1]
+        # canonical order: term_a < term_b everywhere
+        assert all(a < b for a, b in rows)

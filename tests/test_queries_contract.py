@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 105 queries, ≥98 oracled —
+    # lock the round-4 coverage floor: 107 queries, ≥100 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 105
-    assert len(oracles) >= 98
+    assert len(queries) >= 107
+    assert len(oracles) >= 100
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
