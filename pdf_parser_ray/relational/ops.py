@@ -3823,6 +3823,317 @@ WHERE o.price_cents * s.cnt > s.total
 """
 
 
+# ---------------------------------------------------------------------------
+# Q27 — grouped distributed moments (sufficient-statistics covariance)
+# ---------------------------------------------------------------------------
+
+def _rhalf(num: int, den: int) -> int:
+    """Exact round-half-away-from-zero of the rational num/den
+    (den > 0) in pure integer arithmetic — the signed twin of the
+    ``FLOOR(x + 0.5)`` micro convention, written so DuckDB's
+    truncating ``//`` and Python's flooring ``//`` agree (operands are
+    kept non-negative, where the two semantics coincide)."""
+    s = 1 if num >= 0 else -1
+    return s * ((2 * abs(num) + den) // (2 * den))
+
+
+def q_price_qty_moments(sf_dir: str):
+    """Per-returnflag second-order moments of (quantity, price): count,
+    means, variances and covariance — the sufficient-statistics pattern
+    behind distributed feature normalization and covariance estimation
+    in a training pipeline. ONE streaming pass emits 13 int64 partial
+    sums per (group, batch); the shuffle moves O(groups × blocks) rows
+    and the driver folds O(groups) rows into exact rational micro
+    read-offs. No floats anywhere: price cents are limb-decomposed
+    (``y = h·10⁶ + m·10³ + l``) so every per-row product stays ≤ 10⁶
+    and the int64 partial sums are exact to ~9×10¹² rows per group —
+    beyond a 10¹²-row corpus; for more, narrow the limbs one level.
+    The final means/vars/cov divide as exact integer rationals
+    (``_rhalf``), so the approximate-looking statistics carry an exact
+    DuckDB oracle (HUGEINT sums on the SQL side — the limbs are purely
+    an engine-internal int64-safety device).
+
+    Variance/covariance use the textbook ``n·Σxy − Σx·Σy`` form over
+    EXACT integers, where catastrophic cancellation — the reason
+    float pipelines need Welford — cannot occur."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        h, r = y // 1_000_000, y % 1_000_000
+        m, low = r // 1_000, r % 1_000
+        df = pd.DataFrame(
+            {
+                "g": batch["l_returnflag"].to_pandas(),
+                "n": np.ones(len(y), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "sxh": x * h,
+                "sxm": x * m,
+                "sxl": x * low,
+                "shh": h * h,
+                "smm": m * m,
+                "sll": low * low,
+                "shm": h * m,
+                "shl": h * low,
+                "sml": m * low,
+            }
+        )
+        agg = df.groupby("g", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cols = [
+        "n", "sx", "sy", "sxx", "sxh", "sxm", "sxl",
+        "shh", "smm", "sll", "shm", "shl", "sml",
+    ]
+    folded = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("g")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()  # bounded: O(groups) fixed-width rows
+    )
+
+    out = []
+    for r in folded.itertuples():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        sxy = 10**6 * int(r.sxh) + 10**3 * int(r.sxm) + int(r.sxl)
+        syy = (
+            10**12 * int(r.shh) + 10**6 * int(r.smm) + int(r.sll)
+            + 2 * (10**9 * int(r.shm) + 10**6 * int(r.shl) + 10**3 * int(r.sml))
+        )
+        vx = n * int(r.sxx) - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        out.append(
+            {
+                "l_returnflag": r.g,
+                "n_rows": n,
+                # qty is unitless; price cents scale to dollars (/100)
+                "mean_qty_micro": _rhalf(10**6 * sx, n),
+                "mean_price_micro": _rhalf(10**6 * sy, 100 * n),
+                "var_qty_micro": _rhalf(10**6 * vx, n * n),
+                "var_price_micro": _rhalf(10**6 * vy, n * n * 10**4),
+                "cov_micro": _rhalf(10**6 * cov, n * n * 100),
+            }
+        )
+    out.sort(key=lambda d: d["l_returnflag"])
+    return pd.DataFrame(out)
+
+
+# Pearson corr is deliberately NOT emitted: it needs sqrt over
+# integers > 2^53, and HUGEINT→DOUBLE conversion is not pinned to be
+# correctly rounded across engines (the libm-ln lesson) — callers
+# derive it driver-side from the exact vars/cov in one line.
+_SQL_MOMENTS = """
+WITH b AS (
+    SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+           CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y
+    FROM lineitem
+), s AS (
+    SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+    FROM b GROUP BY g
+), v AS (
+    SELECT g, n, sx, sy,
+           n*sxx - sx*sx AS vx, n*syy - sy*sy AS vy,
+           n*sxy - sx*sy AS cov
+    FROM s
+)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST((2*1000000*sx + n) // (2*n) AS BIGINT) AS mean_qty_micro,
+       CAST((2*1000000*sy + 100*n) // (2*100*n) AS BIGINT) AS mean_price_micro,
+       CAST((2*1000000*vx + n*n) // (2*n*n) AS BIGINT) AS var_qty_micro,
+       CAST((2*1000000*vy + n*n*10000) // (2*n*n*10000) AS BIGINT)
+           AS var_price_micro,
+       CAST(CASE WHEN cov >= 0 THEN 1 ELSE -1 END
+            * ((2*1000000*ABS(cov) + n*n*100) // (2*n*n*100))
+            AS BIGINT) AS cov_micro
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q28 — event-type transition matrix (first-order Markov chain)
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(sf_dir: str, n_buckets: int = 32):
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered (from_type → to_type) step, the global
+    count and the exact row-conditional probability in micro units —
+    the sequence-mining primitive behind session modeling and
+    next-action prediction, and the funnel's unordered-vocabulary
+    generalization.
+
+    Same coarse-bucket exchange as :func:`q_event_gaps` (each event row
+    moves once, ``user % B``); inside a bucket the LAG neighbor and the
+    pair counts resolve in one vectorized pass, so the second exchange
+    carries only O(types² × buckets) count partials. Probabilities are
+    exact integer rationals (``_rhalf``), so the matrix hash-matches
+    DuckDB."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        same_user = np.concatenate([[False], uid[1:] == uid[:-1]])
+        prev = np.concatenate([[""], et[:-1]])
+        agg = (
+            pd.DataFrame({"f": prev[same_user], "t": et[same_user]})
+            .groupby(["f", "t"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "from_type": pa.array(agg["f"].tolist(), pa.string()),
+                "to_type": pa.array(agg["t"].tolist(), pa.string()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n_steps"))
+        .to_pandas()  # bounded: O(types²) rows by construction
+    )
+    totals = folded.groupby("from_type")["n_steps"].transform("sum")
+    folded["prob_micro"] = [
+        _rhalf(10**6 * int(c), int(t))
+        for c, t in zip(folded["n_steps"], totals)
+    ]
+    folded["n_steps"] = folded["n_steps"].astype(np.int64)
+    return folded.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+_SQL_TRANSITIONS = """
+WITH p AS (
+    SELECT user_id, event_type AS t,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS f
+    FROM events
+), c AS (
+    SELECT f AS from_type, t AS to_type, CAST(COUNT(*) AS BIGINT) AS n_steps
+    FROM p WHERE f IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_steps,
+       CAST((2*1000000*n_steps + SUM(n_steps) OVER (PARTITION BY from_type))
+            // (2*SUM(n_steps) OVER (PARTITION BY from_type))
+            AS BIGINT) AS prob_micro
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q29 — trailing-rows window frame (moving average per customer)
+# ---------------------------------------------------------------------------
+
+def q_order_moving_avg(sf_dir: str, window: int = 3, n_buckets: int = 32):
+    """Per-customer trailing moving average of order value — ``SUM /
+    COUNT OVER (PARTITION BY … ORDER BY … ROWS BETWEEN w-1 PRECEDING
+    AND CURRENT ROW)``: the bounded-FRAME window the family still
+    lacked (rank, prefix scan, LAG and NTILE all use unbounded or
+    neighbor frames). Deterministic under the (orderdate, orderkey)
+    tie-break.
+
+    One ``custkey % B`` exchange; inside a bucket the frame resolves as
+    a cumsum difference over exact cents with the per-customer run
+    boundary masked — O(rows) per partition, never a per-customer task.
+    The average is an exact integer rational, so it hash-matches."""
+    import pandas as pd
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "date_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    def frame_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "date_us", "o_orderkey"], kind="stable")
+        ck = g["o_custkey"].to_numpy(dtype=np.int64)
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        n = len(g)
+        # position within each customer's run (runs are contiguous)
+        new_run = np.concatenate([[True], ck[1:] != ck[:-1]])
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        pos = np.arange(n) - run_start
+        k = np.minimum(pos + 1, window)
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        s = cs[np.arange(1, n + 1)] - cs[np.arange(1, n + 1) - k]
+        ma = (2 * 1_000_000 * s + 100 * k) // (200 * k)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["o_orderkey"].to_numpy(dtype=np.int64)),
+                "o_custkey": pa.array(ck, pa.int64()),
+                "frame_rows": pa.array(k, pa.int64()),
+                "ma_price_micro": pa.array(ma, pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(frame_bucket, batch_format="pandas")
+    )
+
+
+_SQL_MOVING_AVG = """
+WITH o AS (
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+    FROM orders
+), w AS (
+    SELECT o_orderkey, o_custkey,
+           SUM(cents) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS k
+    FROM o
+)
+SELECT o_orderkey, o_custkey, k AS frame_rows,
+       CAST((2*1000000*s + 100*k) // (200*k) AS BIGINT) AS ma_price_micro
+FROM w
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -3874,6 +4185,9 @@ QUERIES = {
     "key_skew": q_key_skew,
     "order_event_reconcile": q_order_event_reconcile,
     "cohort_retention": q_cohort_retention,
+    "price_qty_moments": q_price_qty_moments,
+    "event_transitions": q_event_transitions,
+    "order_moving_avg": q_order_moving_avg,
 }
 
 ORACLE_SQL = {
@@ -3925,6 +4239,9 @@ ORACLE_SQL = {
     "key_skew": _SQL_KEY_SKEW,
     "order_event_reconcile": _SQL_RECONCILE,
     "cohort_retention": _SQL_COHORT,
+    "price_qty_moments": _SQL_MOMENTS,
+    "event_transitions": _SQL_TRANSITIONS,
+    "order_moving_avg": _SQL_MOVING_AVG,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

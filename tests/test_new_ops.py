@@ -2231,3 +2231,131 @@ class TestCohortPmi:
         assert rows[("x", "y")][1] > 0 > rows[("x", "z")][1]
         # canonical order: term_a < term_b everywhere
         assert all(a < b for a, b in rows)
+
+
+class TestMomentsTransitionsFrame:
+    """Round-4 additions: grouped sufficient-statistics moments,
+    event-type transition matrix, and the trailing-rows window frame —
+    all against hand-computed expectations."""
+
+    @pytest.fixture(scope="class")
+    def mom_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("mom_sf")
+        # group A: (1, $1.00), (3, $3.00) -> cov +1 dollar-qty exactly
+        # group B: (1, $3.00), (3, $1.00) -> cov -1 (sign path)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array(["A", "A", "B", "B"]),
+                    "l_quantity": pa.array([1.0, 3.0, 1.0, 3.0]),
+                    "l_extendedprice": pa.array([1.0, 3.0, 3.0, 1.0]),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        return str(d)
+
+    def test_moments_hand_check(self, mom_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_price_qty_moments
+
+        got = q_price_qty_moments(mom_sf)
+        rows = {r.l_returnflag: r for r in got.itertuples()}
+        a, b = rows["A"], rows["B"]
+        # both groups: n=2, mean qty 2, mean price $2, var qty 1,
+        # var price 1 dollar^2
+        for r in (a, b):
+            assert int(r.n_rows) == 2
+            assert int(r.mean_qty_micro) == 2_000_000
+            assert int(r.mean_price_micro) == 2_000_000
+            assert int(r.var_qty_micro) == 1_000_000
+            assert int(r.var_price_micro) == 1_000_000
+        assert int(a.cov_micro) == 1_000_000
+        assert int(b.cov_micro) == -1_000_000
+
+    def test_rhalf_matches_duckdb_trunc_div(self):
+        import duckdb
+
+        from pdf_parser_ray.relational.ops import _rhalf
+
+        # the signed micro convention must agree with the SQL form on
+        # negative numerators, where DuckDB // truncates but Python //
+        # floors
+        for num in (-7, -5, -4, 4, 5, 7, -1_234_567, 1_234_567):
+            for den in (2, 3, 400):
+                sql = duckdb.sql(
+                    f"SELECT CASE WHEN {num} >= 0 THEN 1 ELSE -1 END"
+                    f" * ((2*ABS({num}) + {den}) // (2*{den}))"
+                ).fetchone()[0]
+                assert _rhalf(num, den) == sql
+
+    @pytest.fixture(scope="class")
+    def trans_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("trans_sf")
+        # user 1: A,B,A; user 2: A,B; user 3: A,C
+        # steps: (A,B)x2, (B,A)x1, (A,C)x1 -> from A total 3
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(7), pa.int64()),
+                    "user_id": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+                    "ts": pa.array(
+                        [0, 1, 2, 0, 1, 0, 1], pa.int64()
+                    ).cast(pa.timestamp("us")),
+                    "event_type": pa.array(["A", "B", "A", "A", "B", "A", "C"]),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    def test_transitions_hand_check(self, trans_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_event_transitions
+
+        got = q_event_transitions(trans_sf, n_buckets=4)
+        rows = {
+            (r.from_type, r.to_type): (int(r.n_steps), int(r.prob_micro))
+            for r in got.itertuples()
+        }
+        assert rows == {
+            ("A", "B"): (2, 666667),  # 2/3 rounds half-up at the 6th
+            ("A", "C"): (1, 333333),
+            ("B", "A"): (1, 1_000_000),
+        }
+
+    @pytest.fixture(scope="class")
+    def ma_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("ma_sf")
+        day = 86_400_000_000
+        # cust 1: $1, $2, $4, $8 on consecutive days; cust 2: one
+        # order SAME DAY as another -> orderkey tie-break
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11, 12, 13, 20, 21], pa.int64()),
+                    "o_custkey": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                    "o_totalprice": pa.array([1.0, 2.0, 4.0, 8.0, 5.0, 7.0]),
+                    "o_orderdate": pa.array(
+                        [0, day, 2 * day, 3 * day, 0, 0], pa.int64()
+                    ).cast(pa.timestamp("us")),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        return str(d)
+
+    def test_moving_avg_hand_check(self, ma_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_order_moving_avg
+
+        got = q_order_moving_avg(ma_sf, n_buckets=4).to_pandas()
+        rows = {
+            int(r.o_orderkey): (int(r.frame_rows), int(r.ma_price_micro))
+            for r in got.itertuples()
+        }
+        assert rows == {
+            10: (1, 1_000_000),
+            11: (2, 1_500_000),
+            12: (3, 2_333_333),  # 7/3 -> 2.33333333 rounds DOWN
+            13: (3, 4_666_667),  # 14/3 -> 4.66666667 rounds UP
+            20: (1, 5_000_000),  # key 20 first under the tie-break
+            21: (2, 6_000_000),
+        }

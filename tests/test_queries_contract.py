@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 107 queries, ≥100 oracled —
+    # lock the round-4 coverage floor: 110 queries, ≥103 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 107
-    assert len(oracles) >= 100
+    assert len(queries) >= 110
+    assert len(oracles) >= 103
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
