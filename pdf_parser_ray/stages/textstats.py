@@ -1049,6 +1049,173 @@ HAVING count(*) >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Persisted inverted index + indexed term search (the amortized path)
+# ---------------------------------------------------------------------------
+
+def _token_index_dir(sf_dir: str, n_buckets: int) -> str:
+    """Deterministic scratch location for the corpus's posting index,
+    keyed by the corpus file identity (path + footer row count +
+    serialized size) so a changed corpus gets a fresh index. Scratch
+    lives under the system tmp dir; on a cluster this would be the
+    shared artifact store the checkpoint sinks already target."""
+    import os
+    import pyarrow.parquet as pq
+    import tempfile
+
+    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{md.num_rows}|{md.serialized_size}"
+        f"|{n_buckets}|v1".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"graft_token_index_{key}")
+
+
+def _ensure_token_index(sf_dir: str, n_buckets: int = 32) -> str:
+    """Build (once) the persisted inverted index: distinct lowercased
+    ``(term, doc_id, tf)`` postings, hash-partitioned into one parquet
+    file per ``crc32(term) % n_buckets`` bucket and term-sorted inside
+    each file (row-group stats then prune term lookups). This is the
+    posting-list exchange :func:`q_tfidf_top_terms` already runs, made
+    durable — the builder streams one pass over the corpus and each
+    bucket file is written by its own task with an atomic tmp+rename,
+    so a concurrent or repeated build converges on the same artifact
+    (losers of the final directory-rename race discard their copy)."""
+    import json
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    path = _token_index_dir(sf_dir, n_buckets)
+    if os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return path
+    tmp = f"{path}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def lower(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pc.utf8_lower(batch["text"])}
+        )
+
+    def write_bucket(g: pd.DataFrame) -> pa.Table:
+        b = int(g["term_bucket"].iloc[0])
+        g = g.sort_values(["term", "doc_id"], kind="stable")
+        t = pa.table(
+            {
+                "term": pa.array(g["term"].tolist(), pa.string()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)),
+                "tf": pa.array(g["tf"].to_numpy(dtype=np.int64)),
+            }
+        )
+        f = os.path.join(tmp, f"bucket_{b:05d}.parquet")
+        pq.write_table(t, f + ".part")
+        os.replace(f + ".part", f)
+        return pa.table(
+            {"bucket": pa.array([b], pa.int64()),
+             "n_postings": pa.array([len(g)], pa.int64())}
+        )
+
+    manifest = (
+        ds.map_batches(lower, batch_format="pyarrow", batch_size=None)
+        .map_batches(tf_rows_vec(n_buckets), batch_format="pyarrow", batch_size=None)
+        .groupby("term_bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: one row per bucket
+    )
+    with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "postings": {
+                    int(r.bucket): int(r.n_postings) for r in manifest.itertuples()
+                },
+            },
+            f,
+        )
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # another builder won the race; keep theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            raise
+    return path
+
+
+def q_term_search_indexed(sf_dir: str, min_hits: int = 2, n_buckets: int = 32):
+    """:func:`q_term_search` answered from the PERSISTED inverted index
+    instead of a corpus scan — the amortized many-query path that
+    docstring names, implemented. The probe's buckets are known from
+    ``crc32(term) % B`` before any read, so the query touches at most
+    ``len(probe)`` of the B bucket files (bucket-level partition
+    pruning; term-sorted row groups prune further inside each file),
+    then one tiny ``doc_id`` groupby folds per-batch hit partials.
+    Identical output to the scan twin, same oracle — at 100 TB the
+    scan reads the corpus once per query, this reads O(postings of
+    three terms)."""
+    import os
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    probe_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "=", 0)],
+    )
+    first_words = (probe_tbl["text"][0].as_py() or "").lower().split()[:3]
+    probe = sorted(set(first_words))
+
+    idx = _ensure_token_index(sf_dir, n_buckets)
+    need = sorted({zlib.crc32(t.encode()) % n_buckets for t in probe})
+    paths = [
+        p
+        for b in need
+        if os.path.isfile(p := os.path.join(idx, f"bucket_{b:05d}.parquet"))
+    ]
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+    )
+    if not paths:
+        return ray.data.from_arrow(empty)
+    probe_arr = pa.array(probe, pa.string())
+
+    def hit_partials(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].filter(pc.is_in(batch["term"], value_set=probe_arr))
+        agg = pd.Series(d.to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table(
+            {
+                "doc_id": pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+                "n": pa.array(agg.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["n_hits"], min_hits)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(keep),
+                "n_hits": pc.cast(batch["n_hits"].filter(keep), pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(paths, columns=["term", "doc_id"])
+        .map_batches(hit_partials, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_hits"))
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
 # target mixture weights per predicted language, expressed as 4-hex-
 # char thresholds over md5(doc_id): keep iff md5[:4] < threshold. 'g'
 # sorts above every hex char, so it means "keep all" — the comparison
@@ -1628,6 +1795,7 @@ QUERIES = {
     "lang_mix": q_lang_mix,
     "lm_doc_nll": q_lm_doc_nll,
     "pmi_pairs": q_pmi_pairs,
+    "term_search_indexed": q_term_search_indexed,
 }
 
 ORACLE_SQL = {
@@ -1649,4 +1817,5 @@ ORACLE_SQL = {
     "lang_mix": _SQL_LANG_MIX,
     "lm_doc_nll": _SQL_LM_NLL,
     "pmi_pairs": _SQL_PMI,
+    "term_search_indexed": _SQL_TERM_SEARCH,
 }

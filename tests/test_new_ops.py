@@ -2359,3 +2359,80 @@ class TestMomentsTransitionsFrame:
             20: (1, 5_000_000),  # key 20 first under the tie-break
             21: (2, 6_000_000),
         }
+
+
+class TestIndexedTermSearch:
+    """Persisted inverted-index path: identical results to the scan
+    twin, build-once reuse, and real bucket-level pruning."""
+
+    @pytest.fixture(scope="class")
+    def idx_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("idx_sf")
+        texts = [
+            "alpha beta gamma delta",   # doc 0 -> probe alpha/beta/gamma
+            "alpha beta something",
+            "beta gamma",
+            "alpha only here",
+            "nothing relevant",
+            "ALPHA BETA case fold",     # lowercasing must hit
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_matches_scan_twin(self, idx_sf, ray_session):
+        from pdf_parser_ray.stages.textstats import (
+            q_term_search,
+            q_term_search_indexed,
+        )
+
+        scan = {
+            (int(r.doc_id), int(r.n_hits))
+            for r in q_term_search(idx_sf).to_pandas().itertuples()
+        }
+        idx = {
+            (int(r.doc_id), int(r.n_hits))
+            for r in q_term_search_indexed(idx_sf, n_buckets=8)
+            .to_pandas()
+            .itertuples()
+        }
+        assert idx == scan
+        assert (0, 3) in idx and (5, 2) in idx  # case-folded doc hits
+
+    def test_build_once_and_prune(self, idx_sf, ray_session):
+        import os
+        import zlib
+
+        from pdf_parser_ray.stages.textstats import (
+            _ensure_token_index,
+            q_term_search_indexed,
+        )
+
+        path = _ensure_token_index(idx_sf, n_buckets=8)
+        marker = os.path.join(path, "_SUCCESS")
+        mtime = os.path.getmtime(marker)
+        assert _ensure_token_index(idx_sf, n_buckets=8) == path
+        assert os.path.getmtime(marker) == mtime  # no rebuild
+
+        # corrupt every bucket the probe does NOT touch: the query must
+        # still succeed -> it never opens unprobed buckets
+        probe_buckets = {zlib.crc32(t.encode()) % 8 for t in ("alpha", "beta", "gamma")}
+        corrupted = 0
+        for b in range(8):
+            f = os.path.join(path, f"bucket_{b:05d}.parquet")
+            if b not in probe_buckets and os.path.isfile(f):
+                with open(f, "wb") as fh:
+                    fh.write(b"not parquet")
+                corrupted += 1
+        assert corrupted > 0
+        got = q_term_search_indexed(idx_sf, n_buckets=8).to_pandas()
+        assert (0, 3) in {
+            (int(r.doc_id), int(r.n_hits)) for r in got.itertuples()
+        }
