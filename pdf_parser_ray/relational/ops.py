@@ -3824,6 +3824,331 @@ WHERE o.price_cents * s.cnt > s.total
 
 
 # ---------------------------------------------------------------------------
+# Q26b — six-table join chain (TPC-H Q5 shape: local-supplier revenue)
+# ---------------------------------------------------------------------------
+
+def q_local_supplier_revenue(
+    sf_dir: str,
+    region_key: int = 0,
+    n_buckets: int = 16,
+    budget_bytes: int | None = None,
+):
+    """Revenue per nation from lineitems where the CUSTOMER and the
+    SUPPLIER sit in the same nation of one region — the TPC-H Q5
+    six-table chain (region⋈nation⋈customer⋈orders⋈lineitem⋈supplier),
+    the deepest join in the suite and the classic mixed
+    dimension/fact-fact plan:
+
+    * region+nation are spec-bounded (5/25 rows) and ride the task
+      closure; the region filter prunes CUSTOMER at its scan.
+    * exchange A (``custkey % B``): orders ⋈ in-region customers —
+      output is the (orderkey → customer nation) stream.
+    * exchange B (``orderkey % B``): lineitem revenue partials ⋈ that
+      stream. Within budget
+      (:func:`~..core.util.broadcast_build_fits` on the supplier
+      footer, 16 B/key) the supplier→nation map broadcasts into the
+      lineitem scan, which then drops every NON-region supplier row
+      BEFORE the exchange (the early-prune win that makes broadcast
+      strictly better when it fits); the in-bucket join applies the
+      ``c_nation == s_nation`` colocation filter and pre-aggregates
+      per nation, so the final groupby folds O(nations × buckets)
+      rows.
+    * beyond budget, a third ``suppkey % B`` exchange joins the
+      (nation, suppkey) revenue partials — already aggregated, far
+      smaller than lineitem — against the supplier dimension. Both
+      shapes share this one oracle; the twin is forced in tests via
+      ``budget_bytes=0``."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    region_nations = set(
+        nk[nation["n_regionkey"].to_numpy(zero_copy_only=False) == region_key]
+        .tolist()
+    )
+    n_names = dict(zip(nk.tolist(), nation["n_name"].to_pylist()))
+    nat_arr = pa.array(sorted(region_nations), pa.int64())
+
+    fits = broadcast_build_fits(
+        f"{sf_dir}/supplier.parquet",
+        bytes_per_key=16,
+        budget_bytes=BROADCAST_BUDGET_BYTES if budget_bytes is None else budget_bytes,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    # ---- exchange A: orders ⋈ in-region customers on custkey ----
+    def prep_o(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(len(ck), dtype=np.int8)),
+                "key": b["o_custkey"],
+                "o_orderkey": b["o_orderkey"],
+                "c_nat": pa.nulls(len(ck), pa.int64()),
+            }
+        )
+
+    def prep_c(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["c_nationkey"], value_set=nat_arr)
+        t = b.filter(keep)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(len(ck), dtype=np.int8)),
+                "key": t["c_custkey"],
+                "o_orderkey": pa.nulls(len(ck), pa.int64()),
+                "c_nat": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        )
+
+    def join_a(g: pd.DataFrame) -> pa.Table:
+        build = g[g["side"] == 1][["key", "c_nat"]]
+        probe = g[g["side"] == 0][["key", "o_orderkey"]]
+        j = probe.merge(build, on="key", how="inner")
+        return pa.table(
+            {
+                "o_orderkey": pa.array(j["o_orderkey"].to_numpy(dtype=np.int64)),
+                "c_nat": pa.array(j["c_nat"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    order_nat = (
+        orders.map_batches(prep_o, batch_format="pyarrow", batch_size=None)
+        .union(customer.map_batches(prep_c, batch_format="pyarrow", batch_size=None))
+        .groupby("bucket")
+        .map_groups(join_a, batch_format="pandas")
+    )
+
+    # ---- exchange B: lineitem revenue ⋈ (orderkey → c_nat) ----
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    if fits:
+        sup = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order_ = np.argsort(sk)
+        sk = sk[order_]
+        snat = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[
+            order_
+        ]
+
+        def prep_li(b: pa.Table) -> pa.Table:
+            keys = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.clip(np.searchsorted(sk, keys), 0, max(len(sk) - 1, 0))
+            if len(sk) == 0 or not (sk[idx] == keys).all():
+                missing = keys[sk[idx] != keys] if len(sk) else keys
+                raise ValueError(f"lineitem suppkeys missing: {missing[:5]}")
+            s_nat = snat[idx]
+            keep = np.isin(s_nat, nat_arr.to_numpy())
+            price_c = _cents(b["l_extendedprice"]).to_numpy()[keep]
+            disc_c = _cents(b["l_discount"]).to_numpy()[keep]
+            ok = b["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+            agg = (
+                pd.DataFrame(
+                    {"ok": ok, "s_nat": s_nat[keep], "rev": price_c * (100 - disc_c)}
+                )
+                .groupby(["ok", "s_nat"], sort=False)["rev"]
+                .sum()
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        agg["ok"].to_numpy(dtype=np.int64) % n_buckets, pa.int64()
+                    ),
+                    "side": pa.array(np.zeros(len(agg), dtype=np.int8)),
+                    "key": pa.array(agg["ok"].to_numpy(dtype=np.int64), pa.int64()),
+                    "s_nat": pa.array(agg["s_nat"].to_numpy(dtype=np.int64)),
+                    "rev": pa.array(agg["rev"].to_numpy(dtype=np.int64), pa.int64()),
+                    "c_nat": pa.nulls(len(agg), pa.int64()),
+                }
+            )
+
+        def tag_ord(b: pa.Table) -> pa.Table:
+            ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array(ok % n_buckets, pa.int64()),
+                    "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+                    "key": b["o_orderkey"],
+                    "s_nat": pa.nulls(len(ok), pa.int64()),
+                    "rev": pa.nulls(len(ok), pa.int64()),
+                    "c_nat": b["c_nat"],
+                }
+            )
+
+        def join_b(g: pd.DataFrame) -> pa.Table:
+            build = g[g["side"] == 1][["key", "c_nat"]]
+            probe = g[g["side"] == 0][["key", "s_nat", "rev"]]
+            j = probe.merge(build, on="key", how="inner")
+            j = j[j["s_nat"] == j["c_nat"]]
+            out = j.groupby("s_nat", as_index=False)["rev"].sum()
+            return pa.table(
+                {
+                    "nat": pa.array(out["s_nat"].to_numpy(dtype=np.int64), pa.int64()),
+                    "rev": pa.array(out["rev"].to_numpy(dtype=np.int64), pa.int64()),
+                }
+            )
+
+        folded = (
+            li.map_batches(prep_li, batch_format="pyarrow", batch_size=None)
+            .union(order_nat.map_batches(tag_ord, batch_format="pyarrow", batch_size=None))
+            .groupby("bucket")
+            .map_groups(join_b, batch_format="pandas")
+            .groupby("nat")
+            .aggregate(Sum("rev", alias_name="revenue_cents2"))
+        )
+    else:
+        # twin: keep suppkey through exchange B, resolve the supplier
+        # nation in a third exchange on the AGGREGATED grain
+        def prep_li_nk(b: pa.Table) -> pa.Table:
+            price_c = _cents(b["l_extendedprice"]).to_numpy()
+            disc_c = _cents(b["l_discount"]).to_numpy()
+            ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            agg = (
+                pd.DataFrame(
+                    {
+                        "ok": ok,
+                        "sup": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                        "rev": price_c * (100 - disc_c),
+                    }
+                )
+                .groupby(["ok", "sup"], sort=False)["rev"]
+                .sum()
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        agg["ok"].to_numpy(dtype=np.int64) % n_buckets, pa.int64()
+                    ),
+                    "side": pa.array(np.zeros(len(agg), dtype=np.int8)),
+                    "key": pa.array(agg["ok"].to_numpy(dtype=np.int64), pa.int64()),
+                    "sup": pa.array(agg["sup"].to_numpy(dtype=np.int64)),
+                    "rev": pa.array(agg["rev"].to_numpy(dtype=np.int64), pa.int64()),
+                    "c_nat": pa.nulls(len(agg), pa.int64()),
+                }
+            )
+
+        def tag_ord2(b: pa.Table) -> pa.Table:
+            ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array(ok % n_buckets, pa.int64()),
+                    "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+                    "key": b["o_orderkey"],
+                    "sup": pa.nulls(len(ok), pa.int64()),
+                    "rev": pa.nulls(len(ok), pa.int64()),
+                    "c_nat": b["c_nat"],
+                }
+            )
+
+        def join_b2(g: pd.DataFrame) -> pa.Table:
+            build = g[g["side"] == 1][["key", "c_nat"]]
+            probe = g[g["side"] == 0][["key", "sup", "rev"]]
+            j = probe.merge(build, on="key", how="inner")
+            out = (
+                j.groupby(["sup", "c_nat"], as_index=False)["rev"].sum()
+            )
+            sup_k = out["sup"].to_numpy(dtype=np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(sup_k % n_buckets, pa.int64()),
+                    "side": pa.array(np.zeros(len(out), dtype=np.int8)),
+                    "key": pa.array(sup_k, pa.int64()),
+                    "c_nat": pa.array(out["c_nat"].to_numpy(dtype=np.int64)),
+                    "rev": pa.array(out["rev"].to_numpy(dtype=np.int64), pa.int64()),
+                    "s_nat": pa.nulls(len(out), pa.int64()),
+                }
+            )
+
+        sup_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+        def tag_sup(b: pa.Table) -> pa.Table:
+            keep = pc.is_in(pc.cast(b["s_nationkey"], pa.int64()), value_set=nat_arr)
+            t = b.filter(keep)
+            sk2 = t["s_suppkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array(sk2 % n_buckets, pa.int64()),
+                    "side": pa.array(np.ones(len(sk2), dtype=np.int8)),
+                    "key": t["s_suppkey"],
+                    "c_nat": pa.nulls(len(sk2), pa.int64()),
+                    "rev": pa.nulls(len(sk2), pa.int64()),
+                    "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+                }
+            )
+
+        part_b = (
+            li.map_batches(prep_li_nk, batch_format="pyarrow", batch_size=None)
+            .union(order_nat.map_batches(tag_ord2, batch_format="pyarrow", batch_size=None))
+            .groupby("bucket")
+            .map_groups(join_b2, batch_format="pandas")
+        )
+
+        def join_c(g: pd.DataFrame) -> pa.Table:
+            build = g[g["side"] == 1][["key", "s_nat"]]
+            probe = g[g["side"] == 0][["key", "c_nat", "rev"]]
+            j = probe.merge(build, on="key", how="inner")
+            j = j[j["c_nat"] == j["s_nat"]]
+            out = j.groupby("c_nat", as_index=False)["rev"].sum()
+            return pa.table(
+                {
+                    "nat": pa.array(out["c_nat"].to_numpy(dtype=np.int64), pa.int64()),
+                    "rev": pa.array(out["rev"].to_numpy(dtype=np.int64), pa.int64()),
+                }
+            )
+
+        folded = (
+            part_b.union(sup_ds.map_batches(tag_sup, batch_format="pyarrow", batch_size=None))
+            .groupby("bucket")
+            .map_groups(join_c, batch_format="pandas")
+            .groupby("nat")
+            .aggregate(Sum("rev", alias_name="revenue_cents2"))
+        )
+
+    def resolve(b: pa.Table) -> pa.Table:
+        nats = b["nat"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array([n_names[int(x)] for x in nats], pa.string()),
+                "revenue_cents2": pc.cast(b["revenue_cents2"], pa.int64()),
+            }
+        )
+
+    return folded.map_batches(resolve, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_LOCAL_SUPPLIER = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+            AS BIGINT) AS revenue_cents2
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_regionkey = 0
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q27 — grouped distributed moments (sufficient-statistics covariance)
 # ---------------------------------------------------------------------------
 
@@ -4188,6 +4513,7 @@ QUERIES = {
     "price_qty_moments": q_price_qty_moments,
     "event_transitions": q_event_transitions,
     "order_moving_avg": q_order_moving_avg,
+    "local_supplier_revenue": q_local_supplier_revenue,
 }
 
 ORACLE_SQL = {
@@ -4242,6 +4568,7 @@ ORACLE_SQL = {
     "price_qty_moments": _SQL_MOMENTS,
     "event_transitions": _SQL_TRANSITIONS,
     "order_moving_avg": _SQL_MOVING_AVG,
+    "local_supplier_revenue": _SQL_LOCAL_SUPPLIER,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

@@ -2436,3 +2436,33 @@ class TestIndexedTermSearch:
         assert (0, 3) in {
             (int(r.doc_id), int(r.n_hits)) for r in got.itertuples()
         }
+
+
+class TestLocalSupplierRevenue:
+    """TPC-H Q5 six-table chain: broadcast and suppkey-exchange twins
+    must agree, and the colocation filter must actually bite."""
+
+    def test_twins_agree_and_filter_bites(self, ray_session):
+        from pdf_parser_ray.relational.ops import q_local_supplier_revenue
+
+        sf = "/root/testdata/sf0.001"
+        a = (
+            q_local_supplier_revenue(sf)
+            .to_pandas()
+            .sort_values("n_name")
+            .reset_index(drop=True)
+        )
+        b = (
+            q_local_supplier_revenue(sf, budget_bytes=0)  # force 3rd exchange
+            .to_pandas()
+            .sort_values("n_name")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+        assert len(a) >= 1 and (a["revenue_cents2"] > 0).all()
+        # region filter: every nation name must belong to region 0
+        import pyarrow.parquet as pq
+
+        nation = pq.read_table(f"{sf}/nation.parquet").to_pandas()
+        region0 = set(nation[nation.n_regionkey == 0].n_name)
+        assert set(a["n_name"]) <= region0
