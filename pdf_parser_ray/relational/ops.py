@@ -4149,6 +4149,118 @@ GROUP BY n_name
 
 
 # ---------------------------------------------------------------------------
+# Q26c — per-user behavioral entropy (information-theoretic diversity)
+# ---------------------------------------------------------------------------
+
+def q_user_entropy(sf_dir: str, n_buckets: int = 32):
+    """Shannon entropy (nats, micro units) of each user's event-type
+    distribution — the information-theoretic diversity score quality
+    pipelines use for repetition/monoculture detection, here over
+    behavioral sequences. ``H = ln T − (Σ cᵢ·ln cᵢ)/T`` over the
+    per-user type counts.
+
+    Float summation order is unspecified in both engines, so the ln
+    values are first SNAPPED TO INTEGER MICRO (``lnm(k) =
+    floor(ln(k)·10⁶ + ½)`` over the shared finite IEEE ln expression
+    tree — identical doubles on both sides, then identical integers);
+    ``Σ cᵢ·lnm(cᵢ)`` is exact integer arithmetic in ANY order, and the
+    final division is an exact rational (``_rhalf``), so this
+    float-looking score carries a hash-exact oracle. A user with one
+    event type scores exactly 0 (the rational division is exact there).
+
+    One ``user % B`` exchange of per-batch (user, type) count partials;
+    per-bucket the count fold, the lnm lookups (cached per distinct
+    count) and the entropy all resolve locally."""
+    import math
+
+    import pandas as pd
+
+    from ..stages.textstats import _shared_ln
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        agg = (
+            pd.DataFrame({"u": uid, "t": batch["event_type"].to_pandas()})
+            .groupby(["u", "t"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        u = agg["u"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(u % n_buckets, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "t": pa.array(agg["t"].tolist(), pa.string()),
+                "c": pa.array(agg["c"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    lnm_cache: dict[int, int] = {}
+
+    def lnm(k: int) -> int:
+        if k not in lnm_cache:
+            lnm_cache[k] = math.floor(_shared_ln(k) * 1_000_000.0 + 0.5)
+        return lnm_cache[k]
+
+    def entropy_bucket(g: pd.DataFrame) -> pa.Table:
+        cnt = g.groupby(["u", "t"], sort=False)["c"].sum().reset_index()
+        s = cnt.assign(
+            clnm=[int(c) * lnm(int(c)) for c in cnt["c"]]
+        ).groupby("u", sort=False)
+        tot = s["c"].sum()
+        slnm = s["clnm"].sum()
+        ntyp = s["t"].size()
+        ent = [
+            lnm(int(t)) - _rhalf(int(sl), int(t))
+            for t, sl in zip(tot, slnm)
+        ]
+        return pa.table(
+            {
+                "user_id": pa.array(tot.index.to_numpy(dtype=np.int64), pa.int64()),
+                "n_events": pa.array(tot.to_numpy(dtype=np.int64), pa.int64()),
+                "n_types": pa.array(ntyp.to_numpy(dtype=np.int64), pa.int64()),
+                "entropy_micro": pa.array(ent, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(entropy_bucket, batch_format="pandas")
+    )
+
+
+def _sql_user_entropy() -> str:
+    from ..stages.textstats import _shared_ln_cte
+
+    return f"""
+WITH c AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+k1 AS (SELECT DISTINCT c AS kint FROM c),
+l1 AS {_shared_ln_cte("k1", "kint")},
+u AS (
+    SELECT user_id, CAST(SUM(c.c) AS BIGINT) AS t,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c.c * CAST(FLOOR(l1.lnk * CAST(1000000.0 AS DOUBLE)
+                                     + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS s
+    FROM c JOIN l1 ON l1.kint = c.c GROUP BY user_id
+),
+k2 AS (SELECT DISTINCT t AS kint FROM u),
+l2 AS {_shared_ln_cte("k2", "kint")}
+SELECT u.user_id, u.t AS n_events, u.n_types,
+       CAST(FLOOR(l2.lnk * CAST(1000000.0 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       - (2*u.s + u.t) // (2*u.t) AS entropy_micro
+FROM u JOIN l2 ON l2.kint = u.t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q27 — grouped distributed moments (sufficient-statistics covariance)
 # ---------------------------------------------------------------------------
 
@@ -4514,6 +4626,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "order_moving_avg": q_order_moving_avg,
     "local_supplier_revenue": q_local_supplier_revenue,
+    "user_entropy": q_user_entropy,
 }
 
 ORACLE_SQL = {
@@ -4569,6 +4682,7 @@ ORACLE_SQL = {
     "event_transitions": _SQL_TRANSITIONS,
     "order_moving_avg": _SQL_MOVING_AVG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER,
+    "user_entropy": _sql_user_entropy(),
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

@@ -2466,3 +2466,46 @@ class TestLocalSupplierRevenue:
         nation = pq.read_table(f"{sf}/nation.parquet").to_pandas()
         region0 = set(nation[nation.n_regionkey == 0].n_name)
         assert set(a["n_name"]) <= region0
+
+
+class TestUserEntropy:
+    """Integer-micro Shannon entropy against hand-computed values."""
+
+    @pytest.fixture(scope="class")
+    def ent_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("ent_sf")
+        # user 1: A,B (uniform 2 types) -> H = ln 2
+        # user 2: A,A,A (one type)      -> H = 0 exactly
+        # user 3: A,A,B                 -> H = ln 3 - (2/3) ln 2
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1, 2, 2, 2, 3, 3, 3], pa.int64()),
+                    "event_type": pa.array(
+                        ["A", "B", "A", "A", "A", "A", "A", "B"]
+                    ),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    def test_entropy_hand_check(self, ent_sf, ray_session):
+        import math
+
+        from pdf_parser_ray.relational.ops import _rhalf, q_user_entropy
+        from pdf_parser_ray.stages.textstats import _shared_ln
+
+        got = q_user_entropy(ent_sf, n_buckets=4).to_pandas()
+        rows = {
+            int(r.user_id): (int(r.n_events), int(r.n_types), int(r.entropy_micro))
+            for r in got.itertuples()
+        }
+
+        def lnm(k):
+            return math.floor(_shared_ln(k) * 1_000_000.0 + 0.5)
+
+        assert rows[1] == (2, 2, lnm(2))          # ~693147
+        assert rows[2] == (3, 1, 0)               # exact zero
+        assert rows[3] == (3, 2, lnm(3) - _rhalf(2 * lnm(2), 3))
+        assert rows[1][2] == 693147 and rows[3][2] == 636514

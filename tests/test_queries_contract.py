@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 112 queries, ≥105 oracled —
+    # lock the round-4 coverage floor: 113 queries, ≥106 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 112
-    assert len(oracles) >= 105
+    assert len(queries) >= 113
+    assert len(oracles) >= 106
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
