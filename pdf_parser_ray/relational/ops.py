@@ -3522,8 +3522,12 @@ def q_cohort_retention(sf_dir: str, n_buckets: int = 32):
 
 _SQL_COHORT = """
 WITH m AS (
+    -- floor division (matching numpy //): DuckDB's // truncates
+    -- toward zero, so pre-1970 microseconds need the -1 correction
     SELECT DISTINCT user_id,
-           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS mi
+           CAST(epoch_us(ts) // 86400000000
+                - CASE WHEN epoch_us(ts) % 86400000000 < 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS mi
     FROM events
 ), f AS (
     SELECT user_id, MIN(mi) AS cm FROM m GROUP BY user_id
@@ -3995,6 +3999,10 @@ def q_local_supplier_revenue(
             probe = g[g["side"] == 0][["key", "s_nat", "rev"]]
             j = probe.merge(build, on="key", how="inner")
             j = j[j["s_nat"] == j["c_nat"]]
+            # the union's null-padded columns made rev float64 in the
+            # group frame; restore int64 BEFORE the sum (each value is
+            # < 2^53 so the cast is lossless, the SUM would not be)
+            j = j.assign(rev=j["rev"].astype(np.int64))
             out = j.groupby("s_nat", as_index=False)["rev"].sum()
             return pa.table(
                 {
@@ -4060,6 +4068,8 @@ def q_local_supplier_revenue(
             build = g[g["side"] == 1][["key", "c_nat"]]
             probe = g[g["side"] == 0][["key", "sup", "rev"]]
             j = probe.merge(build, on="key", how="inner")
+            # int64 restore before the sum (see join_b)
+            j = j.assign(rev=j["rev"].astype(np.int64))
             out = (
                 j.groupby(["sup", "c_nat"], as_index=False)["rev"].sum()
             )
@@ -4104,6 +4114,8 @@ def q_local_supplier_revenue(
             probe = g[g["side"] == 0][["key", "c_nat", "rev"]]
             j = probe.merge(build, on="key", how="inner")
             j = j[j["c_nat"] == j["s_nat"]]
+            # int64 restore before the sum (see join_b)
+            j = j.assign(rev=j["rev"].astype(np.int64))
             out = j.groupby("c_nat", as_index=False)["rev"].sum()
             return pa.table(
                 {
@@ -4171,11 +4183,9 @@ def q_user_entropy(sf_dir: str, n_buckets: int = 32):
     One ``user % B`` exchange of per-batch (user, type) count partials;
     per-bucket the count fold, the lnm lookups (cached per distinct
     count) and the entropy all resolve locally."""
-    import math
-
     import pandas as pd
 
-    from ..stages.textstats import _shared_ln
+    from ..stages.textstats import lnm_micro
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
@@ -4183,7 +4193,9 @@ def q_user_entropy(sf_dir: str, n_buckets: int = 32):
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         agg = (
             pd.DataFrame({"u": uid, "t": batch["event_type"].to_pandas()})
-            .groupby(["u", "t"], sort=False)
+            # dropna=False: a NULL event_type is its own group in SQL's
+            # GROUP BY — dropping it would shrink n_events/entropy
+            .groupby(["u", "t"], sort=False, dropna=False)
             .size()
             .reset_index(name="c")
         )
@@ -4192,35 +4204,38 @@ def q_user_entropy(sf_dir: str, n_buckets: int = 32):
             {
                 "bucket": pa.array(u % n_buckets, pa.int64()),
                 "u": pa.array(u, pa.int64()),
-                "t": pa.array(agg["t"].tolist(), pa.string()),
+                "t": pa.array(
+                    [x if isinstance(x, str) else None for x in agg["t"]],
+                    pa.string(),
+                ),
                 "c": pa.array(agg["c"].to_numpy(dtype=np.int64), pa.int64()),
             }
         )
 
-    lnm_cache: dict[int, int] = {}
-
-    def lnm(k: int) -> int:
-        if k not in lnm_cache:
-            lnm_cache[k] = math.floor(_shared_ln(k) * 1_000_000.0 + 0.5)
-        return lnm_cache[k]
+    def _lnm_arr(vals: np.ndarray) -> np.ndarray:
+        # one shared-ln evaluation per DISTINCT value, then a take —
+        # the per-row work stays vectorized integer arithmetic
+        uniq, inv = np.unique(vals, return_inverse=True)
+        return np.array([lnm_micro(int(k)) for k in uniq], dtype=np.int64)[inv]
 
     def entropy_bucket(g: pd.DataFrame) -> pa.Table:
-        cnt = g.groupby(["u", "t"], sort=False)["c"].sum().reset_index()
-        s = cnt.assign(
-            clnm=[int(c) * lnm(int(c)) for c in cnt["c"]]
-        ).groupby("u", sort=False)
-        tot = s["c"].sum()
-        slnm = s["clnm"].sum()
-        ntyp = s["t"].size()
-        ent = [
-            lnm(int(t)) - _rhalf(int(sl), int(t))
-            for t, sl in zip(tot, slnm)
-        ]
+        cnt = (
+            g.groupby(["u", "t"], sort=False, dropna=False)["c"].sum().reset_index()
+        )
+        c = cnt["c"].to_numpy(dtype=np.int64)
+        grp = cnt.assign(clnm=c * _lnm_arr(c)).groupby("u", sort=False)
+        tot = grp["c"].sum()
+        t_arr = tot.to_numpy(dtype=np.int64)
+        sl = grp["clnm"].sum().to_numpy(dtype=np.int64)
+        # _rhalf for non-negative operands, vectorized
+        ent = _lnm_arr(t_arr) - (2 * sl + t_arr) // (2 * t_arr)
         return pa.table(
             {
                 "user_id": pa.array(tot.index.to_numpy(dtype=np.int64), pa.int64()),
-                "n_events": pa.array(tot.to_numpy(dtype=np.int64), pa.int64()),
-                "n_types": pa.array(ntyp.to_numpy(dtype=np.int64), pa.int64()),
+                "n_events": pa.array(t_arr, pa.int64()),
+                "n_types": pa.array(
+                    grp["t"].size().to_numpy(dtype=np.int64), pa.int64()
+                ),
                 "entropy_micro": pa.array(ent, pa.int64()),
             }
         )
@@ -4301,7 +4316,11 @@ def q_price_qty_moments(sf_dir: str):
     )
 
     def partials(batch: pa.Table) -> pa.Table:
-        x = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # rint, not astype: CAST(double AS BIGINT) rounds in DuckDB,
+        # astype truncates — they agree only on integral quantities
+        x = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
         y = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
         h, r = y // 1_000_000, y % 1_000_000
         m, low = r // 1_000, r % 1_000
@@ -4436,17 +4455,25 @@ def q_event_transitions(sf_dir: str, n_buckets: int = 32):
         uid = g["user_id"].to_numpy(dtype=np.int64)
         et = g["event_type"].to_numpy()
         same_user = np.concatenate([[False], uid[1:] == uid[:-1]])
-        prev = np.concatenate([[""], et[:-1]])
+        prev = np.concatenate([[None], et[:-1]])
+        # SQL's `WHERE lag(...) IS NOT NULL` cannot distinguish "no
+        # previous row" from "previous type is NULL" — drop both, and
+        # keep a NULL to_type as its own group (dropna=False), so the
+        # matrix matches the oracle even on null-typed events
+        keep = same_user & pd.notna(prev)
         agg = (
-            pd.DataFrame({"f": prev[same_user], "t": et[same_user]})
-            .groupby(["f", "t"], sort=False)
+            pd.DataFrame({"f": prev[keep], "t": et[keep]})
+            .groupby(["f", "t"], sort=False, dropna=False)
             .size()
             .reset_index(name="n")
         )
         return pa.table(
             {
                 "from_type": pa.array(agg["f"].tolist(), pa.string()),
-                "to_type": pa.array(agg["t"].tolist(), pa.string()),
+                "to_type": pa.array(
+                    [x if isinstance(x, str) else None for x in agg["t"]],
+                    pa.string(),
+                ),
                 "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
             }
         )

@@ -783,6 +783,18 @@ def _shared_ln(k: int) -> float:
     return e * _LN2 + 2.0 * (t * p)
 
 
+def lnm_micro(k: int) -> int:
+    """``floor(ln(k)·10⁶ + ½)`` over :func:`_shared_ln` — the single
+    spelling of the integer-micro ln snap (SQL twin:
+    ``FLOOR(lnk * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))``).
+    Snapping each ln to an integer BEFORE any reduction is what makes
+    ln-weighted scores (entropy, NLL) exactly distributable: integer
+    sums are order-free where float sums are not."""
+    import math
+
+    return math.floor(_shared_ln(k) * 1_000_000.0 + 0.5)
+
+
 def _shared_ln_cte(src: str, col: str) -> str:
     """SQL rendering of ``_shared_ln`` over integer column ``col`` of
     ``src`` — the same expression tree, each intermediate computed once
@@ -1063,10 +1075,14 @@ def _token_index_dir(sf_dir: str, n_buckets: int) -> str:
     import pyarrow.parquet as pq
     import tempfile
 
-    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    src = f"{sf_dir}/documents.parquet"
+    md = pq.ParquetFile(src).metadata
+    st = os.stat(src)
+    # file size + mtime in the key: a corpus rewritten in place with
+    # the same row count must NOT be served the stale index
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{md.num_rows}|{md.serialized_size}"
-        f"|{n_buckets}|v1".encode()
+        f"|{st.st_size}|{st.st_mtime_ns}|{n_buckets}|v1".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"graft_token_index_{key}")
 
@@ -1487,9 +1503,11 @@ def q_pmi_pairs(sf_dir: str, vocab_size: int = 64, min_docs: int = 5, n_buckets:
         s = flat.to_pandas().to_numpy()
         idx = np.clip(np.searchsorted(terms_s, s), 0, max(v - 1, 0))
         hit = terms_s[idx] == s if v else np.zeros(len(s), bool)
-        m = np.zeros((len(batch), v), dtype=np.int64)
+        # int32 incidence: counts per batch stay < 2^31, and the
+        # matmul moves a quarter of the int64 footprint
+        m = np.zeros((len(batch), v), dtype=np.int32)
         m[parent[hit], idx[hit]] = 1
-        co = m.T @ m  # V×V doc co-occurrence counts for this batch
+        co = (m.T @ m).astype(np.int64)  # V×V doc co-occurrence counts
         ai, bi = np.triu_indices(v, k=1)
         n = co[ai, bi]
         keep = n > 0

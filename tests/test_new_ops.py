@@ -2509,3 +2509,88 @@ class TestUserEntropy:
         assert rows[2] == (3, 1, 0)               # exact zero
         assert rows[3] == (3, 2, lnm(3) - _rhalf(2 * lnm(2), 3))
         assert rows[1][2] == 693147 and rows[3][2] == 636514
+
+
+class TestNullTypeAlignment:
+    """Entropy and transitions must match SQL semantics when
+    event_type is NULL: the NULL is its own GROUP BY group, and SQL's
+    lag() IS NOT NULL filter conflates run-start with null-valued
+    prev (code-review finding, r4)."""
+
+    @pytest.fixture(scope="class")
+    def null_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("null_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(5), pa.int64()),
+                    "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                    "ts": pa.array([0, 1, 2, 3, 0], pa.int64()).cast(
+                        pa.timestamp("us")
+                    ),
+                    "event_type": pa.array(["A", None, "B", "A", None]),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    def _oracle(self, null_sf, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{null_sf}/events.parquet'"
+        )
+        out = con.sql(sql).df()
+        con.close()
+        return out
+
+    def test_entropy_counts_null_group(self, null_sf, ray_session):
+        from pdf_parser_ray.relational.ops import (
+            _sql_user_entropy,
+            q_user_entropy,
+        )
+
+        got = (
+            q_user_entropy(null_sf, n_buckets=4)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            self._oracle(null_sf, _sql_user_entropy())
+            .sort_values("user_id")
+            .reset_index(drop=True)
+            .astype({"user_id": "int64", "n_events": "int64",
+                     "n_types": "int64", "entropy_micro": "int64"})
+        )
+        pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+        # user 1 has 4 events over 3 types (A, NULL, B) — the NULL
+        # group must count
+        row = got[got.user_id == 1].iloc[0]
+        assert (int(row.n_events), int(row.n_types)) == (4, 3)
+
+    def test_transitions_match_sql_null_semantics(self, null_sf, ray_session):
+        from pdf_parser_ray.relational.ops import (
+            _SQL_TRANSITIONS,
+            q_event_transitions,
+        )
+
+        got = q_event_transitions(null_sf, n_buckets=4)
+        got_rows = {
+            (r.from_type, r.to_type): (int(r.n_steps), int(r.prob_micro))
+            for r in got.itertuples()
+        }
+        want = self._oracle(null_sf, _SQL_TRANSITIONS)
+        want_rows = {
+            (r.from_type, None if pd.isna(r.to_type) else r.to_type): (
+                int(r.n_steps),
+                int(r.prob_micro),
+            )
+            for r in want.itertuples()
+        }
+        assert got_rows == want_rows
+        # A->NULL counted; NULL->B dropped (lag conflation)
+        assert ("A", None) in got_rows
+        assert (None, "B") not in got_rows
