@@ -4276,6 +4276,104 @@ FROM u JOIN l2 ON l2.kint = u.t
 
 
 # ---------------------------------------------------------------------------
+# Q26d — exact k-sigma outlier detection (squared comparison, no sqrt)
+# ---------------------------------------------------------------------------
+
+def q_user_activity_outliers(sf_dir: str, k_sigma: int = 2, n_buckets: int = 32):
+    """Users whose event count lies strictly more than ``k_sigma``
+    standard deviations from the population mean — distributed anomaly
+    detection with NO floating point anywhere: ``|c − μ| > k·σ`` is
+    evaluated in the cross-multiplied squared form
+    ``(n·c − T)² > k²·(n·Σc² − T²)`` over exact integers (n users,
+    T = Σc, Σc²), so the flag set is bit-reproducible and carries a
+    hash-exact HUGEINT oracle — the same sqrt-avoidance that keeps the
+    moments op exact.
+
+    Scale shape: one ``user % B`` exchange folds per-batch count
+    partials into per-user totals; the population statistics reduce
+    from O(blocks) partial rows (never per-user rows) on the driver,
+    broadcast back as three integers in the task closure, and the
+    flag filter runs where the counts already live. The per-user count
+    table streams twice (stats, then filter) rather than pinning."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        agg = pd.Series(uid).value_counts()
+        u = agg.index.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(u % n_buckets, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "c": pa.array(agg.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def fold_bucket(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("user_id", sort=False)["c"].sum()
+        return pa.table(
+            {
+                "user_id": pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+                "c": pa.array(agg.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+    )
+
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "t": pa.array([int(c.sum())], pa.int64()),
+                "s2": pa.array([int((c * c).sum())], pa.int64()),
+            }
+        )
+
+    stats = counts.map_batches(
+        stat_partials, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # bounded: one row per block
+    n, t, s2 = int(stats["n"].sum()), int(stats["t"].sum()), int(stats["s2"].sum())
+    rhs = k_sigma * k_sigma * (n * s2 - t * t)  # k²·n²·var, exact
+
+    def flag(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(object)
+        # object dtype: (n·c − T)² can exceed int64 at corpus scale;
+        # Python ints are exact at any magnitude
+        lhs = (n * c - t) ** 2
+        keep = np.array([x > rhs for x in lhs], dtype=bool)
+        return pa.table(
+            {
+                "user_id": batch["user_id"].filter(pa.array(keep)),
+                "n_events": pc.cast(batch["c"].filter(pa.array(keep)), pa.int64()),
+            }
+        )
+
+    return counts.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_OUTLIERS = """
+WITH c AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), s AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(c) AS HUGEINT) AS t,
+           CAST(SUM(c*c) AS HUGEINT) AS s2
+    FROM c
+)
+SELECT c.user_id, c.c AS n_events
+FROM c CROSS JOIN s
+WHERE (s.n * c.c - s.t) * (s.n * c.c - s.t) > 4 * (s.n * s.s2 - s.t * s.t)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q27 — grouped distributed moments (sufficient-statistics covariance)
 # ---------------------------------------------------------------------------
 
@@ -4654,6 +4752,7 @@ QUERIES = {
     "order_moving_avg": q_order_moving_avg,
     "local_supplier_revenue": q_local_supplier_revenue,
     "user_entropy": q_user_entropy,
+    "user_activity_outliers": q_user_activity_outliers,
 }
 
 ORACLE_SQL = {
@@ -4710,6 +4809,7 @@ ORACLE_SQL = {
     "order_moving_avg": _SQL_MOVING_AVG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER,
     "user_entropy": _sql_user_entropy(),
+    "user_activity_outliers": _SQL_OUTLIERS,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

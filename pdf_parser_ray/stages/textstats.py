@@ -1062,6 +1062,67 @@ HAVING count(*) >= 2
 
 
 # ---------------------------------------------------------------------------
+# Lexical diversity (type-token ratio)
+# ---------------------------------------------------------------------------
+
+def q_lexical_diversity(sf_dir: str):
+    """Per-document type-token ratio — the lexical-diversity quality
+    signal (low TTR flags templated/repetitive text the way the Gopher
+    repetition rules do, but as a single scalar). ``ttr = distinct
+    terms / total terms`` as an exact integer-rational micro, so the
+    score hash-matches. Embarrassingly parallel: one vectorized
+    split + two hash aggregations per batch, no shuffle; zero-token
+    documents drop out of both engines identically (no token rows)."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        s = flat.to_pandas()
+        keep = (s != "").to_numpy()
+        df = pd.DataFrame({"d": parent, "t": s})
+        if not keep.all():
+            df = df[keep]
+        g = df.groupby("d", sort=False)
+        total = g.size()
+        distinct = g["t"].nunique()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = total.to_numpy(dtype=np.int64)
+        dis = distinct.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[total.index.to_numpy()], pa.int64()),
+                "n_tokens": pa.array(tot, pa.int64()),
+                "n_distinct": pa.array(dis, pa.int64()),
+                "ttr_micro": pa.array(
+                    (2_000_000 * dis + tot) // (2 * tot), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_TTR = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+    FROM documents
+), g AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST((2*1000000*n_distinct + n_tokens) // (2*n_tokens) AS BIGINT)
+           AS ttr_micro
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # Persisted inverted index + indexed term search (the amortized path)
 # ---------------------------------------------------------------------------
 
@@ -1814,6 +1875,7 @@ QUERIES = {
     "lm_doc_nll": q_lm_doc_nll,
     "pmi_pairs": q_pmi_pairs,
     "term_search_indexed": q_term_search_indexed,
+    "lexical_diversity": q_lexical_diversity,
 }
 
 ORACLE_SQL = {
@@ -1836,4 +1898,5 @@ ORACLE_SQL = {
     "lm_doc_nll": _SQL_LM_NLL,
     "pmi_pairs": _SQL_PMI,
     "term_search_indexed": _SQL_TERM_SEARCH,
+    "lexical_diversity": _SQL_TTR,
 }

@@ -2594,3 +2594,57 @@ class TestNullTypeAlignment:
         # A->NULL counted; NULL->B dropped (lag conflation)
         assert ("A", None) in got_rows
         assert (None, "B") not in got_rows
+
+
+class TestOutliersTtr:
+    """Exact k-sigma outliers (squared comparison) and type-token
+    ratio against hand-computed expectations."""
+
+    @pytest.fixture(scope="class")
+    def out_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("out_sf")
+        # counts per user: 1,1,1,1,1,20 -> mean 25/6, only the 20 is
+        # beyond 2 sigma: (6*20-25)^2 = 9025 > 4*(6*405-625) = 7220
+        uid = [1, 2, 3, 4, 5] + [6] * 20
+        pq.write_table(
+            pa.table({"user_id": pa.array(uid, pa.int64())}),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    def test_outliers_hand_check(self, out_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_user_activity_outliers
+
+        got = q_user_activity_outliers(out_sf, n_buckets=4).to_pandas()
+        assert [(int(r.user_id), int(r.n_events)) for r in got.itertuples()] == [
+            (6, 20)
+        ]
+
+    @pytest.fixture(scope="class")
+    def ttr_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("ttr_sf")
+        texts = ["a a b", "x x x x", "", "q w e r"]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_ttr_hand_check(self, ttr_sf, ray_session):
+        from pdf_parser_ray.stages.textstats import q_lexical_diversity
+
+        got = q_lexical_diversity(ttr_sf).to_pandas()
+        rows = {
+            int(r.doc_id): (int(r.n_tokens), int(r.n_distinct), int(r.ttr_micro))
+            for r in got.itertuples()
+        }
+        assert rows == {
+            0: (3, 2, 666667),   # 2/3 rounds half-up at the 6th
+            1: (4, 1, 250000),
+            3: (4, 4, 1_000_000),
+        }  # doc 2 (zero tokens) absent from both engines
