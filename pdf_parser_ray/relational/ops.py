@@ -4276,6 +4276,140 @@ FROM u JOIN l2 ON l2.kint = u.t
 
 
 # ---------------------------------------------------------------------------
+# Q26e — per-user path signature (ordered string aggregation)
+# ---------------------------------------------------------------------------
+
+def q_user_paths(sf_dir: str, max_steps: int = 8, n_buckets: int = 32):
+    """Each user's ordered event-type path as one delimited signature
+    string (first ``max_steps`` events) — the ordered LISTAGG /
+    ``string_agg(... ORDER BY ...)`` shape, and the input
+    representation sequence-clustering and funnel-discovery tools
+    consume. Deterministic under the (ts, event_id) tie-break;
+    truncation at ``max_steps`` keeps a pathological user's signature
+    bounded (documented cap — at corpus scale an unbounded concat is a
+    skew hazard).
+
+    One ``user % B`` exchange (rows move once); inside a bucket the
+    sort, the per-user head-``max_steps`` mask and the join are
+    vectorized pandas ops, and the output is one row per user."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def paths_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        n = len(g)
+        new_run = np.concatenate([[True], uid[1:] != uid[:-1]])
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        pos = np.arange(n) - run_start
+        head = g[pos < max_steps]
+        agg = head.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        total = g.groupby("user_id", sort=False).size()
+        return pa.table(
+            {
+                "user_id": pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+                "path": pa.array(agg.tolist(), pa.string()),
+                "n_events": pa.array(
+                    total.loc[agg.index].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(paths_bucket, batch_format="pandas")
+    )
+
+
+_SQL_USER_PATHS = """
+WITH r AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY rn) AS path,
+       n_events
+FROM r WHERE rn <= 8
+GROUP BY user_id, n_events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q26f — fixed-width value histogram
+# ---------------------------------------------------------------------------
+
+def q_price_histogram(sf_dir: str, width_cents: int = 2_000_000):
+    """Order-value histogram in fixed $20k bins — the profiling
+    primitive behind every distribution dashboard, and the simplest
+    member of the binning family next to the log-histogram sketch
+    (fixed width exact vs geometric approximate). Pure partial
+    aggregation: each batch emits its O(bins) counts, the groupby
+    folds O(bins × blocks) rows, values never shuffle. Bin identity is
+    exact integer floor division of non-negative cents."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        agg = pd.Series(cents // width_cents).value_counts()
+        return pa.table(
+            {
+                "bin": pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+                "n": pa.array(agg.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+    def clean(b: pa.Table) -> pa.Table:
+        lo = b["bin"].to_numpy(zero_copy_only=False) * width_cents
+        return pa.table(
+            {
+                "bin_lo_cents": pa.array(lo, pa.int64()),
+                "bin_hi_cents": pa.array(lo + width_cents, pa.int64()),
+                "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(clean, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_PRICE_HISTOGRAM = """
+WITH b AS (
+    SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) // 2000000 AS bin
+    FROM orders
+)
+SELECT CAST(bin * 2000000 AS BIGINT) AS bin_lo_cents,
+       CAST((bin + 1) * 2000000 AS BIGINT) AS bin_hi_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b GROUP BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q26d — exact k-sigma outlier detection (squared comparison, no sqrt)
 # ---------------------------------------------------------------------------
 
@@ -4753,6 +4887,8 @@ QUERIES = {
     "local_supplier_revenue": q_local_supplier_revenue,
     "user_entropy": q_user_entropy,
     "user_activity_outliers": q_user_activity_outliers,
+    "user_paths": q_user_paths,
+    "price_histogram": q_price_histogram,
 }
 
 ORACLE_SQL = {
@@ -4810,6 +4946,8 @@ ORACLE_SQL = {
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER,
     "user_entropy": _sql_user_entropy(),
     "user_activity_outliers": _SQL_OUTLIERS,
+    "user_paths": _SQL_USER_PATHS,
+    "price_histogram": _SQL_PRICE_HISTOGRAM,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

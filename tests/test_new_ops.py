@@ -2648,3 +2648,56 @@ class TestOutliersTtr:
             1: (4, 1, 250000),
             3: (4, 4, 1_000_000),
         }  # doc 2 (zero tokens) absent from both engines
+
+
+class TestPathsHistogram:
+    """Ordered path signatures (truncation + tie-break) and the
+    fixed-width histogram against hand-computed expectations."""
+
+    @pytest.fixture(scope="class")
+    def path_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("path_sf")
+        # user 1: 4 events, truncation at max_steps=3 must drop the
+        # last; same-ts pair (ids 1,2) ordered by event_id
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                    "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                    "ts": pa.array([0, 5, 5, 9, 0], pa.int64()).cast(
+                        pa.timestamp("us")
+                    ),
+                    "event_type": pa.array(["view", "click", "view", "buy", "view"]),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    def test_paths_hand_check(self, path_sf, ray_session):
+        from pdf_parser_ray.relational.ops import q_user_paths
+
+        got = q_user_paths(path_sf, max_steps=3, n_buckets=4).to_pandas()
+        rows = {
+            int(r.user_id): (r.path, int(r.n_events)) for r in got.itertuples()
+        }
+        assert rows == {
+            1: ("view>click>view", 4),  # buy truncated; tie by event_id
+            2: ("view", 1),
+        }
+
+    def test_histogram_hand_check(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.relational.ops import q_price_histogram
+
+        d = tmp_path_factory.mktemp("hist_sf")
+        # $5, $25, $19999.99, $20000.00 with width $20k:
+        # bin 0 gets 3, bin 1 gets 1 (boundary goes up)
+        pq.write_table(
+            pa.table({"o_totalprice": pa.array([5.0, 25.0, 19999.99, 20000.0])}),
+            str(d / "orders.parquet"),
+        )
+        got = q_price_histogram(str(d)).to_pandas()
+        rows = {
+            int(r.bin_lo_cents): int(r.n_orders) for r in got.itertuples()
+        }
+        assert rows == {0: 3, 2_000_000: 1}
