@@ -40,7 +40,11 @@ def _bench_queries():
     from pdf_parser_ray.stages.boilerplate import q_boilerplate_strip
     from pdf_parser_ray.stages.corpus import q_substring_dedup
     from pdf_parser_ray.stages.dedup import q_near_dup_pairs
-    from pdf_parser_ray.relational.ops import q_order_event_reconcile
+    from pdf_parser_ray.relational.ops import (
+        q_local_supplier_revenue,
+        q_order_event_reconcile,
+        q_user_entropy,
+    )
     from pdf_parser_ray.stages.embed import q_ann_topk
     from pdf_parser_ray.stages.textstats import q_lm_doc_nll, q_token_count
 
@@ -55,6 +59,8 @@ def _bench_queries():
         "ann_topk": q_ann_topk,
         "lm_doc_nll": q_lm_doc_nll,
         "order_event_reconcile": q_order_event_reconcile,
+        "local_supplier_revenue": q_local_supplier_revenue,
+        "user_entropy": q_user_entropy,
     }
 
 
