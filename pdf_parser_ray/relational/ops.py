@@ -4276,6 +4276,101 @@ FROM u JOIN l2 ON l2.kint = u.t
 
 
 # ---------------------------------------------------------------------------
+# Q26g — rolling distinct-count window (trailing 7-day active users)
+# ---------------------------------------------------------------------------
+
+def q_rolling_active_users(sf_dir: str, window_days: int = 7, n_buckets: int = 32):
+    """Trailing-window COUNT(DISTINCT): for every epoch day, how many
+    distinct users were active in the ``window_days`` days ending on
+    it — the rolling DAU/WAU product metric, and the one window frame
+    the suite lacked (sum/count/avg frames are decomposable; DISTINCT
+    over a sliding frame is not, which is why it needs its own shape).
+
+    Two bounded exchanges, events never move twice: per-batch DISTINCT
+    ``(user, day)`` partials fan out to the ≤``window_days`` window
+    ends they support (a vectorized repeat — the exchange carries
+    ``O(W × distinct(user, day))`` fixed-width rows, independent of
+    raw event volume), a composite ``(user, window_day)`` dedup
+    shuffle collapses the fan-out, and per-day partial counts fold in
+    a tiny final groupby. Day arithmetic is exact integer floor
+    division on both engines."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    day_us = 86_400_000_000
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "user": b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "d": us // day_us,
+            }
+        ).drop_duplicates()
+        u = np.repeat(df["user"].to_numpy(), window_days)
+        wd = np.repeat(df["d"].to_numpy(), window_days) + np.tile(
+            np.arange(window_days, dtype=np.int64), len(df)
+        )
+        key = u * np.int64(1_000_003) + wd  # composite shuffle key
+        return pa.table(
+            {
+                "bucket": pa.array(key % n_buckets, pa.int64()),
+                "user": pa.array(u, pa.int64()),
+                "wd": pa.array(wd, pa.int64()),
+            }
+        )
+
+    def dedup_count(g: pd.DataFrame) -> pa.Table:
+        agg = (
+            g.drop_duplicates(["user", "wd"])
+            .groupby("wd", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "wd": pa.array(agg["wd"].to_numpy(dtype=np.int64), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(fan_out, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(dedup_count, batch_format="pandas")
+        .groupby("wd")
+        .aggregate(Sum("n", alias_name="active_users"))
+    )
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": b["wd"],
+                "active_users": pc.cast(b["active_users"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(clean, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_ROLLING_DAU = """
+WITH m AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 86400000000
+                - CASE WHEN epoch_us(ts) % 86400000000 < 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS d
+    FROM events
+), e AS (
+    SELECT user_id, UNNEST(generate_series(d, d + 6)) AS wd FROM m
+)
+SELECT CAST(wd AS BIGINT) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM e GROUP BY wd
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q26e — per-user path signature (ordered string aggregation)
 # ---------------------------------------------------------------------------
 
@@ -4889,6 +4984,7 @@ QUERIES = {
     "user_activity_outliers": q_user_activity_outliers,
     "user_paths": q_user_paths,
     "price_histogram": q_price_histogram,
+    "rolling_active_users": q_rolling_active_users,
 }
 
 ORACLE_SQL = {
@@ -4948,6 +5044,7 @@ ORACLE_SQL = {
     "user_activity_outliers": _SQL_OUTLIERS,
     "user_paths": _SQL_USER_PATHS,
     "price_histogram": _SQL_PRICE_HISTOGRAM,
+    "rolling_active_users": _SQL_ROLLING_DAU,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

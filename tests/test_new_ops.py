@@ -2701,3 +2701,34 @@ class TestPathsHistogram:
             int(r.bin_lo_cents): int(r.n_orders) for r in got.itertuples()
         }
         assert rows == {0: 3, 2_000_000: 1}
+
+
+class TestRollingDau:
+    """Trailing 7-day distinct active users against a hand-computed
+    matrix (per-day dedup + window fan-out + cross-batch dedup)."""
+
+    def test_rolling_hand_check(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.relational.ops import q_rolling_active_users
+
+        d = tmp_path_factory.mktemp("dau_sf")
+        day = 86_400_000_000
+        # user 1 active days {0, 2} (two events day 0); user 2 day {8}
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                    "ts": pa.array(
+                        [0, 3600_000_000, 2 * day, 8 * day], pa.int64()
+                    ).cast(pa.timestamp("us")),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        got = q_rolling_active_users(str(d), n_buckets=4).to_pandas()
+        rows = {int(r.day): int(r.active_users) for r in got.itertuples()}
+        # user 1 supports windows ending 0..6 and 2..8 (dedup on the
+        # overlap 2..6); user 2 supports 8..14
+        want = {w: 1 for w in range(0, 8)}
+        want[8] = 2  # user 1 (via day 2) and user 2
+        want.update({w: 1 for w in range(9, 15)})
+        assert rows == want
