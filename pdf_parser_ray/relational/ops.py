@@ -4571,13 +4571,16 @@ def q_user_activity_outliers(sf_dir: str, k_sigma: int = 2, n_buckets: int = 32)
     ).to_pandas()  # bounded: one row per block
     n, t, s2 = int(stats["n"].sum()), int(stats["t"].sum()), int(stats["s2"].sum())
     rhs = k_sigma * k_sigma * (n * s2 - t * t)  # k²·n²·var, exact
+    # d² > rhs ⇔ |d| > isqrt(rhs) (isqrt once on the driver, exact):
+    # the per-user comparison then stays vectorized int64 — n·c fits
+    # int64 up to n·c_max < 2^63, far past any per-user event count
+    import math
+
+    thresh = math.isqrt(max(rhs, 0))
 
     def flag(batch: pa.Table) -> pa.Table:
-        c = batch["c"].to_numpy(zero_copy_only=False).astype(object)
-        # object dtype: (n·c − T)² can exceed int64 at corpus scale;
-        # Python ints are exact at any magnitude
-        lhs = (n * c - t) ** 2
-        keep = np.array([x > rhs for x in lhs], dtype=bool)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        keep = np.abs(n * c - t) > thresh
         return pa.table(
             {
                 "user_id": batch["user_id"].filter(pa.array(keep)),
