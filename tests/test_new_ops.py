@@ -2453,12 +2453,26 @@ class TestLocalSupplierRevenue:
             .reset_index(drop=True)
         )
         b = (
-            q_local_supplier_revenue(sf, budget_bytes=0)  # force 3rd exchange
+            q_local_supplier_revenue(sf, budget_bytes=0)  # full shuffle plan
             .to_pandas()
             .sort_values("n_name")
             .reset_index(drop=True)
         )
         assert a.equals(b)
+        # mixed shape: supplier broadcasts, customer does not (budget
+        # sits exactly between the two footer-row sizes)
+        import pyarrow.parquet as pq_
+
+        sup_rows = pq_.ParquetFile(f"{sf}/supplier.parquet").metadata.num_rows
+        cust_rows = pq_.ParquetFile(f"{sf}/customer.parquet").metadata.num_rows
+        assert sup_rows * 16 < cust_rows * 16
+        c = (
+            q_local_supplier_revenue(sf, budget_bytes=sup_rows * 16)
+            .to_pandas()
+            .sort_values("n_name")
+            .reset_index(drop=True)
+        )
+        assert a.equals(c)
         assert len(a) >= 1 and (a["revenue_cents2"] > 0).all()
         # region filter: every nation name must belong to region 0
         import pyarrow.parquet as pq
