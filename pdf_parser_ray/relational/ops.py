@@ -4318,6 +4318,90 @@ FROM u JOIN l2 ON l2.kint = u.t
 
 
 # ---------------------------------------------------------------------------
+# Q26h — pairwise market-basket mining (co-purchase support)
+# ---------------------------------------------------------------------------
+
+def q_copurchase_pairs(sf_dir: str, min_support: int = 2, n_buckets: int = 16):
+    """Part pairs bought together in at least ``min_support`` orders —
+    pairwise frequent-itemset mining (the support-counting core of
+    Apriori / market-basket analysis), and a second self-join shape
+    next to the n-gram similarity joins: EQUI self-join on the basket
+    key instead of a similarity predicate.
+
+    One ``orderkey % B`` exchange of distinct (order, part) rows; the
+    per-order pair expansion happens inside the bucket as one
+    vectorized self-merge (baskets are small — the expansion is
+    O(Σ lines²/order), bounded by the basket-size cap the docstring
+    of the range join already argues), pair counts pre-reduce per
+    bucket, and a tiny pair groupby applies the support filter. Part
+    payloads never ship — only int64 keys."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(df["ok"].to_numpy() % n_buckets, pa.int64()),
+                "ok": pa.array(df["ok"].to_numpy(), pa.int64()),
+                "pk": pa.array(df["pk"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["ok", "pk"])
+        j = d.merge(d, on="ok")
+        j = j[j["pk_x"] < j["pk_y"]]
+        agg = (
+            j.groupby(["pk_x", "pk_y"], sort=False).size().reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "part_a": pa.array(agg["pk_x"].to_numpy(dtype=np.int64), pa.int64()),
+                "part_b": pa.array(agg["pk_y"].to_numpy(dtype=np.int64), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        li.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b["n_orders"], min_support)
+        return pa.table(
+            {
+                "part_a": b["part_a"].filter(keep),
+                "part_b": b["part_b"].filter(keep),
+                "n_orders": pc.cast(b["n_orders"].filter(keep), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_COPURCHASE = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q26g — rolling distinct-count window (trailing 7-day active users)
 # ---------------------------------------------------------------------------
 
@@ -5030,6 +5114,7 @@ QUERIES = {
     "user_paths": q_user_paths,
     "price_histogram": q_price_histogram,
     "rolling_active_users": q_rolling_active_users,
+    "copurchase_pairs": q_copurchase_pairs,
 }
 
 ORACLE_SQL = {
@@ -5090,6 +5175,7 @@ ORACLE_SQL = {
     "user_paths": _SQL_USER_PATHS,
     "price_histogram": _SQL_PRICE_HISTOGRAM,
     "rolling_active_users": _SQL_ROLLING_DAU,
+    "copurchase_pairs": _SQL_COPURCHASE,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

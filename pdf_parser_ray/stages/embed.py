@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _TOP_K = 10
 _N_QUERIES = 8  # vec_id 0..7 are the query set
@@ -789,6 +790,56 @@ def q_ann_ivf_trained(
     return ds.sort(["cos_micro", "vec_id"], descending=[True, False]).limit(_TOP_K)
 
 
+# ---------------------------------------------------------------------------
+# Exact vector norms (integer micro² — the no-sqrt discipline)
+# ---------------------------------------------------------------------------
+
+def q_embedding_norms(sf_dir: str):
+    """Per-vector squared L2 norm in exact integer micro² units — the
+    vector-hygiene profile (zero/degenerate/outlier vectors) a training
+    pipeline runs before indexing, done with NO float reduction: each
+    float32 element widens to double exactly, snaps to integer micro
+    (``rint``, mirroring ``ROUND``), and the squares sum as exact int64
+    in any order — the same snap-then-reduce discipline as the entropy
+    op, applied element-wise to vectors. Embarrassingly parallel over
+    batches; headroom: dim·(10⁶·|x|)² per vector must stay under 2⁶³
+    (|x| ≲ 380 at dim 64 — generous for unit-scale embeddings, and a
+    pre-scale shifts it)."""
+    ds = _embeddings(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = flat * 1_000_000.0
+        # half-away-from-zero, NOT np.rint: DuckDB ROUND is half-away,
+        # banker's rounding diverges on reachable .5 boundaries
+        micro = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        offs = np.asarray(emb.combine_chunks().offsets)
+        sq = np.add.reduceat(micro * micro, offs[:-1])
+        sq[offs[:-1] == offs[1:]] = 0  # empty lists reduceat artifact
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "dim": pa.array((offs[1:] - offs[:-1]).astype(np.int64), pa.int64()),
+                "sq_norm_micro2": pa.array(sq, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_EMBEDDING_NORMS = """
+WITH e AS (
+    SELECT vec_id,
+           CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+    FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS dim,
+       CAST(SUM(m * m) AS BIGINT) AS sq_norm_micro2
+FROM e GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_filtered": q_ann_topk_filtered,
@@ -800,6 +851,7 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_ivf": q_embed_near_dup_ivf,
     "kmeans": q_kmeans,
+    "embedding_norms": q_embedding_norms,
 }
 
 ORACLE_SQL = {
@@ -809,6 +861,7 @@ ORACLE_SQL = {
     "label_token_stats": _SQL_LABEL_TOKEN_STATS,
     "knn_join": _SQL_KNN_JOIN,
     "embed_near_dup": _SQL_EMBED_NEAR_DUP,
+    "embedding_norms": _SQL_EMBEDDING_NORMS,
     # embed_near_dup_ivf matches the same exact-pair spec at m_probe=8
     # on this corpus (recall 1.0 measured at every sf — see docstring);
     # approximate by construction, exact here, so it carries the oracle

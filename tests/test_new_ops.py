@@ -2746,3 +2746,58 @@ class TestRollingDau:
         want[8] = 2  # user 1 (via day 2) and user 2
         want.update({w: 1 for w in range(9, 15)})
         assert rows == want
+
+
+class TestCopurchaseNorms:
+    """Market-basket pair support and exact vector norms against
+    hand-computed expectations."""
+
+    def test_copurchase_hand_check(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.relational.ops import q_copurchase_pairs
+
+        d = tmp_path_factory.mktemp("mb_sf")
+        # orders: 1=[10,20,30], 2=[10,20], 3=[20,10], 4=[40,40,50]
+        # (in-order duplicate 40 must dedup before pairing)
+        ok = [1, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+        pk = [10, 20, 30, 10, 20, 20, 10, 40, 40, 50]
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(ok, pa.int64()),
+                    "l_partkey": pa.array(pk, pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        got = q_copurchase_pairs(str(d), min_support=2, n_buckets=4).to_pandas()
+        rows = {
+            (int(r.part_a), int(r.part_b)): int(r.n_orders)
+            for r in got.itertuples()
+        }
+        assert rows == {(10, 20): 3}  # all singleton-support pairs cut
+
+    def test_norms_hand_check(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.stages.embed import q_embedding_norms
+
+        d = tmp_path_factory.mktemp("nrm_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1], pa.int64()),
+                    "embedding": pa.array(
+                        [[0.5, -0.5], [1.0, 2.0, -2.0]],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        got = q_embedding_norms(str(d)).to_pandas()
+        rows = {
+            int(r.vec_id): (int(r.dim), int(r.sq_norm_micro2))
+            for r in got.itertuples()
+        }
+        assert rows == {
+            0: (2, 2 * 500_000**2),
+            1: (3, 1_000_000**2 + 2 * 2_000_000**2),
+        }

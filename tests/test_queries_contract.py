@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 118 queries, ≥111 oracled —
+    # lock the round-4 coverage floor: 120 queries, ≥113 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 118
-    assert len(oracles) >= 111
+    assert len(queries) >= 120
+    assert len(oracles) >= 113
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
