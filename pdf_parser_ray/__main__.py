@@ -193,6 +193,43 @@ def cmd_coords(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered query from the command line — the same
+    surface ``__ray_entry__.queries()`` exposes to the driver, so
+    every operator is user-reachable without writing a script."""
+    _init_ray(args.num_cpus)
+    from .registry import all_queries
+
+    qs = all_queries()
+    if args.list or args.name is None:
+        for name in sorted(qs):
+            print(name)
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r} — `query --list` shows all")
+        return 2
+    res = qs[args.name](args.sf_dir)
+    if args.output:
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+
+        if hasattr(res, "write_parquet"):  # ray Dataset: stream it
+            res.write_parquet(args.output)
+        elif isinstance(res, pa_.Table):
+            pq_.write_table(res, args.output)
+        else:  # pandas
+            res.to_parquet(args.output)
+        print(f"wrote {args.output}")
+        return 0
+    import pandas as pd
+
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    with pd.option_context("display.max_rows", args.head, "display.width", 200):
+        print(df.head(args.head).to_string(index=False))
+    print(f"[{len(df)} rows]")
+    return 0
+
+
 def cmd_debug(args) -> int:
     """Debug-artifact sink — the queryable analog of the reference's
     annotated debug images (S6, ``extractor.py:1128-1164``): write the
@@ -304,6 +341,14 @@ def main(argv=None) -> int:
     pc_.add_argument("--doc", required=True)
     pc_.add_argument("--page", type=int, default=None)
     pc_.set_defaults(fn=cmd_coords)
+
+    pq_ = sub.add_parser("query", help="run any registered query (same surface as the driver)")
+    pq_.add_argument("name", nargs="?", default=None, help="query name (omit with --list)")
+    pq_.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pq_.add_argument("--output", default=None, help="write result parquet instead of printing")
+    pq_.add_argument("--head", type=int, default=20)
+    pq_.add_argument("--list", action="store_true", help="list registered query names")
+    pq_.set_defaults(fn=cmd_query)
 
     pdbg = sub.add_parser("debug", help="write per-doc structured debug artifacts (S6 analog)")
     pdbg.add_argument("--corpus", required=True)

@@ -77,3 +77,34 @@ class TestCliTools:
         with pytest.raises(SystemExit) as e:
             main(["coords", "--corpus", corpus, "--doc", "nope"])
         assert "not found" in str(e.value)
+
+
+class TestQueryCli:
+    """The `query` subcommand exposes the full driver surface from
+    the command line: list, print, and parquet output."""
+
+    def test_list_names_every_registered_query(self, ray_session, capsys):
+        rc = main(["query", "--list"])
+        assert rc == 0
+        names = capsys.readouterr().out.split()
+        assert len(names) >= 120 and "pricing_summary" in names
+
+    def test_run_and_write(self, ray_session, capsys, tmp_path):
+        rc = main(["query", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "sum_base_cents" in out and "[6 rows]" in out
+
+        dest = str(tmp_path / "out.parquet")
+        rc = main([
+            "query", "price_histogram",
+            "--sf-dir", "/root/testdata/sf0.001", "--output", dest,
+        ])
+        assert rc == 0
+        import pyarrow.parquet as pq_
+
+        assert pq_.read_table(dest).num_rows > 0
+
+    def test_unknown_query_is_loud(self, ray_session, capsys):
+        assert main(["query", "no_such_query"]) == 2
+        assert "unknown query" in capsys.readouterr().out
