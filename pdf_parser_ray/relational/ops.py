@@ -4318,6 +4318,93 @@ FROM u JOIN l2 ON l2.kint = u.t
 
 
 # ---------------------------------------------------------------------------
+# Q26i — keep-latest compaction (CDC / SCD current-state view)
+# ---------------------------------------------------------------------------
+
+def q_latest_events(sf_dir: str, n_buckets: int = 32):
+    """Each user's single most recent event, full row — the keep-latest
+    compaction every CDC/changelog ingest runs to materialize a
+    current-state table from an append stream (``QUALIFY
+    row_number() = 1`` over ``ORDER BY ts DESC``). Deterministic under
+    the (ts, event_id) DESC tie-break.
+
+    One ``user % B`` exchange — but the per-batch argmax partial runs
+    FIRST, so the exchange carries at most one candidate row per
+    (user, batch), not the stream: compaction input volume is bounded
+    by distinct keys × blocks regardless of update rate. In-bucket the
+    winner resolves as one vectorized sort + head-of-run mask."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": pc.cast(batch["ts"], pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_pandas(),
+                "value": batch["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        # per-batch argmax partial: one candidate per user per batch
+        df = df.sort_values(
+            ["user_id", "ts_us", "event_id"], ascending=[True, False, False],
+            kind="stable",
+        )
+        head = df[~df["user_id"].duplicated()]
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    head["user_id"].to_numpy(dtype=np.int64) % n_buckets, pa.int64()
+                ),
+                "user_id": pa.array(head["user_id"].to_numpy(dtype=np.int64)),
+                "ts_us": pa.array(head["ts_us"].to_numpy(dtype=np.int64)),
+                "event_id": pa.array(head["event_id"].to_numpy(dtype=np.int64)),
+                "event_type": pa.array(head["event_type"].tolist(), pa.string()),
+                "value": pa.array(head["value"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    def latest_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["user_id", "ts_us", "event_id"], ascending=[True, False, False],
+            kind="stable",
+        )
+        head = g[~g["user_id"].duplicated()]
+        return pa.table(
+            {
+                "user_id": pa.array(head["user_id"].to_numpy(dtype=np.int64)),
+                "event_id": pa.array(head["event_id"].to_numpy(dtype=np.int64)),
+                "event_type": pa.array(head["event_type"].tolist(), pa.string()),
+                "value_cents": pa.array(
+                    np.rint(head["value"].to_numpy(dtype=np.float64) * 100).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(latest_bucket, batch_format="pandas")
+    )
+
+
+_SQL_LATEST_EVENTS = """
+SELECT user_id, event_id, event_type,
+       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q26h — pairwise market-basket mining (co-purchase support)
 # ---------------------------------------------------------------------------
 
@@ -5115,6 +5202,7 @@ QUERIES = {
     "price_histogram": q_price_histogram,
     "rolling_active_users": q_rolling_active_users,
     "copurchase_pairs": q_copurchase_pairs,
+    "latest_events": q_latest_events,
 }
 
 ORACLE_SQL = {
@@ -5176,6 +5264,7 @@ ORACLE_SQL = {
     "price_histogram": _SQL_PRICE_HISTOGRAM,
     "rolling_active_users": _SQL_ROLLING_DAU,
     "copurchase_pairs": _SQL_COPURCHASE,
+    "latest_events": _SQL_LATEST_EVENTS,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

@@ -2801,3 +2801,34 @@ class TestCopurchaseNorms:
             0: (2, 2 * 500_000**2),
             1: (3, 1_000_000**2 + 2 * 2_000_000**2),
         }
+
+
+class TestLatestEvents:
+    """Keep-latest compaction: tie-break and cross-batch argmax."""
+
+    def test_latest_hand_check(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.relational.ops import q_latest_events
+
+        d = tmp_path_factory.mktemp("cdc_sf")
+        # user 1: events at ts 5, 9, 9 — latest is ts 9 with the
+        # HIGHER event_id (DESC tie-break); user 2: single event
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                    "ts": pa.array([5, 9, 9, 1], pa.int64()).cast(
+                        pa.timestamp("us")
+                    ),
+                    "event_type": pa.array(["a", "b", "c", "d"]),
+                    "value": pa.array([1.0, 2.0, 3.5, 4.25]),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        got = q_latest_events(str(d), n_buckets=4).to_pandas()
+        rows = {
+            int(r.user_id): (int(r.event_id), r.event_type, int(r.value_cents))
+            for r in got.itertuples()
+        }
+        assert rows == {1: (2, "c", 350), 2: (3, "d", 425)}
