@@ -4318,6 +4318,47 @@ FROM u JOIN l2 ON l2.kint = u.t
 
 
 # ---------------------------------------------------------------------------
+# Q26j — percent-of-total window (revenue share per segment)
+# ---------------------------------------------------------------------------
+
+def q_segment_share(sf_dir: str):
+    """Revenue share of each market segment in parts-per-million — the
+    ``SUM(x) / SUM(SUM(x)) OVER ()`` percent-of-total window, closing
+    the window-family matrix (rank, prefix scan, LAG, NTILE, frames,
+    and now the unpartitioned-total form). Exact integer rational
+    (``_rhalf``), so shares hash-match and sum to ~10⁶.
+
+    Same single exchange as :func:`q_segment_revenue`; the grand total
+    folds from the per-segment rows themselves (O(segments) driver
+    arithmetic, no second pass over orders)."""
+    import pandas as pd
+
+    seg = q_segment_revenue(sf_dir).to_pandas()  # O(segments) rows
+    total = int(seg["revenue_cents"].sum())
+    seg["share_ppm"] = [
+        _rhalf(10**6 * int(r), total) for r in seg["revenue_cents"]
+    ]
+    seg["revenue_cents"] = seg["revenue_cents"].astype(np.int64)
+    seg["share_ppm"] = seg["share_ppm"].astype(np.int64)
+    return seg.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+_SQL_SEGMENT_SHARE = """
+WITH s AS (
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, revenue_cents,
+       CAST((2*1000000*revenue_cents + SUM(revenue_cents) OVER ())
+            // (2*SUM(revenue_cents) OVER ()) AS BIGINT) AS share_ppm
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q26i — keep-latest compaction (CDC / SCD current-state view)
 # ---------------------------------------------------------------------------
 
@@ -5203,6 +5244,7 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "copurchase_pairs": q_copurchase_pairs,
     "latest_events": q_latest_events,
+    "segment_share": q_segment_share,
 }
 
 ORACLE_SQL = {
@@ -5265,6 +5307,7 @@ ORACLE_SQL = {
     "rolling_active_users": _SQL_ROLLING_DAU,
     "copurchase_pairs": _SQL_COPURCHASE,
     "latest_events": _SQL_LATEST_EVENTS,
+    "segment_share": _SQL_SEGMENT_SHARE,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

@@ -2832,3 +2832,34 @@ class TestLatestEvents:
             for r in got.itertuples()
         }
         assert rows == {1: (2, "c", 350), 2: (3, "d", 425)}
+
+
+class TestSegmentShare:
+    def test_share_hand_check(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.relational.ops import q_segment_share
+
+        d = tmp_path_factory.mktemp("share_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array([1, 2, 2], pa.int64()),
+                    "o_totalprice": pa.array([10.0, 20.0, 10.0]),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2], pa.int64()),
+                    "c_mktsegment": pa.array(["A", "B"]),
+                }
+            ),
+            str(d / "customer.parquet"),
+        )
+        got = q_segment_share(str(d))
+        rows = {
+            r.c_mktsegment: (int(r.revenue_cents), int(r.share_ppm))
+            for r in got.itertuples()
+        }
+        assert rows == {"A": (1000, 250_000), "B": (3000, 750_000)}

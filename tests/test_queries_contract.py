@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 121 queries, ≥114 oracled —
+    # lock the round-4 coverage floor: 122 queries, ≥115 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 121
-    assert len(oracles) >= 114
+    assert len(queries) >= 122
+    assert len(oracles) >= 115
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
