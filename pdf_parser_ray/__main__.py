@@ -197,17 +197,18 @@ def cmd_query(args) -> int:
     """Run any registered query from the command line — the same
     surface ``__ray_entry__.queries()`` exposes to the driver, so
     every operator is user-reachable without writing a script."""
-    _init_ray(args.num_cpus)
     from .registry import all_queries
 
     qs = all_queries()
     if args.list or args.name is None:
+        # no Ray session for a pure listing
         for name in sorted(qs):
             print(name)
         return 0
     if args.name not in qs:
         print(f"unknown query {args.name!r} — `query --list` shows all")
         return 2
+    _init_ray(args.num_cpus)
     res = qs[args.name](args.sf_dir)
     if args.output:
         import pyarrow as pa_

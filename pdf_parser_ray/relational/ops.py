@@ -3893,7 +3893,6 @@ def q_local_supplier_revenue(
     )
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
     # ---- exchange A: orders ⋈ in-region customers on custkey ----
     # (skipped entirely when the region-filtered customer map fits the
@@ -3966,6 +3965,9 @@ def q_local_supplier_revenue(
             resolve_orders, batch_format="pyarrow", batch_size=None
         )
     else:
+        # the customer Dataset exists only on this branch — the
+        # broadcast path reads the dimension itself via pq.read_table
+        customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
         order_nat = (
             orders.map_batches(prep_o, batch_format="pyarrow", batch_size=None)
             .union(
@@ -4335,6 +4337,11 @@ def q_segment_share(sf_dir: str):
 
     seg = q_segment_revenue(sf_dir).to_pandas()  # O(segments) rows
     total = int(seg["revenue_cents"].sum())
+    if len(seg) and total == 0:
+        raise ValueError(
+            "segment_share: total revenue is zero — shares are undefined "
+            "(the SQL oracle divides by zero on the same input)"
+        )
     seg["share_ppm"] = [
         _rhalf(10**6 * int(r), total) for r in seg["revenue_cents"]
     ]
@@ -4415,17 +4422,17 @@ def q_latest_events(sf_dir: str, n_buckets: int = 32):
             kind="stable",
         )
         head = g[~g["user_id"].duplicated()]
+        # half-away-from-zero, not np.rint: `value` is an ARBITRARY
+        # double (unlike 2-decimal money), so ROUND's .5 boundary is
+        # reachable and banker's rounding would diverge from the oracle
+        v = head["value"].to_numpy(dtype=np.float64) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
         return pa.table(
             {
                 "user_id": pa.array(head["user_id"].to_numpy(dtype=np.int64)),
                 "event_id": pa.array(head["event_id"].to_numpy(dtype=np.int64)),
                 "event_type": pa.array(head["event_type"].tolist(), pa.string()),
-                "value_cents": pa.array(
-                    np.rint(head["value"].to_numpy(dtype=np.float64) * 100).astype(
-                        np.int64
-                    ),
-                    pa.int64(),
-                ),
+                "value_cents": pa.array(cents, pa.int64()),
             }
         )
 
@@ -4809,6 +4816,18 @@ def q_user_activity_outliers(sf_dir: str, k_sigma: int = 2, n_buckets: int = 32)
         .groupby("bucket")
         .map_groups(fold_bucket, batch_format="pandas")
     )
+    # counts has TWO consumers (stats pass, then flag pass) and Ray
+    # re-executes lineage per consumer — pin the tiny per-user table
+    # when the footer-bounded estimate fits (distinct users ≤ event
+    # rows × 24 B, a deliberate over-estimate), else recompute
+    # upstream: the substring-dedup pin-gate discipline
+    import pyarrow.parquet as pq
+
+    from ..core.util import pin_fits
+
+    hint = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows * 24
+    if pin_fits(hint):
+        counts = counts.materialize()
 
     def stat_partials(batch: pa.Table) -> pa.Table:
         c = batch["c"].to_numpy(zero_copy_only=False)

@@ -814,9 +814,12 @@ def q_embedding_norms(sf_dir: str):
         # half-away-from-zero, NOT np.rint: DuckDB ROUND is half-away,
         # banker's rounding diverges on reachable .5 boundaries
         micro = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
-        offs = np.asarray(emb.combine_chunks().offsets)
-        sq = np.add.reduceat(micro * micro, offs[:-1])
-        sq[offs[:-1] == offs[1:]] = 0  # empty lists reduceat artifact
+        offs = np.asarray(emb.combine_chunks().offsets).astype(np.int64)
+        # prefix-sum difference, not reduceat: reduceat raises on a
+        # trailing empty list (start index == len) and mis-sums
+        # interior empties — the cumsum form is total for any offsets
+        cs = np.concatenate([[0], np.cumsum(micro * micro)])
+        sq = cs[offs[1:]] - cs[offs[:-1]]
         return pa.table(
             {
                 "vec_id": batch["vec_id"],

@@ -2863,3 +2863,30 @@ class TestSegmentShare:
             for r in got.itertuples()
         }
         assert rows == {"A": (1000, 250_000), "B": (3000, 750_000)}
+
+
+class TestNormsEmptyLists:
+    def test_trailing_and_interior_empty_vectors(self, ray_session, tmp_path_factory):
+        """Regression: np.add.reduceat raises on a trailing empty list
+        (start index == len(flat)); the cumsum form must yield
+        dim=0 / sq=0 for every empty vector instead."""
+        from pdf_parser_ray.stages.embed import q_embedding_norms
+
+        d = tmp_path_factory.mktemp("nrm_empty_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1, 2], pa.int64()),
+                    "embedding": pa.array(
+                        [[1.0], [], []], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        got = q_embedding_norms(str(d)).to_pandas()
+        rows = {
+            int(r.vec_id): (int(r.dim), int(r.sq_norm_micro2))
+            for r in got.itertuples()
+        }
+        assert rows == {0: (1, 10**12), 1: (0, 0), 2: (0, 0)}
