@@ -5201,6 +5201,323 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# Q30 — last-touch attribution (forward-fill as-of within one stream)
+# ---------------------------------------------------------------------------
+
+
+def q_attribution_last_touch(sf_dir: str, n_buckets: int = 32):
+    """Every purchase attributed to the user's most recent *strictly
+    preceding* engagement touch (``view``/``click``), or ``direct``
+    when none exists — marketing last-touch attribution, and the
+    engine's SELF-as-of shape: unlike
+    :func:`q_last_order_before_event` (two tables merged as-of), both
+    probe and build live in ONE ordered stream, so the right tool is a
+    per-key forward-fill, not a join.
+
+    One ``user % B`` exchange of only the three relevant event types
+    (irrelevant types are dropped at the scan — they cannot change a
+    LAST_VALUE IGNORE NULLS window). In-bucket, one vectorized sort by
+    (user, ts, event_id) then ffill-within-user + shift(1) yields "last
+    touch among rows strictly before me" for EVERY row in two passes —
+    no per-user loop, no self-join. Missing touches surface as the
+    sentinel ``-1`` / ``'direct'`` (COALESCEd identically in the
+    oracle) so the output stays non-nullable int64 — nullable ints
+    round-trip as float64 through pandas and would break hash
+    compares."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["purchase", "view", "click"]),
+        )
+        t = batch.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_pandas()
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"],
+                "is_touch": pa.array(
+                    (et != "purchase").to_numpy(dtype=bool)
+                ),
+                "touch_kind": pa.array(et.tolist(), pa.string()),
+            }
+        )
+
+    def attrib_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        touch = g["is_touch"].to_numpy(dtype=bool)
+        # position of the last touch at-or-before each row (positions
+        # are monotone in stream order, so a per-user cummax is exact
+        # int64 — no NaN/float round-trip of ids), then shift(1):
+        # "last touch strictly before me"
+        pos = np.where(touch, np.arange(len(u), dtype=np.int64), -1)
+        prev = (
+            pd.Series(pos)
+            .groupby(u, sort=False)
+            .cummax()
+            .groupby(u, sort=False)
+            .shift(1, fill_value=-1)
+            .to_numpy(dtype=np.int64)
+        )
+        buy = ~touch
+        p = prev[buy]
+        has = p >= 0
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        ts_us = g["ts_us"].to_numpy(dtype=np.int64)
+        kinds = g["touch_kind"].to_numpy(dtype=object)
+        safe = np.where(has, p, 0)
+        return pa.table(
+            {
+                "user_id": pa.array(u[buy]),
+                "purchase_event_id": pa.array(eid[buy]),
+                "touch_event_id": pa.array(
+                    np.where(has, eid[safe], -1).astype(np.int64)
+                ),
+                "touch_type": pa.array(
+                    np.where(has, kinds[safe], "direct").tolist(), pa.string()
+                ),
+                "gap_us": pa.array(
+                    np.where(has, ts_us[buy] - ts_us[safe], -1).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(attrib_bucket, batch_format="pandas")
+    )
+
+
+_SQL_ATTRIBUTION = """
+SELECT user_id, event_id AS purchase_event_id,
+       CAST(COALESCE(LAST_VALUE(CASE WHEN event_type IN ('view','click')
+                                     THEN event_id END IGNORE NULLS)
+                     OVER w, -1) AS BIGINT) AS touch_event_id,
+       COALESCE(LAST_VALUE(CASE WHEN event_type IN ('view','click')
+                                THEN event_type END IGNORE NULLS)
+                OVER w, 'direct') AS touch_type,
+       CAST(COALESCE(epoch_us(ts)
+                     - LAST_VALUE(CASE WHEN event_type IN ('view','click')
+                                       THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER w, -1) AS BIGINT) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+QUALIFY event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q31 — peak concurrency (distributed sweep-line / two-pass prefix scan)
+# ---------------------------------------------------------------------------
+
+
+def q_peak_concurrency(sf_dir: str, hold_s: int = 300):
+    """Maximum number of simultaneously-open activity windows — each
+    event holds a slot for ``hold_s`` seconds (half-open
+    ``[ts, ts+hold)``) — plus the first instant the peak is reached.
+    This is the sweep-line / GLOBAL ordered prefix-sum shape (capacity
+    planning, peak-QPS audits) that a naive engine solves with one
+    total sort of 2·N points through a single consumer.
+
+    Distributed as the classic two-pass scan: ±1 points are
+    range-partitioned by their epoch-DAY (time buckets are naturally
+    ordered and need no sampling pass), each day scans its own points
+    with one vectorized sort+cumsum and emits THREE numbers (net delta,
+    local max, first instant of the local max); the final stage stitches
+    day offsets as a prefix sum over those O(#days) partials. The
+    all-to-all exchange carries fixed-width 24-byte points; no stage
+    ever sees more than one day's points. Ties resolve as (t, delta)
+    ascending so a window closing at t frees its slot before one
+    opening at t takes it — the half-open convention, mirrored in the
+    oracle's ``ORDER BY t, d``."""
+    import pandas as pd
+
+    hold_us = hold_s * 1_000_000
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def points(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = np.concatenate([us, us + hold_us])
+        d = np.concatenate(
+            [
+                np.ones(len(us), dtype=np.int64),
+                np.full(len(us), -1, dtype=np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                "day": pa.array(t // 86_400_000_000, pa.int64()),
+                "t": pa.array(t),
+                "d": pa.array(d),
+            }
+        )
+
+    def scan_day(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["t", "d"], kind="stable")
+        run = g["d"].cumsum().to_numpy(dtype=np.int64)
+        i = int(np.argmax(run))  # first index achieving the local max
+        return pa.table(
+            {
+                "day": pa.array([int(g["day"].iloc[0])], pa.int64()),
+                "net": pa.array([int(run[-1])], pa.int64()),
+                "local_max": pa.array([int(run[i])], pa.int64()),
+                "at_us": pa.array([int(g["t"].iloc[i])], pa.int64()),
+            }
+        )
+
+    def one(batch: pa.Table) -> pa.Table:
+        return batch.append_column("one", pa.array(np.zeros(len(batch), np.int64)))
+
+    def stitch(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("day", kind="stable")
+        # offset entering each day = prefix sum of earlier days' nets
+        off = g["net"].cumsum().shift(1, fill_value=0).to_numpy(dtype=np.int64)
+        tot = off + g["local_max"].to_numpy(dtype=np.int64)
+        i = int(np.argmax(tot))  # earliest day achieving the peak
+        return pa.table(
+            {
+                "peak": pa.array([int(tot[i])], pa.int64()),
+                "at_us": pa.array([int(g["at_us"].iloc[i])], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(points, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .map_groups(scan_day, batch_format="pandas")
+        .map_batches(one, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .map_groups(stitch, batch_format="pandas")
+    )
+
+
+_SQL_PEAK_CONCURRENCY = """
+WITH pts AS (
+    SELECT epoch_us(ts) AS t, 1 AS d FROM events
+    UNION ALL
+    SELECT epoch_us(ts) + 300000000 AS t, -1 AS d FROM events
+), run AS (
+    SELECT t, SUM(d) OVER (ORDER BY t, d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c
+    FROM pts
+)
+SELECT CAST(c AS BIGINT) AS peak, CAST(t AS BIGINT) AS at_us
+FROM run
+ORDER BY c DESC, t ASC
+LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q32 — pareto front (distributed skyline)
+# ---------------------------------------------------------------------------
+
+
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Non-dominated mask for minimize-price / maximize-size dominance
+    (strict in ≥1 coordinate; duplicate pairs never dominate each
+    other). Vectorized: sort pairs by (price asc, size desc); a pair is
+    dominated iff the max size among strictly-earlier PAIRS ≥ its size
+    — earlier pairs are cheaper, or equal-priced with larger size, so
+    ≥-size there always implies strict dominance."""
+    order = np.lexsort((-size, price))
+    p, s = price[order], size[order]
+    new = np.empty(len(p), dtype=bool)
+    if len(p):
+        new[0] = True
+        new[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
+    grp = np.cumsum(new) - 1
+    gs = s[new]  # one size per distinct pair, in sorted pair order
+    prev_max = np.concatenate(
+        ([np.iinfo(np.int64).min], np.maximum.accumulate(gs)[:-1])
+    )
+    keep_sorted = ~(prev_max >= gs)[grp]
+    keep = np.empty(len(p), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def q_pareto_front(sf_dir: str):
+    """Parts on the price/size pareto front — no other part is both
+    ≤-price and ≥-size with one strict (cheapest part at every quality
+    level; the multi-objective filter behind "best value" candidate
+    pruning). The skyline operator is DISTRIBUTIVE: a globally
+    non-dominated row is non-dominated in its own block, so stage 1
+    runs the vectorized skyline kernel per block (each block's
+    survivors are at most one pair per distinct size — tiny), and
+    stage 2 re-runs the SAME kernel once over the unioned survivors.
+    No shuffle of the input ever happens; the only exchange carries
+    the O(#blocks × #distinct-sizes) candidate rows. Dominance is
+    computed on exact integer cents so ties break identically to the
+    oracle's NOT EXISTS."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        price = _cents(batch["p_retailprice"]).to_numpy(zero_copy_only=False)
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _skyline_mask(price, size)
+        return pa.table(
+            {
+                "one": pa.array(np.zeros(int(keep.sum()), np.int64)),
+                "p_partkey": pa.array(
+                    batch["p_partkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "price_cents": pa.array(price[keep]),
+                "p_size": pa.array(size[keep]),
+            }
+        )
+
+    def global_skyline(g: pd.DataFrame) -> pa.Table:
+        price = g["price_cents"].to_numpy(dtype=np.int64)
+        size = g["p_size"].to_numpy(dtype=np.int64)
+        keep = _skyline_mask(price, size)
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    g["p_partkey"].to_numpy(dtype=np.int64)[keep]
+                ),
+                "price_cents": pa.array(price[keep]),
+                "p_size": pa.array(size[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(local_skyline, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .map_groups(global_skyline, batch_format="pandas")
+    )
+
+
+_SQL_PARETO = """
+WITH p AS (
+    SELECT p_partkey,
+           CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_cents,
+           CAST(p_size AS BIGINT) AS p_size
+    FROM part
+)
+SELECT a.p_partkey, a.price_cents, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+    SELECT 1 FROM p b
+    WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+      AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -5264,6 +5581,9 @@ QUERIES = {
     "copurchase_pairs": q_copurchase_pairs,
     "latest_events": q_latest_events,
     "segment_share": q_segment_share,
+    "attribution_last_touch": q_attribution_last_touch,
+    "peak_concurrency": q_peak_concurrency,
+    "pareto_front": q_pareto_front,
 }
 
 ORACLE_SQL = {
@@ -5327,6 +5647,9 @@ ORACLE_SQL = {
     "copurchase_pairs": _SQL_COPURCHASE,
     "latest_events": _SQL_LATEST_EVENTS,
     "segment_share": _SQL_SEGMENT_SHARE,
+    "attribution_last_touch": _SQL_ATTRIBUTION,
+    "peak_concurrency": _SQL_PEAK_CONCURRENCY,
+    "pareto_front": _SQL_PARETO,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

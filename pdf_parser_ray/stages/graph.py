@@ -253,10 +253,238 @@ pr{i} AS (
 _SQL_PAGERANK = _render_pagerank_sql()
 
 
+def q_triangle_count(sf_dir: str, n_buckets: int = 16):
+    """Exact triangle count of the co-purchase part graph (parts are
+    adjacent when some order contains both) — the canonical
+    local-clustering / community-density graph statistic, and the
+    engine's wedge-join shape: unlike PageRank (iterative message
+    passing) this is ONE structural join of the graph against itself.
+
+    Built as the degree-ordered wedge-check algorithm (the
+    MapReduce-era standard, cf. Suri & Vassilvitskii WWW'11 /
+    Cohen's MapReduce graph patterns — public literature):
+
+    1. **Edge build** — lineitem batches emit per-batch-distinct
+       ``(orderkey, partkey)``; one orderkey-bucket exchange expands
+       each basket to id-ordered part pairs (vectorized self-merge,
+       basket-bounded), and one edge-hash exchange dedups pairs
+       globally. The edge set is materialized once (O(edges),
+       spillable) — reused by the degree pass and the wedge join.
+    2. **Degrees + orientation** — per-batch partial counts of both
+       endpoints, one node groupby; the (node → degree) table is
+       dimension-bounded (parts), so it rides to workers as a
+       broadcast dict and every edge re-orients src→dst by ascending
+       ``(degree, id)`` key. Degree orientation caps out-degree at
+       O(√edges) — the hot-node wedge explosion a pure id orientation
+       would suffer on power-law graphs. (With an unbounded node
+       universe the dict becomes one more node-bucket exchange
+       joining degrees onto edges; the broadcast is the
+       dimension-table special case.)
+    3. **Wedge join** — a src-bucket exchange groups each node's
+       out-neighbors; per node, ordered neighbor pairs (u,v) are the
+       wedges, pre-reduced to (u,v,count) BEFORE the final exchange;
+       one (u,v)-hash exchange co-locates wedges with the oriented
+       edge list, where an inner merge counts closures. Each triangle
+       is counted exactly once — at its lowest-(deg,id) vertex.
+
+    Returns one row: ``(n_edges, n_triangles)``."""
+    import pandas as pd
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def op_rows(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o": b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "p": b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(df["o"].to_numpy() % n_buckets),
+                "o": pa.array(df["o"].to_numpy()),
+                "p": pa.array(df["p"].to_numpy()),
+            }
+        )
+
+    def basket_pairs(g: pd.DataFrame) -> pa.Table:
+        df = g[["o", "p"]].drop_duplicates()
+        j = df.merge(df, on="o")
+        j = j[j["p_x"] < j["p_y"]][["p_x", "p_y"]].drop_duplicates()
+        a = j["p_x"].to_numpy(dtype=np.int64)
+        b_ = j["p_y"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "ebucket": pa.array((a * 1_000_003 + b_) % n_buckets),
+                "a": pa.array(a),
+                "b": pa.array(b_),
+            }
+        )
+
+    def distinct_edges(g: pd.DataFrame) -> pa.Table:
+        e = g[["a", "b"]].drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(e["a"].to_numpy(dtype=np.int64)),
+                "b": pa.array(e["b"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    edges = (
+        lineitem.map_batches(op_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(basket_pairs, batch_format="pandas")
+        .groupby("ebucket")
+        .map_groups(distinct_edges, batch_format="pandas")
+        .materialize()  # O(edges) pin, reused by degrees + wedge join
+    )
+
+    def deg_partials(b: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        node, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(node.astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    deg_df = (
+        edges.map_batches(deg_partials, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .aggregate(Sum("cnt", alias_name="deg"))
+        .to_pandas()  # dimension-bounded: one row per part
+    )
+    deg = dict(
+        zip(
+            deg_df["node"].to_numpy(dtype=np.int64).tolist(),
+            deg_df["deg"].to_numpy(dtype=np.int64).tolist(),
+        )
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        b_ = b["b"].to_numpy(zero_copy_only=False)
+        ka = np.array([deg[x] for x in a.tolist()], dtype=np.int64) << 32 | a
+        kb = np.array([deg[x] for x in b_.tolist()], dtype=np.int64) << 32 | b_
+        lo = ka < kb
+        src = np.where(lo, a, b_)
+        dst = np.where(lo, b_, a)
+        dkey = np.where(lo, kb, ka)
+        return pa.table(
+            {
+                "sbucket": pa.array(src % n_buckets),
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "dkey": pa.array(dkey),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow", batch_size=None)
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        df = g[["src", "dst", "dkey"]]
+        j = df.merge(df, on="src")
+        j = j[j["dkey_x"] < j["dkey_y"]]
+        agg = (
+            pd.DataFrame(
+                {
+                    "u": j["dst_x"].to_numpy(dtype=np.int64),
+                    "v": j["dst_y"].to_numpy(dtype=np.int64),
+                }
+            )
+            .groupby(["u", "v"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        u = agg["u"].to_numpy(dtype=np.int64)
+        v = agg["v"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "jbucket": pa.array((u * 1_000_003 + v) % n_buckets),
+                "side": pa.array(np.zeros(len(u), dtype=np.int8)),
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "cnt": pa.array(agg["cnt"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def edge_probe_rows(b: pa.Table) -> pa.Table:
+        u = b["src"].to_numpy(zero_copy_only=False)
+        v = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "jbucket": pa.array((u * 1_000_003 + v) % n_buckets),
+                "side": pa.array(np.ones(len(u), dtype=np.int8)),
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "cnt": pa.array(np.ones(len(u), dtype=np.int64)),
+            }
+        )
+
+    tagged = (
+        oriented.groupby("sbucket")
+        .map_groups(wedges, batch_format="pandas")
+        .union(
+            oriented.map_batches(
+                edge_probe_rows, batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+
+    def close_wedges(g: pd.DataFrame) -> pa.Table:
+        w = g[g["side"] == 0]
+        e = g[g["side"] == 1][["u", "v"]]
+        tri = int(w.merge(e, on=["u", "v"])["cnt"].sum()) if len(w) else 0
+        return pa.table(
+            {
+                "one": pa.array([0], pa.int64()),
+                "tri": pa.array([tri], pa.int64()),
+                "ec": pa.array([int(len(e))], pa.int64()),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "n_edges": pa.array([int(g["ec"].sum())], pa.int64()),
+                "n_triangles": pa.array([int(g["tri"].sum())], pa.int64()),
+            }
+        )
+
+    return (
+        tagged.groupby("jbucket")
+        .map_groups(close_wedges, batch_format="pandas")
+        .groupby("one")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+_SQL_TRIANGLES = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM e e1
+             JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT)
+           AS n_triangles
+"""
+
+
 QUERIES = {
     "purchase_pagerank": q_purchase_pagerank,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLE_SQL = {
     "purchase_pagerank": _SQL_PAGERANK,
+    "triangle_count": _SQL_TRIANGLES,
 }

@@ -2890,3 +2890,142 @@ class TestNormsEmptyLists:
             for r in got.itertuples()
         }
         assert rows == {0: (1, 10**12), 1: (0, 0), 2: (0, 0)}
+
+
+class TestAttributionLastTouch:
+    """Self-as-of forward-fill: strictly-preceding touch, carry through
+    purchases, 'direct' when no touch exists."""
+
+    def test_attribution_hand_check(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.relational.ops import q_attribution_last_touch
+
+        d = tmp_path_factory.mktemp("attr_sf")
+        # user 1: view@10, click@20, purchase@30 (→click),
+        #         purchase@40 (touch carries THROUGH the purchase),
+        #         view@50 after the last purchase (must not attribute)
+        # user 2: purchase@5 with no touch → direct
+        # user 3: error@10 then purchase@20 → errors are not touches
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+                    "user_id": pa.array([1, 1, 1, 1, 1, 2, 3], pa.int64()),
+                    "ts": pa.array(
+                        [10_000_000, 20_000_000, 30_000_000, 40_000_000,
+                         50_000_000, 5_000_000, 20_000_000],
+                        pa.int64(),
+                    ).cast(pa.timestamp("us")),
+                    "event_type": pa.array(
+                        ["view", "click", "purchase", "purchase",
+                         "view", "purchase", "purchase"]
+                    ),
+                    "value": pa.array([0.0] * 7),
+                    "props": pa.array([""] * 7),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        got = q_attribution_last_touch(str(d), n_buckets=4).to_pandas()
+        rows = {
+            int(r.purchase_event_id): (
+                int(r.touch_event_id), r.touch_type, int(r.gap_us)
+            )
+            for r in got.itertuples()
+        }
+        assert rows == {
+            2: (1, "click", 10_000_000),
+            3: (1, "click", 20_000_000),
+            5: (-1, "direct", -1),
+            6: (-1, "direct", -1),
+        }
+
+
+class TestPeakConcurrency:
+    """Sweep-line with half-open [ts, ts+hold) windows: a window
+    closing at t frees its slot before one opening at t."""
+
+    def test_peak_hand_check(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.relational.ops import q_peak_concurrency
+
+        d = tmp_path_factory.mktemp("peak_sf")
+        # windows (hold 300s): [0,300) [100,400) [200,500) [400,700)
+        # t=200: 3 concurrent (peak); t=400: w2 closes before w4 opens → 2
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [0, 100_000_000, 200_000_000, 400_000_000], pa.int64()
+                    ).cast(pa.timestamp("us")),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        got = q_peak_concurrency(str(d)).to_pandas()
+        assert len(got) == 1
+        assert int(got["peak"].iloc[0]) == 3
+        assert int(got["at_us"].iloc[0]) == 200_000_000
+
+
+class TestParetoFront:
+    """Skyline: duplicates on the front both survive; equal-price
+    larger-size dominates; distributive local→global composition."""
+
+    def test_skyline_hand_check(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.relational.ops import q_pareto_front
+
+        d = tmp_path_factory.mktemp("sky_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                    "p_retailprice": pa.array(
+                        [10.0, 10.0, 9.0, 11.0, 9.0, 8.0]
+                    ),
+                    "p_size": pa.array([5, 5, 4, 6, 3, 1], pa.int32()),
+                }
+            ),
+            str(d / "part.parquet"),
+        )
+        got = q_pareto_front(str(d)).to_pandas()
+        keep = set(got["p_partkey"].astype(int))
+        # 5 (9.00, size 3) dominated by 3 (9.00, size 4); all else kept
+        assert keep == {1, 2, 3, 4, 6}
+
+    def test_skyline_mask_matches_bruteforce(self):
+        from pdf_parser_ray.relational.ops import _skyline_mask
+
+        rng = np.random.default_rng(7)
+        price = rng.integers(0, 20, 200).astype(np.int64)
+        size = rng.integers(0, 10, 200).astype(np.int64)
+        got = _skyline_mask(price, size)
+        for i in range(len(price)):
+            dominated = bool(
+                np.any(
+                    (price <= price[i])
+                    & (size >= size[i])
+                    & ((price < price[i]) | (size > size[i]))
+                )
+            )
+            assert got[i] == (not dominated), i
+
+
+class TestTriangleCount:
+    def test_triangles_hand_check(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.stages.graph import q_triangle_count
+
+        d = tmp_path_factory.mktemp("tri_sf")
+        # order 1 → parts {1,2,3} (one triangle), order 2 → {3,4},
+        # order 3 → {1,2} (duplicate edge must not double-count)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+                    "l_partkey": pa.array([1, 2, 3, 3, 4, 1, 2], pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        got = q_triangle_count(str(d), n_buckets=4).to_pandas()
+        assert len(got) == 1
+        assert int(got["n_edges"].iloc[0]) == 4
+        assert int(got["n_triangles"].iloc[0]) == 1

@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 122 queries, ≥115 oracled —
+    # lock the round-4 coverage floor: 126 queries, ≥119 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 122
-    assert len(oracles) >= 115
+    assert len(queries) >= 126
+    assert len(oracles) >= 119
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
