@@ -5518,6 +5518,156 @@ WHERE NOT EXISTS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Q33 — data-quality audit (constraint / FK / profile checks in one pass)
+# ---------------------------------------------------------------------------
+
+
+def q_dq_audit(sf_dir: str, n_buckets: int = 32):
+    """Ingest-gate data-quality audit of the orders feed: row counts,
+    null keys, non-positive totals, pre-epoch dates, duplicate primary
+    keys, and foreign-key orphans against customer — the validation
+    sweep a 100 TB pipeline runs BEFORE letting a new drop of data into
+    training. One tall ``(metric, value)`` table so new checks extend
+    rows, not schema.
+
+    Three independent partial streams feed ONE tiny metric groupby:
+    scan counters are per-batch single-row partials (vectorized
+    ``pyarrow.compute`` predicates — the audit never re-reads a
+    column twice); duplicate-PK counts ride an orderkey-bucket
+    exchange (each key lands in exactly one bucket, so in-bucket
+    ``value_counts > 1`` is globally exact); FK orphans probe the
+    customer key set broadcast as one sorted int64 array
+    (dimension-bounded, ``np.isin`` per batch — the semi-join family's
+    bucket-shuffle twin is the unbounded-dimension fallback). The
+    final exchange carries O(metrics × blocks) rows."""
+    import pandas as pd
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey"])
+
+    ckeys = np.sort(
+        pq_read_keys(f"{sf_dir}/customer.parquet", "c_custkey")
+    )
+
+    def scan_partials(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ck = batch["o_custkey"]
+        nulls = ck.null_count
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        nonpos = int((cents <= 0).sum())
+        dus = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        pre = int((dus < 0).sum())
+        valid = ck.drop_null().to_numpy(zero_copy_only=False)
+        orphans = int((~np.isin(valid, ckeys)).sum())
+        return pa.table(
+            {
+                "metric": pa.array(
+                    [
+                        "orders_rows",
+                        "orders_null_custkey",
+                        "orders_nonpositive_total",
+                        "orders_pre_epoch",
+                        "orders_fk_orphans",
+                    ],
+                    pa.string(),
+                ),
+                "value": pa.array(
+                    [n, nulls, nonpos, pre, orphans], pa.int64()
+                ),
+            }
+        )
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ok % n_buckets, pa.int64()),
+                "o_orderkey": pa.array(ok, pa.int64()),
+            }
+        )
+
+    def dup_partial(g: pd.DataFrame) -> pa.Table:
+        dup = int((g["o_orderkey"].value_counts() > 1).sum())
+        return pa.table(
+            {
+                "metric": pa.array(["orders_dup_orderkey"], pa.string()),
+                "value": pa.array([dup], pa.int64()),
+            }
+        )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "metric": pa.array(["customer_rows"], pa.string()),
+                "value": pa.array([len(batch)], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    scan = orders.map_batches(
+        scan_partials, batch_format="pyarrow", batch_size=None
+    )
+    dups = (
+        orders.map_batches(key_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(dup_partial, batch_format="pandas")
+    )
+    crows = customer.map_batches(
+        cust_partial, batch_format="pyarrow", batch_size=None
+    )
+    return (
+        scan.union(dups)
+        .union(crows)
+        .groupby("metric")
+        .aggregate(Sum("value", alias_name="value"))
+    )
+
+
+def pq_read_keys(path: str, column: str) -> np.ndarray:
+    """Read one int64 key column off a dimension parquet (predicate-
+    free, column-pruned) for broadcast probes."""
+    import pyarrow.parquet as pq
+
+    return (
+        pq.read_table(path, columns=[column])[column]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+_SQL_DQ_AUDIT = """
+SELECT 'orders_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM orders
+UNION ALL
+SELECT 'orders_null_custkey',
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders_nonpositive_total',
+       CAST(COUNT(*) FILTER (WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) <= 0)
+            AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders_pre_epoch',
+       CAST(COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1970-01-01')
+            AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders_fk_orphans',
+       CAST(COUNT(*) AS BIGINT) FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'orders_dup_orderkey', CAST(COUNT(*) AS BIGINT) FROM
+    (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'customer_rows', CAST(COUNT(*) AS BIGINT) FROM customer
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -5584,6 +5734,7 @@ QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
     "peak_concurrency": q_peak_concurrency,
     "pareto_front": q_pareto_front,
+    "dq_audit": q_dq_audit,
 }
 
 ORACLE_SQL = {
@@ -5650,6 +5801,7 @@ ORACLE_SQL = {
     "attribution_last_touch": _SQL_ATTRIBUTION,
     "peak_concurrency": _SQL_PEAK_CONCURRENCY,
     "pareto_front": _SQL_PARETO,
+    "dq_audit": _SQL_DQ_AUDIT,
     # distinct_users_hll: sketch — approximate by construction, rows-only;
     # the unit test pins the estimate within 3 sigma of the exact count
 }

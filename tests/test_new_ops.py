@@ -3029,3 +3029,41 @@ class TestTriangleCount:
         assert len(got) == 1
         assert int(got["n_edges"].iloc[0]) == 4
         assert int(got["n_triangles"].iloc[0]) == 1
+
+
+class TestDqAudit:
+    """Every violation class fires: null FK, orphan FK, duplicate PK,
+    non-positive total, pre-epoch date."""
+
+    def test_audit_dirty_feed(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.relational.ops import q_dq_audit
+
+        d = tmp_path_factory.mktemp("dq_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+                    "o_custkey": pa.array([10, 10, None, 99, 10], pa.int64()),
+                    "o_totalprice": pa.array([5.0, 5.0, -1.0, 0.0, 2.0]),
+                    "o_orderdate": pa.array(
+                        [0, 0, -86_400_000_000, 0, 0], pa.int64()
+                    ).cast(pa.timestamp("us")),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([10, 11], pa.int64())}),
+            str(d / "customer.parquet"),
+        )
+        got = q_dq_audit(str(d), n_buckets=4).to_pandas()
+        m = dict(zip(got["metric"], got["value"].astype(int)))
+        assert m == {
+            "orders_rows": 5,
+            "orders_null_custkey": 1,
+            "orders_nonpositive_total": 2,
+            "orders_pre_epoch": 1,
+            "orders_fk_orphans": 1,   # custkey 99; the NULL is not an orphan
+            "orders_dup_orderkey": 1,  # key 1 twice
+            "customer_rows": 2,
+        }
