@@ -837,6 +837,96 @@ FROM words w LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Temperature-scaled language resampling (α = 0.5 corpus mix)
+# ---------------------------------------------------------------------------
+
+def q_temperature_mix(sf_dir: str):
+    """Square-root temperature resampling of the corpus language mix —
+    the public multilingual-pretraining recipe (sampling probability
+    ∝ p_lang^α with α = 0.5, cf. the mBERT/XLM-R exponent-smoothing
+    scheme): head languages are down-sampled toward the tail so the
+    rarest language keeps ~everything and a language k× larger keeps
+    ~√k× as much, flattening the mix without starving the head.
+
+    Two passes, both cheap: (1) exact per-language counts via
+    per-batch partials + one tiny groupby (O(langs × blocks) rows);
+    the per-language keep THRESHOLD is then pure integer —
+    ``(isqrt(n_l · n_min) · 16⁶) // n_l`` over the first 6 hex digits
+    of ``md5('mix:'||doc_id)`` — so membership is deterministic,
+    cluster-size-independent, and re-derivable by the oracle (which
+    corrects DuckDB's float ``SQRT`` to exact isqrt with a ±1 integer
+    adjustment). (2) a pure map-batches filter — no shuffle of the
+    corpus, ever. Changing the salt re-deals the subsample."""
+    import hashlib
+    import math
+
+    from ..io.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        lang, cnt = np.unique(
+            b["lang"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "lang": pa.array(lang.tolist(), pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(lang_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per language
+    )
+    n_by = dict(zip(counts["lang"], counts["n"].astype(int)))
+    n_min = min(n_by.values())
+    th = {
+        lang: (math.isqrt(n * n_min) * 16**6) // n for lang, n in n_by.items()
+    }
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        langs = b["lang"].to_pylist()
+        mask = [
+            int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:6], 16) < th[lg]
+            for i, lg in zip(ids, langs)
+        ]
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_TEMPERATURE_MIX = """
+WITH n AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM documents GROUP BY lang
+), m AS (SELECT MIN(n_l) AS n_min FROM n),
+s AS (
+    SELECT lang, n_l, n_l * n_min AS x,
+           CAST(FLOOR(SQRT(CAST(n_l * n_min AS DOUBLE))) AS BIGINT) AS s0
+    FROM n, m
+), th AS (
+    -- exact integer sqrt: correct the float estimate by ±1
+    SELECT lang,
+           ((s0 - CASE WHEN s0*s0 > x THEN 1 ELSE 0 END
+                + CASE WHEN (s0+1)*(s0+1) <= x THEN 1 ELSE 0 END)
+            * 16777216) // n_l AS th
+    FROM s
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th ON th.lang = d.lang
+WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+           AS BIGINT) < th.th
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "segment_dedup": q_segment_dedup,
@@ -845,6 +935,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "epoch_shuffle": q_epoch_shuffle,
     "train_split": q_train_split,
+    "temperature_mix": q_temperature_mix,
 }
 
 ORACLE_SQL = {
@@ -855,4 +946,5 @@ ORACLE_SQL = {
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
     "train_split": _SQL_TRAIN_SPLIT,
+    "temperature_mix": _SQL_TEMPERATURE_MIX,
 }

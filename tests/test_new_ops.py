@@ -3067,3 +3067,43 @@ class TestDqAudit:
             "orders_dup_orderkey": 1,  # key 1 twice
             "customer_rows": 2,
         }
+
+
+class TestTemperatureMix:
+    """α=0.5 mix: the rarest language keeps everything (threshold is
+    the full hash range); membership equals the rule re-derived
+    independently per doc."""
+
+    def test_mix_membership(self, ray_session, tmp_path_factory):
+        import hashlib
+        import math
+
+        from pdf_parser_ray.stages.corpus import q_temperature_mix
+
+        d = tmp_path_factory.mktemp("mix_sf")
+        n_a, n_b = 160, 10  # 16× head → head keeps ~1/4, tail keeps all
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n_a + n_b), pa.int64()),
+                    "lang": pa.array(["aa"] * n_a + ["bb"] * n_b),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        got = q_temperature_mix(str(d)).to_pandas()
+        kept = set(got["doc_id"].astype(int))
+
+        th = {
+            "aa": (math.isqrt(n_a * n_b) * 16**6) // n_a,
+            "bb": 16**6,  # isqrt(n_b*n_b)*16^6 // n_b
+        }
+        want = {
+            i
+            for i, lg in enumerate(["aa"] * n_a + ["bb"] * n_b)
+            if int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:6], 16)
+            < th[lg]
+        }
+        assert kept == want
+        # the rare language is never starved
+        assert set(range(n_a, n_a + n_b)) <= kept
