@@ -253,7 +253,9 @@ pr{i} AS (
 _SQL_PAGERANK = _render_pagerank_sql()
 
 
-def q_triangle_count(sf_dir: str, n_buckets: int = 16):
+def q_triangle_count(
+    sf_dir: str, n_buckets: int = 32, broadcast_probe: bool | None = None
+):
     """Exact triangle count of the co-purchase part graph (parts are
     adjacent when some order contains both) — the canonical
     local-clustering / community-density graph statistic, and the
@@ -280,12 +282,18 @@ def q_triangle_count(sf_dir: str, n_buckets: int = 16):
        universe the dict becomes one more node-bucket exchange
        joining degrees onto edges; the broadcast is the
        dimension-table special case.)
-    3. **Wedge join** — a src-bucket exchange groups each node's
+    3. **Wedge close** — a src-bucket exchange groups each node's
        out-neighbors; per node, ordered neighbor pairs (u,v) are the
-       wedges, pre-reduced to (u,v,count) BEFORE the final exchange;
-       one (u,v)-hash exchange co-locates wedges with the oriented
-       edge list, where an inner merge counts closures. Each triangle
-       is counted exactly once — at its lowest-(deg,id) vertex.
+       wedges (packed into one int64 key each). The wedge set is
+       QUADRATIC in out-degree, so it is the one thing worth never
+       shipping: when the edge-key set fits the broadcast budget
+       (``broadcast_probe=None`` auto-gates on
+       ``BROADCAST_BUDGET_BYTES``, the join family's crossover rule),
+       every wedge task closes its wedges in place against one sorted
+       broadcast key array — ZERO wedge exchange. Past the budget the
+       fallback ships 8-byte wedge keys through a key-hash exchange
+       and closes them against co-located edges. Each triangle is
+       counted exactly once — at its lowest-(deg,id) vertex.
 
     Returns one row: ``(n_edges, n_triangles)``."""
     import pandas as pd
@@ -362,18 +370,20 @@ def q_triangle_count(sf_dir: str, n_buckets: int = 16):
         .aggregate(Sum("cnt", alias_name="deg"))
         .to_pandas()  # dimension-bounded: one row per part
     )
-    deg = dict(
-        zip(
-            deg_df["node"].to_numpy(dtype=np.int64).tolist(),
-            deg_df["deg"].to_numpy(dtype=np.int64).tolist(),
-        )
-    )
+    # broadcast as two sorted arrays: degree lookup is a vectorized
+    # searchsorted, not a Python dict probe per edge
+    deg_nodes = deg_df["node"].to_numpy(dtype=np.int64)
+    deg_order = np.argsort(deg_nodes)
+    deg_nodes = deg_nodes[deg_order]
+    deg_vals = deg_df["deg"].to_numpy(dtype=np.int64)[deg_order]
 
     def orient(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)
         b_ = b["b"].to_numpy(zero_copy_only=False)
-        ka = np.array([deg[x] for x in a.tolist()], dtype=np.int64) << 32 | a
-        kb = np.array([deg[x] for x in b_.tolist()], dtype=np.int64) << 32 | b_
+        da = deg_vals[np.searchsorted(deg_nodes, a)]
+        db = deg_vals[np.searchsorted(deg_nodes, b_)]
+        ka = da << 32 | a
+        kb = db << 32 | b_
         lo = ka < kb
         src = np.where(lo, a, b_)
         dst = np.where(lo, b_, a)
@@ -389,65 +399,131 @@ def q_triangle_count(sf_dir: str, n_buckets: int = 16):
 
     oriented = edges.map_batches(orient, batch_format="pyarrow", batch_size=None)
 
-    def wedges(g: pd.DataFrame) -> pa.Table:
-        df = g[["src", "dst", "dkey"]]
-        j = df.merge(df, on="src")
-        j = j[j["dkey_x"] < j["dkey_y"]]
-        agg = (
-            pd.DataFrame(
+    # Wedge keys pack both endpoints into one int64 (u << 32 | v, in
+    # (deg,id) order) — membership tests become a sorted searchsorted,
+    # never a pandas merge. Part keys stay < 2^31 at every TPC-H scale;
+    # a wider id universe would move the pack to two columns.
+    def _wedge_keys(g: pd.DataFrame) -> np.ndarray:
+        g2 = g.sort_values(["src", "dkey"], kind="stable")
+        src = g2["src"].to_numpy(dtype=np.int64)
+        dst = g2["dst"].to_numpy(dtype=np.int64)
+        if not len(src):
+            return np.empty(0, dtype=np.int64)
+        new = np.empty(len(src), dtype=bool)
+        new[0] = True
+        new[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(src)))
+        out = []
+        for s0, ln in zip(starts.tolist(), lens.tolist()):
+            if ln < 2:
+                continue
+            i, j = np.triu_indices(ln, 1)
+            out.append((dst[s0 + i] << 32) | dst[s0 + j])
+        return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+    def _count_members(wedge_keys: np.ndarray, sorted_edge_keys: np.ndarray) -> int:
+        if not len(wedge_keys) or not len(sorted_edge_keys):
+            return 0
+        pos = np.searchsorted(sorted_edge_keys, wedge_keys)
+        ok = pos < len(sorted_edge_keys)
+        pos[~ok] = 0
+        return int(((sorted_edge_keys[pos] == wedge_keys) & ok).sum())
+
+    n_edges_total = edges.count()  # materialized → metadata read
+
+    from ..core.util import BROADCAST_BUDGET_BYTES
+
+    if broadcast_probe is None:
+        broadcast_probe = n_edges_total * 8 <= BROADCAST_BUDGET_BYTES
+
+    if broadcast_probe:
+        # the whole edge-key set fits the broadcast budget: wedges are
+        # counted WHERE THEY ARE GENERATED — zero wedge exchange (the
+        # wedge set is quadratic in out-degree; the edge set is not)
+        ekeys = np.sort(
+            oriented.map_batches(
+                lambda b: pa.table(
+                    {
+                        "key": pa.array(
+                            (b["src"].to_numpy(zero_copy_only=False) << 32)
+                            | b["dst"].to_numpy(zero_copy_only=False)
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .to_pandas()["key"]
+            .to_numpy(dtype=np.int64)
+        )
+
+        def count_local(g: pd.DataFrame) -> pa.Table:
+            tri = _count_members(_wedge_keys(g), ekeys)
+            return pa.table(
                 {
-                    "u": j["dst_x"].to_numpy(dtype=np.int64),
-                    "v": j["dst_y"].to_numpy(dtype=np.int64),
+                    "one": pa.array([0], pa.int64()),
+                    "tri": pa.array([tri], pa.int64()),
                 }
             )
-            .groupby(["u", "v"], sort=False)
-            .size()
-            .reset_index(name="cnt")
+
+        def finish_broadcast(g: pd.DataFrame) -> pa.Table:
+            return pa.table(
+                {
+                    "n_edges": pa.array([int(n_edges_total)], pa.int64()),
+                    "n_triangles": pa.array([int(g["tri"].sum())], pa.int64()),
+                }
+            )
+
+        return (
+            oriented.groupby("sbucket")
+            .map_groups(count_local, batch_format="pandas")
+            .groupby("one")
+            .map_groups(finish_broadcast, batch_format="pandas")
         )
-        u = agg["u"].to_numpy(dtype=np.int64)
-        v = agg["v"].to_numpy(dtype=np.int64)
+
+    # unbounded-edge fallback: ship wedge KEYS (one int64 each) through
+    # a key-hash exchange and close them against the co-located edges
+    def wedge_rows(g: pd.DataFrame) -> pa.Table:
+        k = _wedge_keys(g)
         return pa.table(
             {
-                "jbucket": pa.array((u * 1_000_003 + v) % n_buckets),
-                "side": pa.array(np.zeros(len(u), dtype=np.int8)),
-                "u": pa.array(u),
-                "v": pa.array(v),
-                "cnt": pa.array(agg["cnt"].to_numpy(dtype=np.int64)),
+                "jbucket": pa.array(k % n_buckets),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+                "key": pa.array(k),
             }
         )
 
-    def edge_probe_rows(b: pa.Table) -> pa.Table:
-        u = b["src"].to_numpy(zero_copy_only=False)
-        v = b["dst"].to_numpy(zero_copy_only=False)
+    def edge_key_rows(b: pa.Table) -> pa.Table:
+        k = (b["src"].to_numpy(zero_copy_only=False) << 32) | b[
+            "dst"
+        ].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "jbucket": pa.array((u * 1_000_003 + v) % n_buckets),
-                "side": pa.array(np.ones(len(u), dtype=np.int8)),
-                "u": pa.array(u),
-                "v": pa.array(v),
-                "cnt": pa.array(np.ones(len(u), dtype=np.int64)),
+                "jbucket": pa.array(k % n_buckets),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+                "key": pa.array(k),
             }
         )
 
     tagged = (
         oriented.groupby("sbucket")
-        .map_groups(wedges, batch_format="pandas")
+        .map_groups(wedge_rows, batch_format="pandas")
         .union(
             oriented.map_batches(
-                edge_probe_rows, batch_format="pyarrow", batch_size=None
+                edge_key_rows, batch_format="pyarrow", batch_size=None
             )
         )
     )
 
     def close_wedges(g: pd.DataFrame) -> pa.Table:
-        w = g[g["side"] == 0]
-        e = g[g["side"] == 1][["u", "v"]]
-        tri = int(w.merge(e, on=["u", "v"])["cnt"].sum()) if len(w) else 0
+        w = g[g["side"] == 0]["key"].to_numpy(dtype=np.int64)
+        e = np.sort(g[g["side"] == 1]["key"].to_numpy(dtype=np.int64))
         return pa.table(
             {
                 "one": pa.array([0], pa.int64()),
-                "tri": pa.array([tri], pa.int64()),
-                "ec": pa.array([int(len(e))], pa.int64()),
+                "tri": pa.array([_count_members(w, e)], pa.int64()),
+                "ec": pa.array([len(e)], pa.int64()),
             }
         )
 

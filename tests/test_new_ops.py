@@ -3025,10 +3025,15 @@ class TestTriangleCount:
             ),
             str(d / "lineitem.parquet"),
         )
-        got = q_triangle_count(str(d), n_buckets=4).to_pandas()
-        assert len(got) == 1
-        assert int(got["n_edges"].iloc[0]) == 4
-        assert int(got["n_triangles"].iloc[0]) == 1
+        # both the gated-broadcast close and the wedge-key-exchange
+        # fallback must agree (the auto gate picks broadcast here)
+        for probe in (None, False):
+            got = q_triangle_count(
+                str(d), n_buckets=4, broadcast_probe=probe
+            ).to_pandas()
+            assert len(got) == 1
+            assert int(got["n_edges"].iloc[0]) == 4
+            assert int(got["n_triangles"].iloc[0]) == 1
 
 
 class TestDqAudit:
