@@ -41,6 +41,7 @@ def _bench_queries():
     from pdf_parser_ray.stages.corpus import q_substring_dedup
     from pdf_parser_ray.stages.dedup import q_near_dup_pairs
     from pdf_parser_ray.relational.ops import (
+        q_attribution_last_touch,
         q_local_supplier_revenue,
         q_order_event_reconcile,
         q_user_entropy,
@@ -61,6 +62,7 @@ def _bench_queries():
         "order_event_reconcile": q_order_event_reconcile,
         "local_supplier_revenue": q_local_supplier_revenue,
         "user_entropy": q_user_entropy,
+        "attribution_last_touch": q_attribution_last_touch,
     }
 
 
