@@ -1,0 +1,1207 @@
+"""Decision-support analytics suite — the TPC-H query shapes the base
+``relational/ops.py`` suite does not yet exercise, each re-expressed
+as an idiomatic Ray Data pipeline with a DuckDB oracle.
+
+Shapes covered here (TPC-H number → engine capability):
+
+* Q4  — EXISTS semi join with a correlated date predicate, reduced to
+  a per-key MAX + hash join (``late_ship_priority``).
+* Q14 — conditional-aggregate ratio over a dimension join, exact ppm
+  via rational rounding (``promo_revenue``).
+* Q11 — group sums filtered against a global scalar (HAVING vs a
+  subquery total) with an integer-exact threshold rewrite
+  (``important_parts``).
+* Q13 — two-level aggregation: per-customer order counts, then the
+  distribution of those counts including the zero bucket
+  (``order_count_distribution``).
+* Q16 — COUNT(DISTINCT) across a join, as a distinct-triple exchange
+  followed by a count (``part_supplier_counts``).
+* Q17 — per-group average broadcast back over the fact table with a
+  division-free qualifying predicate (``small_qty_revenue``).
+* Q18 — HAVING on a per-key sum, joined back to the parent table,
+  deterministic top-k (``large_orders``).
+* Q19 — disjunction-of-conjunctions join predicate evaluated as one
+  vectorized mask (``disjunctive_revenue``).
+* Q21 — EXISTS + NOT-EXISTS self join on the fact table, reduced to a
+  per-(order, supplier) MAX exchange + per-order argmax
+  (``waiting_suppliers``).
+* Q22 — anti join against a filtered fact side plus a global-scalar
+  qualifying predicate (``idle_rich_customers``).
+* Q2  — argmin-with-tiebreak per group across a join, as one packed
+  integer MIN (``cheapest_supplier``).
+
+The design rules of ``relational/ops.py`` apply unchanged: prune at
+the read, exact integer arithmetic end to end (cent/µs/packed-int
+encodings so distributed sums and mins are order-free and
+hash-identical to the oracle), broadcast gated by
+:func:`~..core.util.broadcast_build_fits`, pre-aggregate before every
+exchange, and never materialize fact-grain data on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .ops import _cents, _read
+
+
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the session (see
+    q_brand_revenue: an aggregator pool past the CPU count starves the
+    feeding tasks on small sessions)."""
+    import ray
+
+    return max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape — EXISTS semi join with correlated predicate
+# ---------------------------------------------------------------------------
+
+def q_late_ship_priority(sf_dir: str, grace_days: int = 5):
+    """Orders with at least one line shipped more than ``grace_days``
+    after the order date, counted per priority (TPC-H Q4 shape).
+
+    The correlated EXISTS collapses to a per-order MAX: ``∃ line with
+    l_shipdate > o_orderdate + g`` ⇔ ``max(l_shipdate) > o_orderdate +
+    g``. Lineitem pre-reduces per batch to one (orderkey, max µs) row,
+    the groupby MAX runs on the order grain, and the hash join with
+    orders is order-grain on both sides — the 100-TB fact table never
+    crosses an exchange at line grain. Final counts are per-batch
+    partials into a five-row groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def max_ship(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = (
+            batch["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        uniq, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, ship)
+        return pa.table(
+            {"l_orderkey": pa.array(uniq, pa.int64()), "max_ship_us": pa.array(mx)}
+        )
+
+    per_order = (
+        li.map_batches(max_ship, batch_format="pyarrow", batch_size=None)
+        .groupby("l_orderkey")
+        .aggregate(Max("max_ship_us", alias_name="max_ship_us"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = per_order.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    grace_us = grace_days * _US_PER_DAY
+
+    def late_counts(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        od = (
+            batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        mx = batch["max_ship_us"].to_numpy(zero_copy_only=False)
+        late = mx > od + grace_us
+        pr = batch["o_orderpriority"].to_pandas()[late]
+        vc = pr.value_counts()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(vc.index.astype(str)),
+                "late_orders": pa.array(vc.values.astype(np.int64)),
+            }
+        )
+
+    return (
+        joined.map_batches(late_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("late_orders", alias_name="late_orders"))
+    )
+
+
+_SQL_LATE_SHIP = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS late_orders
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 5 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape — conditional aggregate ratio over a dimension join
+# ---------------------------------------------------------------------------
+
+def q_promo_revenue(sf_dir: str, budget_bytes: int | None = None):
+    """Share of revenue from PROMO-type parts, in exact ppm (Q14
+    shape). The part dimension broadcasts as a sorted key array + promo
+    bitmap when :func:`broadcast_build_fits` allows (footer-only
+    check); past the budget, lineitem pre-aggregates revenue per
+    partkey per batch and hash-joins part instead. Each batch emits one
+    (promo, total) partial row; the ppm read-off is a positive rational
+    half-away rounding ``(2·10⁶·promo + total) // (2·total)`` done in
+    Python ints (the products exceed int64; DuckDB's HUGEINT and
+    Python's bignum agree exactly, and ``//`` = floor = trunc for
+    positives in both)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..core.util import broadcast_build_fits
+
+    def batch_rev(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        return (
+            batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            price_c * (100 - disc_c),
+        )
+
+    from ..core.util import BROADCAST_BUDGET_BYTES
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    if broadcast_build_fits(
+        f"{sf_dir}/part.parquet",
+        bytes_per_key=9,
+        budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES,
+    ):
+        part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        pk = np.asarray(part["p_partkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        promo = np.asarray(
+            pc.equal(part["p_type"], "PROMO").to_numpy(zero_copy_only=False), dtype=bool
+        )
+        order = np.argsort(pk)
+        pk, promo = pk[order], promo[order]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            keys, rev = batch_rev(batch)
+            idx = np.clip(np.searchsorted(pk, keys), 0, max(len(pk) - 1, 0))
+            hit = pk[idx] == keys if len(pk) else np.zeros(len(keys), bool)
+            is_promo = np.zeros(len(keys), bool)
+            is_promo[hit] = promo[idx[hit]]
+            return pa.table(
+                {
+                    "promo_cents2": pa.array([int(rev[hit & is_promo].sum())]),
+                    "total_cents2": pa.array([int(rev[hit].sum())]),
+                }
+            )
+
+        partials = li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    else:
+        def per_part(batch: pa.Table) -> pa.Table:
+            keys, rev = batch_rev(batch)
+            uniq, inv = np.unique(keys, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, rev)
+            return pa.table(
+                {"l_partkey": pa.array(uniq, pa.int64()), "rev_cents2": pa.array(sums)}
+            )
+
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+        joined = li.map_batches(per_part, batch_format="pyarrow", batch_size=None).join(
+            part_ds,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            rev = batch["rev_cents2"].to_numpy(zero_copy_only=False)
+            is_promo = pc.equal(batch["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "promo_cents2": pa.array([int(rev[is_promo].sum())]),
+                    "total_cents2": pa.array([int(rev.sum())]),
+                }
+            )
+
+        partials = joined.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+    sums = partials.sum(["promo_cents2", "total_cents2"])
+    promo_c, total_c = int(sums["sum(promo_cents2)"]), int(sums["sum(total_cents2)"])
+    ppm = (2 * 1_000_000 * promo_c + total_c) // (2 * total_c) if total_c else None
+    return pd.DataFrame(
+        {
+            "promo_cents2": [promo_c],
+            "total_cents2": [total_c],
+            "promo_ppm": [ppm],
+        }
+    )
+
+
+_SQL_PROMO_REVENUE = """
+WITH j AS (
+    SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev,
+           p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_cents2,
+       CAST(SUM(rev) AS BIGINT) AS total_cents2,
+       CAST((2 * 1000000 * SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+             + SUM(rev)) // (2 * SUM(rev)) AS BIGINT) AS promo_ppm
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape — group sums filtered against a global scalar
+# ---------------------------------------------------------------------------
+
+def q_important_parts(sf_dir: str):
+    """Parts whose revenue exceeds 5/4 of the mean per-part revenue
+    (Q11's HAVING-vs-subquery-total shape, with the fixed fraction
+    replaced by a scale-free mean multiple so the result is non-empty
+    at every sf). One lineitem pass builds per-part exact revenue
+    (per-batch partials → groupby SUM); that part-grain table — parts
+    are a bounded dimension, so the pin is dimension-sized — is
+    materialized once and consumed twice: a bounded total+count
+    aggregate, then the filter. The qualifying test ``4·n·r > 5·total``
+    is rewritten driver-side to ``r ≥ floor(5·total / (4·n)) + 1`` in
+    Python bignums, so workers compare against one int64 scalar and no
+    per-row product can overflow at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = price_c * (100 - disc_c)
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {"l_partkey": pa.array(uniq, pa.int64()), "revenue_cents2": pa.array(sums)}
+        )
+
+    agg = (
+        li.map_batches(per_part, batch_format="pyarrow", batch_size=None)
+        .groupby("l_partkey")
+        .aggregate(Sum("revenue_cents2", alias_name="revenue_cents2"))
+        .materialize()  # part-grain (dimension-sized): reused by scalar + filter
+    )
+    total = int(agg.sum("revenue_cents2"))
+    n_parts = int(agg.count())
+    if n_parts == 0:
+        return agg
+    # 4·n·r > 5·total  ⇔  r ≥ floor(5·total/(4·n)) + 1 (r integer, strict >)
+    threshold = (5 * total) // (4 * n_parts) + 1
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["revenue_cents2"], threshold))
+
+    return agg.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_IMPORTANT_PARTS = """
+WITH j AS (
+    SELECT l_partkey,
+           SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS r
+    FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, CAST(r AS BIGINT) AS revenue_cents2
+FROM j
+WHERE r * (SELECT COUNT(*) FROM j) * 4 > 5 * (SELECT SUM(r) FROM j)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape — two-level aggregation with a zero bucket
+# ---------------------------------------------------------------------------
+
+def q_order_count_distribution(sf_dir: str):
+    """Distribution of per-customer order counts, including customers
+    with zero orders (Q13's LEFT JOIN + double GROUP BY). Level 1 is
+    the usual partial-combine groupby on custkey; level 2 re-groups the
+    customer-grain counts into the (tiny) count histogram. The zero
+    bucket needs only the total customer count — read from the parquet
+    footer, no data pages — minus the customers seen in orders, so the
+    customer table itself is never scanned or joined."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(uniq, pa.int64()),
+                "order_count": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    cust_grain = (
+        orders.map_batches(per_cust, batch_format="pyarrow", batch_size=None)
+        .groupby("c_custkey")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+    )
+
+    def histogram(batch: pa.Table) -> pa.Table:
+        oc = batch["order_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(oc, return_counts=True)
+        return pa.table(
+            {
+                "order_count": pa.array(uniq, pa.int64()),
+                "num_customers": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        cust_grain.map_batches(histogram, batch_format="pyarrow", batch_size=None)
+        .groupby("order_count")
+        .aggregate(Sum("num_customers", alias_name="num_customers"))
+        .to_pandas()  # bounded: one row per distinct order count
+    )
+    n_customers = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    zero = n_customers - int(hist["num_customers"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"order_count": [0], "num_customers": [zero]})],
+            ignore_index=True,
+        )
+    return hist.astype({"order_count": np.int64, "num_customers": np.int64})
+
+
+_SQL_ORDER_COUNT_DIST = """
+SELECT order_count, CAST(COUNT(*) AS BIGINT) AS num_customers
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS order_count
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey)
+GROUP BY order_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape — COUNT(DISTINCT) across a join
+# ---------------------------------------------------------------------------
+
+def q_part_supplier_counts(
+    sf_dir: str, exclude_brand: str = "Brand#13", budget_bytes: int | None = None
+):
+    """Distinct suppliers per (brand, size), one brand excluded (Q16
+    shape). The part attributes ride to the scan as sorted arrays
+    (footer-gated broadcast; hash-join fallback past the budget); each
+    batch pre-dedupes its (brand, size, suppkey) triples, one exchange
+    dedupes globally (groupby on the triple), and the final count is
+    per-batch partials over the already-distinct triples — COUNT
+    (DISTINCT) without ever shipping line-grain rows."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    if broadcast_build_fits(
+        f"{sf_dir}/part.parquet",
+        bytes_per_key=24,
+        budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES,
+    ):
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+        )
+        pk = np.asarray(part["p_partkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(pk)
+        pk = pk[order]
+        brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+        size = np.asarray(
+            part["p_size"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )[order]
+        keep_part = brand != exclude_brand
+
+        def triples(batch: pa.Table) -> pa.Table:
+            keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.clip(np.searchsorted(pk, keys), 0, max(len(pk) - 1, 0))
+            hit = (pk[idx] == keys) & keep_part[idx] if len(pk) else np.zeros(len(keys), bool)
+            df = pd.DataFrame(
+                {"p_brand": brand[idx[hit]], "p_size": size[idx[hit]], "l_suppkey": sk[hit]}
+            ).drop_duplicates()
+            return pa.table(
+                {
+                    "p_brand": pa.array(df["p_brand"].astype(str)),
+                    "p_size": pa.array(df["p_size"].to_numpy(dtype=np.int64)),
+                    "l_suppkey": pa.array(df["l_suppkey"].to_numpy(dtype=np.int64)),
+                }
+            )
+
+        tri = li.map_batches(triples, batch_format="pyarrow", batch_size=None)
+    else:
+        def pairs(batch: pa.Table) -> pa.Table:
+            keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = np.unique(keys * (1 << 20) + sk)  # suppkey < 2^20 (asserted below)
+            assert sk.max(initial=0) < (1 << 20)
+            return pa.table(
+                {
+                    "l_partkey": pa.array(uniq >> 20, pa.int64()),
+                    "l_suppkey": pa.array(uniq & ((1 << 20) - 1), pa.int64()),
+                }
+            )
+
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        joined = li.map_batches(pairs, batch_format="pyarrow", batch_size=None).join(
+            part_ds,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+        def project(batch: pa.Table) -> pa.Table:
+            keep = pc.not_equal(batch["p_brand"], exclude_brand)
+            t = batch.filter(keep)
+            return pa.table(
+                {
+                    "p_brand": t["p_brand"],
+                    "p_size": pc.cast(t["p_size"], pa.int64()),
+                    "l_suppkey": t["l_suppkey"],
+                }
+            )
+
+        tri = joined.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+    distinct = tri.groupby(["p_brand", "p_size", "l_suppkey"]).aggregate(
+        Count(alias_name="_n")
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p_brand": batch["p_brand"].to_pandas(),
+                "p_size": batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby(["p_brand", "p_size"], as_index=False).size()
+        return pa.table(
+            {
+                "p_brand": pa.array(g["p_brand"].astype(str)),
+                "p_size": pa.array(g["p_size"].to_numpy(dtype=np.int64)),
+                "supplier_cnt": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return (
+        distinct.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+    )
+
+
+_SQL_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+GROUP BY p_brand, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — per-group average broadcast back over the fact table
+# ---------------------------------------------------------------------------
+
+def q_small_qty_revenue(sf_dir: str, brand: str = "Brand#1"):
+    """Revenue from small-quantity lines of one brand's parts: a line
+    qualifies when its quantity is below 1/5 of its part's mean
+    quantity (Q17 shape). Pass 1 reduces the brand's lines to
+    per-part (Σqty, count) — a dimension-fraction-sized table pulled to
+    the driver and re-broadcast as sorted arrays. Pass 2 rescans
+    lineitem with the division-free predicate ``5·qty·cnt < Σqty``
+    (integers end to end; TPC-H's ``qty < 0.2·avg`` exactly). The
+    weekly average read-off is the positive rational half-away rounding
+    ``(2·total + 7) // 14``."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    pk_tbl = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filters=[("p_brand", "=", brand)],
+    )
+    brand_keys = np.sort(pk_tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def in_brand(keys: np.ndarray) -> np.ndarray:
+        if not len(brand_keys):
+            return np.zeros(len(keys), bool)
+        idx = np.clip(np.searchsorted(brand_keys, keys), 0, len(brand_keys) - 1)
+        return brand_keys[idx] == keys
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        m = in_brand(keys)
+        keys, qty = keys[m], qty[m]
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, qty)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uniq, pa.int64()),
+                "sum_qty": pa.array(sums),
+                "cnt": pa.array(cnts),
+            }
+        )
+
+    stats = (
+        li.map_batches(qty_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: one brand's slice of the part dimension
+    )
+    if len(stats):  # empty aggregate loses its columns — guard
+        s_keys = stats["l_partkey"].to_numpy(dtype=np.int64)
+        order = np.argsort(s_keys)
+        s_keys = s_keys[order]
+        s_sum = stats["sum_qty"].to_numpy(dtype=np.int64)[order]
+        s_cnt = stats["cnt"].to_numpy(dtype=np.int64)[order]
+    else:
+        s_keys = s_sum = s_cnt = np.empty(0, dtype=np.int64)
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        if len(s_keys):
+            idx = np.clip(np.searchsorted(s_keys, keys), 0, len(s_keys) - 1)
+            hit = s_keys[idx] == keys
+            small = np.zeros(len(keys), bool)
+            small[hit] = 5 * qty[hit] * s_cnt[idx[hit]] < s_sum[idx[hit]]
+        else:
+            small = np.zeros(len(keys), bool)
+        return pa.table(
+            {
+                "total_cents": pa.array([int(price_c[small].sum())]),
+                "n_lines": pa.array([int(small.sum())]),
+            }
+        )
+
+    sums = li.map_batches(qualify, batch_format="pyarrow", batch_size=None).sum(
+        ["total_cents", "n_lines"]
+    )
+    total_c, n = int(sums["sum(total_cents)"]), int(sums["sum(n_lines)"])
+    import pandas as pd
+
+    if n == 0:  # mirror SQL: SUM over empty set is NULL, COUNT is 0
+        return pd.DataFrame(
+            {"total_cents": [None], "n_lines": [0], "avg7_cents": [None]}
+        )
+    return pd.DataFrame(
+        {
+            "total_cents": [total_c],
+            "n_lines": [n],
+            "avg7_cents": [(2 * total_c + 7) // 14],
+        }
+    )
+
+
+_SQL_SMALL_QTY = """
+WITH agg AS (
+    SELECT l_partkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq,
+           COUNT(*) AS c
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#1'
+    GROUP BY l_partkey),
+q AS (
+    SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
+    FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
+    WHERE 5 * CAST(ROUND(l_quantity) AS BIGINT) * c < sq)
+SELECT CAST(SUM(pc) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST((2 * SUM(pc) + 7) // 14 AS BIGINT) AS avg7_cents
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape — HAVING on a per-key sum, joined back to the parent
+# ---------------------------------------------------------------------------
+
+def q_large_orders(sf_dir: str, min_qty: int = 150, k: int = 100):
+    """Orders whose total line quantity exceeds ``min_qty``, joined
+    back to the order header, deterministic top-k (Q18 shape). The
+    HAVING runs entirely on the order grain (per-batch partials →
+    groupby SUM → filter), so the hash join back to orders is
+    filtered-grain vs order-grain; the one all-to-all sort runs on the
+    ≤ qualifying-orders rows with a unique tiebreak key, never on
+    lineitems."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, qty)
+        return pa.table(
+            {"l_orderkey": pa.array(uniq, pa.int64()), "sum_qty": pa.array(sums)}
+        )
+
+    big = (
+        li.map_batches(per_order, batch_format="pyarrow", batch_size=None)
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .filter(expr=f"sum_qty > {int(min_qty)}")
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = big.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "totalprice_cents": _cents(batch["o_totalprice"]),
+                "sum_qty": batch["sum_qty"],
+            }
+        )
+
+    return (
+        joined.map_batches(project, batch_format="pyarrow", batch_size=None)
+        .sort(["sum_qty", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+_SQL_LARGE_ORDERS = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_cents,
+       sum_qty
+FROM (
+    SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150) q
+JOIN orders ON o_orderkey = l_orderkey
+ORDER BY sum_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunction-of-conjunctions join predicate
+# ---------------------------------------------------------------------------
+
+_Q19_CLAUSES = (
+    ("Brand#12", 1, 11, 15),
+    ("Brand#3", 10, 20, 25),
+    ("Brand#21", 20, 30, 35),
+)
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """Revenue under an OR-of-ANDs predicate spanning both join sides
+    (Q19 shape): (brand, quantity range, max size) × 3 clauses. The
+    part attributes broadcast as aligned arrays; the whole disjunction
+    evaluates as one vectorized boolean expression per batch — no
+    row loop, no join materialization, one (revenue, count) partial row
+    per batch."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = np.asarray(part["p_partkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+    size = np.asarray(part["p_size"].to_numpy(zero_copy_only=False), dtype=np.int64)[order]
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = price_c * (100 - disc_c)
+        idx = np.clip(np.searchsorted(pk, keys), 0, max(len(pk) - 1, 0))
+        hit = pk[idx] == keys if len(pk) else np.zeros(len(keys), bool)
+        b, s = brand[idx], size[idx]
+        mask = np.zeros(len(keys), bool)
+        for cb, qlo, qhi, smax in _Q19_CLAUSES:
+            mask |= (b == cb) & (qty >= qlo) & (qty <= qhi) & (s <= smax)
+        mask &= hit
+        return pa.table(
+            {
+                "revenue_cents2": pa.array([int(rev[mask].sum())]),
+                "n_lines": pa.array([int(mask.sum())]),
+            }
+        )
+
+    sums = li.map_batches(partial, batch_format="pyarrow", batch_size=None).sum(
+        ["revenue_cents2", "n_lines"]
+    )
+    return pd.DataFrame(
+        {
+            "revenue_cents2": [int(sums["sum(revenue_cents2)"])],
+            "n_lines": [int(sums["sum(n_lines)"])],
+        }
+    )
+
+
+_SQL_DISJUNCTIVE = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cents2,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 15)
+   OR (p_brand = 'Brand#3'  AND l_quantity BETWEEN 10 AND 20 AND p_size <= 25)
+   OR (p_brand = 'Brand#21' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 35)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — EXISTS + NOT EXISTS self join on the fact table
+# ---------------------------------------------------------------------------
+
+_SUPP_BITS = 20  # suppkey < 2^20; orderkey < 2^43 → packed key fits int64
+
+
+def q_waiting_suppliers(
+    sf_dir: str, n_buckets: int = 32, k: int = 100, budget_bytes: int | None = None
+):
+    """Suppliers who shipped the strictly-latest line of multi-supplier
+    orders, counted per supplier (TPC-H Q21's EXISTS + NOT-EXISTS self
+    join). The correlated pair collapses to per-order argmax: supplier
+    s qualifies in order o ⇔ s's max shipdate equals o's overall max
+    AND o has ≥ 2 distinct suppliers (ties credit every tied supplier,
+    exactly as the NOT EXISTS with a strict > does). Plan: lineitem
+    pre-reduces per batch to (order,supplier)-grain max-shipdate rows
+    packed into one int64 key; one groupby MAX dedupes globally; an
+    orderkey-bucket exchange lets each partition resolve its orders'
+    winners vectorized; per-supplier counts ride out as partials. No
+    self join ever materializes — the fact table crosses the wire only
+    at the (order, supplier) grain."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def pair_max(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert sk.max(initial=0) < (1 << _SUPP_BITS) and ok.max(initial=0) < (1 << 43)
+        ship = (
+            batch["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        pack = (ok << _SUPP_BITS) | sk
+        uniq, inv = np.unique(pack, return_inverse=True)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, ship)
+        return pa.table({"pair": pa.array(uniq), "max_ship_us": pa.array(mx)})
+
+    pairs = (
+        li.map_batches(pair_max, batch_format="pyarrow", batch_size=None)
+        .groupby("pair")
+        .aggregate(Max("max_ship_us", alias_name="max_ship_us"))
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pair = batch["pair"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((pair >> _SUPP_BITS) % n_buckets, pa.int64())
+        )
+
+    def winners(g: pd.DataFrame) -> pa.Table:
+        pair = g["pair"].to_numpy(dtype=np.int64)
+        ms = g["max_ship_us"].to_numpy(dtype=np.int64)
+        ok = pair >> _SUPP_BITS
+        sk = pair & ((1 << _SUPP_BITS) - 1)
+        df = pd.DataFrame({"ok": ok, "sk": sk, "ms": ms})
+        per_order = df.groupby("ok")["ms"].agg(["max", "size"])
+        omax = per_order["max"].reindex(df["ok"]).to_numpy()
+        nsupp = per_order["size"].reindex(df["ok"]).to_numpy()
+        win = (df["ms"].to_numpy() == omax) & (nsupp >= 2)
+        vc = pd.Series(sk[win]).value_counts()
+        return pa.table(
+            {
+                "s_suppkey": pa.array(vc.index.to_numpy(dtype=np.int64)),
+                "waiting_orders": pa.array(vc.values.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        pairs.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(winners, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("waiting_orders", alias_name="waiting_orders"))
+    )
+
+    # supplier names: bounded dimension — gated broadcast, join fallback
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
+
+    if broadcast_build_fits(
+        f"{sf_dir}/supplier.parquet",
+        bytes_per_key=32,
+        budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES,
+    ):
+        import pyarrow.parquet as pq
+
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+        s_keys = np.asarray(supp["s_suppkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(s_keys)
+        s_keys = s_keys[order]
+        s_names = np.asarray(supp["s_name"].to_pylist(), dtype=object)[order]
+
+        def attach(batch: pa.Table) -> pa.Table:
+            sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(s_keys, sk), 0, max(len(s_keys) - 1, 0))
+            return batch.append_column("s_name", pa.array(s_names[idx].astype(str)))
+
+        named = counts.map_batches(attach, batch_format="pyarrow", batch_size=None)
+    else:
+        supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        named = counts.join(
+            supp_ds,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("s_suppkey",),
+            right_on=("s_suppkey",),
+        )
+
+    return named.sort(["waiting_orders", "s_suppkey"], descending=[True, False]).limit(k)
+
+
+_SQL_WAITING_SUPPLIERS = """
+WITH q AS (
+    SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+    FROM lineitem l1
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate))
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS waiting_orders
+FROM q JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY waiting_orders DESC, s_suppkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — anti join + global-scalar qualifying predicate
+# ---------------------------------------------------------------------------
+
+def q_idle_rich_customers(
+    sf_dir: str, min_order_total: float = 450000.0, budget_bytes: int | None = None
+):
+    """Customers with an above-average positive balance and no
+    high-value order, grouped by nation (Q22 shape; the phone-prefix
+    grouping becomes the nation key this schema has). The global
+    average is one bounded aggregate over the customer scan (Σ cents,
+    count — the strict test ``cents·n > Σ`` stays in integers; at
+    planetary row counts the product still fits int64 only because
+    cents ≤ 10⁶, noted in the assert). The anti side — custkeys with an
+    order above the threshold — is footer-gated: broadcast as a sorted
+    key array within budget, bucket-shuffle twin beyond."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..core.util import broadcast_build_fits
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"]).to_numpy(zero_copy_only=False)
+        pos = cents > 0
+        return pa.table(
+            {
+                "sum_pos_cents": pa.array([int(cents[pos].sum())]),
+                "n_pos": pa.array([int(pos.sum())]),
+            }
+        )
+
+    sums = cust.map_batches(bal_partial, batch_format="pyarrow", batch_size=None).sum(
+        ["sum_pos_cents", "n_pos"]
+    )
+    sum_pos, n_pos = int(sums["sum(sum_pos_cents)"]), int(sums["sum(n_pos)"])
+    # strict above-average in integers: cents·n_pos > sum_pos ⇔
+    # cents ≥ floor(sum_pos/n_pos) + 1 — one int64 scalar to workers
+    threshold = sum_pos // n_pos + 1 if n_pos else np.iinfo(np.int64).max
+
+    def rich(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"]).to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(cents >= threshold))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "acctbal_cents": _cents(t["c_acctbal"]),
+            }
+        )
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow", batch_size=None)
+
+    from ..core.util import BROADCAST_BUDGET_BYTES
+
+    if broadcast_build_fits(
+        f"{sf_dir}/orders.parquet",
+        budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES,
+    ):
+        import pyarrow.parquet as pq
+
+        ok_tbl = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filters=[("o_totalprice", ">", min_order_total)],
+        )
+        big_keys = np.unique(
+            ok_tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+
+        def anti(batch: pa.Table) -> pa.Table:
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(big_keys):
+                idx = np.clip(np.searchsorted(big_keys, ck), 0, len(big_keys) - 1)
+                keep = big_keys[idx] != ck
+            else:
+                keep = np.ones(len(ck), bool)
+            return batch.filter(pa.array(keep))
+
+        idle = rich_ds.map_batches(anti, batch_format="pyarrow", batch_size=None)
+    else:
+        # shuffle twin: both sides hash on custkey % B, per-bucket
+        # vectorized NOT-IN — same tagged-union shape as the ops.py
+        # semi/anti family
+        n_buckets = 32
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+        def tag_orders(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.greater(batch["o_totalprice"], min_order_total))
+            ck = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+            n = len(ck)
+            return pa.table(
+                {
+                    "bucket": pa.array(ck % n_buckets, pa.int64()),
+                    "side": pa.array(np.zeros(n, dtype=np.int8)),
+                    "key": pa.array(ck, pa.int64()),
+                    "c_nationkey": pa.nulls(n, pa.int64()),
+                    "acctbal_cents": pa.nulls(n, pa.int64()),
+                }
+            )
+
+        def tag_rich(batch: pa.Table) -> pa.Table:
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(ck % n_buckets, pa.int64()),
+                    "side": pa.array(np.ones(len(ck), dtype=np.int8)),
+                    "key": pa.array(ck, pa.int64()),
+                    "c_nationkey": batch["c_nationkey"],
+                    "acctbal_cents": batch["acctbal_cents"],
+                }
+            )
+
+        both = orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=None).union(
+            rich_ds.map_batches(tag_rich, batch_format="pyarrow", batch_size=None)
+        )
+
+        def anti_bucket(g: pd.DataFrame) -> pa.Table:
+            keys = g.loc[g["side"] == 0, "key"].to_numpy(dtype=np.int64)
+            cu = g[g["side"] == 1]
+            kept = cu[~cu["key"].isin(keys).to_numpy()]
+            return pa.table(
+                {
+                    "c_custkey": pa.array(kept["key"].to_numpy(dtype=np.int64)),
+                    # union-null-padding turns ints into float64 in the
+                    # group frame — re-anchor before use
+                    "c_nationkey": pa.array(kept["c_nationkey"].to_numpy(dtype=np.int64)),
+                    "acctbal_cents": pa.array(kept["acctbal_cents"].to_numpy(dtype=np.int64)),
+                }
+            )
+
+        idle = both.groupby("bucket").map_groups(anti_bucket, batch_format="pandas")
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = batch["acctbal_cents"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(nk, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, bal)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(uniq, pa.int64()),
+                "n_customers": pa.array(cnts),
+                "acctbal_cents": pa.array(sums),
+            }
+        )
+
+    return (
+        idle.map_batches(nation_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+    )
+
+
+_SQL_IDLE_RICH = """
+WITH s AS (
+    SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS sp, COUNT(*) AS np
+    FROM customer WHERE c_acctbal > 0)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer, s
+WHERE c_acctbal > 0
+  AND CAST(ROUND(c_acctbal*100) AS BIGINT) * np > sp
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — argmin with tiebreak per group across a join
+# ---------------------------------------------------------------------------
+
+_PACK_BITS = 20  # suppkey < 2^20; price_cents < 2^43 → packed min fits int64
+
+
+def q_cheapest_supplier(sf_dir: str, size: int = 10):
+    """Per size-``size`` part: the supplier offering the minimum line
+    price, ties broken by the smaller suppkey (TPC-H Q2's
+    min-cost-supplier shape). The two-level argmin collapses to ONE
+    integer MIN by packing ``price_cents·2²⁰ + suppkey`` — the min of
+    the packed key is exactly (min price, then min suppkey) — so the
+    distributed reduction needs no join-back or window. Qualifying
+    partkeys and names broadcast as sorted arrays (the size slice of a
+    bounded dimension)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Min
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name"],
+        filters=[("p_size", "=", size)],
+    )
+    pk = np.asarray(part["p_partkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    names = np.asarray(part["p_name"].to_pylist(), dtype=object)[order]
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def pack_min(batch: pa.Table) -> pa.Table:
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        assert sk.max(initial=0) < (1 << _PACK_BITS)
+        assert price_c.max(initial=0) < (1 << 43)
+        if len(pk):
+            idx = np.clip(np.searchsorted(pk, keys), 0, len(pk) - 1)
+            hit = pk[idx] == keys
+        else:
+            hit = np.zeros(len(keys), bool)
+        keys, packed = keys[hit], (price_c << _PACK_BITS | sk)[hit]
+        uniq, inv = np.unique(keys, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(mins, inv, packed)
+        return pa.table(
+            {"l_partkey": pa.array(uniq, pa.int64()), "packed": pa.array(mins)}
+        )
+
+    agg = (
+        li.map_batches(pack_min, batch_format="pyarrow", batch_size=None)
+        .groupby("l_partkey")
+        .aggregate(Min("packed", alias_name="packed"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        packed = batch["packed"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(pk, keys), 0, max(len(pk) - 1, 0))
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "p_name": pa.array(names[idx].astype(str)),
+                "min_price_cents": pa.array(packed >> _PACK_BITS),
+                "best_suppkey": pa.array(packed & ((1 << _PACK_BITS) - 1)),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_CHEAPEST_SUPPLIER = """
+SELECT l_partkey, p_name,
+       CAST(m // 1048576 AS BIGINT) AS min_price_cents,
+       CAST(m % 1048576 AS BIGINT) AS best_suppkey
+FROM (
+    SELECT l_partkey, MIN(p_name) AS p_name,
+           MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT) * 1048576 + l_suppkey) AS m
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 10
+    GROUP BY l_partkey) q
+"""
+
+
+QUERIES = {
+    "late_ship_priority": q_late_ship_priority,
+    "promo_revenue": q_promo_revenue,
+    "important_parts": q_important_parts,
+    "order_count_distribution": q_order_count_distribution,
+    "part_supplier_counts": q_part_supplier_counts,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_orders": q_large_orders,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_rich_customers": q_idle_rich_customers,
+    "cheapest_supplier": q_cheapest_supplier,
+}
+
+ORACLE_SQL = {
+    "late_ship_priority": _SQL_LATE_SHIP,
+    "promo_revenue": _SQL_PROMO_REVENUE,
+    "important_parts": _SQL_IMPORTANT_PARTS,
+    "order_count_distribution": _SQL_ORDER_COUNT_DIST,
+    "part_supplier_counts": _SQL_PART_SUPPLIER_COUNTS,
+    "small_qty_revenue": _SQL_SMALL_QTY,
+    "large_orders": _SQL_LARGE_ORDERS,
+    "disjunctive_revenue": _SQL_DISJUNCTIVE,
+    "waiting_suppliers": _SQL_WAITING_SUPPLIERS,
+    "idle_rich_customers": _SQL_IDLE_RICH,
+    "cheapest_supplier": _SQL_CHEAPEST_SUPPLIER,
+}

@@ -1,0 +1,261 @@
+"""Unit tests for the decision-support suite (relational/analytics.py).
+
+Three classes of pins beyond the oracle harness:
+
+* broadcast/fallback twins produce identical results (the gate only
+  changes the physical plan, never the answer);
+* the algebraic collapses (EXISTS→argmax, two-level argmin→packed MIN,
+  HAVING-vs-scalar→integer threshold) behave correctly at their edge
+  cases — ties, strict boundaries, empty slices — on crafted corpora
+  where the edge is guaranteed to occur;
+* the engine matches DuckDB running the registered oracle on the same
+  crafted corpus (semantics, not just the driver's sf tables).
+"""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_parser_ray.relational import analytics as an
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    yield
+
+
+def _canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    rows = sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False))
+    return hashlib.md5(str(rows).encode()).hexdigest()
+
+
+def _pd(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()
+
+
+class TestBroadcastFallbackTwins:
+    """budget_bytes=1 forces every footer gate to the non-broadcast
+    plan; both plans must hash-match on the same input."""
+
+    @pytest.mark.parametrize(
+        "fn",
+        [
+            an.q_promo_revenue,
+            an.q_part_supplier_counts,
+            an.q_waiting_suppliers,
+            an.q_idle_rich_customers,
+        ],
+        ids=["promo", "part_supplier", "waiting", "idle_rich"],
+    )
+    def test_twins_match(self, fn):
+        a = _pd(fn(SF))
+        b = _pd(fn(SF, budget_bytes=1))
+        assert sorted(a.columns) == sorted(b.columns)
+        assert _canon(a) == _canon(b)
+
+
+def _write(tmp_path, name: str, table: pa.Table) -> None:
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+def _ts(days: list[int]) -> pa.Array:
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    return pa.array(
+        [base + np.timedelta64(d, "D") for d in days], pa.timestamp("us")
+    )
+
+
+class TestWaitingSuppliers:
+    def test_tie_and_single_supplier_semantics(self, tmp_path):
+        """Ties at the order max credit every tied supplier (the NOT
+        EXISTS uses strict >); single-supplier orders credit nobody."""
+        li = pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                "l_suppkey": pa.array([1, 2, 1, 2, 1], pa.int64()),
+                "l_shipdate": _ts([0, 5, 7, 7, 9]),
+            }
+        )
+        supp = pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_name": pa.array(["Supplier#1", "Supplier#2"]),
+            }
+        )
+        _write(tmp_path, "lineitem", li)
+        _write(tmp_path, "supplier", supp)
+        got = (
+            _pd(an.q_waiting_suppliers(str(tmp_path)))
+            .sort_values("s_suppkey")
+            .reset_index(drop=True)
+        )
+        # order 1: s2 strictly latest → s2. order 2: tie → both.
+        # order 3: single supplier → nobody.
+        want = pd.DataFrame(
+            {
+                "s_suppkey": [1, 2],
+                "waiting_orders": [1, 2],
+                "s_name": ["Supplier#1", "Supplier#2"],
+            }
+        )
+        pd.testing.assert_frame_equal(
+            got[["s_suppkey", "waiting_orders", "s_name"]], want
+        )
+
+    def test_matches_exists_oracle_on_crafted_corpus(self, tmp_path):
+        """Randomized corpus: the argmax collapse must equal DuckDB
+        running the registered EXISTS/NOT-EXISTS SQL verbatim."""
+        rng = np.random.RandomState(7)
+        n = 400
+        li = pa.table(
+            {
+                "l_orderkey": pa.array(rng.randint(1, 60, n), pa.int64()),
+                "l_suppkey": pa.array(rng.randint(1, 9, n), pa.int64()),
+                "l_shipdate": _ts(list(rng.randint(0, 30, n))),
+            }
+        )
+        supp = pa.table(
+            {
+                "s_suppkey": pa.array(list(range(1, 9)), pa.int64()),
+                "s_name": pa.array([f"Supplier#{i}" for i in range(1, 9)]),
+            }
+        )
+        _write(tmp_path, "lineitem", li)
+        _write(tmp_path, "supplier", supp)
+        got = _pd(an.q_waiting_suppliers(str(tmp_path)))
+        con = duckdb.connect()
+        for t in ("lineitem", "supplier"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+        want = con.sql(an.ORACLE_SQL["waiting_suppliers"]).df()
+        con.close()
+        assert len(got) == len(want)
+        assert _canon(got) == _canon(want)
+
+
+class TestCheapestSupplier:
+    def test_packed_argmin_breaks_ties_by_suppkey(self, tmp_path):
+        part = pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_name": pa.array(["alpha", "beta"]),
+                "p_size": pa.array([10, 10], pa.int32()),
+            }
+        )
+        li = pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "l_suppkey": pa.array([5, 3, 7, 9, 2], pa.int64()),
+                "l_extendedprice": pa.array([10.00, 10.00, 9.99, 5.00, 5.00]),
+            }
+        )
+        _write(tmp_path, "part", part)
+        _write(tmp_path, "lineitem", li)
+        got = (
+            _pd(an.q_cheapest_supplier(str(tmp_path)))
+            .sort_values("l_partkey")
+            .reset_index(drop=True)
+        )
+        # part 1: unique min 9.99 → supp 7; part 2: 5.00 tie → min suppkey 2
+        assert got["best_suppkey"].tolist() == [7, 2]
+        assert got["min_price_cents"].tolist() == [999, 500]
+        assert got["p_name"].tolist() == ["alpha", "beta"]
+
+
+class TestImportantParts:
+    def _corpus(self, tmp_path, dollars: list[float]) -> str:
+        li = pa.table(
+            {
+                "l_partkey": pa.array(range(1, len(dollars) + 1), pa.int64()),
+                "l_extendedprice": pa.array(dollars),
+                "l_discount": pa.array([0.0] * len(dollars)),
+            }
+        )
+        _write(tmp_path, "lineitem", li)
+        return str(tmp_path)
+
+    def test_strict_threshold_excludes_exact_five_fourths(self, tmp_path):
+        """r exactly = 5/4·mean must NOT qualify (strict >): revenues
+        [3,3,3,3,4] have mean 3.2, 5/4·mean = 4 — the 4 is out."""
+        d = self._corpus(tmp_path, [3.0, 3.0, 3.0, 3.0, 4.0])
+        got = _pd(an.q_important_parts(d))
+        assert len(got) == 0
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet'")
+        assert len(con.sql(an.ORACLE_SQL["important_parts"]).df()) == 0
+        con.close()
+
+    def test_one_above_threshold_qualifies(self, tmp_path):
+        d = self._corpus(tmp_path, [4.0, 4.0, 5.0, 7.0])
+        got = _pd(an.q_important_parts(d))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet'")
+        want = con.sql(an.ORACLE_SQL["important_parts"]).df()
+        con.close()
+        assert got["l_partkey"].tolist() == [4]
+        assert _canon(got) == _canon(want)
+
+
+class TestSmallQtyRevenue:
+    def test_brand_with_no_parts_mirrors_sql_nulls(self, tmp_path):
+        """No part carries the brand → zero qualifying lines; the
+        engine must mirror SQL's SUM-over-empty = NULL, COUNT = 0."""
+        part = pa.table(
+            {
+                "p_partkey": pa.array([1], pa.int64()),
+                "p_brand": pa.array(["Brand#9"]),
+            }
+        )
+        li = pa.table(
+            {
+                "l_partkey": pa.array([1], pa.int64()),
+                "l_quantity": pa.array([5.0]),
+                "l_extendedprice": pa.array([10.0]),
+            }
+        )
+        _write(tmp_path, "part", part)
+        _write(tmp_path, "lineitem", li)
+        got = _pd(an.q_small_qty_revenue(str(tmp_path), brand="Brand#1"))
+        assert got["n_lines"].tolist() == [0]
+        assert got["total_cents"].isna().all()
+        assert got["avg7_cents"].isna().all()
+
+
+class TestLateShipPriority:
+    def test_grace_boundary_is_strict(self, tmp_path):
+        """max shipdate exactly orderdate+grace does NOT count (SQL >)."""
+        # 24 orders (a 2-row corpus can hash an entire join partition
+        # empty, and an empty block loses its schema): even keys ship
+        # exactly at the grace bound (excluded), odd keys one day past
+        n = 24
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array(range(1, n + 1), pa.int64()),
+                "o_orderdate": _ts([0] * n),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        )
+        li = pa.table(
+            {
+                "l_orderkey": pa.array(range(1, n + 1), pa.int64()),
+                "l_shipdate": _ts([5 if k % 2 == 0 else 6 for k in range(1, n + 1)]),
+            }
+        )
+        _write(tmp_path, "orders", orders)
+        _write(tmp_path, "lineitem", li)
+        got = _pd(an.q_late_ship_priority(str(tmp_path), grace_days=5))
+        assert got["late_orders"].tolist() == [12]

@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 128 queries, ≥121 oracled —
+    # lock the round-4 coverage floor: 139 queries, ≥132 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 128
-    assert len(oracles) >= 121
+    assert len(queries) >= 139
+    assert len(oracles) >= 132
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
