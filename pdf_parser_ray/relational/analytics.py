@@ -1178,6 +1178,198 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Resample with gap fill — generated rows for missing time buckets
+# ---------------------------------------------------------------------------
+
+def q_hourly_fill(sf_dir: str):
+    """Events per epoch-hour over the FULL [min, max] hour range, zero
+    rows generated for silent hours (time-series resampling /
+    gap-fill). The distributed part is the usual per-batch partial →
+    groupby SUM; the fill happens on the hour-grain result, which is
+    bounded by the time span (a decade is < 90k rows), never by the
+    event count — the one place row *generation* is legitimately
+    driver-side."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        uniq, counts = np.unique(hour, return_counts=True)
+        return pa.table(
+            {"hour": pa.array(uniq, pa.int64()), "n_events": pa.array(counts.astype(np.int64))}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("hour")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()  # bounded by the hour span, not the event count
+    )
+    lo, hi = int(counts["hour"].min()), int(counts["hour"].max())
+    full = pd.DataFrame({"hour": np.arange(lo, hi + 1, dtype=np.int64)})
+    out = full.merge(counts, on="hour", how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+    return out
+
+
+_SQL_HOURLY_FILL = """
+WITH c AS (
+    SELECT epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+    FROM events GROUP BY hour),
+g AS (
+    SELECT UNNEST(generate_series(
+        (SELECT MIN(hour) FROM c), (SELECT MAX(hour) FROM c))) AS h)
+SELECT CAST(g.h AS BIGINT) AS hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM g LEFT JOIN c ON c.hour = g.h
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unpivot — wide→long reshape of the pivoted day×type matrix
+# ---------------------------------------------------------------------------
+
+def q_event_unpivot(sf_dir: str):
+    """Long form of :func:`~.ops.q_event_pivot`'s wide day×type matrix
+    (the UNPIVOT/melt operator): one (day, event_type, n) row per cell,
+    zero cells included — which is exactly what distinguishes a
+    reshape of the wide table from a plain groupby over the raw events
+    (that would lack the explicit zeros). The melt is a stateless
+    per-batch map over the already-aggregated day grain."""
+    from .ops import _EVENT_TYPES, q_event_pivot
+
+    wide = q_event_pivot(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        m = df.melt(
+            id_vars="day",
+            value_vars=[f"n_{t}" for t in _EVENT_TYPES],
+            var_name="event_type",
+            value_name="n",
+        )
+        m["event_type"] = m["event_type"].str[2:]
+        return pa.table(
+            {
+                "day": pa.array(m["day"].to_numpy(dtype=np.int64)),
+                "event_type": pa.array(m["event_type"].astype(str)),
+                "n": pa.array(m["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_event_unpivot() -> str:
+    from .ops import _EVENT_TYPES, _SQL_EVENT_PIVOT
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT day, '{t}' AS event_type, n_{t} AS n FROM w" for t in _EVENT_TYPES
+    )
+    return f"WITH w AS ({_SQL_EVENT_PIVOT})\n{arms}"
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact median + MAD — robust statistics via value-count summary
+# ---------------------------------------------------------------------------
+
+def _disc_median(values: np.ndarray, counts: np.ndarray) -> int:
+    """QUANTILE_DISC(x, 0.5) over a value-count summary: the element at
+    sorted position ceil(n/2) — DuckDB's discrete-median convention,
+    pinned empirically (n=4 → 2nd element, n=5 → 3rd)."""
+    order = np.argsort(values)
+    v, c = values[order], counts[order]
+    cum = np.cumsum(c)
+    target = (cum[-1] + 1) // 2
+    return int(v[np.searchsorted(cum, target)])
+
+
+def q_order_total_mad(sf_dir: str):
+    """Per-priority exact median and median-absolute-deviation of the
+    order total (robust location/scale — the outlier-resistant twin of
+    the moments query). Values flow as integer cents; each pass ships a
+    value-count summary (one row per distinct (priority, cents) per
+    batch) instead of raw rows — the same summary-exchange pattern as
+    the exact-percentile family — and the discrete read-off matches
+    DuckDB's QUANTILE_DISC exactly, so even-count groups agree. Pass 2
+    re-scans with the five medians broadcast and summarizes |x − med|
+    the same way."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def summarize(extract):
+        """orders scan → (priority, value) count summary → per-priority
+        value-count rows."""
+        ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+            prio = batch["o_orderpriority"].to_pandas()
+            val = extract(prio, cents)
+            df = pd.DataFrame({"p": prio, "v": val})
+            g = df.groupby(["p", "v"], as_index=False).size()
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(g["p"].astype(str)),
+                    "v": pa.array(g["v"].to_numpy(dtype=np.int64)),
+                    "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
+                }
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["o_orderpriority", "v"])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+    def read_off(summary, out_col: str) -> pd.DataFrame:
+        def per_group(g: pd.DataFrame) -> pa.Table:
+            med = _disc_median(
+                g["v"].to_numpy(dtype=np.int64), g["n"].to_numpy(dtype=np.int64)
+            )
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([str(g["o_orderpriority"].iloc[0])]),
+                    out_col: pa.array([med], pa.int64()),
+                }
+            )
+
+        return (
+            summary.groupby("o_orderpriority")
+            .map_groups(per_group, batch_format="pandas")
+            .to_pandas()  # bounded: one row per priority
+        )
+
+    med_df = read_off(summarize(lambda p, c: c), "median_cents")
+    med_lut = dict(zip(med_df["o_orderpriority"], med_df["median_cents"]))
+
+    def abs_dev(prio, cents):
+        med = prio.map(med_lut).to_numpy(dtype=np.int64)
+        return np.abs(cents - med)
+
+    mad_df = read_off(summarize(abs_dev), "mad_cents")
+    return med_df.merge(mad_df, on="o_orderpriority")
+
+
+_SQL_ORDER_TOTAL_MAD = """
+WITH c AS (
+    SELECT o_orderpriority AS p,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+    FROM orders),
+m AS (SELECT p, quantile_disc(cents, 0.5) AS med FROM c GROUP BY p)
+SELECT p AS o_orderpriority,
+       CAST(MAX(med) AS BIGINT) AS median_cents,
+       CAST(quantile_disc(ABS(cents - med), 0.5) AS BIGINT) AS mad_cents
+FROM c JOIN m USING (p)
+GROUP BY p
+"""
+
+
 QUERIES = {
     "late_ship_priority": q_late_ship_priority,
     "promo_revenue": q_promo_revenue,
@@ -1190,9 +1382,15 @@ QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
     "cheapest_supplier": q_cheapest_supplier,
+    "hourly_fill": q_hourly_fill,
+    "event_unpivot": q_event_unpivot,
+    "order_total_mad": q_order_total_mad,
 }
 
 ORACLE_SQL = {
+    "hourly_fill": _SQL_HOURLY_FILL,
+    "event_unpivot": _sql_event_unpivot(),
+    "order_total_mad": _SQL_ORDER_TOTAL_MAD,
     "late_ship_priority": _SQL_LATE_SHIP,
     "promo_revenue": _SQL_PROMO_REVENUE,
     "important_parts": _SQL_IMPORTANT_PARTS,

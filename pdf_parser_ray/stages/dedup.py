@@ -1059,6 +1059,104 @@ SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY node
 """
 
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup pairs — blocked exact Levenshtein join
+# ---------------------------------------------------------------------------
+
+_EDIT_LEN_BUCKET = 16
+
+
+def _levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Unit-cost Levenshtein over UTF-8 BYTES — DuckDB's
+    ``levenshtein`` is byte-based (pinned empirically: 'café'→'cafe'
+    is 2, CJK one-byte substitutions are 1), so the engine matches
+    that convention exactly. Wagner–Fischer with the inner
+    cur[j] = min(m[j], cur[j-1]+1) recurrence solved as a vectorized
+    prefix-min over (m[k] − k): one numpy pass per row instead of a
+    Python cell loop."""
+    if a == b:
+        return 0
+    pa_ = np.frombuffer(a, dtype=np.uint8)
+    pb = np.frombuffer(b, dtype=np.uint8)
+    if not len(pa_) or not len(pb):
+        return max(len(pa_), len(pb))
+    idx = np.arange(1, len(pb) + 1, dtype=np.int64)
+    prev = np.arange(len(pb) + 1, dtype=np.int64)
+    for i, ca in enumerate(pa_, 1):
+        sub = prev[:-1] + (pb != ca)
+        m = np.minimum(prev[1:] + 1, sub)
+        t = np.minimum.accumulate(np.concatenate(([np.int64(i)], m - idx)))
+        prev = t + np.arange(len(pb) + 1, dtype=np.int64)
+    return int(prev[-1])
+
+
+def q_edit_dup_pairs(sf_dir: str):
+    """Near-duplicate pairs by EXACT edit distance: docs in the same
+    (lang, ⌊n_chars/16⌋) block whose byte-level Levenshtein distance is
+    ≤ 20 % of their combined length (``lev·10 ≤ la+lb``). The blocking
+    IS the operator's contract — near-dups that straddle a length
+    bucket or differ in language are out of scope by definition, and
+    the oracle applies the identical blocking — which is what makes an
+    exact-quadratic-verification operator scale: candidate pairs are
+    all-pairs only WITHIN a block, O(Σ block²) with block sizes bounded
+    by the (lang × length) histogram, never O(corpus²). The per-pair
+    verification is the vectorized byte-DP above; a length prefilter
+    (|la−lb|·10 > la+lb ⇒ impossible) drops pairs before any DP
+    runs."""
+    from ..io.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("bucket", pa.array(n // _EDIT_LEN_BUCKET))
+
+    def block_pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        lens = g["n_chars"].to_numpy(dtype=np.int64)
+        texts = [t.encode("utf-8") for t in g["text"].tolist()]
+        i, j = np.triu_indices(len(ids), 1)
+        # length prefilter: lev ≥ |la−lb|, so |la−lb|·10 > la+lb is out
+        ok = np.abs(lens[i] - lens[j]) * 10 <= lens[i] + lens[j]
+        i, j = i[ok], j[ok]
+        out_a, out_b, out_lev = [], [], []
+        for ii, jj in zip(i, j):
+            lev = _levenshtein_bytes(texts[ii], texts[jj])
+            if lev * 10 <= lens[ii] + lens[jj]:
+                out_a.append(ids[ii])
+                out_b.append(ids[jj])
+                out_lev.append(lev)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "lev": pa.array(out_lev, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "bucket"])
+        .map_groups(block_pairs, batch_format="pandas")
+    )
+
+
+_SQL_EDIT_DUP_PAIRS = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+FROM documents a
+JOIN documents b
+  ON a.lang = b.lang
+ AND a.n_chars // {_EDIT_LEN_BUCKET} = b.n_chars // {_EDIT_LEN_BUCKET}
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) * 10 <= a.n_chars + b.n_chars
+"""
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dup_pairs_exact": q_dup_pairs_exact,
@@ -1067,11 +1165,13 @@ QUERIES = {
     "ngram_dedup_pairs_df": q_ngram_dedup_pairs_df,
     "near_dup_clusters": q_near_dup_clusters,
     "simhash": q_simhash,
+    "edit_dup_pairs": q_edit_dup_pairs,
 }
 
 ORACLE_SQL = {
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dup_pairs_exact": _SQL_DUP_PAIRS,
+    "edit_dup_pairs": _SQL_EDIT_DUP_PAIRS,
     # DATA-DEPENDENT oracle: the SQL computes the EXACT O(N²) 3-gram
     # Jaccard pairs, while the engine path is MinHash-LSH-banded
     # (16 bands × 4 rows) + exact verification of candidates. Equality

@@ -235,6 +235,80 @@ class TestSmallQtyRevenue:
         assert got["avg7_cents"].isna().all()
 
 
+class TestDiscMedian:
+    def test_matches_duckdb_quantile_disc(self):
+        """The read-off convention must equal DuckDB's QUANTILE_DISC
+        at 0.5 for odd, even, and heavily-tied multisets."""
+        rng = np.random.RandomState(3)
+        con = duckdb.connect()
+        for _ in range(25):
+            vals = rng.randint(0, 12, size=rng.randint(1, 40)).tolist()
+            want = con.execute(
+                f"SELECT quantile_disc(x, 0.5) FROM (SELECT UNNEST({vals}) AS x)"
+            ).fetchone()[0]
+            u, c = np.unique(np.array(vals, dtype=np.int64), return_counts=True)
+            assert an._disc_median(u, c.astype(np.int64)) == want
+        con.close()
+
+
+class TestHourlyFill:
+    def test_gaps_are_zero_filled(self, tmp_path):
+        base = np.datetime64("2024-03-01T00:00:00", "us")
+        hours = [0, 0, 3, 7]  # hours 1,2,4,5,6 silent
+        ev = pa.table(
+            {"ts": pa.array([base + np.timedelta64(h, "h") for h in hours],
+                            pa.timestamp("us"))}
+        )
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        got = _pd(an.q_hourly_fill(str(tmp_path))).sort_values("hour")
+        assert len(got) == 8  # inclusive span hour0..hour7
+        assert got["n_events"].tolist() == [2, 0, 0, 1, 0, 0, 0, 1]
+
+
+class TestEditDupPairs:
+    def test_byte_dp_matches_duckdb_levenshtein(self):
+        """Differential pin: the vectorized byte DP equals DuckDB's
+        (byte-based) levenshtein on random unicode strings."""
+        import random
+
+        from pdf_parser_ray.stages.dedup import _levenshtein_bytes
+
+        random.seed(11)
+        con = duckdb.connect()
+        alpha = "abcdé日本x "
+        for _ in range(50):
+            a = "".join(random.choice(alpha) for _ in range(random.randint(0, 25)))
+            b = "".join(random.choice(alpha) for _ in range(random.randint(0, 25)))
+            want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+            assert _levenshtein_bytes(a.encode(), b.encode()) == want, (a, b)
+        con.close()
+
+    def test_blocked_pairs_on_crafted_corpus(self, tmp_path):
+        """Two near-dup docs in one block pair up; a cross-language
+        twin and an out-of-bucket twin do not (the blocking contract)."""
+        from pdf_parser_ray.stages.dedup import q_edit_dup_pairs
+
+        texts = {
+            1: ("the quick brown fox jumps over the lazy dog today", "en"),
+            2: ("the quick brown fox jumps over the lazy cat today", "en"),
+            3: ("the quick brown fox jumps over the lazy dog today", "fr"),
+        }
+        docs = pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array([t for t, _ in texts.values()]),
+                "lang": pa.array([l for _, l in texts.values()]),
+                "n_chars": pa.array(
+                    [len(t) for t, _ in texts.values()], pa.int64()
+                ),
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = _pd(q_edit_dup_pairs(str(tmp_path)))
+        assert got[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+        assert got["lev"].tolist() == [3]  # dog→cat: 3 byte substitutions
+
+
 class TestLateShipPriority:
     def test_grace_boundary_is_strict(self, tmp_path):
         """max shipdate exactly orderdate+grace does NOT count (SQL >)."""
