@@ -1370,6 +1370,112 @@ GROUP BY p
 """
 
 
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average — exact dyadic decay window
+# ---------------------------------------------------------------------------
+
+_EWMA_WINDOW = 32
+
+
+def q_order_ewma(sf_dir: str, n_buckets: int = 32):
+    """Per-customer EWMA (α = ½, adjust=False) of order totals over
+    the customer's last 32 orders — the exponential-decay window
+    operator, EXACT: with a dyadic α every weight is a power of two,
+    so the state is an integer rational ``num / 2^(n−1−m)`` with
+    ``num = Σ cents_j · 2^max(j−m−1, 0)`` (the two oldest in-window
+    terms both weigh 2⁰ — exactly the e_j = (x_j + e_{j−1})/2
+    recurrence unrolled). The 32-step history cap is what keeps
+    ``num`` in int64 (cents·2³⁰ ≈ 5×10¹⁶) and the oracle in HUGEINT at
+    any corpus size; the micro read-off is the usual positive rational
+    half-away rounding, done per customer in Python bignums because
+    2·10⁶·num exceeds int64. One custkey-bucket exchange at the order
+    grain (the input grain of any ordered window), everything after is
+    vectorized per partition."""
+    import pandas as pd
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets, pa.int64()),
+                "ck": pa.array(ck),
+                "ok": pa.array(
+                    batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "date_us": pa.array(
+                    batch["o_orderdate"].to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]").astype(np.int64)
+                ),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    def ewma(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ck", "date_us", "ok"])
+        ck = g["ck"].to_numpy(dtype=np.int64)
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        uniq, start = np.unique(ck, return_index=True)
+        n = np.diff(np.append(start, len(ck)))
+        idx = np.arange(len(ck)) - np.repeat(start, n)  # 0-based rank per ck
+        m = np.repeat(np.maximum(n - _EWMA_WINDOW, 0), n)
+        keep = idx >= m
+        w = np.int64(1) << np.maximum(idx - m - 1, 0)
+        contrib = np.where(keep, cents * w, 0)
+        inv = np.repeat(np.arange(len(uniq)), n)
+        nums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(nums, inv, contrib)
+        dens = np.int64(1) << (n - 1 - np.maximum(n - _EWMA_WINDOW, 0))
+        micro = np.fromiter(
+            (
+                (2 * 1_000_000 * int(a) + int(b)) // (2 * int(b))
+                for a, b in zip(nums, dens)
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(uniq),
+                "n_orders": pa.array(n.astype(np.int64)),
+                "ewma_micro": pa.array(micro),
+            }
+        )
+
+    return (
+        orders.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(ewma, batch_format="pandas")
+    )
+
+
+_SQL_ORDER_EWMA = f"""
+WITH o AS (
+    SELECT o_custkey,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) - 1 AS idx,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS n
+    FROM orders),
+w AS (
+    SELECT o_custkey, n, GREATEST(n - {_EWMA_WINDOW}, 0) AS m, idx, cents
+    FROM o WHERE idx >= GREATEST(n - {_EWMA_WINDOW}, 0)),
+s AS (
+    SELECT o_custkey, MAX(n) AS n_orders,
+           SUM(cents * (1::BIGINT << GREATEST(idx - m - 1, 0))) AS num,
+           (1::BIGINT << MAX(n - 1 - m)) AS den
+    FROM w GROUP BY o_custkey)
+SELECT o_custkey AS c_custkey,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST((2000000::HUGEINT * num + den) // (2::HUGEINT * den) AS BIGINT)
+           AS ewma_micro
+FROM s
+"""
+
+
 QUERIES = {
     "late_ship_priority": q_late_ship_priority,
     "promo_revenue": q_promo_revenue,
@@ -1385,9 +1491,11 @@ QUERIES = {
     "hourly_fill": q_hourly_fill,
     "event_unpivot": q_event_unpivot,
     "order_total_mad": q_order_total_mad,
+    "order_ewma": q_order_ewma,
 }
 
 ORACLE_SQL = {
+    "order_ewma": _SQL_ORDER_EWMA,
     "hourly_fill": _SQL_HOURLY_FILL,
     "event_unpivot": _sql_event_unpivot(),
     "order_total_mad": _SQL_ORDER_TOTAL_MAD,

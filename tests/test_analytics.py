@@ -309,6 +309,54 @@ class TestEditDupPairs:
         assert got["lev"].tolist() == [3]  # dog→cat: 3 byte substitutions
 
 
+class TestOrderEwma:
+    def test_window_cap_binds_and_matches_recurrence(self, tmp_path):
+        """40 orders for one customer: the 32-step history cap must
+        bind. Pin against (a) the exact Fraction recurrence
+        e_j = (x_j + e_{j-1})/2 seeded at the window's oldest order,
+        and (b) DuckDB running the registered oracle on the same
+        corpus."""
+        from fractions import Fraction
+
+        rng = np.random.RandomState(5)
+        n = 40
+        cents = rng.randint(100, 5_000_000, n)
+        orders = pa.table(
+            {
+                "o_custkey": pa.array([1] * n + [2, 2], pa.int64()),
+                "o_orderkey": pa.array(range(1, n + 3), pa.int64()),
+                "o_orderdate": _ts(list(range(n)) + [0, 0]),  # cust 2: date tie
+                "o_totalprice": pa.array(
+                    [c / 100 for c in cents] + [10.0, 20.0]
+                ),
+            }
+        )
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = (
+            _pd(an.q_order_ewma(str(tmp_path)))
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        # exact recurrence over the last 32 values only
+        tail = cents[-32:]
+        e = Fraction(int(tail[0]))
+        for x in tail[1:]:
+            e = (int(x) + e) / 2
+        num, den = e.numerator, e.denominator
+        want_micro = (2 * 1_000_000 * num + den) // (2 * den)
+        assert got["n_orders"].tolist() == [40, 2]
+        assert got.loc[0, "ewma_micro"] == want_micro
+        # cust 2: date tie broken by orderkey → e = (1000¢ + 2000¢)/2
+        # = 1500 cents = 1.5e9 micro-cents
+        assert got.loc[1, "ewma_micro"] == 1_500_000_000
+
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'")
+        ref = con.sql(an.ORACLE_SQL["order_ewma"]).df()
+        con.close()
+        assert _canon(got) == _canon(ref)
+
+
 class TestLateShipPriority:
     def test_grace_boundary_is_strict(self, tmp_path):
         """max shipdate exactly orderdate+grace does NOT count (SQL >)."""

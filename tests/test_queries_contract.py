@@ -38,8 +38,8 @@ def test_every_query_returns_rows_and_schema():
     # lock the round-4 coverage floor: 139 queries, ≥132 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 143
-    assert len(oracles) >= 136
+    assert len(queries) >= 144
+    assert len(oracles) >= 137
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
