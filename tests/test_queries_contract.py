@@ -35,7 +35,7 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 139 queries, ≥132 oracled —
+    # lock the round-4 coverage floor: 144 queries, ≥137 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
     assert len(queries) >= 144
