@@ -47,6 +47,10 @@ def _bench_queries():
         q_user_entropy,
     )
     from pdf_parser_ray.stages.embed import q_ann_topk
+    from pdf_parser_ray.relational.analytics import (
+        q_order_ewma,
+        q_waiting_suppliers,
+    )
     from pdf_parser_ray.stages.textstats import q_lm_doc_nll, q_token_count
 
     return {
@@ -63,6 +67,8 @@ def _bench_queries():
         "local_supplier_revenue": q_local_supplier_revenue,
         "user_entropy": q_user_entropy,
         "attribution_last_touch": q_attribution_last_touch,
+        "waiting_suppliers": q_waiting_suppliers,
+        "order_ewma": q_order_ewma,
     }
 
 
