@@ -1477,6 +1477,140 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Set algebra — INTERSECT / EXCEPT classification in one pass
+# ---------------------------------------------------------------------------
+
+def q_id_set_algebra(sf_dir: str):
+    """Set classification of the two id universes (event users vs
+    order customers): one row per distinct id with membership flags —
+    ``in_events ∧ in_orders`` rows ARE the INTERSECT, single-flag rows
+    are the two EXCEPTs, so one pass answers all three set operations
+    (and unlike a bare EXCEPT, the result can never be empty-schema).
+    Both sides pre-dedupe per batch and ship (id, flag) rows into one
+    groupby MAX — the tagged-union exchange carries distinct ids per
+    block, never event/order volume."""
+    from ray.data.aggregate import Max
+
+    events = _read(sf_dir, "events", ["user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def side(col: str, e: int, o: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.unique(batch[col].to_numpy(zero_copy_only=False).astype(np.int64))
+            n = len(ids)
+            return pa.table(
+                {
+                    "id": pa.array(ids),
+                    "in_events": pa.array(np.full(n, e, dtype=np.int64)),
+                    "in_orders": pa.array(np.full(n, o, dtype=np.int64)),
+                }
+            )
+
+        return fn
+
+    both = events.map_batches(
+        side("user_id", 1, 0), batch_format="pyarrow", batch_size=None
+    ).union(orders.map_batches(side("o_custkey", 0, 1), batch_format="pyarrow", batch_size=None))
+    return both.groupby("id").aggregate(
+        Max("in_events", alias_name="in_events"),
+        Max("in_orders", alias_name="in_orders"),
+    )
+
+
+_SQL_ID_SET_ALGEBRA = """
+SELECT id, CAST(MAX(e) AS BIGINT) AS in_events, CAST(MAX(o) AS BIGINT) AS in_orders
+FROM (
+    SELECT DISTINCT user_id AS id, 1 AS e, 0 AS o FROM events
+    UNION ALL
+    SELECT DISTINCT o_custkey AS id, 0 AS e, 1 AS o FROM orders)
+GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# RANK / PERCENT_RANK over a value-count summary
+# ---------------------------------------------------------------------------
+
+def q_priority_value_ranks(sf_dir: str):
+    """RANK and PERCENT_RANK of every distinct order total within its
+    priority, computed at the distinct-value grain: the exchange ships
+    the (priority, cents, count) summary — one row per distinct value
+    per batch, never order rows — and each partition derives
+    rnk = 1 + Σ counts of smaller values by cumulative sum, which
+    equals SQL's raw-row RANK() exactly (ties share the minimum rank).
+    PERCENT_RANK's (rnk−1)/(n−1) is emitted as exact ppm via rational
+    half-away rounding (int64 up to ~4×10¹² rows per group; the
+    oracle's HUGEINT mirrors the same formula, with the n=1 guard on
+    both sides)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"p": batch["o_orderpriority"].to_pandas(), "cents": cents})
+        g = df.groupby(["p", "cents"], as_index=False).size()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["p"].astype(str)),
+                "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+                "cnt": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    summary = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["o_orderpriority", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def ranks(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("cents")
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        rnk = cum - cnt + 1
+        n = cum[-1]
+        if n > 1:
+            ppm = (2 * 1_000_000 * (rnk - 1) + (n - 1)) // (2 * (n - 1))
+        else:
+            ppm = np.zeros(len(rnk), dtype=np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"].astype(str)),
+                "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "rnk": pa.array(rnk),
+                "pct_rank_ppm": pa.array(ppm.astype(np.int64)),
+            }
+        )
+
+    return summary.groupby("o_orderpriority").map_groups(ranks, batch_format="pandas")
+
+
+_SQL_PRIORITY_VALUE_RANKS = """
+WITH c AS (
+    SELECT o_orderpriority AS p,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY p, cents),
+w AS (
+    SELECT p, cents, cnt,
+           SUM(cnt) OVER (PARTITION BY p ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cnt + 1 AS rnk,
+           SUM(cnt) OVER (PARTITION BY p) AS n
+    FROM c)
+SELECT p AS o_orderpriority, cents, CAST(cnt AS BIGINT) AS cnt,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(CASE WHEN n = 1 THEN 0
+                 ELSE (2000000::HUGEINT * (rnk - 1) + (n - 1))
+                      // (2::HUGEINT * (n - 1)) END AS BIGINT) AS pct_rank_ppm
+FROM w
+"""
+
+
 QUERIES = {
     "late_ship_priority": q_late_ship_priority,
     "promo_revenue": q_promo_revenue,
@@ -1493,10 +1627,14 @@ QUERIES = {
     "event_unpivot": q_event_unpivot,
     "order_total_mad": q_order_total_mad,
     "order_ewma": q_order_ewma,
+    "id_set_algebra": q_id_set_algebra,
+    "priority_value_ranks": q_priority_value_ranks,
 }
 
 ORACLE_SQL = {
     "order_ewma": _SQL_ORDER_EWMA,
+    "id_set_algebra": _SQL_ID_SET_ALGEBRA,
+    "priority_value_ranks": _SQL_PRIORITY_VALUE_RANKS,
     "hourly_fill": _SQL_HOURLY_FILL,
     "event_unpivot": _sql_event_unpivot(),
     "order_total_mad": _SQL_ORDER_TOTAL_MAD,
