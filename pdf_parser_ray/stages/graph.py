@@ -555,12 +555,140 @@ SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-source BFS — bounded-hop shortest distances over the part graph
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 3
+
+
+def q_part_hops(sf_dir: str, seed_size: int = 1, n_buckets: int = 32):
+    """Minimum co-purchase hop distance from the seed set (parts with
+    ``p_size == seed_size``) to every reachable part, capped at
+    {_BFS_MAX_HOPS} hops — multi-source BFS, the bounded-depth member
+    of the iterative-graph family (PageRank = fixpoint message
+    passing, label propagation = unbounded min spread, this =
+    level-synchronous frontier expansion).
+
+    Plan: the adjacency list is built once from lineitem (per-batch
+    distinct (order, part) rows → orderkey-bucket exchange → per-basket
+    directed pairs, deduped per bucket — duplicate edges across buckets
+    are harmless for reachability and not worth a second global
+    exchange) and materialized (O(edges), spillable — the same pin
+    class as the triangle query's edge set). Each BFS round is ONE
+    scan of that adjacency: the frontier rides to workers as a sorted
+    broadcast array (the node universe is the bounded part dimension —
+    with unbounded nodes the frontier/visited sets become node-bucket
+    exchanges, the same note as the triangle degree dict), workers emit
+    the distinct neighbors of frontier members, and the driver folds
+    the node-grain result into visited/next-frontier. First-reach
+    level = minimum distance, so no min-reduction is needed."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    seeds_tbl = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filters=[("p_size", "=", seed_size)],
+    )
+    seeds = np.unique(seeds_tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def op_rows(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o": b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "p": b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(df["o"].to_numpy() % n_buckets),
+                "o": pa.array(df["o"].to_numpy()),
+                "p": pa.array(df["p"].to_numpy()),
+            }
+        )
+
+    def basket_adj(g: pd.DataFrame) -> pa.Table:
+        df = g[["o", "p"]].drop_duplicates()
+        j = df.merge(df, on="o")
+        j = j[j["p_x"] != j["p_y"]][["p_x", "p_y"]].drop_duplicates()
+        return pa.table(
+            {
+                "src": pa.array(j["p_x"].to_numpy(dtype=np.int64)),
+                "dst": pa.array(j["p_y"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    adj = (
+        lineitem.map_batches(op_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(basket_adj, batch_format="pandas")
+        .materialize()  # reused once per BFS round
+    )
+
+    rows_node = [seeds]
+    rows_hops = [np.zeros(len(seeds), dtype=np.int64)]
+    visited = seeds
+    frontier = seeds
+    for r in range(1, _BFS_MAX_HOPS + 1):
+        if not len(frontier):
+            break
+        fr = frontier  # captured (sorted) — rides to every task once
+
+        def expand(batch: pa.Table, fr=fr) -> pa.Table:
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(fr, src), 0, len(fr) - 1)
+            hit = fr[idx] == src
+            return pa.table({"node": pa.array(np.unique(dst[hit]))})
+
+        reached = (
+            adj.map_batches(expand, batch_format="pyarrow", batch_size=None)
+            .to_pandas()["node"]  # node-grain: bounded by the part dimension
+            .to_numpy(dtype=np.int64)
+        )
+        new = np.setdiff1d(np.unique(reached), visited, assume_unique=True)
+        if not len(new):
+            break
+        rows_node.append(new)
+        rows_hops.append(np.full(len(new), r, dtype=np.int64))
+        visited = np.union1d(visited, new)
+        frontier = new
+    return pd.DataFrame(
+        {
+            "partkey": np.concatenate(rows_node),
+            "hops": np.concatenate(rows_hops),
+        }
+    )
+
+
+q_part_hops.__doc__ = q_part_hops.__doc__.format(_BFS_MAX_HOPS=_BFS_MAX_HOPS)
+
+_SQL_PART_HOPS = f"""
+WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM pp a JOIN pp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+d(node, hops) AS (
+    SELECT p_partkey, 0 FROM part WHERE p_size = 1
+    UNION
+    SELECT e.dst, d.hops + 1 FROM d JOIN e ON e.src = d.node
+    WHERE d.hops < {_BFS_MAX_HOPS})
+SELECT node AS partkey, CAST(MIN(hops) AS BIGINT) AS hops
+FROM d GROUP BY node
+"""
+
 QUERIES = {
     "purchase_pagerank": q_purchase_pagerank,
     "triangle_count": q_triangle_count,
+    "part_hops": q_part_hops,
 }
 
 ORACLE_SQL = {
     "purchase_pagerank": _SQL_PAGERANK,
     "triangle_count": _SQL_TRIANGLES,
+    "part_hops": _SQL_PART_HOPS,
 }

@@ -357,6 +357,36 @@ class TestOrderEwma:
         assert _canon(got) == _canon(ref)
 
 
+class TestPartHops:
+    def test_cap_and_disconnection_bind_on_path_graph(self, tmp_path):
+        """Path graph 1-2-3-4-5-6 seeded at part 1 (p_size=1): hops
+        0..3 reachable, parts 5/6 beyond the cap and isolated part 10
+        absent."""
+        from pdf_parser_ray.stages.graph import q_part_hops
+
+        li = pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6], pa.int64()),
+                "l_partkey": pa.array([1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 10], pa.int64()),
+            }
+        )
+        part = pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4, 5, 6, 10], pa.int64()),
+                "p_size": pa.array([1, 9, 9, 9, 9, 9, 9], pa.int32()),
+            }
+        )
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        pq.write_table(part, str(tmp_path / "part.parquet"))
+        got = (
+            _pd(q_part_hops(str(tmp_path)))
+            .sort_values("partkey")
+            .reset_index(drop=True)
+        )
+        assert got["partkey"].tolist() == [1, 2, 3, 4]
+        assert got["hops"].tolist() == [0, 1, 2, 3]
+
+
 class TestLateShipPriority:
     def test_grace_boundary_is_strict(self, tmp_path):
         """max shipdate exactly orderdate+grace does NOT count (SQL >)."""
