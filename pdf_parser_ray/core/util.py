@@ -81,3 +81,13 @@ def hash_bucket(value, n_buckets: int) -> int:
         int.from_bytes(hashlib.md5(str(value).encode()).digest()[:4], "big")
         % n_buckets
     )
+
+
+def join_partitions() -> int:
+    """Hash-join partition count sized to the session: Ray's
+    hash-shuffle join spawns an aggregator actor pool, and a pool
+    sized past the session's CPUs starves the feeding task pool on
+    small sessions (one rule, shared by every Dataset.join site)."""
+    import ray
+
+    return max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))

@@ -48,12 +48,9 @@ from .ops import _cents, _read
 
 
 def _join_partitions() -> int:
-    """Hash-join partition count sized to the session (see
-    q_brand_revenue: an aggregator pool past the CPU count starves the
-    feeding tasks on small sessions)."""
-    import ray
+    from ..core.util import join_partitions
 
-    return max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    return join_partitions()
 
 
 _US_PER_DAY = 86_400_000_000
@@ -119,7 +116,7 @@ def q_late_ship_priority(sf_dir: str, grace_days: int = 5):
         vc = pr.value_counts()
         return pa.table(
             {
-                "o_orderpriority": pa.array(vc.index.astype(str)),
+                "o_orderpriority": pa.array(vc.index.astype(str), pa.string()),
                 "late_orders": pa.array(vc.values.astype(np.int64)),
             }
         )
@@ -328,13 +325,17 @@ def q_order_count_distribution(sf_dir: str):
     """Distribution of per-customer order counts, including customers
     with zero orders (Q13's LEFT JOIN + double GROUP BY). Level 1 is
     the usual partial-combine groupby on custkey; level 2 re-groups the
-    customer-grain counts into the (tiny) count histogram. The zero
-    bucket needs only the total customer count — read from the parquet
-    footer, no data pages — minus the customers seen in orders, so the
-    customer table itself is never scanned or joined."""
+    customer-grain counts into the (tiny) count histogram, keeping only
+    custkeys that EXIST in customer (an FK-orphan o_custkey would
+    otherwise count a phantom customer the oracle's LEFT JOIN never
+    sees — the key set broadcasts within the footer budget, hash-joins
+    beyond). The zero bucket then needs only the total customer count —
+    read from the parquet footer, no data pages."""
     import pandas as pd
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
+
+    from ..core.util import broadcast_build_fits
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
 
@@ -353,6 +354,34 @@ def q_order_count_distribution(sf_dir: str):
         .groupby("c_custkey")
         .aggregate(Sum("order_count", alias_name="order_count"))
     )
+
+    if broadcast_build_fits(f"{sf_dir}/customer.parquet"):
+        known = np.sort(
+            pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+            ["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+
+        def only_known(batch: pa.Table) -> pa.Table:
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(known):
+                idx = np.clip(np.searchsorted(known, ck), 0, len(known) - 1)
+                keep = known[idx] == ck
+            else:
+                keep = np.zeros(len(ck), bool)
+            return batch.filter(pa.array(keep))
+
+        cust_grain = cust_grain.map_batches(
+            only_known, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        customer = _read(sf_dir, "customer", ["c_custkey"])
+        cust_grain = cust_grain.join(
+            customer,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("c_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(["c_custkey", "order_count"])
 
     def histogram(batch: pa.Table) -> pa.Table:
         oc = batch["order_count"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -439,7 +468,7 @@ def q_part_supplier_counts(
             ).drop_duplicates()
             return pa.table(
                 {
-                    "p_brand": pa.array(df["p_brand"].astype(str)),
+                    "p_brand": pa.array(df["p_brand"].astype(str), pa.string()),
                     "p_size": pa.array(df["p_size"].to_numpy(dtype=np.int64)),
                     "l_suppkey": pa.array(df["l_suppkey"].to_numpy(dtype=np.int64)),
                 }
@@ -450,8 +479,8 @@ def q_part_supplier_counts(
         def pairs(batch: pa.Table) -> pa.Table:
             keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
             sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            uniq = np.unique(keys * (1 << 20) + sk)  # suppkey < 2^20 (asserted below)
-            assert sk.max(initial=0) < (1 << 20)
+            assert sk.max(initial=0) < (1 << 20) and keys.max(initial=0) < (1 << 43)
+            uniq = np.unique(keys * (1 << 20) + sk)
             return pa.table(
                 {
                     "l_partkey": pa.array(uniq >> 20, pa.int64()),
@@ -495,7 +524,7 @@ def q_part_supplier_counts(
         g = df.groupby(["p_brand", "p_size"], as_index=False).size()
         return pa.table(
             {
-                "p_brand": pa.array(g["p_brand"].astype(str)),
+                "p_brand": pa.array(g["p_brand"].astype(str), pa.string()),
                 "p_size": pa.array(g["p_size"].to_numpy(dtype=np.int64)),
                 "supplier_cnt": pa.array(g["size"].to_numpy(dtype=np.int64)),
             }
@@ -719,52 +748,116 @@ _Q19_CLAUSES = (
 )
 
 
-def q_disjunctive_revenue(sf_dir: str):
+def q_disjunctive_revenue(sf_dir: str, budget_bytes: int | None = None):
     """Revenue under an OR-of-ANDs predicate spanning both join sides
-    (Q19 shape): (brand, quantity range, max size) × 3 clauses. The
-    part attributes broadcast as aligned arrays; the whole disjunction
-    evaluates as one vectorized boolean expression per batch — no
-    row loop, no join materialization, one (revenue, count) partial row
-    per batch."""
+    (Q19 shape): (brand, quantity range, max size) × 3 clauses. Within
+    the footer budget the part attributes broadcast as aligned arrays
+    and the whole disjunction evaluates as one vectorized boolean
+    expression per batch — one (revenue, count) partial row out. Past
+    the budget, each batch pre-aggregates revenue to the (partkey,
+    quantity) grain — quantities are small integers, so that grain is
+    bounded by |parts|×|qty values|, and the predicate depends on
+    nothing finer — then hash-joins part and applies the same mask."""
     import pandas as pd
     import pyarrow.parquet as pq
 
-    part = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
-    )
-    pk = np.asarray(part["p_partkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    order = np.argsort(pk)
-    pk = pk[order]
-    brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
-    size = np.asarray(part["p_size"].to_numpy(zero_copy_only=False), dtype=np.int64)[order]
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
 
     li = _read(
         sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
-        disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
-        rev = price_c * (100 - disc_c)
-        idx = np.clip(np.searchsorted(pk, keys), 0, max(len(pk) - 1, 0))
-        hit = pk[idx] == keys if len(pk) else np.zeros(len(keys), bool)
-        b, s = brand[idx], size[idx]
-        mask = np.zeros(len(keys), bool)
+    def clause_mask(b: np.ndarray, s: np.ndarray, qty: np.ndarray) -> np.ndarray:
+        mask = np.zeros(len(qty), bool)
         for cb, qlo, qhi, smax in _Q19_CLAUSES:
             mask |= (b == cb) & (qty >= qlo) & (qty <= qhi) & (s <= smax)
-        mask &= hit
-        return pa.table(
-            {
-                "revenue_cents2": pa.array([int(rev[mask].sum())]),
-                "n_lines": pa.array([int(mask.sum())]),
-            }
+        return mask
+
+    if broadcast_build_fits(
+        f"{sf_dir}/part.parquet",
+        bytes_per_key=24,
+        budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES,
+    ):
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+        )
+        pk = np.asarray(part["p_partkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(pk)
+        pk = pk[order]
+        brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+        size = np.asarray(
+            part["p_size"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )[order]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+            price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+            disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+            rev = price_c * (100 - disc_c)
+            idx = np.clip(np.searchsorted(pk, keys), 0, max(len(pk) - 1, 0))
+            hit = pk[idx] == keys if len(pk) else np.zeros(len(keys), bool)
+            mask = clause_mask(brand[idx], size[idx], qty) & hit
+            return pa.table(
+                {
+                    "revenue_cents2": pa.array([int(rev[mask].sum())]),
+                    "n_lines": pa.array([int(mask.sum())]),
+                }
+            )
+
+        partials = li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    else:
+        def per_part_qty(batch: pa.Table) -> pa.Table:
+            keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+            price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+            disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+            rev = price_c * (100 - disc_c)
+            # (partkey, qty) grain: qty ∈ small ints, predicate needs
+            # nothing finer — the join probe stays dimension-bounded
+            assert qty.max(initial=0) < (1 << 10) and keys.max(initial=0) < (1 << 53)
+            pack = (keys << 10) | qty
+            uniq, inv = np.unique(pack, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, rev)
+            cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            return pa.table(
+                {
+                    "l_partkey": pa.array(uniq >> 10),
+                    "qty": pa.array(uniq & ((1 << 10) - 1)),
+                    "rev_cents2": pa.array(sums),
+                    "n": pa.array(cnts),
+                }
+            )
+
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        joined = li.map_batches(
+            per_part_qty, batch_format="pyarrow", batch_size=None
+        ).join(
+            part_ds,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
         )
 
-    sums = li.map_batches(partial, batch_format="pyarrow", batch_size=None).sum(
-        ["revenue_cents2", "n_lines"]
-    )
+        def fold(batch: pa.Table) -> pa.Table:
+            qty = batch["qty"].to_numpy(zero_copy_only=False)
+            rev = batch["rev_cents2"].to_numpy(zero_copy_only=False)
+            n = batch["n"].to_numpy(zero_copy_only=False)
+            b = np.asarray(batch["p_brand"].to_pylist(), dtype=object)
+            s = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = clause_mask(b, s, qty)
+            return pa.table(
+                {
+                    "revenue_cents2": pa.array([int(rev[mask].sum())]),
+                    "n_lines": pa.array([int(n[mask].sum())]),
+                }
+            )
+
+        partials = joined.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+    sums = partials.sum(["revenue_cents2", "n_lines"])
     return pd.DataFrame(
         {
             "revenue_cents2": [int(sums["sum(revenue_cents2)"])],
@@ -883,7 +976,14 @@ def q_waiting_suppliers(
         def attach(batch: pa.Table) -> pa.Table:
             sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
             idx = np.clip(np.searchsorted(s_keys, sk), 0, max(len(s_keys) - 1, 0))
-            return batch.append_column("s_name", pa.array(s_names[idx].astype(str)))
+            # verify the lookup: an FK-orphan suppkey must DROP (the
+            # inner-join semantics the fallback twin and oracle share),
+            # not inherit the nearest supplier's name
+            hit = s_keys[idx] == sk if len(s_keys) else np.zeros(len(sk), bool)
+            t = batch.filter(pa.array(hit))
+            return t.append_column(
+                "s_name", pa.array(s_names[idx[hit]].astype(str), pa.string())
+            )
 
         named = counts.map_batches(attach, batch_format="pyarrow", batch_size=None)
     else:
@@ -1210,6 +1310,10 @@ def q_hourly_fill(sf_dir: str):
         .aggregate(Sum("n_events", alias_name="n_events"))
         .to_pandas()  # bounded by the hour span, not the event count
     )
+    if not len(counts):  # empty aggregate loses its columns — guard
+        return pd.DataFrame(
+            {"hour": np.empty(0, np.int64), "n_events": np.empty(0, np.int64)}
+        )
     lo, hi = int(counts["hour"].min()), int(counts["hour"].max())
     full = pd.DataFrame({"hour": np.arange(lo, hi + 1, dtype=np.int64)})
     out = full.merge(counts, on="hour", how="left")
@@ -1258,7 +1362,7 @@ def q_event_unpivot(sf_dir: str):
         return pa.table(
             {
                 "day": pa.array(m["day"].to_numpy(dtype=np.int64)),
-                "event_type": pa.array(m["event_type"].astype(str)),
+                "event_type": pa.array(m["event_type"].astype(str), pa.string()),
                 "n": pa.array(m["n"].to_numpy(dtype=np.int64)),
             }
         )
@@ -1316,7 +1420,7 @@ def q_order_total_mad(sf_dir: str):
             g = df.groupby(["p", "v"], as_index=False).size()
             return pa.table(
                 {
-                    "o_orderpriority": pa.array(g["p"].astype(str)),
+                    "o_orderpriority": pa.array(g["p"].astype(str), pa.string()),
                     "v": pa.array(g["v"].to_numpy(dtype=np.int64)),
                     "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
                 }
@@ -1554,7 +1658,7 @@ def q_priority_value_ranks(sf_dir: str):
         g = df.groupby(["p", "cents"], as_index=False).size()
         return pa.table(
             {
-                "o_orderpriority": pa.array(g["p"].astype(str)),
+                "o_orderpriority": pa.array(g["p"].astype(str), pa.string()),
                 "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
                 "cnt": pa.array(g["size"].to_numpy(dtype=np.int64)),
             }
@@ -1578,7 +1682,7 @@ def q_priority_value_ranks(sf_dir: str):
             ppm = np.zeros(len(rnk), dtype=np.int64)
         return pa.table(
             {
-                "o_orderpriority": pa.array(g["o_orderpriority"].astype(str)),
+                "o_orderpriority": pa.array(g["o_orderpriority"].astype(str), pa.string()),
                 "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
                 "cnt": pa.array(cnt),
                 "rnk": pa.array(rnk),

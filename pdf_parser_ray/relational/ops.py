@@ -1765,12 +1765,9 @@ def q_brand_revenue(sf_dir: str):
 
     li = li.map_batches(prep, batch_format="pyarrow")
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
-    # partitions scale with the session: the hash-shuffle join spawns
-    # an aggregator actor pool, and a pool sized past the session's
-    # CPUs starves the feeding task pool on small sessions
-    import ray
+    from ..core.util import join_partitions
 
-    n_part = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    n_part = join_partitions()
     joined = li.join(
         part,
         join_type="inner",

@@ -664,7 +664,8 @@ def q_part_hops(sf_dir: str, seed_size: int = 1, n_buckets: int = 32):
     )
 
 
-q_part_hops.__doc__ = q_part_hops.__doc__.format(_BFS_MAX_HOPS=_BFS_MAX_HOPS)
+if q_part_hops.__doc__:  # absent under python -OO — must not break import
+    q_part_hops.__doc__ = q_part_hops.__doc__.format(_BFS_MAX_HOPS=_BFS_MAX_HOPS)
 
 _SQL_PART_HOPS = f"""
 WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -59,8 +59,9 @@ class TestBroadcastFallbackTwins:
             an.q_part_supplier_counts,
             an.q_waiting_suppliers,
             an.q_idle_rich_customers,
+            an.q_disjunctive_revenue,
         ],
-        ids=["promo", "part_supplier", "waiting", "idle_rich"],
+        ids=["promo", "part_supplier", "waiting", "idle_rich", "disjunctive"],
     )
     def test_twins_match(self, fn):
         a = _pd(fn(SF))
