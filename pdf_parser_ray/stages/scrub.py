@@ -61,12 +61,11 @@ def q_pii_scrub(sf_dir: str):
     return _docs(sf_dir).map_batches(_pii_fn, batch_format="pyarrow", batch_size=None)
 
 
-def _pii_fn(batch: pa.Table) -> pa.Table:
+def _augmented(batch: pa.Table) -> tuple[np.ndarray, pa.Array]:
+    """(ids, PII-augmented text): every ``_PII_EVERY``-th doc carries
+    the deterministic contact line — mirrored verbatim in both PII
+    oracles."""
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    text = batch["text"]
-    # deterministic augmentation (mirrored in the oracle SQL):
-    # every _PII_EVERY-th doc carries a contact line derived from
-    # its id
     suffix = [
         (
             f" contact u{int(i)}@example.com ssn 123-45-{int(i) % 10000:04d}"
@@ -76,7 +75,13 @@ def _pii_fn(batch: pa.Table) -> pa.Table:
         )
         for i in ids
     ]
-    aug = pc.binary_join_element_wise(text, pa.array(suffix, pa.string()), "")
+    return ids, pc.binary_join_element_wise(
+        batch["text"], pa.array(suffix, pa.string()), ""
+    )
+
+
+def _pii_fn(batch: pa.Table) -> pa.Table:
+    ids, aug = _augmented(batch)
     n_email = pc.cast(pc.count_substring_regex(aug, _RE_EMAIL), pa.int64())
     n_ssn = pc.cast(pc.count_substring_regex(aug, _RE_SSN), pa.int64())
     n_phone = pc.cast(pc.count_substring_regex(aug, _RE_PHONE), pa.int64())
@@ -213,12 +218,78 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# PII inventory — regex extraction exploding docs into match rows
+# ---------------------------------------------------------------------------
+
+def q_pii_inventory(sf_dir: str):
+    """Every PII match as its own row ``(doc_id, kind, hit)`` — the
+    flat-map/extraction twin of the redaction scrub (audit-the-corpus
+    instead of clean-it). Each kind extracts independently from the
+    ORIGINAL augmented text, duplicates preserved (one row per
+    occurrence, exactly what ``UNNEST(regexp_extract_all(...))``
+    yields). The per-document ``re.finditer`` loop is a genuine string
+    kernel (pyarrow's RE2 bindings expose count/replace but not
+    extract-all); compiled with ``re.ASCII`` so ``\\d``/``\\b`` match
+    RE2's byte-class semantics on any unicode corpus. Stateless
+    single-pass map — no shuffle at any corpus size."""
+    import re
+
+    pats = [
+        ("email", re.compile(_RE_EMAIL, re.ASCII)),
+        ("ssn", re.compile(_RE_SSN, re.ASCII)),
+        ("phone", re.compile(_RE_PHONE, re.ASCII)),
+    ]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, aug = _augmented(batch)
+        texts = aug.to_pylist()
+        out_id, out_kind, out_hit = [], [], []
+        for i, t in zip(ids, texts):
+            for kind, pat in pats:
+                for m in pat.finditer(t or ""):
+                    out_id.append(int(i))
+                    out_kind.append(kind)
+                    out_hit.append(m.group(0))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "kind": pa.array(out_kind, pa.string()),
+                "hit": pa.array(out_hit, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_PII_INVENTORY = rf"""
+WITH aug AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % {_PII_EVERY} = 0
+                        THEN printf(' contact u%d@example.com ssn 123-45-%04d phone 555-%04d',
+                                    doc_id, doc_id % 10000, doc_id % 10000)
+                        ELSE '' END AS text
+    FROM documents
+)
+SELECT doc_id, kind, hit FROM (
+    SELECT doc_id, 'email' AS kind,
+           UNNEST(regexp_extract_all(text, '{_RE_EMAIL}')) AS hit FROM aug
+    UNION ALL
+    SELECT doc_id, 'ssn', UNNEST(regexp_extract_all(text, '{_RE_SSN}')) FROM aug
+    UNION ALL
+    SELECT doc_id, 'phone', UNNEST(regexp_extract_all(text, '{_RE_PHONE}')) FROM aug
+)
+"""
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
     "gopher_rules": q_gopher_rules,
+    "pii_inventory": q_pii_inventory,
 }
 
 ORACLE_SQL = {
     "pii_scrub": _SQL_PII_SCRUB,
     "gopher_rules": _SQL_GOPHER_RULES,
+    "pii_inventory": _SQL_PII_INVENTORY,
 }

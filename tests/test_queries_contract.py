@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 147 queries, ≥140 oracled —
+    # lock the round-4 coverage floor: 148 queries, ≥141 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 147
-    assert len(oracles) >= 140
+    assert len(queries) >= 148
+    assert len(oracles) >= 141
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
