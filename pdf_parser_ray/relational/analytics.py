@@ -1715,6 +1715,175 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped MODE — most frequent value with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+def q_brand_mode_qty(sf_dir: str):
+    """Modal line quantity per part brand (ties broken toward the
+    smaller quantity) — the MODE aggregate, which neither engine
+    exposes with a defined tie-break, so both sides compute it the
+    same deterministic way: value counts per (brand, qty), then ONE
+    packed integer MAX per brand — ``cnt·2¹⁰ + (1023 − qty)``
+    maximizes count first and minimizes qty on ties, the argmax twin
+    of cheapest_supplier's argmin pack. The exchange carries the
+    (brand, qty) count summary; quantities are small integers so the
+    summary is bounded by |brands|×|qty values| per batch."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = np.asarray(part["p_partkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        assert qty.max(initial=0) < (1 << 10)
+        idx = np.clip(np.searchsorted(pk, keys), 0, max(len(pk) - 1, 0))
+        hit = pk[idx] == keys if len(pk) else np.zeros(len(keys), bool)
+        df = pd.DataFrame({"b": brand[idx[hit]], "q": qty[hit]})
+        g = df.groupby(["b", "q"], as_index=False).size()
+        return pa.table(
+            {
+                "p_brand": pa.array(g["b"].astype(str), pa.string()),
+                "qty": pa.array(g["q"].to_numpy(dtype=np.int64)),
+                "cnt": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    summary = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["p_brand", "qty"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        qty = batch["qty"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "packed": pa.array(cnt * 1024 + (1023 - qty)),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    agg = (
+        summary.map_batches(pack, batch_format="pyarrow", batch_size=None)
+        .groupby("p_brand")
+        .aggregate(Max("packed", alias_name="packed"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "mode_qty": pa.array(1023 - (packed & 1023)),
+                "n": pa.array(packed >> 10),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_BRAND_MODE_QTY = """
+WITH c AS (
+    SELECT p_brand, CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+           COUNT(*) AS cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, qty)
+SELECT p_brand,
+       CAST(1023 - (m % 1024) AS BIGINT) AS mode_qty,
+       CAST(m // 1024 AS BIGINT) AS n
+FROM (SELECT p_brand, MAX(cnt * 1024 + (1023 - qty)) AS m FROM c GROUP BY p_brand) q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Validity intervals — LEAD materialized as [from, to) rows (SCD2 shape)
+# ---------------------------------------------------------------------------
+
+_OPEN_END_US = 1 << 62  # sentinel for the open-ended current interval
+
+
+def q_event_validity_intervals(sf_dir: str, n_buckets: int = 32):
+    """Each event becomes a validity interval ``[ts, next_ts)`` within
+    its user's stream (ties ordered by event_id) — the LEAD window
+    materialized as SCD2-style rows, the complement of
+    ``latest_events``' keep-latest compaction. The last event per user
+    gets the ``2⁶²`` open-end sentinel instead of NULL so the column
+    stays non-nullable int64 (a NULL would round-trip through pandas
+    as float64 — the same sentinel-coalesce discipline as
+    attribution_last_touch). One user-bucket exchange at the event
+    grain; the shift is a vectorized per-partition gather."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "user_id": pa.array(uid),
+                "event_id": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "ts_us": pa.array(
+                    pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def intervals(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        nxt = np.empty(len(ts), dtype=np.int64)
+        if len(ts):
+            nxt[:-1] = ts[1:]
+            nxt[-1] = _OPEN_END_US
+            # last event of each user: next row belongs to someone else
+            brk = np.empty(len(ts), dtype=bool)
+            brk[:-1] = uid[1:] != uid[:-1]
+            brk[-1] = True
+            nxt[brk] = _OPEN_END_US
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(g["event_id"].to_numpy(dtype=np.int64)),
+                "event_type": pa.array(g["event_type"].astype(str), pa.string()),
+                "valid_from_us": pa.array(ts),
+                "valid_to_us": pa.array(nxt),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(intervals, batch_format="pandas")
+    )
+
+
+_SQL_VALIDITY_INTERVALS = f"""
+SELECT user_id, event_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(COALESCE(
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           {_OPEN_END_US}) AS BIGINT) AS valid_to_us
+FROM events
+"""
+
+
 QUERIES = {
     "late_ship_priority": q_late_ship_priority,
     "promo_revenue": q_promo_revenue,
@@ -1733,9 +1902,13 @@ QUERIES = {
     "order_ewma": q_order_ewma,
     "id_set_algebra": q_id_set_algebra,
     "priority_value_ranks": q_priority_value_ranks,
+    "brand_mode_qty": q_brand_mode_qty,
+    "event_validity_intervals": q_event_validity_intervals,
 }
 
 ORACLE_SQL = {
+    "brand_mode_qty": _SQL_BRAND_MODE_QTY,
+    "event_validity_intervals": _SQL_VALIDITY_INTERVALS,
     "order_ewma": _SQL_ORDER_EWMA,
     "id_set_algebra": _SQL_ID_SET_ALGEBRA,
     "priority_value_ranks": _SQL_PRIORITY_VALUE_RANKS,

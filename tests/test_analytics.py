@@ -388,6 +388,76 @@ class TestPartHops:
         assert got["hops"].tolist() == [0, 1, 2, 3]
 
 
+class TestBrandModeQty:
+    def test_mode_and_tiebreak_independent_of_pack(self, tmp_path):
+        """The packed-argmax formula is shared with the oracle, so a
+        symmetric bug would pass the hash check — pin the intended
+        semantics (most frequent, tie → SMALLER qty) independently."""
+        from collections import Counter
+
+        part = pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_brand": pa.array(["BrandA", "BrandB"]),
+            }
+        )
+        # BrandA: qty 5 ×3, qty 2 ×3 (tie → 2); BrandB: qty 7 ×2, 9 ×1
+        qtys = [5, 5, 5, 2, 2, 2, 7, 7, 9]
+        keys = [1, 1, 1, 1, 1, 1, 2, 2, 2]
+        li = pa.table(
+            {
+                "l_partkey": pa.array(keys, pa.int64()),
+                "l_quantity": pa.array([float(q) for q in qtys]),
+            }
+        )
+        pq.write_table(part, str(tmp_path / "part.parquet"))
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        got = (
+            _pd(an.q_brand_mode_qty(str(tmp_path)))
+            .sort_values("p_brand")
+            .reset_index(drop=True)
+        )
+        assert got["mode_qty"].tolist() == [2, 7]
+        assert got["n"].tolist() == [3, 2]
+        # independent reference on the same data
+        want = {}
+        for b, q in zip(["A"] * 6 + ["B"] * 3, qtys):
+            want.setdefault(b, Counter())[q] += 1
+        assert max(want["A"].items(), key=lambda kv: (kv[1], -kv[0])) == (2, 3)
+
+
+class TestValidityIntervals:
+    def test_ts_ties_order_by_event_id_and_open_end(self, tmp_path):
+        from pdf_parser_ray.relational.analytics import (
+            _OPEN_END_US,
+            q_event_validity_intervals,
+        )
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        ev = pa.table(
+            {
+                "event_id": pa.array([3, 1, 2, 9], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [base, base, base + np.timedelta64(1, "h"), base],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        got = (
+            _pd(q_event_validity_intervals(str(tmp_path)))
+            .sort_values(["user_id", "valid_from_us", "event_id"])
+            .reset_index(drop=True)
+        )
+        t0 = int(base.astype(np.int64))
+        hr = 3_600_000_000
+        # user 1: ids 1,3 tie at t0 (ordered 1→3), then 2 at t0+1h open
+        assert got["event_id"].tolist() == [1, 3, 2, 9]
+        assert got["valid_to_us"].tolist() == [t0, t0 + hr, _OPEN_END_US, _OPEN_END_US]
+
+
 class TestLateShipPriority:
     def test_grace_boundary_is_strict(self, tmp_path):
         """max shipdate exactly orderdate+grace does NOT count (SQL >)."""
