@@ -1,0 +1,81 @@
+"""Per-operator execution-stats audit for the bench suite.
+
+Runs the Dataset-returning headline + representative suite queries at
+``$GRAFT_SF_DIR`` (default sf0.1) and writes
+``artifacts/plan_audit.json``: per query, the end-to-end seconds and
+Ray Data's own ``ds.stats()`` report (per-operator wall time, block
+counts, task counts). This is the evidence behind the BASELINE.md
+claim that wall-time is dominated by useful compute, committed so a
+reviewer can read the per-stage breakdown without re-running anything.
+
+Usage::
+
+    python tools/plan_audit.py            # sf0.1, writes artifacts/plan_audit.json
+    GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/plan_audit.py out.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(__file__), "..", "artifacts", "plan_audit.json"
+    )
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+    from pdf_parser_ray.pipelines.extract import flagship
+    from pdf_parser_ray.relational.analytics import q_waiting_suppliers
+    from pdf_parser_ray.relational.ops import q_pricing_summary, q_segment_revenue
+    from pdf_parser_ray.stages.dedup import q_near_dup_pairs
+
+    targets = {
+        "extract_spans": lambda sf: flagship(sf),
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "near_dup_pairs": q_near_dup_pairs,
+        "waiting_suppliers": q_waiting_suppliers,
+    }
+
+    report = {"sf": SF_DIR, "queries": {}}
+    for name, builder in targets.items():
+        ds = builder(SF_DIR)
+        t0 = time.perf_counter()
+        # materialize (not count) so the executed plan retains its
+        # per-operator stats; count() can take a metadata-only path
+        # that reports nothing
+        mat = ds.materialize()
+        sec = round(time.perf_counter() - t0, 3)
+        report["queries"][name] = {
+            "sec": sec,
+            "rows": mat.count(),
+            "stats": mat.stats(),
+        }
+        n = report["queries"][name]["rows"]
+        print(f"{name}: {sec}s, {n} rows")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out_path}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
