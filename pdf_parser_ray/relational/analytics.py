@@ -53,6 +53,15 @@ def _join_partitions() -> int:
     return join_partitions()
 
 
+def _qty_int(arr) -> "np.ndarray":
+    """l_quantity → int64 with HALF-AWAY rounding (SQL ROUND), not
+    np.rint's half-to-even: a 2.5 must group as 3 on both engines —
+    group identity, not just a sum, can depend on it (the np.rint
+    trap embed.py:814 documents)."""
+    x = arr.to_numpy(zero_copy_only=False)
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 _US_PER_DAY = 86_400_000_000
 
 
@@ -581,7 +590,7 @@ def q_small_qty_revenue(sf_dir: str, brand: str = "Brand#1"):
 
     def qty_partial(batch: pa.Table) -> pa.Table:
         keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        qty = _qty_int(batch["l_quantity"])
         m = in_brand(keys)
         keys, qty = keys[m], qty[m]
         uniq, inv = np.unique(keys, return_inverse=True)
@@ -613,7 +622,7 @@ def q_small_qty_revenue(sf_dir: str, brand: str = "Brand#1"):
 
     def qualify(batch: pa.Table) -> pa.Table:
         keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        qty = _qty_int(batch["l_quantity"])
         price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
         if len(s_keys):
             idx = np.clip(np.searchsorted(s_keys, keys), 0, len(s_keys) - 1)
@@ -684,7 +693,7 @@ def q_large_orders(sf_dir: str, min_qty: int = 150, k: int = 100):
 
     def per_order(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        qty = _qty_int(batch["l_quantity"])
         uniq, inv = np.unique(ok, return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(sums, inv, qty)
@@ -791,7 +800,7 @@ def q_disjunctive_revenue(sf_dir: str, budget_bytes: int | None = None):
 
         def partial(batch: pa.Table) -> pa.Table:
             keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+            qty = _qty_int(batch["l_quantity"])
             price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
             disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
             rev = price_c * (100 - disc_c)
@@ -809,7 +818,7 @@ def q_disjunctive_revenue(sf_dir: str, budget_bytes: int | None = None):
     else:
         def per_part_qty(batch: pa.Table) -> pa.Table:
             keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+            qty = _qty_int(batch["l_quantity"])
             price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
             disc_c = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
             rev = price_c * (100 - disc_c)
@@ -1719,7 +1728,7 @@ FROM w
 # Grouped MODE — most frequent value with deterministic tie-break
 # ---------------------------------------------------------------------------
 
-def q_brand_mode_qty(sf_dir: str):
+def q_brand_mode_qty(sf_dir: str, budget_bytes: int | None = None):
     """Modal line quantity per part brand (ties broken toward the
     smaller quantity) — the MODE aggregate, which neither engine
     exposes with a defined tie-break, so both sides compute it the
@@ -1733,35 +1742,78 @@ def q_brand_mode_qty(sf_dir: str):
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
-    pk = np.asarray(part["p_partkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    order = np.argsort(pk)
-    pk = pk[order]
-    brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        assert qty.max(initial=0) < (1 << 10)
-        idx = np.clip(np.searchsorted(pk, keys), 0, max(len(pk) - 1, 0))
-        hit = pk[idx] == keys if len(pk) else np.zeros(len(keys), bool)
-        df = pd.DataFrame({"b": brand[idx[hit]], "q": qty[hit]})
-        g = df.groupby(["b", "q"], as_index=False).size()
-        return pa.table(
-            {
-                "p_brand": pa.array(g["b"].astype(str), pa.string()),
-                "qty": pa.array(g["q"].to_numpy(dtype=np.int64)),
-                "cnt": pa.array(g["size"].to_numpy(dtype=np.int64)),
-            }
+    if broadcast_build_fits(
+        f"{sf_dir}/part.parquet",
+        bytes_per_key=24,
+        budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES,
+    ):
+        part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+        pk = np.asarray(part["p_partkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(pk)
+        pk = pk[order]
+        brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            qty = _qty_int(batch["l_quantity"])
+            assert qty.max(initial=0) < (1 << 10)
+            idx = np.clip(np.searchsorted(pk, keys), 0, max(len(pk) - 1, 0))
+            hit = pk[idx] == keys if len(pk) else np.zeros(len(keys), bool)
+            df = pd.DataFrame({"b": brand[idx[hit]], "q": qty[hit]})
+            g = df.groupby(["b", "q"], as_index=False).size()
+            return pa.table(
+                {
+                    "p_brand": pa.array(g["b"].astype(str), pa.string()),
+                    "qty": pa.array(g["q"].to_numpy(dtype=np.int64)),
+                    "cnt": pa.array(g["size"].to_numpy(dtype=np.int64)),
+                }
+            )
+
+        tagged = li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    else:
+        # past the budget: pre-aggregate to the (partkey, qty) grain
+        # and hash-join part instead of shipping the dimension around
+        def per_part_qty(batch: pa.Table) -> pa.Table:
+            keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            qty = _qty_int(batch["l_quantity"])
+            assert qty.max(initial=0) < (1 << 10) and keys.max(initial=0) < (1 << 53)
+            pack = (keys << 10) | qty
+            uniq, counts = np.unique(pack, return_counts=True)
+            return pa.table(
+                {
+                    "l_partkey": pa.array(uniq >> 10),
+                    "qty": pa.array(uniq & ((1 << 10) - 1)),
+                    "cnt": pa.array(counts.astype(np.int64)),
+                }
+            )
+
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        joined = li.map_batches(
+            per_part_qty, batch_format="pyarrow", batch_size=None
+        ).join(
+            part_ds,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
         )
 
-    summary = (
-        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby(["p_brand", "qty"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "p_brand": batch["p_brand"],
+                    "qty": batch["qty"],
+                    "cnt": batch["cnt"],
+                }
+            )
+
+        tagged = joined.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+    summary = tagged.groupby(["p_brand", "qty"]).aggregate(Sum("cnt", alias_name="cnt"))
 
     def pack(batch: pa.Table) -> pa.Table:
         qty = batch["qty"].to_numpy(zero_copy_only=False)
@@ -1861,7 +1913,10 @@ def q_event_validity_intervals(sf_dir: str, n_buckets: int = 32):
             {
                 "user_id": pa.array(uid),
                 "event_id": pa.array(g["event_id"].to_numpy(dtype=np.int64)),
-                "event_type": pa.array(g["event_type"].astype(str), pa.string()),
+                # .tolist() (not astype(str)) so a NULL event_type stays NULL
+                # instead of becoming the literal "None" — the
+                # q_latest_events discipline
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
                 "valid_from_us": pa.array(ts),
                 "valid_to_us": pa.array(nxt),
             }

@@ -60,8 +60,9 @@ class TestBroadcastFallbackTwins:
             an.q_waiting_suppliers,
             an.q_idle_rich_customers,
             an.q_disjunctive_revenue,
+            an.q_brand_mode_qty,
         ],
-        ids=["promo", "part_supplier", "waiting", "idle_rich", "disjunctive"],
+        ids=["promo", "part_supplier", "waiting", "idle_rich", "disjunctive", "mode"],
     )
     def test_twins_match(self, fn):
         a = _pd(fn(SF))

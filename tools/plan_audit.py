@@ -57,8 +57,11 @@ def main() -> None:
 
     report = {"sf": SF_DIR, "queries": {}}
     for name, builder in targets.items():
-        ds = builder(SF_DIR)
+        # time from BEFORE the builder: broadcast-gated queries do
+        # driver-side footer/dimension reads while building the plan,
+        # and bench.py's numbers include that cost too
         t0 = time.perf_counter()
+        ds = builder(SF_DIR)
         # materialize (not count) so the executed plan retains its
         # per-operator stats; count() can take a metadata-only path
         # that reports nothing
