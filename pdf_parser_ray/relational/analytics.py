@@ -1939,6 +1939,83 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted median — quantity-weighted price midpoint per group
+# ---------------------------------------------------------------------------
+
+def q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted LOWER median of the line price per returnflag:
+    the smallest price whose cumulative quantity weight reaches half
+    the group's total (``2·cumw ≥ W``) — the weighted-statistics slot
+    neither engine has built in, so both sides compute the identical
+    integer rule (engine: cumsum over the value-count summary; oracle:
+    a window cumsum with ``MIN(cents) WHERE 2·cumw ≥ W``). The
+    exchange ships one (flag, cents, Σqty) row per distinct price per
+    batch — the same summary grain as the percentile family, weights
+    folded in."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        qty = _qty_int(batch["l_quantity"])
+        df = pd.DataFrame(
+            {"f": batch["l_returnflag"].to_pandas(), "cents": cents, "w": qty}
+        )
+        g = df.groupby(["f", "cents"], as_index=False)["w"].sum()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["f"].astype(str), pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+                "w": pa.array(g["w"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    summary = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_returnflag", "cents"])
+        .aggregate(Sum("w", alias_name="w"))
+    )
+
+    def read_off(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("cents")
+        w = g["w"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(w)
+        total = cum[-1]
+        v = int(g["cents"].to_numpy(dtype=np.int64)[np.searchsorted(2 * cum, total)])
+        return pa.table(
+            {
+                "l_returnflag": pa.array([str(g["l_returnflag"].iloc[0])], pa.string()),
+                "wmedian_cents": pa.array([v], pa.int64()),
+                "total_qty": pa.array([int(total)], pa.int64()),
+            }
+        )
+
+    return summary.groupby("l_returnflag").map_groups(read_off, batch_format="pandas")
+
+
+_SQL_WEIGHTED_MEDIAN = """
+WITH c AS (
+    SELECT l_returnflag AS f,
+           CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents,
+           SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+    FROM lineitem GROUP BY f, cents),
+w2 AS (
+    SELECT f, cents, w,
+           SUM(w) OVER (PARTITION BY f ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           SUM(w) OVER (PARTITION BY f) AS total
+    FROM c)
+SELECT f AS l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cumw >= total THEN cents END) AS BIGINT)
+           AS wmedian_cents,
+       CAST(MAX(total) AS BIGINT) AS total_qty
+FROM w2 GROUP BY f
+"""
+
+
 QUERIES = {
     "late_ship_priority": q_late_ship_priority,
     "promo_revenue": q_promo_revenue,
@@ -1959,9 +2036,11 @@ QUERIES = {
     "priority_value_ranks": q_priority_value_ranks,
     "brand_mode_qty": q_brand_mode_qty,
     "event_validity_intervals": q_event_validity_intervals,
+    "weighted_median_price": q_weighted_median_price,
 }
 
 ORACLE_SQL = {
+    "weighted_median_price": _SQL_WEIGHTED_MEDIAN,
     "brand_mode_qty": _SQL_BRAND_MODE_QTY,
     "event_validity_intervals": _SQL_VALIDITY_INTERVALS,
     "order_ewma": _SQL_ORDER_EWMA,
