@@ -2016,6 +2016,273 @@ FROM w2 GROUP BY f
 """
 
 
+# ---------------------------------------------------------------------------
+# Pre-conversion behaviour — events before a user's first order
+# ---------------------------------------------------------------------------
+
+
+def q_pre_purchase_views(sf_dir: str, n_buckets: int = 32):
+    """Per-type counts of the events a user fired BEFORE their first
+    ``purchase`` event — the acquisition-funnel question ("what do
+    people do before they convert?") expressed as a correlated date
+    predicate against a per-user MIN (``e.ts < MIN(ts) OF THAT user's
+    purchases``). The orders table cannot anchor the cutoff here: the
+    synthetic events stream (2024) postdates every order (1995–2001),
+    so the conversion moment lives inside the stream itself.
+
+    Shape: the cutoff side filters to purchases AT THE READ and
+    pre-reduces to one (batch, user) MIN row before the exchange; the
+    probe side cannot pre-reduce (each event row needs its own ``ts <
+    cutoff`` test), so events ride the same ``user_id % B`` bucket
+    exchange at stream grain and the comparison is one vectorized
+    map + mask per partition. COUNT(DISTINCT user) sums across
+    buckets because a user lives in exactly one bucket — the same
+    partitioned-distinct argument as ``type_user_counts``."""
+    import pandas as pd
+
+    events = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep_cutoffs(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b["event_type"], "purchase")
+        b = b.filter(mask)
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": pc.cast(b["ts"], pa.int64()).to_numpy(),
+            }
+        )
+        g = df.groupby("user_id", as_index=False)["ts_us"].min()
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": pa.array(g["ts_us"].to_numpy(dtype=np.int64), pa.int64()),
+                "event_type": pa.nulls(len(g), pa.string()),
+                "side": pa.array(np.ones(len(g), dtype=np.int8)),
+            }
+        )
+
+    def prep_events(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_type": b["event_type"],
+                "side": pa.array(np.zeros(len(uid), dtype=np.int8)),
+            }
+        )
+
+    both = events.map_batches(prep_cutoffs, batch_format="pyarrow").union(
+        events.map_batches(prep_events, batch_format="pyarrow")
+    )
+
+    def fold_bucket(g: pd.DataFrame) -> pa.Table:
+        cut = (
+            g[g["side"] == 1]
+            .groupby("user_id")["ts_us"].min()  # fold the per-batch partial MINs
+        )
+        ev = g[g["side"] == 0]
+        cutoff = ev["user_id"].map(cut)  # NaN for never-ordered users → mask False
+        keep = ev[ev["ts_us"] < cutoff]
+        agg = keep.groupby("event_type").agg(
+            events=("ts_us", "size"), users=("user_id", "nunique")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(agg.index.astype(str), pa.string()),
+                "events": pa.array(agg["events"].to_numpy(dtype=np.int64), pa.int64()),
+                "users": pa.array(agg["users"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        both.groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("events", alias_name="events"), Sum("users", alias_name="users"))
+    )
+
+
+_SQL_PRE_PURCHASE = """
+WITH fp AS (
+    SELECT user_id, MIN(ts) AS first_ts
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
+FROM events e JOIN fp ON e.user_id = fp.user_id
+WHERE e.ts < fp.first_ts
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spend concentration — exact per-segment Gini in integer arithmetic
+# ---------------------------------------------------------------------------
+
+
+def q_spend_gini(sf_dir: str, n_buckets: int = 16):
+    """Per-market-segment Gini coefficient of customer spend — the
+    concentration/inequality statistic a data-curation pipeline runs
+    on per-source token counts to detect corpus skew, here over the
+    customer/orders join. Exact integer arithmetic end to end via the
+    sorted-rank identity ``G = Σ(2r − n − 1)·xᵣ / (n·Σx)`` (x ascending,
+    r 1-based), reported as floor-ppm.
+
+    The rank problem is solved WITHOUT a global sort of the grain,
+    one step leaner than ``customer_spend_quartiles``'s two-pass
+    bucket-rank: per-customer spends land in VALUE-RANGE buckets
+    (monotone ``(bit_length, mantissa)`` binning — bucket order IS
+    value order), each (segment, vbucket) group emits the closed-form
+    pieces ``(k, Σc, Σ j·cⱼ)`` of its locally-sorted run, and the
+    driver prefix-sums the O(segments × buckets) summary to place
+    every group's global rank offset: ``Σ(2r−n−1)c = (2·offset+1−n)·Σc
+    + 2·Σj·cⱼ``. One grain exchange (the bucket join), one summary
+    exchange, no second pass, no driver row data. ``Σ j·cⱼ`` is summed
+    in object dtype (exact Python ints) and shipped as two int64 limbs
+    — group-local cost, unbounded-magnitude safe."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": b["o_custkey"].to_numpy(zero_copy_only=False),
+                "cents": _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("key", as_index=False)["cents"].sum()
+        keys = g["key"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+                "bucket": pa.array(keys % n_buckets, pa.int64()),
+                "side": pa.array(np.zeros(len(g), dtype=np.int8)),
+                "seg": pa.nulls(len(g), pa.string()),
+            }
+        )
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["c_custkey"],
+                "cents": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "bucket": pa.array(
+                    b["c_custkey"].to_numpy(zero_copy_only=False) % n_buckets,
+                    pa.int64(),
+                ),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                "seg": b["c_mktsegment"],
+            }
+        )
+
+    both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
+        customer.map_batches(prep_cust, batch_format="pyarrow")
+    )
+
+    m1 = 7  # mantissa bits of the value-range binning (≈ 2⁻⁷ buckets)
+    _LIMB = 62
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        # fold the per-batch partial sums, then attach the segment
+        probe = (
+            g[g["side"] == 0].groupby("key", as_index=False)["cents"].sum()
+        )
+        build = g[g["side"] == 1][["key", "seg"]]
+        j = probe.merge(build, on="key", how="inner")
+        c = j["cents"].to_numpy(dtype=np.int64)
+        if (c <= 0).any():
+            raise ValueError("gini rank binning assumes positive spend totals")
+        bl = np.frexp(c.astype(np.float64))[1].astype(np.int64)
+        sub = c >> np.maximum(bl - m1, 0)
+        return pa.table(
+            {
+                "seg": pa.array(j["seg"].astype(str), pa.string()),
+                "vbucket": pa.array(bl * (1 << m1) + sub, pa.int64()),
+                "key": pa.array(j["key"].to_numpy(dtype=np.int64), pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    grain = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+    def summarize(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cents", "key"], kind="mergesort")
+        c = g["cents"].to_numpy(dtype=np.int64)
+        k = len(c)
+        s = int(c.sum(dtype=object))
+        t = int((np.arange(k, dtype=object) * c.astype(object)).sum())
+        return pa.table(
+            {
+                "seg": pa.array([str(g["seg"].iloc[0])], pa.string()),
+                "vbucket": pa.array([int(g["vbucket"].iloc[0])], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+                "s_lo": pa.array([s & ((1 << _LIMB) - 1)], pa.int64()),
+                "s_hi": pa.array([s >> _LIMB], pa.int64()),
+                "t_lo": pa.array([t & ((1 << _LIMB) - 1)], pa.int64()),
+                "t_hi": pa.array([t >> _LIMB], pa.int64()),
+            }
+        )
+
+    summary = (
+        grain.groupby(["seg", "vbucket"])
+        .map_groups(summarize, batch_format="pandas")
+        .to_pandas()  # bounded: O(segments × value buckets) fixed-width rows
+        .sort_values(["seg", "vbucket"], kind="mergesort")
+    )
+
+    out = []
+    for seg, sg in summary.groupby("seg", sort=True):
+        n = int(sg["k"].sum())
+        offset, num, total = 0, 0, 0
+        for r in sg.itertuples():
+            s_g = (int(r.s_hi) << _LIMB) + int(r.s_lo)
+            t_g = (int(r.t_hi) << _LIMB) + int(r.t_lo)
+            # ranks are 1-based ascending: r = offset + j + 1, j local
+            num += (2 * offset + 1 - n) * s_g + 2 * t_g
+            total += s_g
+            offset += int(r.k)
+        out.append(
+            {
+                "segment": seg,
+                "n_customers": n,
+                "spend_cents": total,
+                "gini_ppm": (1_000_000 * num) // (n * total),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+_SQL_SPEND_GINI = """
+WITH t AS (
+    SELECT c_mktsegment AS segment, o_custkey AS k,
+           SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+), r AS (
+    SELECT segment, cents,
+           ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, k) AS rn,
+           COUNT(*) OVER (PARTITION BY segment) AS n
+    FROM t
+)
+SELECT segment,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS spend_cents,
+       CAST((1000000 * SUM((2*CAST(rn AS HUGEINT) - n - 1) * cents))
+            // (CAST(MAX(n) AS HUGEINT) * SUM(cents)) AS BIGINT) AS gini_ppm
+FROM r GROUP BY segment ORDER BY segment
+"""
+
+
 QUERIES = {
     "late_ship_priority": q_late_ship_priority,
     "promo_revenue": q_promo_revenue,
@@ -2037,10 +2304,14 @@ QUERIES = {
     "brand_mode_qty": q_brand_mode_qty,
     "event_validity_intervals": q_event_validity_intervals,
     "weighted_median_price": q_weighted_median_price,
+    "pre_purchase_views": q_pre_purchase_views,
+    "spend_gini": q_spend_gini,
 }
 
 ORACLE_SQL = {
     "weighted_median_price": _SQL_WEIGHTED_MEDIAN,
+    "pre_purchase_views": _SQL_PRE_PURCHASE,
+    "spend_gini": _SQL_SPEND_GINI,
     "brand_mode_qty": _SQL_BRAND_MODE_QTY,
     "event_validity_intervals": _SQL_VALIDITY_INTERVALS,
     "order_ewma": _SQL_ORDER_EWMA,

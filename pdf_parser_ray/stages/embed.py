@@ -843,8 +843,109 @@ FROM e GROUP BY vec_id
 """
 
 
+def q_ann_recall_sweep(sf_dir: str, n_cells: int = 16, probe_levels=(1, 2, 4, 8)):
+    """Recall/cost curve of the IVF index — the evaluation harness an
+    ANN deployment runs before picking ``n_probe``: for each probe
+    level, the exact top-10 hits recovered and the number of
+    candidate vectors scanned, against the brute-force baseline (the
+    full-probe level, appended automatically, whose recall is 1 by
+    construction).
+
+    ONE streaming pass computes every level simultaneously: a vector
+    in the query's ``r``-th nearest cell is a candidate for every
+    level ``p > r``, so each batch emits, per level, its local top-10
+    (pruned on the same integer-micro / vec_id order the global
+    re-rank uses — the :func:`q_ann_topk` tie discipline) plus one
+    candidate-count summary row. The exchange carries O(levels × (k +
+    1) × blocks) rows; the driver folds O(levels × k) rows into the
+    recall table. Rows-only by nature (recall of an index is not a
+    SQL-expressible quantity); determinism comes from the seeded
+    centroids and integer scores."""
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    qids, qmat = _query_matrix(sf_dir)
+    dim = qmat.shape[1]
+    centroids = rng.randn(n_cells, dim)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    q0 = qmat[0] / np.linalg.norm(qmat[0])
+    cell_rank = np.empty(n_cells, dtype=np.int64)
+    cell_rank[np.argsort(-(centroids @ q0))] = np.arange(n_cells)
+    levels = sorted(set(int(p) for p in probe_levels) | {n_cells})
+
+    def local(batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        ranks = cell_rank[np.argmax(vn @ centroids.T, axis=1)]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        s_micro = np.rint((vn @ q0) * 1e6).astype(np.int64)
+        base = ids != 0  # the query vector never scores itself
+        out_p, out_id, out_s, out_c = [], [], [], []
+        for p in levels:
+            m = base & (ranks < p)
+            idsp, sp = ids[m], s_micro[m]
+            out_p.append(np.full(1, p))
+            out_id.append(np.full(1, -1))  # summary row: candidates only
+            out_s.append(np.zeros(1, np.int64))
+            out_c.append(np.full(1, len(idsp)))
+            if len(idsp) > _TOP_K:
+                order = np.lexsort((idsp, -sp))[:_TOP_K]
+                idsp, sp = idsp[order], sp[order]
+            out_p.append(np.full(len(idsp), p))
+            out_id.append(idsp)
+            out_s.append(sp)
+            out_c.append(np.zeros(len(idsp), np.int64))
+        return pa.table(
+            {
+                "p": pa.array(np.concatenate(out_p), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "cos_micro": pa.array(np.concatenate(out_s), pa.int64()),
+                "cand": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    def fold_level(g: pd.DataFrame) -> pa.Table:
+        cand = int(g["cand"].sum())
+        top = (
+            g[g["vec_id"] >= 0]
+            .sort_values(["cos_micro", "vec_id"], ascending=[False, True], kind="mergesort")
+            .head(_TOP_K)
+        )
+        k = len(top)
+        return pa.table(
+            {
+                "p": pa.array(np.full(k, int(g["p"].iloc[0])), pa.int64()),
+                "vec_id": pa.array(top["vec_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "cand": pa.array(np.full(k, cand), pa.int64()),
+            }
+        )
+
+    folded = (
+        _embeddings(sf_dir)
+        .map_batches(local, batch_format="pyarrow", batch_size=None)
+        .groupby("p")
+        .map_groups(fold_level, batch_format="pandas")
+        .to_pandas()  # bounded: O(levels × k) rows
+    )
+
+    exact = set(folded.loc[folded["p"] == n_cells, "vec_id"].tolist())
+    out = []
+    for p, g in folded.groupby("p", sort=True):
+        hits = len(set(g["vec_id"].tolist()) & exact)
+        out.append(
+            {
+                "n_probe": int(p),
+                "n_candidates": int(g["cand"].iloc[0]),
+                "hits": hits,
+                "recall_ppm": (1_000_000 * hits) // _TOP_K,
+            }
+        )
+    return pd.DataFrame(out)
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
+    "ann_recall_sweep": q_ann_recall_sweep,
     "ann_topk_filtered": q_ann_topk_filtered,
     "label_centroids": q_label_centroids,
     "label_token_stats": q_label_token_stats,

@@ -483,3 +483,97 @@ class TestLateShipPriority:
         _write(tmp_path, "lineitem", li)
         got = _pd(an.q_late_ship_priority(str(tmp_path), grace_days=5))
         assert got["late_orders"].tolist() == [12]
+
+
+class TestSpendGini:
+    def test_matches_pairwise_definition(self, tmp_path):
+        """The rank identity Σ(2r−n−1)x₍ᵣ₎ is shared with the oracle,
+        so a symmetric bug would pass the hash check — pin against the
+        INDEPENDENT pairwise form G = ΣᵢΣⱼ|xᵢ−xⱼ| / (2·n·Σx) computed
+        with Python ints, including a tied-spend segment (the identity
+        must be tie-order invariant)."""
+        # seg A: spends 1.00, 1.00, 4.00 (tie); seg B: equal spends → G=0
+        cust = pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "c_mktsegment": pa.array(["A", "A", "A", "B", "B"]),
+            }
+        )
+        # customer 3's spend arrives as two orders — the per-key
+        # pre-aggregation must fold before ranking
+        orders = pa.table(
+            {
+                "o_custkey": pa.array([1, 2, 3, 3, 4, 5], pa.int64()),
+                "o_totalprice": pa.array([1.0, 1.0, 1.5, 2.5, 7.0, 7.0]),
+            }
+        )
+        _write(tmp_path, "customer", cust)
+        _write(tmp_path, "orders", orders)
+        got = _pd(an.q_spend_gini(str(tmp_path))).sort_values("segment")
+        spends = {"A": [100, 100, 400], "B": [700, 700]}
+        for seg, xs in spends.items():
+            n, s = len(xs), sum(xs)
+            num = sum(abs(a - b) for a in xs for b in xs)
+            want_ppm = (1_000_000 * num) // (2 * n * s)
+            row = got[got["segment"] == seg].iloc[0]
+            assert int(row["gini_ppm"]) == want_ppm, seg
+            assert int(row["n_customers"]) == n
+            assert int(row["spend_cents"]) == s
+        assert int(got[got["segment"] == "B"]["gini_ppm"].iloc[0]) == 0
+
+    def test_limb_reassembly_on_wide_values(self, tmp_path):
+        """Σ j·cⱼ exceeding one int64 limb must survive the two-limb
+        round trip: spends near 2⁶⁰ cents force t_hi ≠ 0."""
+        # dollar amounts 2⁵⁵ and 2⁵⁶ are exact float64 and their cents
+        # (25·2⁵⁷, 25·2⁵⁸) are exact float64 AND int64-safe; the group's
+        # Σ j·cⱼ = 5·25·2⁵⁷ ≈ 1.8e19 overflows one 62-bit limb
+        big = 1 << 55
+        cust = pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_mktsegment": pa.array(["X", "X", "X"]),
+            }
+        )
+        orders = pa.table(
+            {
+                "o_custkey": pa.array([1, 2, 3], pa.int64()),
+                "o_totalprice": pa.array([float(big), float(big), float(2 * big)]),
+            }
+        )
+        _write(tmp_path, "customer", cust)
+        _write(tmp_path, "orders", orders)
+        got = _pd(an.q_spend_gini(str(tmp_path)))
+        xs = [100 * big, 100 * big, 200 * big]
+        num = sum(abs(a - b) for a in xs for b in xs)
+        want = (1_000_000 * num) // (2 * 3 * sum(xs))
+        assert int(got["gini_ppm"].iloc[0]) == want
+
+
+class TestPrePurchaseViews:
+    def test_cutoff_is_strict_and_non_converters_drop(self, tmp_path):
+        import pandas as pd
+
+        # user 1: view(d0), click(d1), first purchase d2, view(d3 — after)
+        # user 2: view AT its first purchase instant (excluded: strict <)
+        # user 3: never purchases → contributes nothing
+        events = pa.table(
+            {
+                "event_id": pa.array(range(1, 9), pa.int64()),
+                "user_id": pa.array([1, 1, 1, 1, 2, 2, 3, 3], pa.int64()),
+                "event_type": pa.array(
+                    ["view", "click", "purchase", "view",
+                     "view", "purchase", "view", "click"]
+                ),
+                "ts": _ts([0, 1, 2, 3, 5, 5, 0, 1]),
+            }
+        )
+        _write(tmp_path, "events", events)
+        got = (
+            _pd(an.q_pre_purchase_views(str(tmp_path)))
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            {"event_type": ["click", "view"], "events": [1, 1], "users": [1, 1]}
+        )
+        pd.testing.assert_frame_equal(got[["event_type", "events", "users"]], want)

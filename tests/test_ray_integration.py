@@ -936,3 +936,34 @@ class TestTrainingIngest:
         assert len(flat) == len(want)  # no duplication across trainers
         assert set(flat) == want       # no loss
         assert sum(1 for s in got if s) >= 2  # actually sharded
+
+
+def test_ann_recall_sweep_curve():
+    """The sweep's structural invariants: candidates and recall are
+    monotone non-decreasing in n_probe, the auto-appended full-probe
+    level scans every non-query vector and recovers the exact top-k
+    (recall 1), and the n_probe=8 row agrees with q_ann_ivf's
+    independent single-level implementation."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.stages.embed import (
+        _TOP_K,
+        q_ann_ivf,
+        q_ann_recall_sweep,
+        q_ann_topk,
+    )
+
+    sweep = q_ann_recall_sweep(SF).sort_values("n_probe").reset_index(drop=True)
+    assert sweep["n_probe"].tolist()[-1] == 16  # full probe auto-appended
+    assert sweep["n_candidates"].is_monotonic_increasing
+    assert sweep["recall_ppm"].is_monotonic_increasing
+    n_vecs = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+    full = sweep.iloc[-1]
+    assert int(full["n_candidates"]) == n_vecs - 1  # all but the query vector
+    assert int(full["recall_ppm"]) == 1_000_000
+    # cross-check one interior level against the standalone IVF query
+    brute = set(q_ann_topk(SF).to_pandas()["vec_id"])
+    ivf8 = set(q_ann_ivf(SF, n_probe=8).to_pandas()["vec_id"])
+    row8 = sweep[sweep["n_probe"] == 8].iloc[0]
+    assert int(row8["hits"]) == len(brute & ivf8)
+    assert int(row8["recall_ppm"]) == (1_000_000 * len(brute & ivf8)) // _TOP_K
