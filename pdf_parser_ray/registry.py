@@ -26,6 +26,7 @@ _QUERY_MODULES = (
     "pdf_parser_ray.pipelines.ingest",
     "pdf_parser_ray.stages.graph",
     "pdf_parser_ray.relational.analytics",
+    "pdf_parser_ray.relational.analytics2",
 )
 
 

@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 154 queries, ≥146 oracled —
+    # lock the round-4 coverage floor: 162 queries, ≥154 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 154
-    assert len(oracles) >= 146
+    assert len(queries) >= 162
+    assert len(oracles) >= 154
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
