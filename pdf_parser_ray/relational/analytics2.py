@@ -1227,6 +1227,121 @@ WHERE q * 4 * (SELECT COUNT(*) FROM s) > 5 * (SELECT SUM(q) FROM s)
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped exact OLS slope — SQL REGR_SLOPE with hash-exact semantics
+# ---------------------------------------------------------------------------
+
+def q_revenue_trend(sf_dir: str):
+    """Per-priority linear trend of order value over time (SQL
+    ``REGR_SLOPE(o_totalprice, day)`` shape), exact: the slope
+    ``(n·Σxy − Σx·Σy) / (n·Σxx − Σx²)`` is a ratio of integers when x
+    is whole days since a fixed epoch and y is cents, so the µ-cents/
+    day read-off is one signed half-away rational rounding in Python
+    bignums — no float ever enters, and the distributed sum order
+    cannot change the answer.
+
+    Each batch folds to one (n, Σx, Σy, Σxy, Σxx) row per priority;
+    the groupby moves O(groups × blocks) partials. Σxy is the widest
+    sum (day·cents ≈ 2⁴⁷ per row → past int64 near 10⁹ rows/group), so
+    it ships as two int64 limbs (hi = v>>31, lo = v&(2³¹−1)) summed
+    independently and reassembled driver-side — the spend_gini limb
+    transport. The ≤ #priorities result rows are driver-bounded."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    epoch = _day_us("1995-01-01")
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = (_ts_us(batch["o_orderdate"]) - epoch) // _US
+        y = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "pr": batch["o_orderpriority"].to_pandas().to_numpy(),
+                "n": np.ones(len(x), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        agg = df.groupby("pr", sort=False).sum().reset_index()
+        sxy = agg["sxy"].to_numpy()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(agg["pr"].astype(str), pa.string()),
+                "n": pa.array(agg["n"].to_numpy(), pa.int64()),
+                "sx": pa.array(agg["sx"].to_numpy(), pa.int64()),
+                "sy": pa.array(agg["sy"].to_numpy(), pa.int64()),
+                "sxy_hi": pa.array(sxy >> 31, pa.int64()),
+                "sxy_lo": pa.array(sxy & ((1 << 31) - 1), pa.int64()),
+                "sxx": pa.array(agg["sxx"].to_numpy(), pa.int64()),
+            }
+        )
+
+    g = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy_hi", alias_name="sxy_hi"),
+            Sum("sxy_lo", alias_name="sxy_lo"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+    df = g.to_pandas()  # ≤ #priorities rows
+    out_n, out_slope = [], []
+    for _, r in df.iterrows():
+        n, sx, sy, sxx = int(r["n"]), int(r["sx"]), int(r["sy"]), int(r["sxx"])
+        sxy = (int(r["sxy_hi"]) << 31) + int(r["sxy_lo"])
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope = 0
+        elif num >= 0:
+            slope = (2 * 1_000_000 * num + den) // (2 * den)
+        else:
+            slope = -((2 * 1_000_000 * (-num) + den) // (2 * den))
+        out_n.append(n)
+        out_slope.append(slope)
+    return pd.DataFrame(
+        {
+            "o_orderpriority": df["o_orderpriority"].astype(str),
+            "n_orders": pd.Series(out_n, dtype=np.int64),
+            "slope_micro": pd.Series(out_slope, dtype=np.int64),
+        }
+    ).reset_index(drop=True)
+
+
+_SQL_REVENUE_TREND = """
+WITH b AS (
+    SELECT o_orderpriority,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS y,
+           CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS x
+    FROM orders),
+s AS (
+    SELECT o_orderpriority, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x*y) AS sxy, SUM(x*x) AS sxx
+    FROM b GROUP BY o_orderpriority)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(CASE
+            WHEN (n*sxx - sx*sx) = 0 THEN 0
+            WHEN (n*sxy - sx*sy) >= 0
+            THEN (2*1000000*(n*sxy - sx*sy) + (n*sxx - sx*sx))
+                 // (2*(n*sxx - sx*sx))
+            ELSE -((2*1000000*(sx*sy - n*sxy) + (n*sxx - sx*sx))
+                 // (2*(n*sxx - sx*sx)))
+       END AS BIGINT) AS slope_micro
+FROM s
+"""
+
+
 QUERIES = {
     "discount_revenue": q_discount_revenue,
     "nation_trade_volume": q_nation_trade_volume,
@@ -1236,9 +1351,11 @@ QUERIES = {
     "priority_line_mix": q_priority_line_mix,
     "top_supplier": q_top_supplier,
     "prolific_part_suppliers": q_prolific_part_suppliers,
+    "revenue_trend": q_revenue_trend,
 }
 
 ORACLE_SQL = {
+    "revenue_trend": _SQL_REVENUE_TREND,
     "discount_revenue": _SQL_DISCOUNT_REVENUE,
     "nation_trade_volume": _SQL_NATION_TRADE,
     "market_share": _SQL_MARKET_SHARE,

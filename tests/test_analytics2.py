@@ -95,6 +95,9 @@ def corpus(tmp_path_factory):
         "o_orderdate": _ts_days(rng.randint(0, 1300, 80)),
         "o_orderpriority": pa.array(rng.choice(
             ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], 80)),
+        # wide totals: day·cents products exceed 2^31, so the crafted
+        # differential exercises the revenue_trend limb reassembly
+        "o_totalprice": pa.array(np.round(rng.uniform(1000, 90000, 80), 2)),
     }))
     _write(d, "part", pa.table({
         "p_partkey": pa.array(np.arange(1, 21), pa.int64()),
@@ -135,6 +138,7 @@ ALL = [
     "priority_line_mix",
     "top_supplier",
     "prolific_part_suppliers",
+    "revenue_trend",
 ]
 
 
