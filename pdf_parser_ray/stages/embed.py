@@ -943,8 +943,75 @@ def q_ann_recall_sweep(sf_dir: str, n_cells: int = 16, probe_levels=(1, 2, 4, 8)
     return pd.DataFrame(out)
 
 
+def q_hybrid_search_rrf(sf_dir: str, rrf_k: int = 60):
+    """Hybrid retrieval — reciprocal-rank fusion of the lexical
+    (BM25) and vector (brute-force cosine) top-k lists, the standard
+    RAG-stack combiner: ``score = Σ_lists 1/(k + rank)``.
+
+    Both source lists are the registered queries themselves
+    (:func:`~.textstats.q_bm25_search`, :func:`q_ann_topk`), each a
+    full streaming pass whose shuffle carries only top-k rows per
+    block; the fusion then runs on ≤ 2·k driver-side rows — bounded at
+    any corpus size, the same driver-bounded read-off discipline as
+    the ppm ratios. Exactness: ranks are total orders ((score DESC,
+    id) — both lists carry integer scores with id tie-breaks), and the
+    fused score is Σ 10⁹ // (k + rank) in integer floor division, so
+    the sum is order-free and hash-identical to the oracle's HUGEINT
+    arithmetic."""
+    import pandas as pd
+
+    from .textstats import q_bm25_search
+
+    bm = q_bm25_search(sf_dir).to_pandas()
+    an = q_ann_topk(sf_dir).to_pandas()
+    bm = bm.sort_values(
+        ["bm25_micro", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    an = an.sort_values(
+        ["cos_micro", "vec_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    score: dict[int, int] = {}
+    in_bm: dict[int, int] = {}
+    in_an: dict[int, int] = {}
+    for rank, doc in enumerate(bm["doc_id"].astype(int), start=1):
+        score[doc] = score.get(doc, 0) + 1_000_000_000 // (rrf_k + rank)
+        in_bm[doc] = 1
+    for rank, doc in enumerate(an["vec_id"].astype(int), start=1):
+        score[doc] = score.get(doc, 0) + 1_000_000_000 // (rrf_k + rank)
+        in_an[doc] = 1
+    ids = sorted(score, key=lambda d: (-score[d], d))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype=np.int64),
+            "rrf_nano": pd.Series([score[d] for d in ids], dtype=np.int64),
+            "in_bm25": pd.Series([in_bm.get(d, 0) for d in ids], dtype=np.int64),
+            "in_ann": pd.Series([in_an.get(d, 0) for d in ids], dtype=np.int64),
+        }
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    from .textstats import _SQL_BM25
+
+    return f"""
+WITH bm AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS r
+    FROM ({_SQL_BM25})),
+an AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_micro DESC, vec_id) AS r
+    FROM ({_SQL_ANN_TOPK}))
+SELECT CAST(COALESCE(bm.doc_id, an.vec_id) AS BIGINT) AS doc_id,
+       CAST(COALESCE(1000000000 // (60 + bm.r), 0)
+          + COALESCE(1000000000 // (60 + an.r), 0) AS BIGINT) AS rrf_nano,
+       CAST(CASE WHEN bm.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_bm25,
+       CAST(CASE WHEN an.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_ann
+FROM bm FULL OUTER JOIN an ON bm.doc_id = an.vec_id
+"""
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
     "ann_recall_sweep": q_ann_recall_sweep,
     "ann_topk_filtered": q_ann_topk_filtered,
     "label_centroids": q_label_centroids,
@@ -960,6 +1027,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_topk": _SQL_ANN_TOPK,
+    "hybrid_search_rrf": _sql_hybrid_rrf(),
     "ann_topk_filtered": _SQL_ANN_TOPK_FILTERED,
     "label_centroids": _SQL_LABEL_CENTROIDS,
     "label_token_stats": _SQL_LABEL_TOKEN_STATS,

@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 163 queries, ≥155 oracled —
+    # lock the round-4 coverage floor: 164 queries, ≥156 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 163
-    assert len(oracles) >= 155
+    assert len(queries) >= 164
+    assert len(oracles) >= 156
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []

@@ -967,3 +967,41 @@ def test_ann_recall_sweep_curve():
     row8 = sweep[sweep["n_probe"] == 8].iloc[0]
     assert int(row8["hits"]) == len(brute & ivf8)
     assert int(row8["recall_ppm"]) == (1_000_000 * len(brute & ivf8)) // _TOP_K
+
+
+def test_hybrid_rrf_fusion_math():
+    """RRF fusion recomputed independently from the two component
+    query outputs: every fused score must equal the sum of
+    10⁹ // (60 + rank) over the lists containing the doc, ranks taken
+    in each list's total (score DESC, id ASC) order, and the
+    membership flags must match the source lists exactly."""
+    from pdf_parser_ray.stages.embed import q_ann_topk, q_hybrid_search_rrf
+    from pdf_parser_ray.stages.textstats import q_bm25_search
+
+    got = q_hybrid_search_rrf(SF)
+    bm = (
+        q_bm25_search(SF).to_pandas()
+        .sort_values(["bm25_micro", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    an = (
+        q_ann_topk(SF).to_pandas()
+        .sort_values(["cos_micro", "vec_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    bm_rank = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+    an_rank = {int(v): i + 1 for i, v in enumerate(an["vec_id"])}
+    assert set(got["doc_id"]) == set(bm_rank) | set(an_rank)
+    for _, row in got.iterrows():
+        d = int(row["doc_id"])
+        want = 0
+        if d in bm_rank:
+            want += 1_000_000_000 // (60 + bm_rank[d])
+        if d in an_rank:
+            want += 1_000_000_000 // (60 + an_rank[d])
+        assert int(row["rrf_nano"]) == want
+        assert int(row["in_bm25"]) == int(d in bm_rank)
+        assert int(row["in_ann"]) == int(d in an_rank)
+    # deterministic presentation order: fused score DESC, doc_id ASC
+    packed = list(zip(-got["rrf_nano"].astype(int), got["doc_id"].astype(int)))
+    assert packed == sorted(packed)
