@@ -183,6 +183,82 @@ def _dim_join(
     return joined
 
 
+def _bucket_join(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_payload: dict[str, pa.DataType],
+    right_payload: dict[str, pa.DataType],
+    post,
+    n_buckets: int = 32,
+):
+    """Generic tagged-union bucket equi-join (the ``segment_revenue``
+    pattern, factored for reuse): both sides gain ``bucket = key % B``,
+    one union + one groupby moves them, and each bucket joins pairwise
+    inside ``map_groups`` — ONE all-to-all instead of the hash-join
+    operator's aggregator actor pool, whose fixed spin-up dominated the
+    order-grain joins below at sandbox scale (measured 4.5–5.7 s →
+    ~1.5–2 s at sf0.1 / 32 CPUs; at cluster scale B is sized so one
+    bucket's build side fits a worker heap, hot keys get the salted
+    variant ``q_segment_revenue_salted`` demonstrates).
+
+    ``left_payload`` / ``right_payload`` map payload column → pyarrow
+    type (names must be disjoint). Integer columns fill 0 on the
+    opposite side — a pandas column holding nulls silently floats and
+    corrupts wide ints — and string columns fill null; fills never
+    reach results because each side of the in-bucket merge selects
+    only its own columns. ``post`` folds the joined frame (columns:
+    ``key`` + payloads) to the caller's partial grain and MUST return
+    an explicit-schema ``pa.Table`` so empty buckets keep their
+    columns. Callers that feed PER-BATCH PARTIALS on the left rely on
+    the right side being unique per key (join-then-sum equals
+    sum-then-join) — that invariant folds the pre-merge groupby into
+    this exchange."""
+    import pandas as pd
+
+    assert not set(left_payload) & set(right_payload)
+    payloads = [(n, t, True) for n, t in left_payload.items()] + [
+        (n, t, False) for n, t in right_payload.items()
+    ]
+
+    def mk_prep(side: int, key_name: str):
+        def prep(b: pa.Table) -> pa.Table:
+            k = b[key_name].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols: dict = {
+                "key": pa.array(k, pa.int64()),
+                "bucket": pa.array(k % n_buckets, pa.int64()),
+                "side": pa.array(np.full(len(k), side, np.int8)),
+            }
+            for name, typ, from_left in payloads:
+                if from_left == (side == 0):
+                    cols[name] = b[name]
+                elif pa.types.is_integer(typ):
+                    cols[name] = pa.array(np.zeros(len(k), np.int64), typ)
+                else:
+                    cols[name] = pa.nulls(len(k), typ)
+            return pa.table(cols)
+
+        return prep
+
+    both = left.map_batches(
+        mk_prep(0, left_key), batch_format="pyarrow", batch_size=None
+    ).union(
+        right.map_batches(mk_prep(1, right_key), batch_format="pyarrow", batch_size=None)
+    )
+
+    lcols = ["key"] + [n for n, _, fl in payloads if fl]
+    rcols = ["key"] + [n for n, _, fl in payloads if not fl]
+
+    def join_bucket(g: "pd.DataFrame") -> pa.Table:
+        lhs = g[g["side"] == 0][lcols]
+        rhs = g[g["side"] == 1][rcols]
+        return post(lhs.merge(rhs, on="key", how="inner"))
+
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def _nation_maps(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """nationkey-indexed (n_name, r_name) arrays. nation/region are
     spec-bounded (25 / 5 rows at every TPC-H scale), so this driver
@@ -285,11 +361,13 @@ def q_nation_trade_volume(sf_dir: str, budget_bytes: int | None = None):
 
     Scale plan: the supplier attach is footer-gated broadcast (zero
     exchange) or hash join; lineitem then pre-reduces to (orderkey,
-    supp-nation, year) grain per batch BEFORE the groupby, so the
-    order-grain exchange carries partial sums, never lines. The
-    customer side reduces orders to (orderkey, cust-nation) the same
-    way. One order-grain hash join meets the two, and the final
-    group-by runs on a ≤ nations² × years key space."""
+    supp-nation, year) grain per batch, so the order-grain exchange
+    carries partial sums, never lines. The customer side reduces
+    orders to (orderkey, cust-nation) the same way. ONE tagged-union
+    bucket exchange (:func:`_bucket_join`) meets the two and folds the
+    pair sums in place — the customer side is unique per orderkey, so
+    per-batch partials join-then-sum exactly — and the final group-by
+    runs on a ≤ nations² × years key space."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
@@ -341,11 +419,11 @@ def q_nation_trade_volume(sf_dir: str, budget_bytes: int | None = None):
             }
         )
 
-    supp_side = (
-        li.map_batches(reduce_lines, batch_format="pyarrow", batch_size=None)
-        .groupby(["l_orderkey", "sn_year"])
-        .aggregate(Sum("revenue_cents2", alias_name="revenue_cents2"))
-    )
+    # per-batch partials flow straight into the bucket exchange: the
+    # customer side is unique per orderkey, so join-then-sum equals
+    # sum-then-join and the (orderkey, nation, year) pre-merge groupby
+    # folds away — one all-to-all saved
+    supp_side = li.map_batches(reduce_lines, batch_format="pyarrow", batch_size=None)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     orders = _dim_join(
@@ -374,30 +452,33 @@ def q_nation_trade_volume(sf_dir: str, budget_bytes: int | None = None):
         )
 
     cust_side = orders.map_batches(asia_orders, batch_format="pyarrow", batch_size=None)
-    joined = supp_side.join(
-        cust_side,
-        join_type="inner",
-        num_partitions=_join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        sn_year = batch["sn_year"].to_numpy(zero_copy_only=False)
-        cnk = batch["cust_nk"].to_numpy(zero_copy_only=False)
-        rev = batch["revenue_cents2"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"k1": sn_year, "k2": cnk, "v": rev})
-        agg = df.groupby(["k1", "k2"], sort=False)["v"].sum().reset_index()
+    def pair_fold(j: "pd.DataFrame") -> pa.Table:
+        agg = (
+            j.groupby(["sn_year", "cust_nk"], sort=False)["revenue_cents2"]
+            .sum()
+            .reset_index()
+        )
         return pa.table(
             {
-                "sn_year": pa.array(agg["k1"].to_numpy(), pa.int64()),
-                "cust_nk": pa.array(agg["k2"].to_numpy(), pa.int64()),
-                "revenue_cents2": pa.array(agg["v"].to_numpy(), pa.int64()),
+                "sn_year": pa.array(agg["sn_year"].to_numpy(dtype=np.int64)),
+                "cust_nk": pa.array(agg["cust_nk"].to_numpy(dtype=np.int64)),
+                "revenue_cents2": pa.array(
+                    agg["revenue_cents2"].to_numpy(dtype=np.int64)
+                ),
             }
         )
 
     final = (
-        joined.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        _bucket_join(
+            supp_side,
+            cust_side,
+            left_key="l_orderkey",
+            right_key="o_orderkey",
+            left_payload={"sn_year": pa.int64(), "revenue_cents2": pa.int64()},
+            right_payload={"cust_nk": pa.int64()},
+            post=pair_fold,
+        )
         .groupby(["sn_year", "cust_nk"])
         .aggregate(Sum("revenue_cents2", alias_name="revenue_cents2"))
     )
@@ -451,8 +532,9 @@ def q_market_share(sf_dir: str, budget_bytes: int | None = None):
     selective dimension predicate shrinks the broadcast/join side),
     supplier nationality rides the same gated attach, and lineitem
     folds to one (orderkey, total, target) row per order per batch
-    before the order-grain exchange. Order year + the ASIA customer
-    filter come from the orders/customer side at order grain. The
+    before the single order-grain bucket exchange
+    (:func:`_bucket_join` — the ASIA-orders side is unique per
+    orderkey, so per-batch partials need no pre-merge). The
     per-year read-off happens on ≤ #years rows driver-side in Python
     bignums, so no ppm product can overflow at any corpus size."""
     import pandas as pd
@@ -495,14 +577,9 @@ def q_market_share(sf_dir: str, budget_bytes: int | None = None):
             }
         )
 
-    per_order_ds = (
-        li.map_batches(per_order, batch_format="pyarrow", batch_size=None)
-        .groupby("l_orderkey")
-        .aggregate(
-            Sum("target_cents2", alias_name="target_cents2"),
-            Sum("total_cents2", alias_name="total_cents2"),
-        )
-    )
+    # per-batch partials ride straight into the bucket exchange (the
+    # ASIA-orders side is unique per orderkey — see _bucket_join)
+    per_order_ds = li.map_batches(per_order, batch_format="pyarrow", batch_size=None)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     orders = _dim_join(
@@ -532,33 +609,33 @@ def q_market_share(sf_dir: str, budget_bytes: int | None = None):
         )
 
     cust_side = orders.map_batches(asia_years, batch_format="pyarrow", batch_size=None)
-    joined = per_order_ds.join(
-        cust_side,
-        join_type="inner",
-        num_partitions=_join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
 
-    def year_partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "y": batch["o_year"].to_numpy(zero_copy_only=False),
-                "t": batch["target_cents2"].to_numpy(zero_copy_only=False),
-                "v": batch["total_cents2"].to_numpy(zero_copy_only=False),
-            }
+    def year_fold(j: "pd.DataFrame") -> pa.Table:
+        agg = (
+            j.groupby("o_year", sort=False)[["target_cents2", "total_cents2"]]
+            .sum()
+            .reset_index()
         )
-        agg = df.groupby("y", sort=False)[["t", "v"]].sum().reset_index()
         return pa.table(
             {
-                "o_year": pa.array(agg["y"].to_numpy(), pa.int64()),
-                "target_cents2": pa.array(agg["t"].to_numpy(), pa.int64()),
-                "total_cents2": pa.array(agg["v"].to_numpy(), pa.int64()),
+                "o_year": pa.array(agg["o_year"].to_numpy(dtype=np.int64)),
+                "target_cents2": pa.array(
+                    agg["target_cents2"].to_numpy(dtype=np.int64)
+                ),
+                "total_cents2": pa.array(agg["total_cents2"].to_numpy(dtype=np.int64)),
             }
         )
 
     per_year = (
-        joined.map_batches(year_partial, batch_format="pyarrow", batch_size=None)
+        _bucket_join(
+            per_order_ds,
+            cust_side,
+            left_key="l_orderkey",
+            right_key="o_orderkey",
+            left_payload={"target_cents2": pa.int64(), "total_cents2": pa.int64()},
+            right_payload={"o_year": pa.int64()},
+            post=year_fold,
+        )
         .groupby("o_year")
         .aggregate(
             Sum("target_cents2", alias_name="target_cents2"),
@@ -704,40 +781,45 @@ def q_product_profit(sf_dir: str, token: str = "bolt", budget_bytes: int | None 
             }
         )
 
-    per_order = (
-        li.map_batches(per_order_nation, batch_format="pyarrow", batch_size=None)
-        .groupby(["l_orderkey", "s_nationkey"])
-        .aggregate(Sum("profit_e4", alias_name="profit_e4"))
+    # per-batch (orderkey, nation) partials flow straight into the
+    # bucket exchange — orders are unique per key (see _bucket_join)
+    per_order = li.map_batches(
+        per_order_nation, batch_format="pyarrow", batch_size=None
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-    joined = per_order.join(
-        orders,
-        join_type="inner",
-        num_partitions=_join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
 
-    def nation_year(batch: pa.Table) -> pa.Table:
-        year = _year_of(_ts_us(batch["o_orderdate"]))
-        df = pd.DataFrame(
-            {
-                "k1": batch["s_nationkey"].to_numpy(zero_copy_only=False),
-                "k2": year,
-                "v": batch["profit_e4"].to_numpy(zero_copy_only=False),
-            }
-        )
-        agg = df.groupby(["k1", "k2"], sort=False)["v"].sum().reset_index()
+    def order_years(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "s_nationkey": pa.array(agg["k1"].to_numpy(), pa.int64()),
-                "o_year": pa.array(agg["k2"].to_numpy(), pa.int64()),
-                "profit_e4": pa.array(agg["v"].to_numpy(), pa.int64()),
+                "o_orderkey": batch["o_orderkey"],
+                "o_year": pa.array(_year_of(_ts_us(batch["o_orderdate"])), pa.int64()),
+            }
+        )
+
+    def nation_year_fold(j: "pd.DataFrame") -> pa.Table:
+        agg = (
+            j.groupby(["s_nationkey", "o_year"], sort=False)["profit_e4"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "s_nationkey": pa.array(agg["s_nationkey"].to_numpy(dtype=np.int64)),
+                "o_year": pa.array(agg["o_year"].to_numpy(dtype=np.int64)),
+                "profit_e4": pa.array(agg["profit_e4"].to_numpy(dtype=np.int64)),
             }
         )
 
     final = (
-        joined.map_batches(nation_year, batch_format="pyarrow", batch_size=None)
+        _bucket_join(
+            per_order,
+            orders.map_batches(order_years, batch_format="pyarrow", batch_size=None),
+            left_key="l_orderkey",
+            right_key="o_orderkey",
+            left_payload={"s_nationkey": pa.int64(), "profit_e4": pa.int64()},
+            right_payload={"o_year": pa.int64()},
+            post=nation_year_fold,
+        )
         .groupby(["s_nationkey", "o_year"])
         .aggregate(Sum("profit_e4", alias_name="profit_e4"))
     )
@@ -782,8 +864,9 @@ def q_returned_item_revenue(
 ):
     """Top-k customers by revenue on RETURNED lines of orders placed in
     1996 H1 (TPC-H Q10 shape). Returned lines fold to order grain per
-    batch, the order-grain join attaches custkey from the date-filtered
-    orders side, the roll-up lands on customer grain, and only then do
+    batch, one order-grain bucket exchange (:func:`_bucket_join`)
+    attaches custkey from the date-filtered orders side and folds the
+    roll-up to customer grain in place, and only then do
     name/nation attach and the bounded top-k sort run — the fact table
     never crosses an exchange at line grain. Tie-break is (revenue
     DESC, custkey ASC): total, so LIMIT is deterministic on both
@@ -814,10 +897,10 @@ def q_returned_item_revenue(
             }
         )
 
-    per_order = (
-        li.map_batches(returned_per_order, batch_format="pyarrow", batch_size=None)
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents2", alias_name="revenue_cents2"))
+    # per-batch partials ride into the bucket exchange directly (the
+    # date-filtered orders side is unique per orderkey)
+    per_order = li.map_batches(
+        returned_per_order, batch_format="pyarrow", batch_size=None
     )
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
@@ -842,31 +925,27 @@ def q_returned_item_revenue(
             }
         )
 
-    joined = per_order.join(
-        orders.map_batches(window, batch_format="pyarrow", batch_size=None),
-        join_type="inner",
-        num_partitions=_join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    def per_cust(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "k": batch["o_custkey"].to_numpy(zero_copy_only=False),
-                "v": batch["revenue_cents2"].to_numpy(zero_copy_only=False),
-            }
-        )
-        agg = df.groupby("k", sort=False)["v"].sum().reset_index()
+    def cust_fold(j: "pd.DataFrame") -> pa.Table:
+        agg = j.groupby("o_custkey", sort=False)["revenue_cents2"].sum().reset_index()
         return pa.table(
             {
-                "o_custkey": pa.array(agg["k"].to_numpy(), pa.int64()),
-                "revenue_cents2": pa.array(agg["v"].to_numpy(), pa.int64()),
+                "o_custkey": pa.array(agg["o_custkey"].to_numpy(dtype=np.int64)),
+                "revenue_cents2": pa.array(
+                    agg["revenue_cents2"].to_numpy(dtype=np.int64)
+                ),
             }
         )
 
     per_customer = (
-        joined.map_batches(per_cust, batch_format="pyarrow", batch_size=None)
+        _bucket_join(
+            per_order,
+            orders.map_batches(window, batch_format="pyarrow", batch_size=None),
+            left_key="l_orderkey",
+            right_key="o_orderkey",
+            left_payload={"revenue_cents2": pa.int64()},
+            right_payload={"o_custkey": pa.int64()},
+            post=cust_fold,
+        )
         .groupby("o_custkey")
         .aggregate(Sum("revenue_cents2", alias_name="revenue_cents2"))
     )
@@ -956,27 +1035,19 @@ def q_priority_line_mix(sf_dir: str):
             }
         )
 
-    per_order = (
-        li.map_batches(per_order_status, batch_format="pyarrow", batch_size=None)
-        .groupby(["l_orderkey", "l_linestatus"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    # per-batch (orderkey, status) count partials flow straight into
+    # the bucket exchange — orders are unique per key
+    per_order = li.map_batches(
+        per_order_status, batch_format="pyarrow", batch_size=None
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = per_order.join(
-        orders,
-        join_type="inner",
-        num_partitions=_join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
 
-    def split_counts(batch: pa.Table) -> pa.Table:
-        pr = batch["o_orderpriority"].to_pandas()
-        high = pr.isin(["1-URGENT", "2-HIGH"]).to_numpy()
-        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+    def split_fold(j: "pd.DataFrame") -> pa.Table:
+        high = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        cnt = j["cnt"].to_numpy()
         df = pd.DataFrame(
             {
-                "s": batch["l_linestatus"].to_pandas().to_numpy(),
+                "s": j["l_linestatus"].to_numpy(),
                 "h": np.where(high, cnt, 0),
                 "l": np.where(high, 0, cnt),
             }
@@ -991,7 +1062,15 @@ def q_priority_line_mix(sf_dir: str):
         )
 
     return (
-        joined.map_batches(split_counts, batch_format="pyarrow", batch_size=None)
+        _bucket_join(
+            per_order,
+            orders,
+            left_key="l_orderkey",
+            right_key="o_orderkey",
+            left_payload={"l_linestatus": pa.string(), "cnt": pa.int64()},
+            right_payload={"o_orderpriority": pa.string()},
+            post=split_fold,
+        )
         .groupby("l_linestatus")
         .aggregate(
             Sum("high_line_count", alias_name="high_line_count"),
