@@ -51,6 +51,7 @@ def _bench_queries():
         q_order_ewma,
         q_waiting_suppliers,
     )
+    from pdf_parser_ray.relational.analytics2 import q_market_share
     from pdf_parser_ray.stages.textstats import q_lm_doc_nll, q_token_count
 
     return {
@@ -69,6 +70,9 @@ def _bench_queries():
         "attribution_last_touch": q_attribution_last_touch,
         "waiting_suppliers": q_waiting_suppliers,
         "order_ewma": q_order_ewma,
+        # decision-support part 2 representative: two gated dimension
+        # attaches + the folded order-grain bucket exchange (Q8 shape)
+        "market_share": q_market_share,
     }
 
 

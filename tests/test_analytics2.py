@@ -323,3 +323,83 @@ class TestReturnedItemRevenue:
         assert len(one) == 1
         assert one.iloc[0]["c_custkey"] == ordered.iloc[0]["c_custkey"]
         assert one.iloc[0]["revenue_cents2"] == ordered.iloc[0]["revenue_cents2"]
+
+
+class TestBucketJoin:
+    def _sides(self):
+        import ray.data
+
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array(list(range(1, 65)), pa.int64()),
+            "a": pa.array([i * 10 for i in range(1, 65)], pa.int64()),
+        }))
+        right = ray.data.from_arrow(pa.table({
+            "rk": pa.array(list(range(2, 81, 2)), pa.int64()),
+            "s": pa.array([f"s{i}" for i in range(2, 81, 2)]),
+        }))
+        return left, right
+
+    def test_inner_join_and_fill_isolation(self):
+        """Inner semantics on the tagged union; the opposite-side fill
+        values (0 for ints, null for strings) must never reach the
+        joined frame — the merge selects each side's own columns."""
+        left, right = self._sides()
+
+        def post(j):
+            # post receives the unified "key" column + both payloads
+            assert not j["s"].isna().any()        # no null fill leaked
+            assert (j["a"] % 10 == 0).all() and (j["a"] > 0).all()
+            return pa.table({
+                "k": pa.array(j["key"].to_numpy(dtype=np.int64)),
+                "a": pa.array(j["a"].to_numpy(dtype=np.int64)),
+                "s": pa.array(j["s"].tolist(), pa.string()),
+            })
+
+        from pdf_parser_ray.relational.analytics2 import _bucket_join
+
+        out = _bucket_join(
+            left, right,
+            left_key="k", right_key="rk",
+            left_payload={"a": pa.int64()},
+            right_payload={"s": pa.string()},
+            post=post,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        want = [k for k in range(2, 65, 2)]
+        assert out["k"].tolist() == want
+        assert out["a"].tolist() == [k * 10 for k in want]
+        assert out["s"].tolist() == [f"s{k}" for k in want]
+
+    def test_sparse_keys_keep_schema(self):
+        """Keys hitting only 2 of 32 buckets: every other bucket's post
+        runs on an empty frame and must still emit its columns."""
+        import ray.data
+
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2] * 20, pa.int64()),
+            "a": pa.array(list(range(40)), pa.int64()),
+        }))
+        right = ray.data.from_arrow(pa.table({
+            "rk": pa.array([1, 2], pa.int64()),
+            "b": pa.array([100, 200], pa.int64()),
+        }))
+
+        def post(j):
+            g = j.groupby("key", sort=False)[["a", "b"]].sum().reset_index()
+            return pa.table({
+                "k": pa.array(g["key"].to_numpy(dtype=np.int64)),
+                "a": pa.array(g["a"].to_numpy(dtype=np.int64)),
+                "b": pa.array(g["b"].to_numpy(dtype=np.int64)),
+            })
+
+        from pdf_parser_ray.relational.analytics2 import _bucket_join
+
+        out = _bucket_join(
+            left, right,
+            left_key="k", right_key="rk",
+            left_payload={"a": pa.int64()},
+            right_payload={"b": pa.int64()},
+            post=post,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert out["k"].tolist() == [1, 2]
+        assert out["a"].tolist() == [sum(range(0, 40, 2)), sum(range(1, 40, 2))]
+        assert out["b"].tolist() == [100 * 20, 200 * 20]
