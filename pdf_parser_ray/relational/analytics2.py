@@ -1421,6 +1421,111 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution drift — exact two-sample Kolmogorov–Smirnov distance
+# ---------------------------------------------------------------------------
+
+
+def q_order_price_drift(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    order-total distributions of expedited orders (priority 1-URGENT /
+    2-HIGH, sample A) and the rest (sample B) — the data-quality /
+    drift monitor a training pipeline runs between corpus snapshots or
+    source shards before mixing them.
+
+    Distributed shape (the Q17 value-count-summary discipline,
+    :func:`~.ops.q_price_percentiles`): per-batch ``np.unique`` counts
+    per (cents, sample) → ONE ``groupby(cents)`` Sum exchange carrying
+    two int64 counters per distinct price — the (distinct value,
+    count_a, count_b) table is bounded by the value domain, tiny next
+    to the data — then the cumulative scan and the max-gap read-off run
+    on that aggregated grain. The statistic is computed in Python
+    bignums over integers only (the ``market_share`` ppm discipline):
+
+        d_num    = max over distinct values v of
+                   |cum_a(v)·n_b − cum_b(v)·n_a|
+        ks_micro = ⌊d_num · 10⁶ / (n_a·n_b)⌋      (= ⌊D·10⁶⌋ exactly)
+        at_cents = smallest v attaining the max
+
+    so the result is hash-identical to the SQL oracle on any engine —
+    no float CDFs, no libm. Reference parity: the reference engine has
+    no statistics layer; this is an engine addition for corpus QA."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderpriority"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        is_a = pc.is_in(
+            batch["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        ).to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(cents, return_inverse=True)
+        ca = np.bincount(inv[is_a], minlength=len(vals)).astype(np.int64)
+        cb = np.bincount(inv[~is_a], minlength=len(vals)).astype(np.int64)
+        return pa.table(
+            {"cents": pa.array(vals), "cnt_a": pa.array(ca), "cnt_b": pa.array(cb)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby("cents")
+        .aggregate(Sum("cnt_a", alias_name="cnt_a"), Sum("cnt_b", alias_name="cnt_b"))
+        .to_pandas()
+        .sort_values("cents")
+    )
+    n_a = int(hist["cnt_a"].sum())
+    n_b = int(hist["cnt_b"].sum())
+    cum_a = hist["cnt_a"].cumsum().to_numpy()
+    cum_b = hist["cnt_b"].cumsum().to_numpy()
+    vals = hist["cents"].to_numpy()
+    # bignum-safe gap scan on the aggregated grain: cum·n products
+    # overflow int64 past ~sf10, so the read-off stays in Python ints
+    d_num, at_cents = 0, 0
+    for v, ca, cb in zip(vals.tolist(), cum_a.tolist(), cum_b.tolist()):
+        gap = abs(ca * n_b - cb * n_a)
+        if gap > d_num:
+            d_num, at_cents = gap, v
+    ks_micro = (d_num * 1_000_000) // (n_a * n_b) if n_a and n_b else 0
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([n_a], dtype=np.int64),
+            "n_b": pd.Series([n_b], dtype=np.int64),
+            "d_num": pd.Series([d_num], dtype=np.int64),
+            "ks_micro": pd.Series([ks_micro], dtype=np.int64),
+            "at_cents": pd.Series([at_cents], dtype=np.int64),
+        }
+    )
+
+
+_SQL_ORDER_PRICE_DRIFT = """
+WITH s AS (
+    SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS a
+    FROM orders),
+h AS (
+    SELECT cents, SUM(a) AS ca, SUM(1 - a) AS cb
+    FROM s GROUP BY cents),
+c AS (
+    SELECT cents,
+           SUM(ca) OVER (ORDER BY cents) AS cum_a,
+           SUM(cb) OVER (ORDER BY cents) AS cum_b
+    FROM h),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h),
+d AS (SELECT c.cents, ABS(c.cum_a * t.nb - c.cum_b * t.na) AS gap FROM c, t),
+m AS (SELECT MAX(gap) AS mx FROM d)
+SELECT CAST(t.na AS BIGINT) AS n_a,
+       CAST(t.nb AS BIGINT) AS n_b,
+       CAST(m.mx AS BIGINT) AS d_num,
+       CAST((m.mx * 1000000) // (t.na * t.nb) AS BIGINT) AS ks_micro,
+       CAST((SELECT MIN(cents) FROM d WHERE d.gap = m.mx) AS BIGINT) AS at_cents
+FROM t, m
+"""
+
+
 QUERIES = {
     "discount_revenue": q_discount_revenue,
     "nation_trade_volume": q_nation_trade_volume,
@@ -1431,6 +1536,7 @@ QUERIES = {
     "top_supplier": q_top_supplier,
     "prolific_part_suppliers": q_prolific_part_suppliers,
     "revenue_trend": q_revenue_trend,
+    "order_price_drift": q_order_price_drift,
 }
 
 ORACLE_SQL = {
@@ -1443,4 +1549,5 @@ ORACLE_SQL = {
     "priority_line_mix": _SQL_PRIORITY_LINE_MIX,
     "top_supplier": _SQL_TOP_SUPPLIER,
     "prolific_part_suppliers": _SQL_PROLIFIC_SUPPLIERS,
+    "order_price_drift": _SQL_ORDER_PRICE_DRIFT,
 }

@@ -139,6 +139,7 @@ ALL = [
     "top_supplier",
     "prolific_part_suppliers",
     "revenue_trend",
+    "order_price_drift",
 ]
 
 
