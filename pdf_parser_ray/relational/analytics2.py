@@ -1526,6 +1526,112 @@ FROM t, m
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped Pearson r² — exact ppm on the REGR_SLOPE partial transport
+# ---------------------------------------------------------------------------
+
+
+def q_discount_qty_correlation(sf_dir: str):
+    """Per-returnflag Pearson correlation between discount and quantity
+    (SQL ``CORR(x, y)`` shape) — the corpus-QA question "does one
+    feature leak into another per shard" asked of the trade data.
+
+    Exactness: r itself needs a square root, but r² is the ratio of
+    integers ``(n·Σxy − Σx·Σy)² / ((n·Σxx − Σx²)(n·Σyy − Σy²))`` when
+    x = discount in whole percent (0–10) and y = quantity (whole), so
+    the engine reports ``r2_ppm = ⌊r²·10⁶⌋`` plus the sign of the
+    covariance — both exact in Python bignums, hash-identical on any
+    platform (no libm, no float accumulation).
+
+    Distributed shape is :func:`q_revenue_trend`'s: each batch folds to
+    one (n, Σx, Σy, Σxy, Σxx, Σyy) row per flag — all six partials fit
+    int64 comfortably (x ≤ 10, y ≤ 50 ⇒ Σxy ≤ 500·rows) — then ONE
+    ``groupby(flag)`` Sum exchange moves O(flags × blocks) rows and the
+    bignum read-off runs on ≤ 3 driver rows. The SQL oracle mirrors the
+    arithmetic in HUGEINT via the nested-floor identity
+    ``⌊a/(dx·dy)⌋ = ⌊⌊a/dx⌋/dy⌋`` (dx, dy > 0), exact through ~sf1
+    (num²·10⁶ < 2¹²⁷); the engine has no such bound."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        x = (np.sign(d) * np.floor(np.abs(d) * 100.0 + 0.5)).astype(np.int64)
+        y = _qty_int(batch["l_quantity"])
+        df = pd.DataFrame(
+            {
+                "flag": batch["l_returnflag"].to_pandas().to_numpy(),
+                "n": np.ones(len(x), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        agg = df.groupby("flag", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "flag": pa.array(agg["flag"].astype(str), pa.string()),
+                **{
+                    c: pa.array(agg[c].to_numpy(), pa.int64())
+                    for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+                },
+            }
+        )
+
+    g = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("flag")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+    )
+    df = g.to_pandas()  # ≤ #flags rows
+    out = {"l_returnflag": [], "n_lines": [], "corr_sign": [], "r2_ppm": []}
+    for _, r in df.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        out["l_returnflag"].append(str(r["flag"]))
+        out["n_lines"].append(n)
+        out["corr_sign"].append(0 if num == 0 else (1 if num > 0 else -1))
+        out["r2_ppm"].append(0 if dx == 0 or dy == 0 else (num * num * 1_000_000) // (dx * dy))
+    return pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "n_lines": pd.Series(out["n_lines"], dtype=np.int64),
+            "corr_sign": pd.Series(out["corr_sign"], dtype=np.int64),
+            "r2_ppm": pd.Series(out["r2_ppm"], dtype=np.int64),
+        }
+    )
+
+
+_SQL_DISCOUNT_QTY_CORR = """
+WITH s AS (
+    SELECT l_returnflag AS flag,
+           CAST(ROUND(l_discount*100) AS HUGEINT) AS x,
+           CAST(ROUND(l_quantity) AS HUGEINT) AS y
+    FROM lineitem),
+a AS (
+    SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+    FROM s GROUP BY flag)
+SELECT flag AS l_returnflag,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                 WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 0 END AS BIGINT) AS corr_sign,
+       CAST(CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0
+                 ELSE (((n*sxy - sx*sy)*(n*sxy - sx*sy)*1000000)
+                       // (n*sxx - sx*sx)) // (n*syy - sy*sy)
+            END AS BIGINT) AS r2_ppm
+FROM a
+"""
+
+
 QUERIES = {
     "discount_revenue": q_discount_revenue,
     "nation_trade_volume": q_nation_trade_volume,
@@ -1537,6 +1643,7 @@ QUERIES = {
     "prolific_part_suppliers": q_prolific_part_suppliers,
     "revenue_trend": q_revenue_trend,
     "order_price_drift": q_order_price_drift,
+    "discount_qty_correlation": q_discount_qty_correlation,
 }
 
 ORACLE_SQL = {
@@ -1550,4 +1657,5 @@ ORACLE_SQL = {
     "top_supplier": _SQL_TOP_SUPPLIER,
     "prolific_part_suppliers": _SQL_PROLIFIC_SUPPLIERS,
     "order_price_drift": _SQL_ORDER_PRICE_DRIFT,
+    "discount_qty_correlation": _SQL_DISCOUNT_QTY_CORR,
 }

@@ -140,6 +140,7 @@ ALL = [
     "prolific_part_suppliers",
     "revenue_trend",
     "order_price_drift",
+    "discount_qty_correlation",
 ]
 
 
