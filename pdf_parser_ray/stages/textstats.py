@@ -1856,6 +1856,104 @@ ORDER BY bm25_micro DESC, doc_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Language-mix entropy per source — exact micro-nats on the shared ln
+# ---------------------------------------------------------------------------
+
+
+def q_source_lang_entropy(sf_dir: str):
+    """Shannon entropy of the language distribution per source shard —
+    the corpus-diversity monitor a multilingual mix runs before
+    reweighting (a one-language source reads 0; uniform over L
+    languages reads ln L). Exactly distributable in micro-nats via the
+    identity ``H = ln N − (1/N)·Σ cᵢ·ln cᵢ`` with every ln snapped to
+    an integer by :func:`lnm_micro` FIRST (the lm_doc_nll discipline):
+
+        entropy_micro = lnm(N) − ⌊Σ cᵢ·lnm(cᵢ) / N⌋
+
+    so the reduction is integer sums — order-free, overflow-free in
+    Python bignums — and the oracle re-derives the identical bits from
+    :func:`_shared_ln_cte` (no libm on either side).
+
+    Scale shape: per-batch (source, lang) counts → ONE
+    ``groupby([source, lang])`` Sum exchange carrying O(sources×langs ×
+    blocks) int64 partials; both domains are bounded (shard registry ×
+    language inventory), so the read-off grain is driver-bounded the
+    way the sketch read-offs are."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "lang"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas().to_numpy(),
+                "lang": batch["lang"].to_pandas().to_numpy(),
+            }
+        )
+        g = df.groupby(["source", "lang"], sort=False).size().reset_index(name="k")
+        return pa.table(
+            {
+                "source": pa.array(g["source"].astype(str), pa.string()),
+                "lang": pa.array(g["lang"].astype(str), pa.string()),
+                "k": pa.array(g["k"].to_numpy(), pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("k", alias_name="k"))
+        .to_pandas()  # ≤ sources × langs rows
+    )
+    out = {"source": [], "n_docs": [], "n_langs": [], "entropy_micro": []}
+    for src, grp in g.groupby("source", sort=True):
+        ks = [int(v) for v in grp["k"]]
+        n = sum(ks)
+        s = sum(k * lnm_micro(k) for k in ks)
+        out["source"].append(str(src))
+        out["n_docs"].append(n)
+        out["n_langs"].append(len(ks))
+        out["entropy_micro"].append(lnm_micro(n) - s // n)
+    return pd.DataFrame(
+        {
+            "source": out["source"],
+            "n_docs": pd.Series(out["n_docs"], dtype=np.int64),
+            "n_langs": pd.Series(out["n_langs"], dtype=np.int64),
+            "entropy_micro": pd.Series(out["entropy_micro"], dtype=np.int64),
+        }
+    )
+
+
+def _sql_source_entropy() -> str:
+    lnm = "CAST(FLOOR(lnk * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    counts_ln = _shared_ln_cte(
+        "(SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS k"
+        " FROM documents GROUP BY source, lang)",
+        "k",
+    )
+    totals_ln = _shared_ln_cte(
+        f"""(SELECT source,
+               CAST(SUM(k) AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_langs,
+               SUM(CAST(k AS HUGEINT) * {lnm}) AS s
+        FROM {counts_ln} GROUP BY source)""",
+        "k",
+    )
+    return f"""
+SELECT source,
+       k AS n_docs,
+       n_langs,
+       CAST(CAST({lnm} AS HUGEINT) - (s // CAST(k AS HUGEINT)) AS BIGINT)
+           AS entropy_micro
+FROM {totals_ln}
+"""
+
+
+_SQL_SOURCE_ENTROPY = _sql_source_entropy()
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1876,6 +1974,7 @@ QUERIES = {
     "pmi_pairs": q_pmi_pairs,
     "term_search_indexed": q_term_search_indexed,
     "lexical_diversity": q_lexical_diversity,
+    "source_lang_entropy": q_source_lang_entropy,
 }
 
 ORACLE_SQL = {
@@ -1899,4 +1998,5 @@ ORACLE_SQL = {
     "pmi_pairs": _SQL_PMI,
     "term_search_indexed": _SQL_TERM_SEARCH,
     "lexical_diversity": _SQL_TTR,
+    "source_lang_entropy": _SQL_SOURCE_ENTROPY,
 }

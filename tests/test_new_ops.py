@@ -3112,3 +3112,37 @@ class TestTemperatureMix:
         assert kept == want
         # the rare language is never starved
         assert set(range(n_a, n_a + n_b)) <= kept
+
+
+class TestSourceLangEntropy:
+    """Exact micro-nat entropy: a one-language source reads 0, a
+    uniform 4-language source reads lnm(4N) - lnm(N) = ~ln 4, both
+    derived from the same lnm_micro snap the engine uses."""
+
+    def test_entropy_hand_check(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.stages.textstats import lnm_micro, q_source_lang_entropy
+
+        d = tmp_path_factory.mktemp("ent_sf")
+        rows = [("uni", lg) for lg in ("en", "es", "de", "fr") for _ in range(8)]
+        rows += [("mono", "en")] * 10
+        pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array([s for s, _ in rows]),
+                    "lang": pa.array([l for _, l in rows]),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        got = (
+            q_source_lang_entropy(str(d))
+            .set_index("source")
+            .to_dict(orient="index")
+        )
+        assert got["mono"]["entropy_micro"] == 0
+        assert got["mono"]["n_langs"] == 1 and got["mono"]["n_docs"] == 10
+        # uniform over 4: H = lnm(32) - (32*lnm(8))//32 = lnm(32) - lnm(8)
+        want = lnm_micro(32) - lnm_micro(8)
+        assert got["uni"]["entropy_micro"] == want
+        assert abs(want - 1_386_294) <= 1  # ln 4 in micro-nats
+        assert got["uni"]["n_langs"] == 4 and got["uni"]["n_docs"] == 32
