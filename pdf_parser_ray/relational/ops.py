@@ -87,7 +87,9 @@ def q_pricing_summary(sf_dir: str):
                 count_order=("qty", "size"),
             )
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip the pandas schema-metadata blob: it makes block
+        # schemas unhashable and defeats Ray's schema dedup fast path
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
@@ -4943,7 +4945,7 @@ def q_price_qty_moments(sf_dir: str):
             }
         )
         agg = df.groupby("g", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     cols = [
         "n", "sx", "sy", "sxx", "sxh", "sxm", "sxl",

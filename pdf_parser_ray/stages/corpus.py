@@ -446,7 +446,7 @@ def epoch_shuffle_ds(ds, salt: str = "epoch0", n_buckets: int = 64):
         g = g.sort_values(["shuffle_key", "doc_id"], kind="mergesort")
         rank = offsets[int(g["bucket"].iloc[0])] + np.arange(len(g), dtype=np.int64)
         g = g.drop(columns=["bucket"])
-        out = pa.Table.from_pandas(g, preserve_index=False)
+        out = pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
         return out.append_column("epoch_rank", pa.array(rank, pa.int64()))
 
     return keyed_ds.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
