@@ -1527,6 +1527,104 @@ FROM t, m
 
 
 # ---------------------------------------------------------------------------
+# Benford first-digit deviation — exact micro units on the shared ln
+# ---------------------------------------------------------------------------
+
+
+def q_benford_deviation(sf_dir: str):
+    """First-digit distribution of order totals vs Benford's law — the
+    synthetic-data / fabricated-shard detector a corpus QA pass runs
+    (hand-generated numbers drift from ``P(d) = log10(1 + 1/d)``).
+
+    Exactness: Benford's probabilities are irrational, so the spec
+    snaps every ln to an integer first (the :mod:`~..stages.textstats`
+    shared-ln discipline): with ``lnm(k) = ⌊ln(k)·10⁶ + ½⌋`` over the
+    fixed IEEE expression tree both engines share,
+
+        dev_num(d)    = |cnt_d·lnm(10) − N·(lnm(d+1) − lnm(d))|
+        obs_ppm(d)    = ⌊cnt_d·10⁶ / N⌋
+        benford_ppm(d)= ⌊(lnm(d+1) − lnm(d))·10⁶ / lnm(10)⌋
+
+    — all integer arithmetic, order-free, hash-identical on any
+    platform. Scale shape: first digits come from one Arrow
+    ``utf8_slice_codeunits`` over the cents cast to string (exact — no
+    float log10 at decade boundaries), per-batch ``np.unique`` counts →
+    ONE ``groupby(digit)`` Sum exchange carrying ≤ 9 int64 partials per
+    block; the read-off runs on ≤ 9 driver rows in Python bignums
+    (``cnt·lnm(10)`` passes int64 near 10¹² rows — driver math is
+    bignum, the SQL twin HUGEINT). Reference parity: engine addition
+    for corpus QA; the reference has no statistics layer."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from ..stages.textstats import lnm_micro
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"])
+        first = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
+        d = pc.cast(first, pa.int64()).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "digit": pa.array(vals, pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    g = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby("digit")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # ≤ 9 rows
+        .sort_values("digit")
+    )
+    n = int(g["cnt"].sum())
+    l10 = lnm_micro(10)
+    out = {"digit": [], "cnt": [], "obs_ppm": [], "benford_ppm": [], "dev_num": []}
+    for _, r in g.iterrows():
+        d, cnt = int(r["digit"]), int(r["cnt"])
+        dl = lnm_micro(d + 1) - lnm_micro(d)
+        out["digit"].append(d)
+        out["cnt"].append(cnt)
+        out["obs_ppm"].append(cnt * 1_000_000 // n)
+        out["benford_ppm"].append(dl * 1_000_000 // l10)
+        out["dev_num"].append(abs(cnt * l10 - n * dl))
+    return pd.DataFrame({k: pd.Series(v, dtype=np.int64) for k, v in out.items()})
+
+
+def _sql_benford() -> str:
+    from ..stages.textstats import _shared_ln_cte
+
+    lnm = "CAST(FLOOR(lnk * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    ln_tbl = _shared_ln_cte(
+        "(SELECT CAST(range AS BIGINT) AS k FROM range(1, 11))", "k"
+    )
+    return f"""
+WITH c AS (
+    SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR), 1, 1)
+                AS BIGINT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+lk AS (SELECT k, {lnm} AS lnm FROM {ln_tbl}),
+d AS (SELECT a.k AS digit, b.lnm - a.lnm AS dl
+      FROM lk a JOIN lk b ON b.k = a.k + 1),
+l10 AS (SELECT lnm AS v FROM lk WHERE k = 10)
+SELECT c.digit, c.cnt,
+       CAST(CAST(c.cnt AS HUGEINT) * 1000000 // t.n AS BIGINT) AS obs_ppm,
+       CAST(CAST(d.dl AS HUGEINT) * 1000000 // l10.v AS BIGINT) AS benford_ppm,
+       CAST(ABS(CAST(c.cnt AS HUGEINT) * l10.v
+                - CAST(t.n AS HUGEINT) * d.dl) AS BIGINT) AS dev_num
+FROM c, t, d, l10
+WHERE d.digit = c.digit
+"""
+
+
+_SQL_BENFORD = _sql_benford()
+
+
+# ---------------------------------------------------------------------------
 # Grouped Pearson r² — exact ppm on the REGR_SLOPE partial transport
 # ---------------------------------------------------------------------------
 
@@ -1644,6 +1742,7 @@ QUERIES = {
     "revenue_trend": q_revenue_trend,
     "order_price_drift": q_order_price_drift,
     "discount_qty_correlation": q_discount_qty_correlation,
+    "benford_deviation": q_benford_deviation,
 }
 
 ORACLE_SQL = {
@@ -1658,4 +1757,5 @@ ORACLE_SQL = {
     "prolific_part_suppliers": _SQL_PROLIFIC_SUPPLIERS,
     "order_price_drift": _SQL_ORDER_PRICE_DRIFT,
     "discount_qty_correlation": _SQL_DISCOUNT_QTY_CORR,
+    "benford_deviation": _SQL_BENFORD,
 }

@@ -141,6 +141,7 @@ ALL = [
     "revenue_trend",
     "order_price_drift",
     "discount_qty_correlation",
+    "benford_deviation",
 ]
 
 
