@@ -1426,6 +1426,40 @@ FROM s
 # ---------------------------------------------------------------------------
 
 
+def _expedited_price_hist(sf_dir: str):
+    """Shared two-sample value-count summary for the drift family
+    (:func:`q_order_price_drift`, :func:`q_order_price_ranksum`):
+    per-batch ``np.unique`` counts of order-total cents per sample
+    (A = expedited priorities, B = rest) → ONE ``groupby(cents)`` Sum
+    exchange carrying two int64 counters per distinct price. Returns
+    the aggregated (cents, cnt_a, cnt_b) pandas frame sorted by value —
+    bounded by the price domain, tiny next to the data."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderpriority"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        is_a = pc.is_in(
+            batch["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        ).to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(cents, return_inverse=True)
+        ca = np.bincount(inv[is_a], minlength=len(vals)).astype(np.int64)
+        cb = np.bincount(inv[~is_a], minlength=len(vals)).astype(np.int64)
+        return pa.table(
+            {"cents": pa.array(vals), "cnt_a": pa.array(ca), "cnt_b": pa.array(cb)}
+        )
+
+    return (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby("cents")
+        .aggregate(Sum("cnt_a", alias_name="cnt_a"), Sum("cnt_b", alias_name="cnt_b"))
+        .to_pandas()
+        .sort_values("cents")
+    )
+
+
 def q_order_price_drift(sf_dir: str):
     """Exact two-sample Kolmogorov–Smirnov distance between the
     order-total distributions of expedited orders (priority 1-URGENT /
@@ -1452,30 +1486,7 @@ def q_order_price_drift(sf_dir: str):
     no statistics layer; this is an engine addition for corpus QA."""
     import pandas as pd
 
-    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderpriority"])
-
-    def counts(batch: pa.Table) -> pa.Table:
-        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
-        is_a = pc.is_in(
-            batch["o_orderpriority"],
-            value_set=pa.array(["1-URGENT", "2-HIGH"]),
-        ).to_numpy(zero_copy_only=False)
-        vals, inv = np.unique(cents, return_inverse=True)
-        ca = np.bincount(inv[is_a], minlength=len(vals)).astype(np.int64)
-        cb = np.bincount(inv[~is_a], minlength=len(vals)).astype(np.int64)
-        return pa.table(
-            {"cents": pa.array(vals), "cnt_a": pa.array(ca), "cnt_b": pa.array(cb)}
-        )
-
-    from ray.data.aggregate import Sum
-
-    hist = (
-        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
-        .groupby("cents")
-        .aggregate(Sum("cnt_a", alias_name="cnt_a"), Sum("cnt_b", alias_name="cnt_b"))
-        .to_pandas()
-        .sort_values("cents")
-    )
+    hist = _expedited_price_hist(sf_dir)
     n_a = int(hist["cnt_a"].sum())
     n_b = int(hist["cnt_b"].sum())
     cum_a = hist["cnt_a"].cumsum().to_numpy()
@@ -1523,6 +1534,84 @@ SELECT CAST(t.na AS BIGINT) AS n_a,
        CAST((m.mx * 1000000) // (t.na * t.nb) AS BIGINT) AS ks_micro,
        CAST((SELECT MIN(cents) FROM d WHERE d.gap = m.mx) AS BIGINT) AS at_cents
 FROM t, m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift — exact Mann–Whitney U (rank-sum) with midrank ties
+# ---------------------------------------------------------------------------
+
+
+def q_order_price_ranksum(sf_dir: str):
+    """Exact two-sample Mann–Whitney U between the same expedited /
+    rest order-total samples as :func:`q_order_price_drift` — the
+    location-shift companion to KS's shape test (a training pipeline
+    runs both between corpus snapshots: KS flags any distribution
+    change, U flags a systematic shift).
+
+    Exactness with ties: midranks are half-integers, so everything is
+    DOUBLED to stay in integers — on the shared (cents, cnt_a, cnt_b)
+    value-count grain, each distinct value's doubled midrank is
+    ``M = 2·cum_before + t + 1`` (t = total count at the value), the
+    doubled rank sum is ``R2_a = Σ cnt_a·M``, and
+
+        u2_a    = R2_a − n_a·(n_a+1)        (= 2·U_a exactly)
+        u2_b    = 2·n_a·n_b − u2_a          (midrank identity)
+        auc_ppm = ⌊u2_a·10⁶ / (2·n_a·n_b)⌋  (= ⌊P(A>B)+½P(A=B) in ppm⌋)
+
+    — Python bignums on the aggregated grain, one int64-pair Sum
+    exchange total (shared with KS via :func:`_expedited_price_hist`).
+    The SQL oracle mirrors the doubled arithmetic with a window cumsum
+    in HUGEINT. Reference parity: engine addition for corpus QA."""
+    import pandas as pd
+
+    hist = _expedited_price_hist(sf_dir)
+    n_a = int(hist["cnt_a"].sum())
+    n_b = int(hist["cnt_b"].sum())
+    t = (hist["cnt_a"] + hist["cnt_b"]).to_numpy()
+    cum_before = np.concatenate(([0], np.cumsum(t)[:-1]))
+    r2_a = 0
+    for ca, c, tt in zip(
+        hist["cnt_a"].tolist(), cum_before.tolist(), t.tolist()
+    ):
+        r2_a += int(ca) * (2 * int(c) + int(tt) + 1)
+    u2_a = r2_a - n_a * (n_a + 1)
+    u2_b = 2 * n_a * n_b - u2_a
+    auc_ppm = (u2_a * 1_000_000) // (2 * n_a * n_b) if n_a and n_b else 0
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([n_a], dtype=np.int64),
+            "n_b": pd.Series([n_b], dtype=np.int64),
+            "u2_a": pd.Series([u2_a], dtype=np.int64),
+            "u2_b": pd.Series([u2_b], dtype=np.int64),
+            "auc_ppm": pd.Series([auc_ppm], dtype=np.int64),
+        }
+    )
+
+
+_SQL_ORDER_PRICE_RANKSUM = """
+WITH s AS (
+    SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS a
+    FROM orders),
+h AS (
+    SELECT cents, CAST(SUM(a) AS HUGEINT) AS ca,
+           CAST(COUNT(*) AS HUGEINT) AS t
+    FROM s GROUP BY cents),
+c AS (
+    SELECT cents, ca, t,
+           SUM(t) OVER (ORDER BY cents) - t AS cum_before
+    FROM h),
+tot AS (SELECT SUM(ca) AS na, SUM(t) - SUM(ca) AS nb,
+               SUM(ca * (2*cum_before + t + 1)) AS r2a
+        FROM c)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(r2a - na*(na+1) AS BIGINT) AS u2_a,
+       CAST(2*na*nb - (r2a - na*(na+1)) AS BIGINT) AS u2_b,
+       CAST((r2a - na*(na+1)) * 1000000 // (2*na*nb) AS BIGINT) AS auc_ppm
+FROM tot
 """
 
 
@@ -1743,6 +1832,7 @@ QUERIES = {
     "order_price_drift": q_order_price_drift,
     "discount_qty_correlation": q_discount_qty_correlation,
     "benford_deviation": q_benford_deviation,
+    "order_price_ranksum": q_order_price_ranksum,
 }
 
 ORACLE_SQL = {
@@ -1758,4 +1848,5 @@ ORACLE_SQL = {
     "order_price_drift": _SQL_ORDER_PRICE_DRIFT,
     "discount_qty_correlation": _SQL_DISCOUNT_QTY_CORR,
     "benford_deviation": _SQL_BENFORD,
+    "order_price_ranksum": _SQL_ORDER_PRICE_RANKSUM,
 }

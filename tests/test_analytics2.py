@@ -142,6 +142,7 @@ ALL = [
     "order_price_drift",
     "discount_qty_correlation",
     "benford_deviation",
+    "order_price_ranksum",
 ]
 
 
