@@ -1714,6 +1714,101 @@ _SQL_BENFORD = _sql_benford()
 
 
 # ---------------------------------------------------------------------------
+# Chi-square independence — exact micro contributions on the cell grain
+# ---------------------------------------------------------------------------
+
+
+def q_priority_year_chi2(sf_dir: str):
+    """Chi-square independence test between order priority and order
+    year — the categorical-drift monitor (is the label mix stationary
+    across time shards?). The statistic is SPECIFIED as integer micro
+    contributions so both engines compute identical bits: per cell,
+
+        contrib = ⌊(O·N − R·C)² · 10⁶ / (N·R·C)⌋
+
+    (O = cell count, R/C = marginals, N = total; the exact-rational
+    per-cell χ²·N² term scaled to micro and floored BEFORE the sum —
+    sum-of-floors is the spec, order-free since each term is an
+    integer), and ``chi2_n2_micro = Σ contrib`` with dof attached.
+    Dividing by N² driver-side recovers classic χ² to ≤1e-6; the
+    hash-exact surface stays integer.
+
+    Scale shape: per-batch (priority, year) counts → ONE
+    ``groupby([pri, year])`` Sum exchange carrying O(cells × blocks)
+    int64 partials (cells = priorities × years, bounded); marginals and
+    the contribution sum run on that ≤ cells driver grain in Python
+    bignums (O·N ~ 10²⁴ at 10¹² rows — past int64/HUGEINT when squared,
+    never past bignums; the SQL twin is exact at oracle scales and says
+    so). Reference parity: engine addition for corpus QA."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        yr = _year_of(_ts_us(batch["o_orderdate"]))
+        df = pd.DataFrame(
+            {
+                "pri": batch["o_orderpriority"].to_pandas().to_numpy(),
+                "yr": yr,
+            }
+        )
+        g = df.groupby(["pri", "yr"], sort=False).size().reset_index(name="k")
+        return pa.table(
+            {
+                "pri": pa.array(g["pri"].astype(str), pa.string()),
+                "yr": pa.array(g["yr"].to_numpy(), pa.int64()),
+                "k": pa.array(g["k"].to_numpy(), pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby(["pri", "yr"])
+        .aggregate(Sum("k", alias_name="k"))
+        .to_pandas()  # ≤ priorities × years rows
+    )
+    n = int(g["k"].sum())
+    row = g.groupby("pri")["k"].sum().to_dict()
+    col = g.groupby("yr")["k"].sum().to_dict()
+    chi = 0
+    for _, r in g.iterrows():
+        o, rr, cc = int(r["k"]), int(row[r["pri"]]), int(col[r["yr"]])
+        d = o * n - rr * cc
+        chi += (d * d * 1_000_000) // (n * rr * cc)
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([n], dtype=np.int64),
+            "n_cells": pd.Series([len(g)], dtype=np.int64),
+            "dof": pd.Series([(len(row) - 1) * (len(col) - 1)], dtype=np.int64),
+            "chi2_n2_micro": pd.Series([chi], dtype=np.int64),
+        }
+    )
+
+
+_SQL_PRIORITY_YEAR_CHI2 = """
+WITH s AS (
+    SELECT o_orderpriority AS pri,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
+    FROM orders),
+c AS (SELECT pri, yr, CAST(COUNT(*) AS HUGEINT) AS o FROM s GROUP BY pri, yr),
+r AS (SELECT pri, SUM(o) AS rr FROM c GROUP BY pri),
+k AS (SELECT yr, SUM(o) AS cc FROM c GROUP BY yr),
+t AS (SELECT SUM(o) AS n FROM c),
+cell AS (
+    SELECT ((c.o*t.n - r.rr*k.cc)*(c.o*t.n - r.rr*k.cc)*1000000)
+               // (t.n*r.rr*k.cc) AS contrib
+    FROM c, r, k, t WHERE c.pri = r.pri AND c.yr = k.yr)
+SELECT CAST(t.n AS BIGINT) AS n_orders,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_cells,
+       CAST(((SELECT COUNT(*) FROM r) - 1) * ((SELECT COUNT(*) FROM k) - 1)
+            AS BIGINT) AS dof,
+       CAST((SELECT SUM(contrib) FROM cell) AS BIGINT) AS chi2_n2_micro
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grouped Pearson r² — exact ppm on the REGR_SLOPE partial transport
 # ---------------------------------------------------------------------------
 
@@ -1833,6 +1928,7 @@ QUERIES = {
     "discount_qty_correlation": q_discount_qty_correlation,
     "benford_deviation": q_benford_deviation,
     "order_price_ranksum": q_order_price_ranksum,
+    "priority_year_chi2": q_priority_year_chi2,
 }
 
 ORACLE_SQL = {
@@ -1849,4 +1945,5 @@ ORACLE_SQL = {
     "discount_qty_correlation": _SQL_DISCOUNT_QTY_CORR,
     "benford_deviation": _SQL_BENFORD,
     "order_price_ranksum": _SQL_ORDER_PRICE_RANKSUM,
+    "priority_year_chi2": _SQL_PRIORITY_YEAR_CHI2,
 }

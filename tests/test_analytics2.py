@@ -143,6 +143,7 @@ ALL = [
     "discount_qty_correlation",
     "benford_deviation",
     "order_price_ranksum",
+    "priority_year_chi2",
 ]
 
 
