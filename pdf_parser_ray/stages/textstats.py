@@ -1671,7 +1671,7 @@ CROSS JOIN lnn
 # BM25 ranked retrieval (Robertson/Sparck-Jones k1-b weighting)
 # ---------------------------------------------------------------------------
 
-def q_bm25_search(sf_dir: str, k: int = 10):
+def q_bm25_search(sf_dir: str, k: int = 10, pin_budget_bytes: "int | None" = None):
     """Top-k documents by BM25 for a deterministic probe (the first
     three distinct lowercased words of document 0, as
     :func:`q_term_search`) — completing the lexical-retrieval family:
@@ -1681,14 +1681,19 @@ def q_bm25_search(sf_dir: str, k: int = 10):
     Shape: ONE pruned streaming pass over the corpus emits (a) one
     fixed-width row per (matching doc, probe term) with its tf and the
     doc's token length, and (b) one stats partial per batch
-    (doc count, token-length sum). That tagged dataset is tiny (≤
-    |probe| rows per matching doc + 1 per batch) and is consumed twice
-    — once to reduce the global constants (N, total_dl, df per term:
-    a bounded driver-side fold over per-batch partials), once to score
-    — so it is pinned with ``materialize()``; the CORPUS is never
-    pinned or re-read. Scoring sums per-term micro contributions per
-    doc inside a coarse ``doc_id % B`` groupby, then one top-k sort on
-    the integer score.
+    (doc count, token-length sum). That tagged dataset is consumed by
+    several branches (global-constant fold, per-term df, scoring), all
+    split with VECTORIZED expression filters (``filter(expr=...)`` —
+    never a per-row Python lambda). Its worst case is NOT tiny: a
+    probe term present in every document yields |probe| rows per doc,
+    i.e. corpus-order postings — so the two-consumer pin is SIZE-GATED
+    (``core.util.pin_fits``) on the footer-derived upper bound
+    ``n_docs × (|probe|+1) × row_width``; past the budget the pin is
+    dropped and the one-pass map recomputes per consumer (linear
+    re-reads of the pruned corpus instead of pinning postings into the
+    object store). The CORPUS itself is never pinned. Scoring sums
+    per-term micro contributions per doc inside a coarse ``doc_id %
+    B`` groupby, then one top-k sort on the integer score.
 
     Exactness: ``bm25 = idf · (tf·(k1+1)) / (tf + k1·(1−b) + k1·b·
     dl·N/total_dl)`` with k1 = 1.2, b = 0.75 folded into the literal
@@ -1748,14 +1753,20 @@ def q_bm25_search(sf_dir: str, k: int = 10):
             }
         )
 
-    tagged = ds.map_batches(
-        hit_rows, batch_format="pyarrow", batch_size=None
-    ).materialize()  # tiny: |probe| rows per matching doc + 1 per batch
+    tagged = ds.map_batches(hit_rows, batch_format="pyarrow", batch_size=None)
+    # Pin gate: worst-case postings (every doc matches every probe
+    # term) + one partial row per block, at ~40 B/row fixed width.
+    # Footer-only estimate, same discipline as substring_dedup_ds.
+    from ..core.util import PIN_BUDGET_BYTES, pin_fits
 
-    parts = tagged.filter(lambda r: r["kind"] == 1).to_pandas()
+    hint = n_docs * (len(probe) + 1) * 40
+    if pin_fits(hint, pin_budget_bytes or PIN_BUDGET_BYTES):
+        tagged = tagged.materialize()
+
+    parts = tagged.filter(expr="kind == 1").to_pandas()  # 1 row per block
     total_dl = int(parts["dl"].sum())
     assert int(parts["tf"].sum()) == n_docs  # partials cover the corpus
-    hits = tagged.filter(lambda r: r["kind"] == 0)
+    hits = tagged.filter(expr="kind == 0")
     df_per_term = (
         hits.groupby("term_idx")
         .count()

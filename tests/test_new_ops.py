@@ -1851,6 +1851,20 @@ class TestBM25:
         # (higher idf AND shorter doc)
         assert by_doc[3] > by_doc[2]
 
+    def test_plan_vectorized_and_pin_gated(self, bm25_sf, ray_session):
+        """Round-5 contract: (a) no per-row Python lambda filter in
+        the executed plan — the tagged stream splits with expression
+        filters; (b) the postings pin is size-gated, and the no-pin
+        (recompute-upstream) path returns byte-identical results."""
+        from pdf_parser_ray.stages.textstats import q_bm25_search
+
+        pinned = q_bm25_search(bm25_sf)
+        got = pinned.to_pandas()
+        assert "lambda" not in pinned.stats()
+        # force the gate shut: postings estimate >> 1 byte budget
+        unpinned = q_bm25_search(bm25_sf, pin_budget_bytes=1).to_pandas()
+        assert got.equals(unpinned)
+
 
 class TestLangMixOrderSpan:
     """Round-4 additions: proportional language-mixture sampling
