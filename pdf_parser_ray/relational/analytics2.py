@@ -1531,7 +1531,9 @@ m AS (SELECT MAX(gap) AS mx FROM d)
 SELECT CAST(t.na AS BIGINT) AS n_a,
        CAST(t.nb AS BIGINT) AS n_b,
        CAST(m.mx AS BIGINT) AS d_num,
-       CAST((m.mx * 1000000) // (t.na * t.nb) AS BIGINT) AS ks_micro,
+       CAST(CASE WHEN t.na = 0 OR t.nb = 0 THEN 0
+                 ELSE (m.mx * 1000000) // (t.na * t.nb) END
+            AS BIGINT) AS ks_micro,
        CAST((SELECT MIN(cents) FROM d WHERE d.gap = m.mx) AS BIGINT) AS at_cents
 FROM t, m
 """
@@ -1610,7 +1612,9 @@ SELECT CAST(na AS BIGINT) AS n_a,
        CAST(nb AS BIGINT) AS n_b,
        CAST(r2a - na*(na+1) AS BIGINT) AS u2_a,
        CAST(2*na*nb - (r2a - na*(na+1)) AS BIGINT) AS u2_b,
-       CAST((r2a - na*(na+1)) * 1000000 // (2*na*nb) AS BIGINT) AS auc_ppm
+       CAST(CASE WHEN na = 0 OR nb = 0 THEN 0
+                 ELSE (r2a - na*(na+1)) * 1000000 // (2*na*nb) END
+            AS BIGINT) AS auc_ppm
 FROM tot
 """
 
@@ -1650,7 +1654,13 @@ def q_benford_deviation(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_totalprice"])
 
     def counts(batch: pa.Table) -> pa.Table:
+        # Benford is defined on positive magnitudes: zero cents would
+        # yield first digit '0' whose ln(0) is undefined, so both
+        # sides restrict to cents > 0 (N counts only those rows —
+        # TPC-H totals are always positive, but the guard keeps the
+        # hash-exact contract on degenerate corpora too).
         cents = _cents(batch["o_totalprice"])
+        cents = cents.filter(pc.greater(cents, pa.scalar(0, pa.int64())))
         first = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
         d = pc.cast(first, pa.int64()).to_numpy(zero_copy_only=False)
         vals, cnts = np.unique(d, return_counts=True)
@@ -1694,7 +1704,9 @@ WITH c AS (
     SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR), 1, 1)
                 AS BIGINT) AS digit,
            CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM orders GROUP BY 1),
+    FROM orders
+    WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) > 0
+    GROUP BY 1),
 t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
 lk AS (SELECT k, {lnm} AS lnm FROM {ln_tbl}),
 d AS (SELECT a.k AS digit, b.lnm - a.lnm AS dl
@@ -1726,12 +1738,13 @@ def q_priority_year_chi2(sf_dir: str):
 
         contrib = ⌊(O·N − R·C)² · 10⁶ / (N·R·C)⌋
 
-    (O = cell count, R/C = marginals, N = total; the exact-rational
-    per-cell χ²·N² term scaled to micro and floored BEFORE the sum —
-    sum-of-floors is the spec, order-free since each term is an
-    integer), and ``chi2_n2_micro = Σ contrib`` with dof attached.
-    Dividing by N² driver-side recovers classic χ² to ≤1e-6; the
-    hash-exact surface stays integer.
+    (O = cell count, R/C = marginals, N = total). Algebraically
+    ``(O·N − R·C)²/(N·R·C) = (O − E)²/E`` with ``E = R·C/N``, so each
+    contrib IS the classic per-cell χ² term scaled to micro and
+    floored BEFORE the sum — sum-of-floors is the spec, order-free
+    since each term is an integer — and ``chi2_micro = Σ contrib`` is
+    classic χ²·10⁶ to ≤1e-6 per cell. No further driver-side scaling
+    is needed; the hash-exact surface stays integer.
 
     Scale shape: per-batch (priority, year) counts → ONE
     ``groupby([pri, year])`` Sum exchange carrying O(cells × blocks)
@@ -1781,7 +1794,7 @@ def q_priority_year_chi2(sf_dir: str):
             "n_orders": pd.Series([n], dtype=np.int64),
             "n_cells": pd.Series([len(g)], dtype=np.int64),
             "dof": pd.Series([(len(row) - 1) * (len(col) - 1)], dtype=np.int64),
-            "chi2_n2_micro": pd.Series([chi], dtype=np.int64),
+            "chi2_micro": pd.Series([chi], dtype=np.int64),
         }
     )
 
@@ -1803,7 +1816,7 @@ SELECT CAST(t.n AS BIGINT) AS n_orders,
        CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_cells,
        CAST(((SELECT COUNT(*) FROM r) - 1) * ((SELECT COUNT(*) FROM k) - 1)
             AS BIGINT) AS dof,
-       CAST((SELECT SUM(contrib) FROM cell) AS BIGINT) AS chi2_n2_micro
+       CAST((SELECT SUM(contrib) FROM cell) AS BIGINT) AS chi2_micro
 FROM t
 """
 

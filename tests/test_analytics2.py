@@ -408,3 +408,49 @@ class TestBucketJoin:
         assert out["k"].tolist() == [1, 2]
         assert out["a"].tolist() == [sum(range(0, 40, 2)), sum(range(1, 40, 2))]
         assert out["b"].tolist() == [100 * 20, 200 * 20]
+
+
+class TestDegenerateStatGuards:
+    """Round-5 hardening: the drift/ranksum SQL oracles must mirror the
+    engine's empty-sample guards (a corpus where every order shares one
+    priority class yields n_b = 0 — division guards on BOTH sides), and
+    benford must agree when zero-magnitude totals exist (both sides
+    restrict to cents > 0, so digit '0' never appears and N matches)."""
+
+    @pytest.fixture(scope="class")
+    def degenerate(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("degenerate_sf")
+        _write(d, "orders", pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            # all expedited: sample B (the rest) is empty
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"] * 2),
+            # one zero total exercises the benford cents>0 guard
+            "o_totalprice": pa.array([0.00, 123.45, 67.89, 123.45]),
+            "o_orderdate": _ts_days([0, 40, 400, 440]),
+        }))
+        return d
+
+    @pytest.mark.parametrize(
+        "name", ["order_price_drift", "order_price_ranksum", "benford_deviation"]
+    )
+    def test_engine_matches_oracle_on_degenerate_corpus(self, degenerate, name):
+        got = _pd(a2.QUERIES[name](str(degenerate)))
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW orders AS SELECT * FROM '{degenerate}/orders.parquet'"
+        )
+        want = con.sql(a2.ORACLE_SQL[name]).df()
+        con.close()
+        assert len(got) == len(want)
+        assert sorted(got.columns) == sorted(want.columns)
+        assert _canon(got) == _canon(want)
+
+    def test_chi2_micro_is_classic_chi2(self, degenerate):
+        """The renamed chi2_micro column must equal SciPy-free classic
+        chi-square x 1e6 (sum of floors) computed independently."""
+        got = _pd(a2.QUERIES["priority_year_chi2"](str(degenerate)))
+        # crafted corpus: pri x year counts
+        # 1995: URGENT 1 (zero-total row still counts for chi2), HIGH 1
+        # 1996: URGENT 1, HIGH 1  -> perfectly independent, chi2 = 0
+        assert int(got["chi2_micro"][0]) == 0
+        assert int(got["dof"][0]) == 1
