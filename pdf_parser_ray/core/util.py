@@ -61,15 +61,22 @@ def parquet_uncompressed_bytes(parquet_path: str) -> int:
 
 
 def pin_fits(
-    input_bytes_hint: "int | None",
+    input_bytes_hint: int,
     budget_bytes: int = PIN_BUDGET_BYTES,
 ) -> bool:
     """Whether a two-consumer input pin (materialize) fits the budget.
-    ``None`` (no estimate available) pins — the sandbox default, where
-    corpora are far below budget; callers with footer metadata pass an
-    estimate so a 100-TB corpus degrades to recompute-upstream instead
-    of pinning itself into the object store."""
-    return input_bytes_hint is None or input_bytes_hint <= budget_bytes
+
+    The estimate is MANDATORY (round-5 hardening): a permissive
+    ``None``-pins default let a future caller silently pin a 100-TB
+    corpus into the object store. Every ds-level API computes a
+    footer-only upper bound (``parquet_uncompressed_bytes``, row-count
+    × row-width, …) and degrades to recompute-upstream past budget."""
+    if input_bytes_hint is None:
+        raise TypeError(
+            "pin_fits requires a byte estimate (footer-derived upper "
+            "bound); a pin without one is unsafe at corpus scale"
+        )
+    return input_bytes_hint <= budget_bytes
 
 
 def hash_bucket(value, n_buckets: int) -> int:

@@ -665,9 +665,10 @@ def gram_rows_vec(n_buckets: int):
 
 def substring_dedup_ds(
     ds,
+    *,
+    input_bytes_hint: int,
     n_buckets: int = 64,
     text_col: str = "text",
-    input_bytes_hint: "int | None" = None,
     pin_budget_bytes: "int | None" = None,
 ):
     """The substring-dedup exchange over an arbitrary ``(doc_id,
@@ -681,8 +682,10 @@ def substring_dedup_ds(
     one pass of the (possibly expensive) upstream stages instead of
     two, at the price of holding one corpus copy in the object store.
     The pin is SIZE-GATED (``core.util.pin_fits``, the
-    broadcast_build_fits discipline applied to pins): callers pass a
-    footer-metadata estimate via ``input_bytes_hint``; past the budget
+    broadcast_build_fits discipline applied to pins): callers MUST
+    pass a footer-metadata estimate via ``input_bytes_hint`` (a
+    required keyword — round-5 hardening removed the None-pins
+    default so no caller can silently pin at scale); past the budget
     the pin is dropped and the upstream recomputes for the second
     consumer — linear re-read instead of pinning a corpus-scale copy
     into the object store. Output is identical either way (both paths

@@ -1451,9 +1451,11 @@ class TestPinGate:
     def test_pin_fits_rule(self, tmp_path):
         from pdf_parser_ray.core.util import parquet_uncompressed_bytes, pin_fits
 
-        assert pin_fits(None)                      # no estimate → pin (sandbox)
         assert pin_fits(100, budget_bytes=100)
         assert not pin_fits(101, budget_bytes=100)
+        # round-5 contract: an estimate is mandatory — no silent pins
+        with pytest.raises(TypeError):
+            pin_fits(None)
 
         t = pa.table({"a": pa.array(range(1000), pa.int64())})
         p = str(tmp_path / "t.parquet")
