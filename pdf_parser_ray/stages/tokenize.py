@@ -260,10 +260,339 @@ FROM base b JOIN counts c ON c.doc_id = b.doc_id * 1000000 + b.chunk_idx
     )
 
 
+# ---------------------------------------------------------------------------
+# Token-id-grain twins of the text-quality family (VERDICT r4 item 4):
+# the whitespace-token queries lm_doc_nll / contamination / heavy
+# hitters re-expressed over the tokenizer actor's token_id stream —
+# the grain a production pipeline actually filters on (subword ids),
+# with exact oracles composed from the recursive-CTE tokenizer replay.
+# ---------------------------------------------------------------------------
+
+
+class _IdCounter:
+    """Actor-pool stage: per-batch global token-id counts (vocab and
+    word-memo state once per actor — ST1)."""
+
+    def __init__(self) -> None:
+        self.tok = TokenizerActor()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            for w in (t or "").split():
+                for tid, _ in self.tok._word(w):
+                    c[tid] += 1
+        ids = np.fromiter(c.keys(), dtype=np.int64, count=len(c))
+        cnt = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        return pa.table(
+            {"token_id": pa.array(ids), "cnt": pa.array(cnt)}
+        )
+
+
+def q_heavy_hitters_tokens(sf_dir: str, k: int = 20):
+    """Global top-``k`` token ids by occurrence — the heavy-hitter
+    monitor at subword grain (which byte-pairs dominate the training
+    stream; the whitespace twin is ``top_tokens``). Per-batch Counter
+    partials inside the tokenizer actor pool → ONE ``groupby(token_id)``
+    Sum exchange carrying (distinct ids × blocks) int64 pairs — the id
+    domain is vocab-bounded, tiny next to the corpus — then a top-k
+    sort on the aggregated grain. Ties break token_id ascending."""
+    from ray.data.aggregate import Sum
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            _IdCounter,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+        .groupby("token_id")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "token_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+_SQL_HEAVY_HITTERS_TOKENS = (
+    "WITH RECURSIVE "
+    + tokenize_ctes()
+    + """
+SELECT token_id, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY token_id
+ORDER BY cnt DESC, token_id LIMIT 20
+"""
+)
+
+
+def q_lm_doc_nll_tokens(sf_dir: str, vocab_size: int = 32768, n_buckets: int = 32):
+    """Per-document mean NLL under a unigram LM at TOKEN-ID grain —
+    the :func:`~.textstats.q_lm_doc_nll` quality filter re-expressed
+    over the tokenizer actor's subword stream (the grain a perplexity
+    filter scores in production, where the LM shares the model's
+    tokenizer). Same two-pass shape as the whitespace twin: a TRAIN
+    exchange (per-batch id-count partials → ``token_id % B`` groupby,
+    per-bucket top-V, driver folds O(B·V) fixed-width rows), the model
+    broadcast once via ``ray.put``, then a shuffle-free SCORE pass.
+    All-integer output via the shared fixed IEEE ln, so the oracle —
+    the recursive-CTE tokenizer replay composed with the LM SQL — is
+    hash-exact."""
+    import pandas as pd
+    import ray
+    from .textstats import _shared_ln
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pa.array(batch["token_id"].to_numpy() % n_buckets, pa.int64())
+        )
+
+    def bucket_model(g: "pd.DataFrame") -> pa.Table:
+        agg = g.groupby("token_id", sort=False)["cnt"].sum().reset_index(name="c")
+        total = int(agg["c"].sum())
+        top = agg.sort_values(["c", "token_id"], ascending=[False, True]).head(
+            vocab_size
+        )
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([[1], np.zeros(len(top), dtype=np.int64)]),
+                    pa.int64(),
+                ),
+                "token_id": pa.array(
+                    np.concatenate([[-1], top["token_id"].to_numpy(dtype=np.int64)]),
+                    pa.int64(),
+                ),
+                "c": pa.array(
+                    np.concatenate([[total], top["c"].to_numpy(dtype=np.int64)]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    model_rows = (
+        ds.map_batches(
+            _IdCounter,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+        .map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(bucket_model, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ B·(V+1) fixed-width rows
+    )
+    total_tokens = int(model_rows.loc[model_rows["kind"] == 1, "c"].sum())
+    vocab = (
+        model_rows[model_rows["kind"] == 0]
+        .sort_values(["c", "token_id"], ascending=[False, True])
+        .head(vocab_size)
+        .sort_values("token_id")
+    )
+    ln_t = _shared_ln(total_tokens)
+    vids = vocab["token_id"].to_numpy(dtype=np.int64)
+    nll_by_count = {int(c): ln_t - _shared_ln(int(c)) for c in vocab["c"].unique()}
+    nll = vocab["c"].map(nll_by_count).to_numpy(dtype=np.float64)
+    model_ref = ray.put((vids, nll, ln_t))
+
+    class Score:
+        def __init__(self) -> None:
+            self.tok = TokenizerActor()
+            self.vids, self.nll, self.ln_t = ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            out_id, out_n, out_nll = [], [], []
+            for d, t in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                c: Counter = Counter()
+                for w in (t or "").split():
+                    for tid, _ in self.tok._word(w):
+                        c[tid] += 1
+                if not c:
+                    continue  # docs with no tokens drop, as the term twin
+                ids = np.fromiter(c.keys(), dtype=np.int64, count=len(c))
+                tf = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+                if len(self.vids):
+                    idx = np.clip(
+                        np.searchsorted(self.vids, ids), 0, len(self.vids) - 1
+                    )
+                    hit = self.vids[idx] == ids
+                    tok_nll = np.where(hit, self.nll[idx], self.ln_t)
+                else:
+                    tok_nll = np.full(len(ids), self.ln_t)
+                micro = np.floor(
+                    (tf.astype(np.float64) * tok_nll) * 1_000_000 + 0.5
+                ).astype(np.int64)
+                out_id.append(d)
+                out_n.append(int(tf.sum()))
+                out_nll.append(int(micro.sum()) // int(tf.sum()))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "n_tokens": pa.array(out_n, pa.int64()),
+                    "nll_micro": pa.array(out_nll, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        Score,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def _sql_lm_nll_tokens() -> str:
+    from .textstats import _shared_ln_cte
+
+    return (
+        "WITH RECURSIVE "
+        + tokenize_ctes()
+        + """,
+tf AS (SELECT doc_id, token_id, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, token_id),
+cnt AS (SELECT token_id, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY token_id),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS kint FROM cnt),
+lnt AS {LNT},
+vocab AS (SELECT token_id, c FROM cnt ORDER BY c DESC, token_id LIMIT 32768),
+vd AS (SELECT DISTINCT c AS kint FROM vocab),
+lnv AS {LNV},
+scored AS (
+    SELECT tf.doc_id, tf.tf,
+           CAST(FLOOR((tf.tf * (lnt.lnk - COALESCE(lnv.lnk, CAST(0.0 AS DOUBLE))))
+                * 1000000 + 0.5) AS BIGINT) AS micro
+    FROM tf
+    LEFT JOIN vocab v USING (token_id)
+    LEFT JOIN lnv ON lnv.kint = v.c
+    CROSS JOIN lnt
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(micro) // SUM(tf) AS BIGINT) AS nll_micro
+FROM scored GROUP BY doc_id
+""".replace("{LNT}", _shared_ln_cte("tot", "kint")).replace(
+            "{LNV}", _shared_ln_cte("vd", "kint")
+        )
+    )
+
+
+def q_contamination_tokens(sf_dir: str, gram_k: int = 8, probe_mod: int = 97):
+    """Benchmark decontamination at TOKEN-ID grain: which corpus
+    documents share a ``gram_k``-gram of SUBWORD ids with the probe
+    set (``doc_id % probe_mod == 0``) — the grain real decontamination
+    runs at (PaLM/GPT-3 style n-gram overlap is computed on tokenizer
+    output, not raw words), twinning
+    :func:`~.textstats.q_contamination`.
+
+    Probe collection is one PRUNED streaming pass whose output is
+    bounded (n/probe_mod docs) — never a driver read of the corpus;
+    the probe docs tokenize driver-side (tiny) into a gram set that
+    broadcasts via ``ray.put`` while the corpus streams through the
+    tokenizer actor pool. Gram key = ids joined with '-', exactly the
+    string the oracle's list_transform builds."""
+    import ray
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def probe_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % probe_mod == 0))
+
+    probe_df = (
+        docs.map_batches(probe_only, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # bounded: n/probe_mod rows
+    )
+    tok = TokenizerActor()
+
+    def grams_of(text: str) -> set[str]:
+        ids: list[int] = []
+        for w in (text or "").split():
+            ids.extend(tid for tid, _ in tok._word(w))
+        return {
+            "-".join(str(i) for i in ids[j : j + gram_k])
+            for j in range(max(0, len(ids) - gram_k + 1))
+        }
+
+    probe_grams: set[str] = set()
+    for t in probe_df["text"]:
+        probe_grams |= grams_of(t)
+    probe_ref = ray.put(probe_grams)
+
+    class Flag:
+        def __init__(self) -> None:
+            self.tok = TokenizerActor()
+            self.probe: set[str] = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_id, out_hits = [], []
+            for d, t in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                ids: list[int] = []
+                for w in (t or "").split():
+                    ids.extend(tid for tid, _ in self.tok._word(w))
+                hits = {
+                    "-".join(str(i) for i in ids[j : j + gram_k])
+                    for j in range(max(0, len(ids) - gram_k + 1))
+                } & self.probe
+                if hits:
+                    out_id.append(d)
+                    out_hits.append(len(hits))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "n_hits": pa.array(out_hits, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        Flag,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def _sql_contamination_tokens(gram_k: int = 8, probe_mod: int = 97) -> str:
+    gram_expr = "||'-'||".join(f"ids[i+{j}]" if j else "ids[i]" for j in range(gram_k))
+    return (
+        "WITH RECURSIVE "
+        + tokenize_ctes()
+        + f""",
+seq AS (SELECT doc_id, token_id,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY widx, pos) AS i
+        FROM toks),
+lists AS (SELECT doc_id, list(token_id ORDER BY i) AS ids FROM seq GROUP BY doc_id),
+grams AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(ids) < {gram_k} THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(ids) - {gram_k - 2}),
+                     i -> {gram_expr}) END) AS g
+    FROM lists),
+probe AS (SELECT DISTINCT UNNEST(g) AS gram FROM grams WHERE doc_id % {probe_mod} = 0)
+SELECT d.doc_id, CAST(COUNT(DISTINCT p.gram) AS BIGINT) AS n_hits
+FROM grams d JOIN probe p ON list_contains(d.g, p.gram)
+GROUP BY d.doc_id
+"""
+    )
+
+
 QUERIES = {
     "tokenize": q_tokenize,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "doc_chunks_tokens": q_doc_chunks_tokens,
+    "heavy_hitters_tokens": q_heavy_hitters_tokens,
+    "lm_doc_nll_tokens": q_lm_doc_nll_tokens,
+    "contamination_tokens": q_contamination_tokens,
 }
 
 
@@ -271,4 +600,7 @@ ORACLE_SQL = {
     "tokenize": _SQL_TOKENIZE,
     "pack_sequences_bpe": _SQL_PACK_BPE,
     "doc_chunks_tokens": _sql_doc_chunks_tokens(),
+    "heavy_hitters_tokens": _SQL_HEAVY_HITTERS_TOKENS,
+    "lm_doc_nll_tokens": _sql_lm_nll_tokens(),
+    "contamination_tokens": _sql_contamination_tokens(),
 }

@@ -1595,6 +1595,103 @@ class TestTokenizer:
         pd.testing.assert_frame_equal(via_ray, direct)
 
 
+class TestTokenGrainTwins:
+    """Round-5 token-id-grain twins (VERDICT r4 item 4): the
+    lm/contamination/heavy-hitter family re-run over the tokenizer
+    actor's subword stream, checked against independent driver-side
+    math on a hand-built corpus."""
+
+    @pytest.fixture(scope="class")
+    def tok_sf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("tok_sf")
+        # doc 0 is the probe (0 % 97 == 0); doc 1 shares its exact
+        # text (contaminated), doc 2 is disjoint, doc 3 is too short
+        # to hold an 8-token gram
+        long = "the thin thing then that than "
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array([long, long + "more", "zz yy xx ww vv uu", "ab"]),
+            }
+        )
+        pq.write_table(docs, str(d / "documents.parquet"))
+        return str(d)
+
+    def test_heavy_hitters_match_direct_count(self, tok_sf, ray_session):
+        from collections import Counter
+
+        from pdf_parser_ray.stages.tokenize import (
+            TokenizerActor,
+            q_heavy_hitters_tokens,
+        )
+
+        got = q_heavy_hitters_tokens(tok_sf, k=5).to_pandas()
+        tok = TokenizerActor()
+        want: Counter = Counter()
+        for t in pq.read_table(f"{tok_sf}/documents.parquet")["text"].to_pylist():
+            for w in t.split():
+                for tid, _ in tok._word(w):
+                    want[tid] += 1
+        top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert list(zip(got["token_id"], got["cnt"])) == top
+
+    def test_lm_nll_matches_independent_math(self, tok_sf, ray_session):
+        import math
+        from collections import Counter
+
+        from pdf_parser_ray.stages.tokenize import (
+            TokenizerActor,
+            q_lm_doc_nll_tokens,
+        )
+
+        got = (
+            q_lm_doc_nll_tokens(tok_sf)
+            .to_pandas()
+            .set_index("doc_id")["nll_micro"]
+            .to_dict()
+        )
+        tok = TokenizerActor()
+        texts = dict(
+            zip(
+                pq.read_table(f"{tok_sf}/documents.parquet")["doc_id"].to_pylist(),
+                pq.read_table(f"{tok_sf}/documents.parquet")["text"].to_pylist(),
+            )
+        )
+        cnt: Counter = Counter()
+        per_doc: dict[int, Counter] = {}
+        for d, t in texts.items():
+            c: Counter = Counter()
+            for w in t.split():
+                for tid, _ in tok._word(w):
+                    c[tid] += 1
+            per_doc[d] = c
+            cnt.update(c)
+        total = sum(cnt.values())
+        for d, c in per_doc.items():
+            n = sum(c.values())
+            micro = sum(
+                math.floor(tf * (math.log(total) - math.log(cnt[tid])) * 1e6 + 0.5)
+                for tid, tf in c.items()
+            )
+            # shared-ln vs libm differ < 1e-6 relative → micro ≤ ~1 off
+            # per term; mean over the doc stays within a few micro
+            assert abs(got[d] - micro // n) <= 5
+
+    def test_contamination_flags_shared_gram(self, tok_sf, ray_session):
+        from pdf_parser_ray.stages.tokenize import q_contamination_tokens
+
+        got = (
+            q_contamination_tokens(tok_sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # probe = doc 0; doc 1 contains doc 0's text verbatim → every
+        # probe gram hits; docs 2 (disjoint) and 3 (too short) don't.
+        assert got["doc_id"].tolist() == [0, 1]
+        assert got["n_hits"][0] == got["n_hits"][1]
+
+
 class TestKernelTwins:
     """The A/B'd text kernels (VERDICT r3 item 6): loop and vectorized
     twins must emit identical rows on adversarial inputs — empty docs,
