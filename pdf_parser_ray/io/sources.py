@@ -26,7 +26,14 @@ def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    import os
+
     first = path if isinstance(path, str) else path[0]
+    if os.path.isdir(first):
+        # fragmented corpus (directory of part files): schema from the
+        # first fragment — read_parquet itself handles the directory
+        frags = sorted(f for f in os.listdir(first) if f.endswith(".parquet"))
+        first = os.path.join(first, frags[0])
     sch = pq.read_schema(first)
     names = columns if columns is not None else sch.names
     clean = pa.schema([pa.field(sch.field(c).name, sch.field(c).type) for c in names])

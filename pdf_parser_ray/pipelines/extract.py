@@ -514,15 +514,63 @@ _GIANT_COST_RATIO = 6.0
 _TAIL_DOMINANCE_THRESHOLD = 0.25
 
 
+def _fragment_paths(sf_dir: str) -> "list[str]":
+    """The corpus's fragment files. ``documents.parquet`` is either a
+    single file (the sandbox testdata shape) or a DIRECTORY of
+    fragment files (the production shape — one Lance fragment / one
+    parquet part per task). Sorted for deterministic slice order."""
+    import glob
+
+    p = f"{sf_dir}/documents.parquet"
+    if _os.path.isdir(p):
+        frags = sorted(glob.glob(_os.path.join(p, "*.parquet")))
+        if not frags:
+            raise FileNotFoundError(f"no fragment files under {p}")
+        return frags
+    return [p]
+
+
+def _corpus_rows(sf_dir: str) -> int:
+    """Footer-only total row count across all fragments."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(p).metadata.num_rows for p in _fragment_paths(sf_dir)
+    )
+
+
+def _fragment_slices(frag_paths: "list[str]", n_blocks: int):
+    """Per-task read assignments ``(path, lo, hi)`` over a fragmented
+    corpus. Each slice is confined to ONE fragment (a task never opens
+    a second file — the production one-fragment-per-task contract);
+    blocks are allocated to fragments proportionally to their footer
+    row counts and sliced with :func:`_slice_bounds` inside each.
+    Slices are ordered big-first across fragments so guided
+    self-scheduling keeps its small-tasks-last straggler bound."""
+    import pyarrow.parquet as pq
+
+    rows = [pq.ParquetFile(p).metadata.num_rows for p in frag_paths]
+    total = sum(rows)
+    items: list[tuple[str, int, int]] = []
+    for p, n_rows in zip(frag_paths, rows):
+        if n_rows == 0:
+            continue
+        blocks_f = max(1, round(n_blocks * n_rows / max(total, 1)))
+        bounds = _slice_bounds(n_rows, blocks_f)
+        items.extend(
+            (p, int(bounds[i]), int(bounds[i + 1]))
+            for i in range(len(bounds) - 1)
+            if bounds[i + 1] > bounds[i]
+        )
+    items.sort(key=lambda it: it[2] - it[1], reverse=True)
+    return items
+
+
 def _tail_dominates(sf_dir: str, multiplier: int, n_blocks: int) -> bool:
     """Metadata-only skew probe for ``skew_aware='auto'``: footer row
     count → docs per whole-block task → does a single giant document
     exceed ``_TAIL_DOMINANCE_THRESHOLD`` of a task's expected cost?"""
-    import pyarrow.parquet as pq
-
-    n_docs = (
-        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * multiplier
-    )
+    n_docs = _corpus_rows(sf_dir) * multiplier
     docs_per_block = max(n_docs / n_blocks, 1.0)
     return _GIANT_COST_RATIO >= _TAIL_DOMINANCE_THRESHOLD * docs_per_block
 
@@ -676,26 +724,25 @@ def flagship(
             # starvation while one task splits the file. This mirrors
             # the production shape (each task reads its own Lance
             # fragment); measured against the two-operator plan in
-            # BASELINE.md.
-            import numpy as np
-            import pyarrow.parquet as pq
-
-            path = f"{sf_dir}/documents.parquet"
-            n_rows = pq.ParquetFile(path).metadata.num_rows
-            bounds = _slice_bounds(n_rows, n_blocks)
+            # BASELINE.md. Multi-file corpora (documents.parquet as a
+            # DIRECTORY of fragments) slice one-fragment-per-task via
+            # _fragment_slices — a task never opens a second file.
+            items = _fragment_slices(_fragment_paths(sf_dir), n_blocks)
             synth = make_synth_extract(None)
 
             def read_slice_extract(batch: pa.Table) -> pa.Table:
                 out = []
-                for i in batch["slice_id"].to_pylist():
-                    lo, hi = int(bounds[i]), int(bounds[i + 1])
-                    out.append(synth(_documents_slice(path, lo, hi)))
+                for p, lo, hi in zip(
+                    batch["path"].to_pylist(),
+                    batch["lo"].to_pylist(),
+                    batch["hi"].to_pylist(),
+                ):
+                    out.append(synth(_documents_slice(p, int(lo), int(hi))))
                 return pa.concat_tables(out)
 
-            n_slices = len(bounds) - 1
             slices = rd.from_items(
-                [{"slice_id": i} for i in range(n_slices)],
-                override_num_blocks=n_slices,
+                [{"path": p, "lo": lo, "hi": hi} for p, lo, hi in items],
+                override_num_blocks=len(items),
             )
             return slices.map_batches(
                 read_slice_extract, batch_format="pyarrow", batch_size=1

@@ -148,6 +148,91 @@ class TestRowGroupSlices:
         assert base.equals(multi)
 
 
+class TestFragmentedCorpus:
+    """Round-5 (VERDICT r4 item 6): the production one-fragment-per-
+    task read shape exercised in a test — documents.parquet as a
+    DIRECTORY of ≥8 fragment files, fused read routed over it."""
+
+    @pytest.fixture(scope="class")
+    def frag_dir(self, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        root = tmp_path_factory.mktemp("frag_sf")
+        d = root / "documents.parquet"
+        d.mkdir()
+        src = pq.read_table(f"{SF}/documents.parquet")
+        n, k = src.num_rows, 8
+        for i in range(k):
+            lo, hi = round(i * n / k), round((i + 1) * n / k)
+            pq.write_table(src.slice(lo, hi - lo), str(d / f"frag-{i:03d}.parquet"))
+        return str(root)
+
+    def test_slice_plan_confines_tasks_to_one_fragment(self, frag_dir):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.extract import (
+            _fragment_paths,
+            _fragment_slices,
+        )
+
+        paths = _fragment_paths(frag_dir)
+        assert len(paths) == 8
+        items = _fragment_slices(paths, 16)
+        assert len(items) >= 8
+        # every slice names exactly one fragment, and per fragment the
+        # slices tile [0, rows) without overlap or gap
+        by_path: dict = {}
+        for p, lo, hi in items:
+            by_path.setdefault(p, []).append((lo, hi))
+        assert set(by_path) == set(paths)
+        for p, ranges in by_path.items():
+            ranges.sort()
+            assert ranges[0][0] == 0
+            assert ranges[-1][1] == pq.ParquetFile(p).metadata.num_rows
+            for (a, b), (c, _) in zip(ranges, ranges[1:]):
+                assert b == c
+
+    def test_worker_decode_cache_per_fragment(self, frag_dir):
+        """The worker-side decode discipline over fragments: a second
+        slice of the same fragment reuses the decoded row groups (no
+        re-decode); switching fragments bounds worker memory to ONE
+        fragment's groups (the cache evicts the previous file)."""
+        from pdf_parser_ray.pipelines import extract as ex
+
+        paths = ex._fragment_paths(frag_dir)
+        ex._RG_CACHE.clear()
+        ex._documents_slice(paths[0], 0, 10)
+        (key0,) = ex._RG_CACHE
+        ent = ex._RG_CACHE[key0]
+        decoded = {g: t for g, t in ent["groups"].items()}
+        ex._documents_slice(paths[0], 10, 20)
+        for g, t in decoded.items():
+            assert ent["groups"][g] is t  # same Arrow table object — no re-decode
+        ex._documents_slice(paths[1], 0, 5)
+        (key1,) = ex._RG_CACHE  # exactly one file cached at a time
+        assert key1[0] == paths[1]
+        ex._RG_CACHE.clear()
+
+    def test_fused_flagship_over_fragments_equals_single_file(
+        self, frag_dir, ray_session
+    ):
+        from pdf_parser_ray.pipelines.extract import flagship
+
+        single = (
+            flagship(SF, skew_aware=False)
+            .to_pandas()
+            .sort_values(["doc_id", "offset"])
+            .reset_index(drop=True)
+        )
+        frag_ds = flagship(frag_dir, skew_aware=False)
+        frag = (
+            frag_ds.to_pandas()
+            .sort_values(["doc_id", "offset"])
+            .reset_index(drop=True)
+        )
+        assert single.equals(frag)
+
+
 class TestResumableWrite:
     def test_kill_and_resume(self, tmp_path):
         from pdf_parser_ray.io.checkpoint import (
