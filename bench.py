@@ -130,12 +130,15 @@ def run_suite() -> dict:
     qtimes = {}
     qreps: dict[str, list[float]] = {}
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
-        # best-of-2 per query: single samples of sub-2s queries swing
-        # ±0.5s on this shared box (BASELINE.md round-4 confirmation);
-        # both reps are disclosed in query_reps
+        # best-of-3 per query (VERDICT r4 item 2: two rounds of driver
+        # windows read sub-4s queries 2-3x over steady state while
+        # same-run neighbors sat at record — single/dual samples under
+        # hypervisor steal are not noise-resistant). All reps are
+        # disclosed in query_reps so the min-selection is auditable.
+        n_rep_q = 3 if NUM_CPUS >= 16 else 2
         for name, builder in _bench_queries().items():
             reps_q = []
-            for _ in range(2):
+            for _ in range(n_rep_q):
                 t0 = time.perf_counter()
                 builder(SF_DIR).count()
                 reps_q.append(round(time.perf_counter() - t0, 3))
