@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-4 coverage floor: 164 queries, ≥156 oracled —
+    # lock the round-5 coverage floor: 173 queries, ≥165 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 164
-    assert len(oracles) >= 156
+    assert len(queries) >= 173
+    assert len(oracles) >= 165
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
@@ -153,3 +153,34 @@ def test_skew_aware_flagship_equality():
     # the probe must actually fire on this corpus or the test is vacuous
     assert any(is_giant_doc(d) for d in plain["doc_id"].unique())
     pd.testing.assert_frame_equal(routed, plain)
+
+
+def test_correctness_artifact_covers_full_registry():
+    """Round-5 CI gate (VERDICT r4 item 8): the committed full-surface
+    correctness artifact must cover EXACTLY the registry — a new
+    operator cannot land without refreshed evidence, and a stale
+    artifact entry cannot survive an operator's removal. The newest
+    CORRECTNESS_local_r*.json (non-sf01 twin) is the one checked."""
+    import glob
+    import json
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pdf_parser_ray.registry import all_queries
+
+    arts = {
+        int(re.search(r"_r(\d+)\.json$", p).group(1)): p
+        for p in glob.glob("/root/repo/CORRECTNESS_local_r*.json")
+        if re.search(r"_r(\d+)\.json$", p)
+    }
+    assert arts, "no committed full-surface correctness artifact"
+    newest = arts[max(arts)]
+    with open(newest) as f:
+        artifact = set(json.load(f))
+    registry = set(all_queries())
+    assert artifact == registry, (
+        f"{newest} out of sync with registry: "
+        f"missing={sorted(registry - artifact)} "
+        f"stale={sorted(artifact - registry)}"
+    )

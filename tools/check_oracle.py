@@ -55,6 +55,12 @@ def main():
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
+    skip: set[str] = set()
+    if argv and argv[0] == "--skip":
+        # comma-separated exclusions (e.g. the quadratic-oracle dedup
+        # queries at sf0.1, where the SQL side is intractable)
+        skip = set(argv[1].split(","))
+        argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
@@ -93,7 +99,7 @@ def main():
     failures = []
     records = {}
     for name, fn in queries.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         try:
             mine = to_pandas(fn(sf_dir))
