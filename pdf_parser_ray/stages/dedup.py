@@ -1157,8 +1157,109 @@ JOIN documents b
 WHERE levenshtein(a.text, b.text) * 10 <= a.n_chars + b.n_chars
 """
 
+# ---------------------------------------------------------------------------
+# Incremental snapshot dedup (recurring-crawl anti join)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_incremental(sf_dir: str, snapshot_mod: int = 3, budget_bytes: "int | None" = None):
+    """Dedup a NEW shard against a prior SNAPSHOT — the operation a
+    recurring crawl pipeline runs on every ingest (CCNet/RefinedWeb
+    style: never re-admit content the corpus already holds). The
+    augmented corpus stands in for the lake; documents with
+    ``doc_id % snapshot_mod == 0`` are the prior snapshot, the rest
+    the incoming shard. A new document survives iff its exact content
+    fingerprint (md5 of the text) appears nowhere in the snapshot.
+    Output: ``(doc_id, content_sha)`` of the admitted documents.
+
+    Scale shape — the ``customers_without_orders`` anti-join
+    discipline applied at corpus grain, fingerprints only on the wire
+    (never text): when the snapshot fingerprint set fits the broadcast
+    budget (``core.util.broadcast_build_fits`` on the footer row
+    count), the snapshot side collapses to a driver-built set shipped
+    once via ``ray.put`` and the shard streams through one vectorized
+    ``isin`` filter — zero shuffles. Past the budget, BOTH sides ship
+    fixed-width ``(fp, side, doc_id)`` rows into one ``fp_bucket``
+    exchange and the anti join runs vectorized per bucket (the twin;
+    forced in tests via ``budget_bytes=1``, hash-identical output).
+    In production the snapshot side is a persisted fingerprint index —
+    this operator IS that index's build + probe in one plan."""
+    import ray
+
+    from ..core.util import broadcast_build_fits
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "side",
+            pa.array((ids % snapshot_mod == 0).astype(np.int8)),
+        )
+
+    tagged = _with_fp(augmented_corpus(sf_dir)).map_batches(
+        tag_rows, batch_format="pyarrow", batch_size=None
+    )
+
+    fits = broadcast_build_fits(
+        f"{sf_dir}/documents.parquet",
+        bytes_per_key=64,  # 32-hex fp + set overhead; aug ≈ 1.25× rows
+        budget_bytes=budget_bytes or 64 << 20,
+    )
+    if fits:
+        # broadcast plan: snapshot fps → one driver set, shipped once
+        snap = (
+            tagged.filter(expr="side == 1")
+            .select_columns(["fp"])
+            .to_pandas()
+        )
+        snap_ref = ray.put(set(snap["fp"]))
+
+        def admit(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            snap_set = ray.get(snap_ref)
+            keep = (
+                (batch["side"].to_numpy(zero_copy_only=False) == 0)
+                & ~pd.Series(batch["fp"].to_pylist()).isin(snap_set).to_numpy()
+            )
+            kept = batch.filter(pa.array(keep))
+            return pa.table(
+                {"doc_id": kept["doc_id"], "content_sha": kept["fp"]}
+            )
+
+        return tagged.map_batches(admit, batch_format="pyarrow", batch_size=None)
+
+    # shuffle twin: one fp_bucket exchange, vectorized per-bucket anti join
+    def anti(g: pd.DataFrame) -> pa.Table:
+        new = g[g["side"] == 0]
+        kept = new[~new["fp"].isin(g.loc[g["side"] == 1, "fp"])]
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(dtype=np.int64)),
+                "content_sha": pa.array(kept["fp"].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        tagged.select_columns(["fp", "fp_bucket", "side", "doc_id"])
+        .groupby("fp_bucket")
+        .map_groups(anti, batch_format="pandas")
+    )
+
+
+_SQL_DEDUP_INCREMENTAL = f"""
+WITH aug AS ({_AUG_SQL}),
+snap AS (SELECT DISTINCT md5(COALESCE(text, '')) AS h FROM aug WHERE doc_id % 3 = 0),
+newdocs AS (SELECT doc_id, md5(COALESCE(text, '')) AS h
+            FROM aug WHERE doc_id % 3 <> 0)
+SELECT n.doc_id, n.h AS content_sha
+FROM newdocs n LEFT JOIN snap s ON s.h = n.h
+WHERE s.h IS NULL
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dup_pairs_exact": q_dup_pairs_exact,
     "near_dup_pairs": q_near_dup_pairs,
     "ngram_dedup_pairs": q_ngram_dedup_pairs,
@@ -1170,6 +1271,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": _SQL_DEDUP_EXACT,
+    "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
     "dup_pairs_exact": _SQL_DUP_PAIRS,
     "edit_dup_pairs": _SQL_EDIT_DUP_PAIRS,
     # DATA-DEPENDENT oracle: the SQL computes the EXACT O(N²) 3-gram

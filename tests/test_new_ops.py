@@ -3259,3 +3259,44 @@ class TestSourceLangEntropy:
         assert got["uni"]["entropy_micro"] == want
         assert abs(want - 1_386_294) <= 1  # ln 4 in micro-nats
         assert got["uni"]["n_langs"] == 4 and got["uni"]["n_docs"] == 32
+
+
+class TestDedupIncremental:
+    """Round-5 snapshot anti-join dedup: broadcast and shuffle twins
+    must match bit-for-bit, and no admitted document's fingerprint may
+    exist in the snapshot (independently recomputed)."""
+
+    def test_twins_match_and_exclude_snapshot(self, ray_session):
+        import hashlib
+
+        from pdf_parser_ray.stages.dedup import (
+            augmented_corpus,
+            q_dedup_incremental,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        broadcast = (
+            q_dedup_incremental(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        shuffle = (
+            q_dedup_incremental(sf, budget_bytes=1)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(broadcast, shuffle)
+
+        aug = augmented_corpus(sf).to_pandas()
+        aug["h"] = [
+            hashlib.md5((t or "").encode()).hexdigest() for t in aug["text"]
+        ]
+        snap = set(aug.loc[aug["doc_id"] % 3 == 0, "h"])
+        new = aug[aug["doc_id"] % 3 != 0]
+        assert len(broadcast) < len(new)  # something was actually dropped
+        assert not set(broadcast["content_sha"]) & snap
+        # admitted = exactly the new docs whose hash is not in snapshot
+        want = new[~new["h"].isin(snap)]["doc_id"].sort_values().tolist()
+        assert broadcast["doc_id"].tolist() == want
