@@ -39,7 +39,7 @@ def _bench_queries():
     )
     from pdf_parser_ray.stages.boilerplate import q_boilerplate_strip
     from pdf_parser_ray.stages.corpus import q_substring_dedup
-    from pdf_parser_ray.stages.dedup import q_near_dup_pairs
+    from pdf_parser_ray.stages.dedup import q_dedup_incremental, q_near_dup_pairs
     from pdf_parser_ray.relational.ops import (
         q_attribution_last_touch,
         q_local_supplier_revenue,
@@ -62,6 +62,8 @@ def _bench_queries():
         "boilerplate_strip": q_boilerplate_strip,
         "near_dup_pairs": q_near_dup_pairs,
         "substring_dedup": q_substring_dedup,
+        # round-5 snapshot anti join: broadcast-set plan at this scale
+        "dedup_incremental": q_dedup_incremental,
         "ann_topk": q_ann_topk,
         "lm_doc_nll": q_lm_doc_nll,
         "order_event_reconcile": q_order_event_reconcile,

@@ -158,3 +158,32 @@ class TestDocumentInvariants:
             if s["kind"] == "answer" and s["media_ref"]:
                 assert "/hl-" in s["media_ref"]
                 assert s["media_ref"] in input_media
+
+
+class TestTokenizerInvariants:
+    @settings(max_examples=100, deadline=None)
+    @given(text=st.text(max_size=60))
+    def test_greedy_scan_reconstructs_and_cache_is_transparent(self, text):
+        """For ANY text: concatenated pieces reconstruct each word
+        exactly (the greedy scan never drops or duplicates a char),
+        ids obey the spec (bigram ids in vocab range, char ids =
+        codepoints), and the actor's memo cache returns the same
+        result on a repeat call (cache transparency — the property
+        that guards the per-word memo against aliasing bugs)."""
+        from pdf_parser_ray.stages.tokenize import (
+            _BIGRAM_ID_BASE,
+            BIGRAMS,
+            TokenizerActor,
+        )
+
+        tok = TokenizerActor()
+        for w in text.split():
+            first = tok._word(w)
+            again = tok._word(w)  # memoized path
+            assert first == again
+            assert "".join(p for _, p in first) == w
+            for tid, piece in first:
+                if len(piece) == 2:
+                    assert tid == _BIGRAM_ID_BASE + BIGRAMS.index(piece)
+                else:
+                    assert tid == ord(piece)
