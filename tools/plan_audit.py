@@ -45,7 +45,8 @@ def main() -> None:
     from pdf_parser_ray.pipelines.extract import flagship
     from pdf_parser_ray.relational.analytics import q_waiting_suppliers
     from pdf_parser_ray.relational.ops import q_pricing_summary, q_segment_revenue
-    from pdf_parser_ray.stages.dedup import q_near_dup_pairs
+    from pdf_parser_ray.stages.dedup import q_dedup_incremental, q_near_dup_pairs
+    from pdf_parser_ray.stages.textstats import q_bm25_search
 
     targets = {
         "extract_spans": lambda sf: flagship(sf),
@@ -53,6 +54,11 @@ def main() -> None:
         "segment_revenue": q_segment_revenue,
         "near_dup_pairs": q_near_dup_pairs,
         "waiting_suppliers": q_waiting_suppliers,
+        # round 5: the de-anti-patterned plan (vectorized splits, gated
+        # pin) and the new snapshot anti join — committed stats let a
+        # reviewer confirm no per-row Filter operator appears
+        "bm25_search": q_bm25_search,
+        "dedup_incremental": q_dedup_incremental,
     }
 
     report = {"sf": SF_DIR, "queries": {}}
