@@ -3300,3 +3300,43 @@ class TestDedupIncremental:
         # admitted = exactly the new docs whose hash is not in snapshot
         want = new[~new["h"].isin(snap)]["doc_id"].sort_values().tolist()
         assert broadcast["doc_id"].tolist() == want
+
+
+class TestNearDupIncremental:
+    """Round-5 near-dup admission filter: every emitted pair must be a
+    genuine cross pair (new doc vs snapshot doc) whose exact word-3-gram
+    Jaccard clears the threshold, and the pair set must equal an
+    independent brute-force recompute over the augmented corpus."""
+
+    def test_orientation_and_exact_recompute(self, ray_session):
+        from pdf_parser_ray.stages.dedup import (
+            augmented_corpus,
+            jaccard_int,
+            q_near_dup_incremental,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            q_near_dup_incremental(sf)
+            .to_pandas()
+            .sort_values(["doc_id", "dup_of"])
+            .reset_index(drop=True)
+        )
+        assert len(got) > 0
+        # orientation: doc_id is always a new-shard doc, dup_of always snapshot
+        assert (got["doc_id"] % 3 != 0).all()
+        assert (got["dup_of"] % 3 == 0).all()
+
+        # brute-force spec: all new x snapshot pairs with 2*inter >= uni
+        aug = augmented_corpus(sf).to_pandas()
+        new = aug[aug["doc_id"] % 3 != 0]
+        snap = aug[aug["doc_id"] % 3 == 0]
+        want = []
+        for nid, ntext in zip(new["doc_id"], new["text"]):
+            for sid, stext in zip(snap["doc_id"], snap["text"]):
+                inter, uni = jaccard_int(ntext, stext)
+                if 2 * inter >= uni:
+                    jm = 1_000_000 if uni == 0 else inter * 1_000_000 // uni
+                    want.append((nid, sid, jm))
+        want.sort()
+        assert list(map(tuple, got.itertuples(index=False))) == want
