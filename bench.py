@@ -39,7 +39,11 @@ def _bench_queries():
     )
     from pdf_parser_ray.stages.boilerplate import q_boilerplate_strip
     from pdf_parser_ray.stages.corpus import q_substring_dedup
-    from pdf_parser_ray.stages.dedup import q_dedup_incremental, q_near_dup_pairs
+    from pdf_parser_ray.stages.dedup import (
+        q_dedup_incremental,
+        q_near_dup_incremental,
+        q_near_dup_pairs,
+    )
     from pdf_parser_ray.relational.ops import (
         q_attribution_last_touch,
         q_local_supplier_revenue,
@@ -64,6 +68,8 @@ def _bench_queries():
         "substring_dedup": q_substring_dedup,
         # round-5 snapshot anti join: broadcast-set plan at this scale
         "dedup_incremental": q_dedup_incremental,
+        # round-5 near-dup admission: cross-side LSH vs the snapshot
+        "near_dup_incremental": q_near_dup_incremental,
         "ann_topk": q_ann_topk,
         "lm_doc_nll": q_lm_doc_nll,
         "order_event_reconcile": q_order_event_reconcile,
