@@ -283,6 +283,74 @@ def q_balanced_sample(sf_dir: str, cap: int = 50, n_buckets: int = 16):
 
 
 
+def q_source_cap_sample(sf_dir: str, cap: int = 10, n_buckets: int = 16):
+    """Per-source document cap (RefinedWeb/C4-style "at most K pages
+    per domain"): keep the ``cap`` lowest-doc_id documents of every
+    source, deterministic on every run and cluster size. Output
+    ``(doc_id, source)`` of the kept documents.
+
+    Scale shape — the windowed-rank-with-COMBINER pattern, and the
+    deliberate contrast to :func:`q_balanced_sample` (whose exchange
+    carries every input row): a row outside its block-local lowest-cap
+    for its source can never be in the global lowest-cap, so each
+    input block is pre-pruned to ≤ cap rows per source BEFORE the
+    shuffle. Exchange volume is O(blocks × sources-per-block × cap)
+    fixed-width rows — independent of rows per block — which at
+    10¹² documents is the difference between a corpus-sized all-to-all
+    and a footer-sized one. The final per-source head-cap runs
+    vectorized inside each coarse ``hash(source) % B`` partition."""
+    import pandas as pd
+
+    from ..core.util import hash_bucket
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "source": batch["source"].to_pylist(),
+            }
+        ).sort_values(["source", "doc_id"], kind="stable")
+        kept = df[df.groupby("source", sort=False).cumcount() < cap]
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "source": pa.array(kept["source"].tolist(), pa.string()),
+                "bucket": pa.array(
+                    [hash_bucket(s, n_buckets) for s in kept["source"]], pa.int64()
+                ),
+            }
+        )
+
+    def cap_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["source", "doc_id"], kind="stable")
+        kept = g[g.groupby("source", sort=False).cumcount() < cap]
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "source": pa.array(kept["source"].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(cap_group, batch_format="pandas")
+    )
+
+
+_SQL_SOURCE_CAP = """
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= 10
+"""
+
+
 _SQL_BALANCED = rf"""
 WITH s AS (
     SELECT doc_id,
@@ -1972,6 +2040,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "doc_sample": q_doc_sample,
     "balanced_sample": q_balanced_sample,
+    "source_cap_sample": q_source_cap_sample,
     "pack_sequences": q_pack_sequences,
     "top_tokens": q_top_tokens,
     "top_tokens_cm": q_top_tokens_cm,
@@ -1995,6 +2064,7 @@ ORACLE_SQL = {
     "fingerprint": _SQL_FINGERPRINT,
     "doc_sample": _SQL_DOC_SAMPLE,
     "balanced_sample": _SQL_BALANCED,
+    "source_cap_sample": _SQL_SOURCE_CAP,
     "pack_sequences": _SQL_PACK,
     "top_tokens": _SQL_TOP_TOKENS,
     # top_tokens_cm: sketch — approximate by construction, rows-only;

@@ -3340,3 +3340,63 @@ class TestNearDupIncremental:
                     want.append((nid, sid, jm))
         want.sort()
         assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+class TestSourceCapSample:
+    """Per-source cap with the pre-prune combiner: the pruned exchange
+    must ship at most cap rows per (block, source), and the capped
+    result must be exact regardless of how rows split into blocks."""
+
+    def test_exact_and_combiner_bounded(self, ray_session):
+        import duckdb
+
+        from pdf_parser_ray.stages.textstats import q_source_cap_sample
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            q_source_cap_sample(sf)
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"""
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) rn
+                FROM '{sf}/documents.parquet')
+            WHERE rn <= 10 ORDER BY source, doc_id
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+        # every source capped at exactly min(10, source size)
+        assert (got.groupby("source").size() <= 10).all()
+
+    def test_cap_exact_on_shuffled_synthetic(self, ray_session):
+        import os
+        import tempfile
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.stages.textstats import q_source_cap_sample
+
+        # 3 sources x 50 rows in shuffled order: block-local pruning
+        # must still yield each source's LOWEST doc_ids globally
+        rng = np.random.RandomState(7)
+        ids = rng.permutation(150)
+        batch = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array([f"s{int(i) % 3}" for i in ids], pa.string()),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(batch, os.path.join(d, "documents.parquet"))
+            res = q_source_cap_sample(d, cap=5).to_pandas()
+        assert len(res) == 15
+        for s in ("s0", "s1", "s2"):
+            sub = sorted(res.loc[res["source"] == s, "doc_id"])
+            lowest = sorted(i for i in range(150) if i % 3 == int(s[1]))[:5]
+            assert sub == lowest

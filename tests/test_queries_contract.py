@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-5 coverage floor: 175 queries, ≥167 oracled —
+    # lock the round-5 coverage floor: 176 queries, ≥168 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 175
-    assert len(oracles) >= 167
+    assert len(queries) >= 176
+    assert len(oracles) >= 168
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
