@@ -20,6 +20,7 @@ _QUERY_MODULES = (
     "pdf_parser_ray.stages.embed",
     "pdf_parser_ray.stages.boilerplate",
     "pdf_parser_ray.stages.layout",
+    "pdf_parser_ray.stages.domheur",
     "pdf_parser_ray.stages.media",
     "pdf_parser_ray.stages.scrub",
     "pdf_parser_ray.stages.corpus",
