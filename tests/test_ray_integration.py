@@ -679,6 +679,58 @@ class TestBoilerplate:
         assert strip_boilerplate(spans) == "real content words here now"
 
 
+class TestChromeStrip:
+    def test_synth_segments_shape(self):
+        from pdf_parser_ray.stages.boilerplate import synth_page_segments
+
+        segs = synth_page_segments(7, "srcX", "one two " * 20)  # 40 words
+        # nav + promo + ad + ceil(40/16)=3 body + footer
+        assert len(segs) == 3 + 3 + 1
+        assert segs[0].startswith("nav ") and segs[-1].startswith("footer ")
+        assert segs[3] == ("one two " * 8).strip()
+        body = " ".join(segs[3:-1])
+        assert body == ("one two " * 20).strip()
+
+    def test_promo_cohorts_share_segment(self):
+        from pdf_parser_ray.stages.boilerplate import synth_page_segments
+
+        a = synth_page_segments(3, "s", "w")[1]
+        b = synth_page_segments(19, "s", "w")[1]  # 19 % 16 == 3
+        c = synth_page_segments(4, "s", "w")[1]
+        assert a == b and a != c
+
+    def test_frequency_threshold_semantics(self, ray_session):
+        """nav/footer (freq = docs-per-source = 25 ≥ K) must be gone
+        from every document; each doc's own body chunks (unique)
+        survive, and clean_text preserves seg_idx order."""
+        from pdf_parser_ray.stages.boilerplate import (
+            CHROME_K,
+            q_chrome_strip,
+            synth_page_segments,
+        )
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        sf = "/root/testdata/sf0.001"
+        out = q_chrome_strip(sf).to_pandas().set_index("doc_id")
+        docs = pq.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id", "source", "text"]
+        ).to_pandas()
+        assert len(out) == len(docs)
+        # per-source frequency ground truth, recomputed naively
+        freq: dict[tuple, int] = {}
+        seg_lists = {}
+        for r in docs.itertuples(index=False):
+            segs = synth_page_segments(r.doc_id, r.source, r.text)
+            seg_lists[r.doc_id] = (r.source, segs)
+            for s in segs:
+                freq[(r.source, s)] = freq.get((r.source, s), 0) + 1
+        for did, (src, segs) in list(seg_lists.items())[:50]:
+            want = " ".join(s for s in segs if freq[(src, s)] < CHROME_K)
+            assert out.loc[did, "clean_text"] == want
+            assert out.loc[did, "n_chrome"] >= 2  # nav + footer at least
+
+
 class TestMediaStub:
     def test_real_codecs_raise(self):
         from pdf_parser_ray.stages.media import MediaDecodeStub
