@@ -56,6 +56,8 @@ def _bench_queries():
         q_waiting_suppliers,
     )
     from pdf_parser_ray.relational.analytics2 import q_market_share
+    from pdf_parser_ray.stages.boilerplate import q_chrome_strip
+    from pdf_parser_ray.stages.layout import q_reading_order_xycut
     from pdf_parser_ray.stages.textstats import q_lm_doc_nll, q_token_count
 
     return {
@@ -81,6 +83,11 @@ def _bench_queries():
         # decision-support part 2 representative: two gated dimension
         # attaches + the folded order-grain bucket exchange (Q8 shape)
         "market_share": q_market_share,
+        # round-5 extraction tiers: the shuffle-bearing chrome removal
+        # (two coarse-bucket exchanges) and the heaviest pure-map
+        # layout query (depth-unrolled XY-cut over the whole batch)
+        "chrome_strip": q_chrome_strip,
+        "reading_order_xycut": q_reading_order_xycut,
     }
 
 

@@ -170,10 +170,13 @@ def q_chrome_strip(sf_dir: str, n_buckets: int = 64):
     the dedup family's fingerprint buckets. At 10^12 docs the
     (source, seg) count grain is the corpus's distinct-chrome
     vocabulary — far smaller than the corpus itself."""
-    from ..io.sources import read_parquet_clean
+    from ..io.sources import read_parquet_clean, sized_blocks
 
+    path = f"{sf_dir}/documents.parquet"
     ds = read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        path,
+        columns=["doc_id", "source", "text"],
+        override_num_blocks=sized_blocks(path),
     )
 
     def segments(batch: pa.Table) -> pa.Table:
