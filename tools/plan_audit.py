@@ -45,7 +45,10 @@ def main() -> None:
     from pdf_parser_ray.pipelines.extract import flagship
     from pdf_parser_ray.relational.analytics import q_waiting_suppliers
     from pdf_parser_ray.relational.ops import q_pricing_summary, q_segment_revenue
+    from pdf_parser_ray.stages.boilerplate import q_chrome_strip
     from pdf_parser_ray.stages.dedup import q_dedup_incremental, q_near_dup_pairs
+    from pdf_parser_ray.stages.domheur import q_main_content_dom
+    from pdf_parser_ray.stages.layout import q_reading_order_xycut
     from pdf_parser_ray.stages.textstats import q_bm25_search
 
     targets = {
@@ -59,6 +62,12 @@ def main() -> None:
         # reviewer confirm no per-row Filter operator appears
         "bm25_search": q_bm25_search,
         "dedup_incremental": q_dedup_incremental,
+        # late round 5: the extraction tiers — chrome_strip's stats
+        # should show exactly two Sort exchanges, the other two a
+        # single fused read→map chain
+        "chrome_strip": q_chrome_strip,
+        "reading_order_xycut": q_reading_order_xycut,
+        "main_content_dom": q_main_content_dom,
     }
 
     report = {"sf": SF_DIR, "queries": {}}
