@@ -1,0 +1,91 @@
+"""Unit pins for the jusText-style classifier (stages/justext.py):
+hand-built context-propagation cases and an on-corpus class-variety
+assertion so the thresholds provably exercise every branch."""
+
+import numpy as np
+import pytest
+
+from pdf_parser_ray.stages.justext import (
+    _BAD,
+    _GOOD,
+    _NEARGOOD,
+    _SHORT,
+    classify_blocks,
+)
+
+
+def _classify(rows):
+    doc = np.array([r[0] for r in rows], np.int64)
+    nw = np.array([r[1] for r in rows], np.int64)
+    nl = np.array([r[2] for r in rows], np.int64)
+    ns = np.array([r[3] for r in rows], np.int64)
+    return classify_blocks(doc, nw, nl, ns)
+
+
+def test_context_free_classes():
+    # (doc, n_words, n_links, n_stop)
+    rows = [
+        (1, 0, 5, 0),   # nav: link-dense -> bad
+        (1, 3, 0, 0),   # 3 words -> short
+        (1, 12, 0, 3),  # 250k ppm stopwords -> good
+        (1, 12, 0, 1),  # 83k ppm -> neargood
+        (1, 1, 3, 0),   # 750k link ppm -> bad (link rule precedes short)
+    ]
+    _, _, cf, _ = _classify(rows)
+    assert cf.tolist() == [_BAD, _SHORT, _GOOD, _NEARGOOD, _BAD]
+
+
+def test_context_pass_flips_soft_both_ways():
+    # doc 1: neargood sandwiched between bad and good -> good (one good
+    # neighbour suffices); doc 2: soft blocks with only bad hard
+    # neighbours -> bad; doc 3: soft at document edge (no following
+    # hard) -> edge counts bad, but preceding good rescues it.
+    rows = [
+        (1, 0, 5, 0),   # bad
+        (1, 12, 0, 1),  # neargood -> good (next hard is good)
+        (1, 12, 0, 3),  # good
+        (2, 0, 5, 0),   # bad
+        (2, 3, 0, 0),   # short -> bad (both hard neighbours bad)
+        (2, 1, 3, 0),   # bad
+        (3, 12, 0, 3),  # good
+        (3, 12, 0, 0),  # neargood, trailing edge -> good via prev
+    ]
+    _, _, cf, final = _classify(rows)
+    assert final.tolist() == [_BAD, _GOOD, _GOOD, _BAD, _BAD, _BAD, _GOOD, _GOOD]
+    # the flips really were soft blocks
+    assert cf.tolist()[1] == _NEARGOOD and cf.tolist()[4] == _SHORT
+
+
+def test_all_soft_document_is_all_bad():
+    # no hard-good anywhere: every soft block must resolve to bad
+    rows = [(7, 0, 5, 0), (7, 12, 0, 0), (7, 12, 0, 1), (7, 0, 5, 0)]
+    _, _, _, final = _classify(rows)
+    assert final.tolist() == [_BAD, _BAD, _BAD, _BAD]
+
+
+def test_context_pass_does_not_cross_documents():
+    # doc 1 ends with hard good; doc 2 starts with a soft block whose
+    # only hard neighbours are doc-2-internal bads -> must stay bad
+    rows = [
+        (1, 12, 0, 3),  # good
+        (2, 12, 0, 1),  # neargood, leading edge of doc 2
+        (2, 0, 5, 0),   # bad
+    ]
+    _, _, _, final = _classify(rows)
+    assert final.tolist() == [_GOOD, _BAD, _BAD]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_exercises_every_class():
+    """On the sf0.001 corpus all four context-free classes appear and
+    the context pass flips soft blocks in BOTH directions — the
+    thresholds are calibrated, not vacuous."""
+    from pdf_parser_ray.stages.justext import q_justext_blocks
+
+    df = q_justext_blocks("/root/testdata/sf0.001").to_pandas()
+    assert set(df["cls_cf"]) == {"bad", "short", "good", "neargood"}
+    soft = df[df["cls_cf"].isin(["short", "neargood"])]
+    assert (soft["cls"] == "good").any() and (soft["cls"] == "bad").any()
+    # hard classes are never changed by the context pass
+    hard = df[df["cls_cf"].isin(["good", "bad"])]
+    assert (hard["cls"] == hard["cls_cf"]).all()
