@@ -1,0 +1,153 @@
+"""Tiered main-content extraction cascade: route each document
+through the extraction tiers the way a production web-extraction
+stack does.
+
+The north rule's HTML side names two block-scoring heuristics —
+Readability-style DOM candidate scoring (``stages/domheur.py``) and
+jusText-style stopword/link-density classification
+(``stages/justext.py``). Real pipelines do not pick one: they run a
+confidence-gated CASCADE (the pattern trafilatura and
+readability-lxml document publicly — try the precise extractor, fall
+back to the recall-oriented one, fall back to raw text). This module
+composes the two existing tiers plus a raw fallback into a single
+per-document router:
+
+1. **dom** — accept the Readability winner iff its link-density-
+   weighted score clears ``DOM_MIN_SCORE`` (the on-corpus median, so
+   the gate provably fires both ways).
+2. **justext** — else accept the jusText rollup iff the final-good
+   blocks carry at least ``JX_MIN_WORDS`` words (two body chunks).
+3. **raw** — else keep the document's full word count (no extractor
+   was confident; downstream quality gates see everything).
+
+Output per document: the chosen ``tier``, its content word mass
+``content_words``, and the gating ``tier_score`` (the DOM final
+score, the jusText good-word mass, or 0) — all exact integers, so
+the SQL twin (the two tier CTE families joined on doc_id with the
+same CASE routing) hash-matches bit-for-bit.
+
+Scale shape: identical to the component tiers — ONE zero-shuffle
+``map_batches`` over a (doc_id, text) read. Both tier signals are
+computed inside the same batch fn (the DOM synthesis and the block
+classification are both per-document expansions that never leave the
+batch), so the cascade costs one pass, not three: no exchange, no
+driver state, embarrassingly parallel at 10^12 docs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .domheur import _SQL_PARA, _cand_scores, _synth_dom, _winners
+from .justext import _GOOD, _SQL_BLOCKS_CTE, _block_arrays, classify_blocks
+
+#: on-corpus median of the Readability winner's final score (measured
+#: at sf0.001/sf0.01 — the md5 synthesis makes the distribution
+#: sf-independent), so roughly half the corpus routes to tier 'dom'
+DOM_MIN_SCORE = 180_000_000
+#: two 12-word body chunks of final-good jusText content
+JX_MIN_WORDS = 24
+
+_TIER = np.array(["raw", "justext", "dom"])
+_RAW, _JX, _DOM = 0, 1, 2
+
+
+def _cascade_table(batch: pa.Table) -> pa.Table:
+    dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    n = len(dids)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "tier": pa.array([], pa.string()),
+                "content_words": pa.array([], pa.int64()),
+                "tier_score": pa.array([], pa.int64()),
+            }
+        )
+    texts = batch["text"].to_pylist()
+
+    # tier 1: Readability winner score + word mass per document
+    doc, cand, _, w, l = _synth_dom(dids)
+    _, gdoc, gcand, final, gw, _, _ = _cand_scores(doc, cand, w, l)
+    win = _winners(gdoc, gcand, final)
+    best = np.zeros(n, dtype=np.int64)
+    kept = np.zeros(n, dtype=np.int64)
+    best[gdoc[win]] = final[win]
+    kept[gdoc[win]] = gw[win]
+
+    # tier 2: jusText final-good word mass per document (block stream
+    # is contiguous per doc, one group per input row, in row order)
+    jdoc, _, nw, nl, ns, _ = _block_arrays(dids.tolist(), texts)
+    _, _, _, jfinal = classify_blocks(jdoc, nw, nl, ns)
+    bounds = np.flatnonzero(np.r_[True, jdoc[1:] != jdoc[:-1]])
+    good_words = np.add.reduceat(np.where(jfinal == _GOOD, nw, 0), bounds)
+
+    # tier 3: raw word count
+    raw_words = np.fromiter(
+        (len((t or "").split()) for t in texts), dtype=np.int64, count=n
+    )
+
+    tier = np.where(
+        best >= DOM_MIN_SCORE, _DOM, np.where(good_words >= JX_MIN_WORDS, _JX, _RAW)
+    )
+    content = np.choose(tier, (raw_words, good_words, kept))
+    score = np.choose(tier, (np.zeros(n, dtype=np.int64), good_words, best))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "tier": pa.array(_TIER[tier].tolist(), pa.string()),
+            "content_words": pa.array(content, pa.int64()),
+            "tier_score": pa.array(score, pa.int64()),
+        }
+    )
+
+
+def q_extract_cascade(sf_dir: str):
+    """Per-document tier routing: which extractor won, how much
+    content it kept, and the score that gated it."""
+    from ..io.sources import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_cascade_table, batch_format="pyarrow", batch_size=4096)
+
+
+_SQL_EXTRACT_CASCADE = f"""
+WITH {_SQL_BLOCKS_CTE},
+{_SQL_PARA},
+dom AS (
+    SELECT doc_id, CAST(final AS BIGINT) AS best_score, w AS kept_words
+    FROM win WHERE rn = 1
+),
+jx AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN cls = 'good' THEN n_words ELSE 0 END) AS BIGINT)
+               AS good_words
+    FROM final GROUP BY doc_id
+),
+raw AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS raw_words
+    FROM documents
+)
+SELECT r.doc_id,
+       CASE WHEN d.best_score >= {DOM_MIN_SCORE} THEN 'dom'
+            WHEN j.good_words >= {JX_MIN_WORDS} THEN 'justext'
+            ELSE 'raw' END AS tier,
+       CASE WHEN d.best_score >= {DOM_MIN_SCORE} THEN d.kept_words
+            WHEN j.good_words >= {JX_MIN_WORDS} THEN j.good_words
+            ELSE r.raw_words END AS content_words,
+       CASE WHEN d.best_score >= {DOM_MIN_SCORE} THEN d.best_score
+            WHEN j.good_words >= {JX_MIN_WORDS} THEN j.good_words
+            ELSE CAST(0 AS BIGINT) END AS tier_score
+FROM raw r
+JOIN dom d USING (doc_id)
+JOIN jx  j USING (doc_id)
+"""
+
+QUERIES = {
+    "extract_cascade": q_extract_cascade,
+}
+ORACLE_SQL = {
+    "extract_cascade": _SQL_EXTRACT_CASCADE,
+}
