@@ -57,6 +57,8 @@ def _bench_queries():
     )
     from pdf_parser_ray.relational.analytics2 import q_market_share
     from pdf_parser_ray.stages.boilerplate import q_chrome_strip
+    from pdf_parser_ray.stages.cascade import q_extract_cascade
+    from pdf_parser_ray.stages.justext import q_justext_strip
     from pdf_parser_ray.stages.layout import q_reading_order_xycut
     from pdf_parser_ray.stages.textstats import q_lm_doc_nll, q_token_count
 
@@ -88,6 +90,10 @@ def _bench_queries():
         # layout query (depth-unrolled XY-cut over the whole batch)
         "chrome_strip": q_chrome_strip,
         "reading_order_xycut": q_reading_order_xycut,
+        # round-5 HTML tiers: the jusText rollup and the confidence-
+        # gated DOM -> jusText -> raw router (both zero-shuffle maps)
+        "justext_strip": q_justext_strip,
+        "extract_cascade": q_extract_cascade,
     }
 
 
