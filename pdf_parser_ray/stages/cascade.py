@@ -112,6 +112,96 @@ def q_extract_cascade(sf_dir: str):
     return ds.map_batches(_cascade_table, batch_format="pyarrow", batch_size=4096)
 
 
+def _cascade_spans_table(batch: pa.Table) -> pa.Table:
+    """Span rows from each document's WINNING tier: the north rule's
+    per-row invariant shape ((kind, text, media_ref, order) in its
+    deterministic numeric core — kind = the tier, order = ``pos``,
+    content mass = ``n_words``). dom-routed docs emit the Readability
+    winner's paragraphs, justext-routed docs their final-good blocks,
+    raw-routed docs one whole-document span."""
+    dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    n = len(dids)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pos": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.string()),
+                "n_words": pa.array([], pa.int64()),
+            }
+        )
+    texts = batch["text"].to_pylist()
+
+    doc, cand, para, w, l = _synth_dom(dids)
+    gstart, gdoc, gcand, final, gw, _, gn = _cand_scores(doc, cand, w, l)
+    win = _winners(gdoc, gcand, final)
+    best = np.zeros(n, dtype=np.int64)
+    best[gdoc[win]] = final[win]
+
+    jdoc, jblk, nw, nl, ns, _ = _block_arrays(dids.tolist(), texts)
+    _, _, _, jfinal = classify_blocks(jdoc, nw, nl, ns)
+    jbounds = np.flatnonzero(np.r_[True, jdoc[1:] != jdoc[:-1]])
+    good_words = np.add.reduceat(np.where(jfinal == _GOOD, nw, 0), jbounds)
+
+    raw_words = np.fromiter(
+        (len((t or "").split()) for t in texts), dtype=np.int64, count=n
+    )
+    tier = np.where(
+        best >= DOM_MIN_SCORE, _DOM, np.where(good_words >= JX_MIN_WORDS, _JX, _RAW)
+    )
+
+    # dom spans: the winner group's paragraph rows, for dom-routed docs
+    dom_mask = tier == _DOM
+    dwin = win[dom_mask[gdoc[win]]]
+    take = (
+        np.concatenate(
+            [np.arange(gstart[g], gstart[g] + gn[g]) for g in dwin.tolist()]
+        )
+        if len(dwin)
+        else np.empty(0, np.int64)
+    )
+    dom_rows = (dids[doc[take]], para[take], w[take])
+
+    # justext spans: final-good blocks of justext-routed docs. jdoc
+    # holds actual doc ids (one contiguous run per input row, in row
+    # order), so map run index -> routing via jbounds.
+    row_of_block = np.repeat(np.arange(n), np.diff(np.append(jbounds, len(jdoc))))
+    jx_take = (jfinal == _GOOD) & (tier[row_of_block] == _JX)
+    jx_rows = (jdoc[jx_take], jblk[jx_take], nw[jx_take])
+
+    raw_mask = tier == _RAW
+    raw_rows = (dids[raw_mask], np.zeros(int(raw_mask.sum()), np.int64),
+                raw_words[raw_mask])
+
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(
+                [dom_rows[0], jx_rows[0], raw_rows[0]])),
+            "pos": pa.array(np.concatenate(
+                [dom_rows[1], jx_rows[1], raw_rows[1]]), pa.int64()),
+            "kind": pa.array(
+                ["dom"] * len(dom_rows[0])
+                + ["justext"] * len(jx_rows[0])
+                + ["raw"] * len(raw_rows[0]),
+                pa.string(),
+            ),
+            "n_words": pa.array(np.concatenate(
+                [dom_rows[2], jx_rows[2], raw_rows[2]]), pa.int64()),
+        }
+    )
+
+
+def q_cascade_spans(sf_dir: str):
+    """Ordered span sequence from each document's winning tier —
+    same zero-shuffle single-map shape as extract_cascade."""
+    from ..io.sources import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        _cascade_spans_table, batch_format="pyarrow", batch_size=4096
+    )
+
+
 _SQL_EXTRACT_CASCADE = f"""
 WITH {_SQL_BLOCKS_CTE},
 {_SQL_PARA},
@@ -145,9 +235,50 @@ JOIN dom d USING (doc_id)
 JOIN jx  j USING (doc_id)
 """
 
+_SQL_CASCADE_SPANS = f"""
+WITH {_SQL_BLOCKS_CTE},
+{_SQL_PARA},
+dom AS (
+    SELECT doc_id, CAST(final AS BIGINT) AS best_score, c AS best_c
+    FROM win WHERE rn = 1
+),
+jx AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN cls = 'good' THEN n_words ELSE 0 END) AS BIGINT)
+               AS good_words
+    FROM final GROUP BY doc_id
+),
+raw AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS raw_words
+    FROM documents
+),
+route AS (
+    SELECT r.doc_id, r.raw_words, d.best_c,
+           CASE WHEN d.best_score >= {DOM_MIN_SCORE} THEN 'dom'
+                WHEN j.good_words >= {JX_MIN_WORDS} THEN 'justext'
+                ELSE 'raw' END AS tier
+    FROM raw r JOIN dom d USING (doc_id) JOIN jx j USING (doc_id)
+)
+SELECT p.doc_id, CAST(p.p AS BIGINT) AS pos, 'dom' AS kind,
+       CAST(p.words AS BIGINT) AS n_words
+FROM para p JOIN route rt ON rt.doc_id = p.doc_id
+WHERE rt.tier = 'dom' AND p.c = rt.best_c
+UNION ALL
+SELECT f.doc_id, f.blk AS pos, 'justext' AS kind, f.n_words
+FROM final f JOIN route rt ON rt.doc_id = f.doc_id
+WHERE rt.tier = 'justext' AND f.cls = 'good'
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'raw' AS kind,
+       raw_words AS n_words
+FROM route WHERE tier = 'raw'
+"""
+
 QUERIES = {
     "extract_cascade": q_extract_cascade,
+    "cascade_spans": q_cascade_spans,
 }
 ORACLE_SQL = {
     "extract_cascade": _SQL_EXTRACT_CASCADE,
+    "cascade_spans": _SQL_CASCADE_SPANS,
 }

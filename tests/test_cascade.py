@@ -70,6 +70,34 @@ def test_empty_batch_schema():
     assert out.column_names == ["doc_id", "tier", "content_words", "tier_score"]
 
 
+def test_spans_consistent_with_routing():
+    """cascade_spans must agree with extract_cascade on every doc:
+    span kind == routed tier, and the spans' word mass sums to the
+    routed content_words (dom kept_words is the winner's FULL word
+    mass, which is exactly its paragraph words summed)."""
+    from pdf_parser_ray.stages.cascade import _cascade_spans_table
+
+    doc_ids = np.arange(100, 160, dtype=np.int64)
+    texts = [
+        " ".join("the quick brown fox of a kind".split() * (i % 7 + 1))
+        for i in range(60)
+    ]
+    batch = pa.table({"doc_id": doc_ids, "text": texts})
+    route = _cascade_table(batch).to_pandas().set_index("doc_id")
+    spans = _cascade_spans_table(batch).to_pandas()
+
+    assert set(spans["doc_id"]) == set(doc_ids)
+    per_doc = spans.groupby("doc_id").agg(
+        kinds=("kind", "nunique"),
+        kind=("kind", "first"),
+        words=("n_words", "sum"),
+    )
+    assert (per_doc["kinds"] == 1).all()  # one tier per document
+    for d, row in per_doc.iterrows():
+        assert row["kind"] == route.loc[d, "tier"]
+        assert row["words"] == route.loc[d, "content_words"]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_corpus_exercises_every_tier():
     """On the sf0.001 corpus every tier wins somewhere — the gates are

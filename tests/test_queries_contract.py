@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-5 coverage floor: 185 queries, ≥177 oracled —
+    # lock the round-5 coverage floor: 186 queries, ≥178 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 185
-    assert len(oracles) >= 177
+    assert len(queries) >= 186
+    assert len(oracles) >= 178
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []

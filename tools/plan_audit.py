@@ -47,7 +47,9 @@ def main() -> None:
     from pdf_parser_ray.relational.ops import q_pricing_summary, q_segment_revenue
     from pdf_parser_ray.stages.boilerplate import q_chrome_strip
     from pdf_parser_ray.stages.dedup import q_dedup_incremental, q_near_dup_pairs
+    from pdf_parser_ray.stages.cascade import q_extract_cascade
     from pdf_parser_ray.stages.domheur import q_main_content_dom
+    from pdf_parser_ray.stages.justext import q_justext_strip
     from pdf_parser_ray.stages.layout import q_reading_order_xycut
     from pdf_parser_ray.stages.textstats import q_bm25_search
 
@@ -68,6 +70,10 @@ def main() -> None:
         "chrome_strip": q_chrome_strip,
         "reading_order_xycut": q_reading_order_xycut,
         "main_content_dom": q_main_content_dom,
+        # final round 5: the jusText rollup and the tier cascade —
+        # both must show a single fused read→map chain, no exchange
+        "justext_strip": q_justext_strip,
+        "extract_cascade": q_extract_cascade,
     }
 
     report = {"sf": SF_DIR, "queries": {}}
