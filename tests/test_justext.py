@@ -1,15 +1,21 @@
 """Unit pins for the jusText-style classifier (stages/justext.py):
-hand-built context-propagation cases and an on-corpus class-variety
+hand-built context-propagation cases, a hypothesis differential
+against a naive per-document loop, and an on-corpus class-variety
 assertion so the thresholds provably exercise every branch."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pdf_parser_ray.stages.justext import (
     _BAD,
     _GOOD,
     _NEARGOOD,
     _SHORT,
+    BAD_LINK_PPM,
+    GOOD_STOP_PPM,
+    SHORT_WORDS,
     classify_blocks,
 )
 
@@ -73,6 +79,73 @@ def test_context_pass_does_not_cross_documents():
     ]
     _, _, _, final = _classify(rows)
     assert final.tolist() == [_GOOD, _BAD, _BAD]
+
+
+def _naive_classify(rows):
+    """Straight-line per-document replay of the jusText spec (module
+    docstring rules 1-2) — the differential oracle for the vectorized
+    grouped-ffill implementation."""
+    cf = []
+    for _, nw, nl, ns in rows:
+        tot = nw + nl
+        link_ppm = nl * 1_000_000 // max(tot, 1)
+        stop_ppm = ns * 1_000_000 // max(nw, 1) if nw > 0 else 0
+        if link_ppm > BAD_LINK_PPM:
+            cf.append(_BAD)
+        elif nw < SHORT_WORDS:
+            cf.append(_SHORT)
+        elif stop_ppm >= GOOD_STOP_PPM:
+            cf.append(_GOOD)
+        else:
+            cf.append(_NEARGOOD)
+    final = []
+    for i, (d, *_rest) in enumerate(rows):
+        if cf[i] in (_BAD, _GOOD):
+            final.append(cf[i])
+            continue
+        prev = next(
+            (cf[j] for j in range(i - 1, -1, -1)
+             if rows[j][0] == d and cf[j] in (_BAD, _GOOD)),
+            _BAD,
+        )
+        nxt = next(
+            (cf[j] for j in range(i + 1, len(rows))
+             if rows[j][0] == d and cf[j] in (_BAD, _GOOD)),
+            _BAD,
+        )
+        final.append(_GOOD if (prev == _GOOD or nxt == _GOOD) else _BAD)
+    return cf, final
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # doc run id
+            st.integers(min_value=0, max_value=30),  # n_words
+            st.integers(min_value=0, max_value=10),  # n_links
+            st.integers(min_value=0, max_value=30),  # n_stop
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_vectorized_matches_naive_loop(blocks):
+    """classify_blocks' batch-wide grouped ffill/bfill must equal the
+    naive per-document scan on arbitrary block streams (docs made
+    contiguous by sorting the run id, n_stop clamped to n_words)."""
+    rows = sorted(
+        (d, nw, nl, min(ns, nw)) for d, nw, nl, ns in blocks
+    )
+    _, _, cf_v, final_v = classify_blocks(
+        np.array([r[0] for r in rows], np.int64),
+        np.array([r[1] for r in rows], np.int64),
+        np.array([r[2] for r in rows], np.int64),
+        np.array([r[3] for r in rows], np.int64),
+    )
+    cf_n, final_n = _naive_classify(rows)
+    assert cf_v.tolist() == cf_n
+    assert final_v.tolist() == final_n
 
 
 @pytest.mark.usefixtures("ray_session")
