@@ -178,27 +178,34 @@ def q_justext_strip(sf_dir: str):
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t = _blocks_table(batch)
         doc = t["doc_id"].to_numpy()
-        good = np.asarray(pa.compute.equal(t["cls"], "good").combine_chunks())
-        txt = t["btext"].to_pylist()
-        out_id: list[int] = []
-        out_txt: list[str] = []
-        out_good: list[int] = []
-        out_tot: list[int] = []
-        bounds = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1], True])
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            out_id.append(int(doc[a]))
-            keep = [txt[i] for i in range(a, b) if good[i]]
-            out_txt.append(" ".join(keep))
-            out_good.append(len(keep))
-            out_tot.append(int(b - a))
+        good_mask = pc.equal(t["cls"], "good")
+        good = np.asarray(good_mask.combine_chunks())
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        ends = np.r_[starts[1:], len(doc)]
+        n_good = np.add.reduceat(good.astype(np.int64), starts)
+        # kept block texts, grouped per doc by an offsets list array;
+        # binary_join of an empty sub-list yields '' (= the oracle's
+        # COALESCE) — the whole rollup is Arrow kernels, no row loop
+        kept = pc.filter(t["btext"], good_mask)
+        if isinstance(kept, pa.ChunkedArray):
+            kept = (
+                pa.concat_arrays(kept.chunks)
+                if kept.num_chunks
+                else pa.array([], pa.string())
+            )
+        offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+        np.cumsum(n_good, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "content_text": pa.array(out_txt, pa.string()),
-                "n_good": pa.array(out_good, pa.int64()),
-                "n_blocks": pa.array(out_tot, pa.int64()),
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "content_text": pc.binary_join(lists, " "),
+                "n_good": pa.array(n_good, pa.int64()),
+                "n_blocks": pa.array(ends - starts, pa.int64()),
             }
         )
 
