@@ -230,6 +230,131 @@ def q_media_dedup(sf_dir: str, n_buckets: int = 32):
     )
 
 
+def q_resolve_media_refs(sf_dir: str, n_buckets: int = 32):
+    """Ordered span sequences with media refs RESOLVED — the north
+    star's step (3): the flagship's ``media://`` spans (checkbox /
+    highlight hits, reference `response_extractor.py` emits these as
+    debug-image side effects) join the per-document media feature
+    table (decode-stub sha256/dims — where a real build carries the
+    decoded figure/table attributes) so downstream consumers get the
+    span sequence *plus* the media payload metadata in one table.
+
+    Scale shape: BOTH sides are corpus-scale at 10^12 docs (spans:
+    many per doc; features: one per doc), so no broadcast — the ref
+    parse (page / element class / element index) is vectorized Arrow
+    regex inside the extraction stream, then ONE tagged-union bucket
+    exchange keyed on the source doc (``_bucket_join``, the
+    segment_revenue pattern) meets the two sides; only fixed-width
+    rows (refs, sha, dims) travel, never payloads. The feature side is
+    unique per doc_id, satisfying the join-then-X invariant."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.extract import flagship
+    from ..relational.analytics2 import _bucket_join
+
+    spans = flagship(sf_dir)
+
+    def media_hits(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.starts_with(batch["media_ref"], "media://"))
+        # span doc ids are "doc-{source:08d}" (sandbox corpus synth);
+        # the slice-parse below is the inverse of that formatting
+        src = pc.cast(pc.utf8_slice_codeunits(b["doc_id"], 4, 12), pa.int64())
+        ex = pc.extract_regex(b["media_ref"], r"/p(?P<page>\d+)/(?P<elem>cb|hl)-(?P<idx>\d+)$")
+        return pa.table(
+            {
+                "src_doc": src,
+                "kind": b["kind"],
+                "media_ref": b["media_ref"],
+                "offset": pc.cast(b["offset"], pa.int64()),
+                "page": pc.cast(pc.struct_field(ex, "page"), pa.int64()),
+                "elem": pc.struct_field(ex, "elem"),
+                "elem_idx": pc.cast(pc.struct_field(ex, "idx"), pa.int64()),
+            }
+        )
+
+    hits = spans.map_batches(media_hits, batch_format="pyarrow", batch_size=None)
+    feats = q_media_features(sf_dir).select_columns(
+        ["doc_id", "media_type", "sha256", "width", "height"]
+    )
+
+    def post(df) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(df["key"].to_numpy(dtype="int64"), pa.int64()),
+                "kind": pa.array(df["kind"].tolist(), pa.string()),
+                "media_ref": pa.array(df["media_ref"].tolist(), pa.string()),
+                "offset": pa.array(df["offset"].to_numpy(dtype="int64"), pa.int64()),
+                "page": pa.array(df["page"].to_numpy(dtype="int64"), pa.int64()),
+                "elem": pa.array(df["elem"].tolist(), pa.string()),
+                "elem_idx": pa.array(df["elem_idx"].to_numpy(dtype="int64"), pa.int64()),
+                "media_type": pa.array(df["media_type"].tolist(), pa.string()),
+                "sha256": pa.array(df["sha256"].tolist(), pa.string()),
+                "width": pa.array(df["width"].to_numpy(dtype="int64"), pa.int64()),
+                "height": pa.array(df["height"].to_numpy(dtype="int64"), pa.int64()),
+            }
+        )
+
+    return _bucket_join(
+        hits,
+        feats,
+        left_key="src_doc",
+        right_key="doc_id",
+        left_payload={
+            "kind": pa.string(),
+            "media_ref": pa.string(),
+            "offset": pa.int64(),
+            "page": pa.int64(),
+            "elem": pa.string(),
+            "elem_idx": pa.int64(),
+        },
+        right_payload={
+            "media_type": pa.string(),
+            "sha256": pa.string(),
+            "width": pa.int64(),
+            "height": pa.int64(),
+        },
+        post=post,
+        n_buckets=n_buckets,
+    )
+
+
+def _resolve_oracle_sql() -> str | None:
+    """Fixture-gated oracle: the span side is the frozen extraction
+    fixture (self-gating per-sf UNION — pipelines/extract), the media
+    side is the SQL twin of the decode stub; DuckDB replays the ref
+    parse with regexp_extract and the join on the slice-parsed source
+    doc."""
+    from ..pipelines.extract import _guarded_fixture_sql, fixture_manifest
+
+    if not fixture_manifest():
+        return None
+    spans_sql = _guarded_fixture_sql('doc_id, kind, media_ref, "offset"')
+    return f"""
+WITH spans AS ({spans_sql}),
+hits AS (
+    SELECT CAST(substr(doc_id, 5, 8) AS BIGINT) AS doc_id,
+           kind, media_ref,
+           CAST("offset" AS BIGINT) AS "offset",
+           CAST(regexp_extract(media_ref, '/p(\\d+)/', 1) AS BIGINT) AS page,
+           regexp_extract(media_ref, '/(cb|hl)-(\\d+)$', 1) AS elem,
+           CAST(regexp_extract(media_ref, '/(cb|hl)-(\\d+)$', 2) AS BIGINT) AS elem_idx
+    FROM spans
+    WHERE media_ref LIKE 'media://%'
+),
+media AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 <> 0 THEN 'image' ELSE 'audio' END AS media_type,
+           sha256(text) AS sha256,
+           CAST(strlen(text) % 64 + 1 AS BIGINT) AS width,
+           CAST(strlen(text) % 48 + 1 AS BIGINT) AS height
+    FROM documents
+)
+SELECT h.doc_id, h.kind, h.media_ref, h."offset", h.page, h.elem, h.elem_idx,
+       m.media_type, m.sha256, m.width, m.height
+FROM hits h JOIN media m USING (doc_id)
+"""
+
+
 from .dedup import _AUG_SQL as _DEDUP_AUG_SQL
 
 _SQL_MEDIA_DEDUP = f"""
@@ -243,5 +368,12 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM h GROUP BY sha256)
 """
 
 
-QUERIES = {"media_features": q_media_features, "media_dedup": q_media_dedup}
+QUERIES = {
+    "media_features": q_media_features,
+    "media_dedup": q_media_dedup,
+    "resolve_media_refs": q_resolve_media_refs,
+}
 ORACLE_SQL = {"media_features": _SQL_MEDIA, "media_dedup": _SQL_MEDIA_DEDUP}
+_resolve_sql = _resolve_oracle_sql()
+if _resolve_sql is not None:
+    ORACLE_SQL["resolve_media_refs"] = _resolve_sql
