@@ -102,8 +102,9 @@ def q_bte_spans(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
-_SQL_BTE_SPANS = f"""
-WITH {_SQL_BLOCKS_CTE},
+# CTE chain from the shared ``blocks`` stream to the per-doc ``bte``
+# interval table — composable (tier_agreement reuses it verbatim).
+_SQL_BTE_CHAIN = """
 s AS (
     SELECT doc_id, blk, n_words AS nw,
            CAST(n_words - (1 + n_links) AS BIGINT) AS sc
@@ -134,13 +135,19 @@ st AS (
     JOIN mm m2 ON m2.doc_id = b.doc_id
               AND m2.blk <= b.end_blk AND m2.pprev = b.mstar
     GROUP BY b.doc_id
-)
-SELECT b.doc_id, st.start_blk, b.end_blk,
-       CAST(b.bte_score AS BIGINT) AS bte_score,
-       CAST(b.cw_end - (c2.cw - c2.nw) AS BIGINT) AS content_words
-FROM best b
-JOIN st USING (doc_id)
-JOIN cum c2 ON c2.doc_id = b.doc_id AND c2.blk = st.start_blk
+),
+bte AS (
+    SELECT b.doc_id, st.start_blk, b.end_blk,
+           CAST(b.bte_score AS BIGINT) AS bte_score,
+           CAST(b.cw_end - (c2.cw - c2.nw) AS BIGINT) AS content_words
+    FROM best b
+    JOIN st USING (doc_id)
+    JOIN cum c2 ON c2.doc_id = b.doc_id AND c2.blk = st.start_blk
+)"""
+
+_SQL_BTE_SPANS = f"""
+WITH {_SQL_BLOCKS_CTE}, {_SQL_BTE_CHAIN}
+SELECT * FROM bte
 """
 
 QUERIES = {

@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-5 coverage floor: 190 queries, ≥182 oracled —
+    # lock the round-5 coverage floor: 191 queries, ≥183 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 190
-    assert len(oracles) >= 182
+    assert len(queries) >= 191
+    assert len(oracles) >= 183
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
