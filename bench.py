@@ -60,7 +60,9 @@ def _bench_queries():
     from pdf_parser_ray.stages.cascade import q_extract_cascade
     from pdf_parser_ray.stages.justext import q_justext_strip
     from pdf_parser_ray.stages.layout import q_reading_order_xycut
+    from pdf_parser_ray.stages.media import q_resolve_media_refs
     from pdf_parser_ray.stages.textstats import q_lm_doc_nll, q_token_count
+    from pdf_parser_ray.stages.tieragree import q_tier_agreement
 
     return {
         "pricing_summary": q_pricing_summary,
@@ -94,6 +96,10 @@ def _bench_queries():
         # gated DOM -> jusText -> raw router (both zero-shuffle maps)
         "justext_strip": q_justext_strip,
         "extract_cascade": q_extract_cascade,
+        # end-of-round shapes: the flagship + media-feature bucket
+        # join (north-star step 3) and the three-signal agreement map
+        "resolve_media_refs": q_resolve_media_refs,
+        "tier_agreement": q_tier_agreement,
     }
 
 

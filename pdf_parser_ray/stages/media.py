@@ -48,9 +48,12 @@ def docs_to_media_batch(batch: pa.Table) -> pa.Table:
 def synth_media_corpus(sf_dir: str):
     """Deterministic binary payloads derived from each document's text
     (stand-in for real image bytes; built inside map_batches)."""
-    from ..io.sources import read_parquet_clean
+    from ..io.sources import read_parquet_clean, sized_blocks
 
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_parquet_clean(
+        path, columns=["doc_id", "text"], override_num_blocks=sized_blocks(path)
+    )
     return ds.map_batches(docs_to_media_batch, batch_format="pyarrow", batch_size=1024)
 
 
