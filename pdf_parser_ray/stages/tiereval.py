@@ -32,7 +32,14 @@ from .bte import _SQL_BTE_CHAIN, bte_spans
 from .cetr import cetr_blocks
 from .justext import _GOOD, _SQL_BLOCKS_CTE, _block_arrays, classify_blocks
 
-TIERS = ("justext", "cetr", "bte")
+#: the fourth row is the block-grain majority-vote ensemble (keep a
+#: block iff ≥2 of the 3 signals keep it) — the standard multi-
+#: heuristic combination, scored so "should we vote or pick one
+#: tier?" is a measured decision: on the sandbox corpus the vote
+#: beats BTE and jusText but CETR alone edges it (jusText's low
+#: precision drags the majority), which is exactly the kind of fact
+#: a cascade design needs before routing
+TIERS = ("justext", "cetr", "bte", "vote")
 
 
 def q_tier_eval(sf_dir: str):
@@ -65,10 +72,12 @@ def q_tier_eval(sf_dir: str):
         def cnt(mask):
             return np.add.reduceat(mask.astype(np.int64), starts)
 
+        vote = (jt.astype(np.int64) + ce.astype(np.int64) + bt.astype(np.int64)) >= 2
+
         n_docs = len(starts)
         out_doc = np.tile(doc[starts], len(TIERS))
         out_tier, out_tp, out_fp, out_fn = [], [], [], []
-        for tier, pred in zip(TIERS, (jt, ce, bt)):
+        for tier, pred in zip(TIERS, (jt, ce, bt, vote)):
             out_tier.extend([tier] * n_docs)
             out_tp.append(cnt(pred & gold))
             out_fp.append(cnt(pred & ~gold))
@@ -133,6 +142,8 @@ long_form AS (
     SELECT doc_id, 'cetr', ce, g FROM gold
     UNION ALL
     SELECT doc_id, 'bte', bt, g FROM gold
+    UNION ALL
+    SELECT doc_id, 'vote', CAST(jt + ce + bt >= 2 AS BIGINT), g FROM gold
 ),
 conf AS (
     SELECT doc_id, tier,

@@ -11,8 +11,8 @@ def test_tier_eval_invariants(ray_session):
     from pdf_parser_ray.stages.tiereval import q_tier_eval
 
     df = q_tier_eval(SF).to_pandas()
-    assert len(df) == 3 * 500
-    assert set(df.tier) == {"justext", "cetr", "bte"}
+    assert len(df) == 4 * 500
+    assert set(df.tier) == {"justext", "cetr", "bte", "vote"}
 
     # gold is the same for every tier: tp + fn is per-doc constant
     gold = df.assign(g=df.tp + df.fn).groupby("doc_id")["g"].nunique()
@@ -31,3 +31,9 @@ def test_tier_eval_invariants(ray_session):
     assert df.loc[df.tier == "cetr", "f1_micro"].max() == 1_000_000
     # and every tier recovers most of the content on average
     assert (by_tier["recall_micro"].mean() > 500_000).all()
+
+    # the majority vote must dominate its WEAKEST constituent (it can
+    # lose to the best single tier — measured fact on this corpus)
+    means = by_tier["f1_micro"].mean()
+    singles = means[["justext", "cetr", "bte"]]
+    assert means["vote"] > singles.min()
