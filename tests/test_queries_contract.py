@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-5 coverage floor: 192 queries, ≥184 oracled —
+    # lock the round-5 coverage floor: 193 queries, ≥185 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 192
-    assert len(oracles) >= 184
+    assert len(queries) >= 193
+    assert len(oracles) >= 185
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
