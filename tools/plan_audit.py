@@ -51,7 +51,9 @@ def main() -> None:
     from pdf_parser_ray.stages.domheur import q_main_content_dom
     from pdf_parser_ray.stages.justext import q_justext_strip
     from pdf_parser_ray.stages.layout import q_reading_order_xycut
+    from pdf_parser_ray.stages.media import q_resolve_media_refs
     from pdf_parser_ray.stages.textstats import q_bm25_search
+    from pdf_parser_ray.stages.tiereval import q_tier_eval
 
     targets = {
         "extract_spans": lambda sf: flagship(sf),
@@ -74,6 +76,11 @@ def main() -> None:
         # both must show a single fused read→map chain, no exchange
         "justext_strip": q_justext_strip,
         "extract_cascade": q_extract_cascade,
+        # end of round 5: media-ref resolution (flagship + ONE
+        # tagged-union bucket exchange — exactly one Sort) and the
+        # three-signal eval (single fused read→map chain)
+        "resolve_media_refs": q_resolve_media_refs,
+        "tier_eval": q_tier_eval,
     }
 
     report = {"sf": SF_DIR, "queries": {}}
