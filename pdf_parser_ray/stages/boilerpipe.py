@@ -114,8 +114,10 @@ def q_boilerpipe_blocks(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
-_SQL_BOILERPIPE = f"""
-WITH {_SQL_BLOCKS_CTE},
+# CTE chain from the shared ``blocks`` stream to the per-block
+# ``bpk(doc_id, blk, n_words, link_ppm, bp)`` verdict table —
+# composable (tier_eval and block_signals reuse it verbatim).
+_SQL_BP_CHAIN = f"""
 feat2 AS (
     SELECT doc_id, blk, n_words,
            n_links * 1000000 // GREATEST(n_words + n_links, 1) AS link_ppm
@@ -127,17 +129,23 @@ win AS (
            COALESCE(LAG(n_words) OVER w, 0) AS prev_words,
            COALESCE(LEAD(n_words) OVER w, 0) AS next_words
     FROM feat2 WINDOW w AS (PARTITION BY doc_id ORDER BY blk)
-)
-SELECT doc_id, blk, n_words, link_ppm,
-       CAST(CASE
-            WHEN link_ppm > {CURR_LINK_PPM} THEN FALSE
-            WHEN prev_link <= {PREV_LINK_PPM}
-                THEN n_words > {CURR_WORDS_LO}
-                     OR next_words > {NEXT_WORDS_LO}
-                     OR prev_words > {PREV_WORDS_LO}
-            ELSE n_words > {CURR_WORDS_HI} OR next_words > {NEXT_WORDS_HI}
-        END AS BIGINT) AS content
-FROM win
+),
+bpk AS (
+    SELECT doc_id, blk, n_words, link_ppm,
+           CAST(CASE
+                WHEN link_ppm > {CURR_LINK_PPM} THEN FALSE
+                WHEN prev_link <= {PREV_LINK_PPM}
+                    THEN n_words > {CURR_WORDS_LO}
+                         OR next_words > {NEXT_WORDS_LO}
+                         OR prev_words > {PREV_WORDS_LO}
+                ELSE n_words > {CURR_WORDS_HI} OR next_words > {NEXT_WORDS_HI}
+            END AS BIGINT) AS bp
+    FROM win
+)"""
+
+_SQL_BOILERPIPE = f"""
+WITH {_SQL_BLOCKS_CTE}, {_SQL_BP_CHAIN}
+SELECT doc_id, blk, n_words, link_ppm, bp AS content FROM bpk
 """
 
 QUERIES = {

@@ -28,18 +28,22 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .boilerpipe import _SQL_BP_CHAIN
 from .bte import _SQL_BTE_CHAIN, bte_spans
 from .cetr import cetr_blocks
 from .justext import _GOOD, _SQL_BLOCKS_CTE, _block_arrays, classify_blocks
 
-#: the fourth row is the block-grain majority-vote ensemble (keep a
-#: block iff ≥2 of the 3 signals keep it) — the standard multi-
+#: "vote" is the block-grain majority ensemble over the jusText /
+#: CETR / BTE trio (keep iff ≥2 keep it) — the standard multi-
 #: heuristic combination, scored so "should we vote or pick one
 #: tier?" is a measured decision: on the sandbox corpus the vote
 #: beats BTE and jusText but CETR alone edges it (jusText's low
 #: precision drags the majority), which is exactly the kind of fact
-#: a cascade design needs before routing
-TIERS = ("justext", "cetr", "bte", "vote")
+#: a cascade design needs before routing. "boilerpipe" (the fifth
+#: signal, ``stages/boilerpipe.py``) is scored alongside but kept out
+#: of the vote so the trio ensemble's number stays comparable across
+#: rounds.
+TIERS = ("justext", "cetr", "bte", "vote", "boilerpipe")
 
 
 def q_tier_eval(sf_dir: str):
@@ -73,11 +77,15 @@ def q_tier_eval(sf_dir: str):
             return np.add.reduceat(mask.astype(np.int64), starts)
 
         vote = (jt.astype(np.int64) + ce.astype(np.int64) + bt.astype(np.int64)) >= 2
+        from .boilerpipe import boilerpipe_blocks as _bp
+
+        _, bp = _bp(doc, nw, nl)
+        bp = bp.astype(bool)
 
         n_docs = len(starts)
         out_doc = np.tile(doc[starts], len(TIERS))
         out_tier, out_tp, out_fp, out_fn = [], [], [], []
-        for tier, pred in zip(TIERS, (jt, ce, bt, vote)):
+        for tier, pred in zip(TIERS, (jt, ce, bt, vote, bp)):
             out_tier.extend([tier] * n_docs)
             out_tp.append(cnt(pred & gold))
             out_fp.append(cnt(pred & ~gold))
@@ -105,8 +113,94 @@ def q_tier_eval(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def q_block_signals(sf_dir: str):
+    """Per-block feature/label matrix: shallow features (word count,
+    link ppm, stopword ppm), all four heuristic verdicts, and the
+    construction gold label — the training table a LEARNED content
+    classifier consumes (the CleanEval setup: fit on heuristic
+    features, supervise on gold). Same single zero-shuffle pass as
+    the scoreboards; one fixed-width row per block."""
+    from ..io.sources import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .boilerpipe import boilerpipe_blocks as _bp
+
+        dids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        doc, blk, nw, nl, ns, txt = _block_arrays(dids, texts)
+
+        first = np.r_[True, doc[1:] != doc[:-1]]
+        starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(starts, len(doc)))
+        gold = (blk >= 2) & (blk < np.repeat(seg_len - 2, seg_len))
+
+        link_ppm, stop_ppm, _, final = classify_blocks(doc, nw, nl, ns)
+        jt = final == _GOOD
+        chars = np.fromiter((len(t) for t in txt), dtype=np.int64, count=len(txt))
+        _, _, ce = cetr_blocks(doc, chars, 1 + nl)
+        _, sb, eb, _, _ = bte_spans(doc, blk, nw, nl)
+        bt = (blk >= np.repeat(sb, seg_len)) & (blk <= np.repeat(eb, seg_len))
+        _, bp = _bp(doc, nw, nl)
+
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "blk": pa.array(blk, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "link_ppm": pa.array(link_ppm, pa.int64()),
+                "stop_ppm": pa.array(stop_ppm, pa.int64()),
+                "jt": pa.array(jt.astype(np.int64), pa.int64()),
+                "ce": pa.array(ce.astype(np.int64), pa.int64()),
+                "bt": pa.array(bt.astype(np.int64), pa.int64()),
+                "bp": pa.array(bp, pa.int64()),
+                "gold": pa.array(gold.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_BLOCK_SIGNALS = f"""
+WITH {_SQL_BLOCKS_CTE}, {_SQL_BTE_CHAIN}, {_SQL_BP_CHAIN},
+cetr AS (
+    SELECT doc_id, blk,
+           CAST(length(btext) AS BIGINT) * 1000000
+               // GREATEST(1 + n_links, 1) AS ttr
+    FROM blocks
+),
+smo AS (
+    SELECT *,
+           (COALESCE(LAG(ttr) OVER w, ttr) + ttr
+            + COALESCE(LEAD(ttr) OVER w, ttr)) // 3 AS smooth
+    FROM cetr WINDOW w AS (PARTITION BY doc_id ORDER BY blk)
+),
+cek AS (
+    SELECT doc_id, blk,
+           CAST(smooth >= SUM(smooth) OVER (PARTITION BY doc_id)
+                // COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ce
+    FROM smo
+)
+SELECT f.doc_id, f.blk,
+       CAST(f.n_words AS BIGINT) AS n_words,
+       CAST(f.link_ppm AS BIGINT) AS link_ppm,
+       CAST(f.stop_ppm AS BIGINT) AS stop_ppm,
+       CAST(f.cls = 'good' AS BIGINT) AS jt,
+       ck.ce AS ce,
+       CAST(f.blk BETWEEN b.start_blk AND b.end_blk AS BIGINT) AS bt,
+       k.bp AS bp,
+       CAST(f.blk >= 2 AND f.blk < (c.nb + 2) AS BIGINT) AS gold
+FROM final f
+JOIN c ON c.doc_id = f.doc_id
+JOIN cek ck ON ck.doc_id = f.doc_id AND ck.blk = f.blk
+JOIN bte b ON b.doc_id = f.doc_id
+JOIN bpk k ON k.doc_id = f.doc_id AND k.blk = f.blk
+"""
+
+
 _SQL_TIER_EVAL = f"""
-WITH {_SQL_BLOCKS_CTE}, {_SQL_BTE_CHAIN},
+WITH {_SQL_BLOCKS_CTE}, {_SQL_BTE_CHAIN}, {_SQL_BP_CHAIN},
 cetr AS (
     SELECT doc_id, blk,
            CAST(length(btext) AS BIGINT) * 1000000
@@ -130,11 +224,13 @@ gold AS (
            CAST(f.blk >= 2 AND f.blk < (c.nb + 2) AS BIGINT) AS g,
            CAST(f.cls = 'good' AS BIGINT) AS jt,
            ck.ce AS ce,
-           CAST(f.blk BETWEEN b.start_blk AND b.end_blk AS BIGINT) AS bt
+           CAST(f.blk BETWEEN b.start_blk AND b.end_blk AS BIGINT) AS bt,
+           k.bp AS bp
     FROM final f
     JOIN c ON c.doc_id = f.doc_id
     JOIN cek ck ON ck.doc_id = f.doc_id AND ck.blk = f.blk
     JOIN bte b ON b.doc_id = f.doc_id
+    JOIN bpk k ON k.doc_id = f.doc_id AND k.blk = f.blk
 ),
 long_form AS (
     SELECT doc_id, 'justext' AS tier, jt AS pred, g FROM gold
@@ -144,6 +240,8 @@ long_form AS (
     SELECT doc_id, 'bte', bt, g FROM gold
     UNION ALL
     SELECT doc_id, 'vote', CAST(jt + ce + bt >= 2 AS BIGINT), g FROM gold
+    UNION ALL
+    SELECT doc_id, 'boilerpipe', bp, g FROM gold
 ),
 conf AS (
     SELECT doc_id, tier,
@@ -165,7 +263,9 @@ FROM conf
 
 QUERIES = {
     "tier_eval": q_tier_eval,
+    "block_signals": q_block_signals,
 }
 ORACLE_SQL = {
     "tier_eval": _SQL_TIER_EVAL,
+    "block_signals": _SQL_BLOCK_SIGNALS,
 }

@@ -11,8 +11,8 @@ def test_tier_eval_invariants(ray_session):
     from pdf_parser_ray.stages.tiereval import q_tier_eval
 
     df = q_tier_eval(SF).to_pandas()
-    assert len(df) == 4 * 500
-    assert set(df.tier) == {"justext", "cetr", "bte", "vote"}
+    assert len(df) == 5 * 500
+    assert set(df.tier) == {"justext", "cetr", "bte", "vote", "boilerpipe"}
 
     # gold is the same for every tier: tp + fn is per-doc constant
     gold = df.assign(g=df.tp + df.fn).groupby("doc_id")["g"].nunique()
