@@ -26,6 +26,7 @@ _QUERY_MODULES = (
     "pdf_parser_ray.stages.tieragree",
     "pdf_parser_ray.stages.tiereval",
     "pdf_parser_ray.stages.boilerpipe",
+    "pdf_parser_ray.stages.nbclassifier",
     "pdf_parser_ray.stages.c4",
     "pdf_parser_ray.stages.layout",
     "pdf_parser_ray.stages.domheur",
