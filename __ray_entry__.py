@@ -12,8 +12,9 @@ nothing here (or in the library) initialises or shuts down Ray.
   SQL-expressible query (money as exact integer cents so distributed
   sums hash-match the oracle bit-for-bit). The geometric extraction
   family is oracled against a frozen output fixture (see
-  ``pipelines/extract.py``); only genuine sketches (hll, cm, simhash,
-  ann_ivf) are rows-only by design.
+  ``pipelines/extract.py``); only genuine sketches (hll, cm,
+  ann_ivf) are rows-only by design — simhash gained an exact md5
+  bit-replay oracle in round 5.
 
 The assembly lives in ``pdf_parser_ray.registry`` so the ``query``
 CLI exposes the identical surface.

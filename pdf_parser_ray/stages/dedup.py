@@ -846,7 +846,9 @@ def q_ngram_dedup_pairs(sf_dir: str, threshold: float = 0.5):
 
 def q_simhash(sf_dir: str):
     """64-bit SimHash per document (word-feature md5 hashes, sign-sum
-    per bit). Deterministic; rows-only check (no SQL analog)."""
+    per bit). Deterministic AND exactly SQL-replayable — the md5 word
+    features let DuckDB re-derive every bit (``_SQL_SIMHASH``), so
+    this sketch carries a full hash-equality oracle."""
     ds = augmented_corpus(sf_dir)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -1339,6 +1341,37 @@ WHERE 2 * inter >= uni
 """
 
 
+# Exact SQL replay of the 64-bit SimHash: per word, the first 8 md5
+# bytes expand to 64 bits (nibble lookup, MSB-first within nibble —
+# the unpackbits order); per (doc, bit) the ±1 sign sum reduces; the
+# 64 sign bits repack via HUGEINT shifts (integer-exact where ** would
+# round through DOUBLE above 2^53) and drop into signed int64 range.
+_SQL_SIMHASH = f"""
+WITH aug AS ({_AUG_SQL}),
+w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS wrd FROM aug),
+h AS (SELECT doc_id, md5(wrd) AS hx FROM w),
+bits AS (
+  SELECT doc_id, CAST(t.b AS BIGINT) AS b,
+         (strpos('0123456789abcdef', substr(hx, 1 + CAST(t.b // 4 AS INT), 1)) - 1)
+           // CASE CAST(t.b % 4 AS INT)
+              WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END % 2 AS bit
+  FROM h, LATERAL unnest(range(64)) AS t(b)
+),
+acc AS (SELECT doc_id, b, SUM(2 * bit - 1) AS s FROM bits GROUP BY doc_id, b),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0
+             THEN (CAST(1 AS HUGEINT) << CAST(63 - b AS INT))
+             ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM acc GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id,
+       CAST(CASE WHEN COALESCE(sh.u, 0) >= (CAST(1 AS HUGEINT) << 63)
+            THEN COALESCE(sh.u, 0) - (CAST(1 AS HUGEINT) << 64)
+            ELSE COALESCE(sh.u, 0) END AS BIGINT) AS simhash
+FROM aug a LEFT JOIN sh ON sh.doc_id = a.doc_id
+"""
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
@@ -1377,5 +1410,11 @@ ORACLE_SQL = {
     "ngram_dedup_pairs_df": _SQL_NEAR_DUP_PAIRS,
     # same candidate generation feeds the clustering — same caveat
     "near_dup_clusters": _SQL_NEAR_DUP_CLUSTERS,
-    # simhash: sketch-based, rows-only by design
+    # simhash: md5 word features make the sketch exactly SQL-replayable
+    # (upgraded from rows-only in round 5): DuckDB re-derives each
+    # word's 64 leading md5 bits nibble-by-nibble, sign-sums per bit
+    # position, repacks the sign vector with exact HUGEINT shifts, and
+    # folds into two's-complement int64 — bit-identical to numpy's
+    # unpackbits/packbits path.
+    "simhash": _SQL_SIMHASH,
 }
