@@ -12,9 +12,10 @@ nothing here (or in the library) initialises or shuts down Ray.
   SQL-expressible query (money as exact integer cents so distributed
   sums hash-match the oracle bit-for-bit). The geometric extraction
   family is oracled against a frozen output fixture (see
-  ``pipelines/extract.py``); only genuine sketches (hll, cm,
-  ann_ivf) are rows-only by design — simhash gained an exact md5
-  bit-replay oracle in round 5.
+  ``pipelines/extract.py``); only genuinely merge-order-dependent
+  sketches (cm heaps, ann_ivf) are rows-only — simhash and both HLL
+  variants gained exact bit-replay oracles in round 5 (md5 replay;
+  integer-exact HLL estimate fold + limb-exact splitmix64).
 
 The assembly lives in ``pdf_parser_ray.registry`` so the ``query``
 CLI exposes the identical surface.

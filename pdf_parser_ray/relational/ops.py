@@ -2612,15 +2612,107 @@ def _hll_reg_rho(keys: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _hll_estimate(registers: np.ndarray) -> int:
-    """Standard HLL fold with small-range correction over a dense
-    register array."""
+    """INTEGER-EXACT HLL fold with small-range correction.
+
+    The classic fold is float (``α·m²/Σ2^-reg``); this engine snaps it
+    to pure integer arithmetic so the sketch estimate — not just the
+    registers — is bit-reproducible by the DuckDB twin:
+
+    * ``Σ 2^-reg = S / 2^64`` with ``S = Σ 2^(64-reg)`` an exact
+      integer (Python/HUGEINT; ≤ m·2^64 ≈ 2^76 at p=12),
+    * ``α = 0.7213/(1 + 1.079/m)`` as the exact rational
+      ``7213·m / (10·(1000·m + 1079))``,
+    * raw estimate ``E = (7213·m³·2^64) // (10·(1000·m + 1079)·S)``
+      — one floor division (< 2^113 at p=12, inside HUGEINT),
+    * small range (``2E ≤ 5m`` with empty registers): linear counting
+      ``E = m·(lnm(m) − lnm(zeros)) // 10⁶`` over the shared-ln
+      integer-micro device (``stages/textstats.lnm_micro``).
+    """
     m = len(registers)
-    alpha = 0.7213 / (1 + 1.079 / m)
-    E = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    S = sum(1 << (64 - int(r)) for r in registers.tolist())
+    E = (7213 * m**3 << 64) // (10 * (1000 * m + 1079) * S)
     zeros = int((registers == 0).sum())
-    if E <= 2.5 * m and zeros:
-        E = m * np.log(m / zeros)
-    return int(round(E))
+    if 2 * E <= 5 * m and zeros:
+        from ..stages.textstats import lnm_micro
+
+        E = m * (lnm_micro(m) - lnm_micro(zeros)) // 1_000_000
+    return int(E)
+
+
+def _hll_oracle_sql(group: bool) -> str:
+    """Exact SQL replay of the HLL sketch (round 5 — upgraded from
+    rows-only): splitmix64 re-derived with wrap-exact 32-bit-limb
+    multiplies and limb-wise xors (DuckDB has no wrapping uint64 mul;
+    ``**`` would round through DOUBLE), ρ from the low 52 bits' bit
+    length, the register merge as MAX, and the INTEGER estimate fold
+    of :func:`_hll_estimate` — ``Σ2^-reg`` as an exact HUGEINT, α as
+    a rational, linear counting over the shared-ln device. The sketch
+    registers AND the estimate are bit-identical to the engine."""
+    from ..stages.textstats import _shared_ln_cte, lnm_micro
+
+    TWO64, TWO32 = 1 << 64, 1 << 32
+    C, K1, K2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def xor64(a: str, b: str) -> str:
+        return (
+            f"(CAST(xor(CAST(({a}) // {TWO32} AS BIGINT),"
+            f" CAST(({b}) // {TWO32} AS BIGINT)) AS HUGEINT) * {TWO32}"
+            f" + CAST(xor(CAST(({a}) % {TWO32} AS BIGINT),"
+            f" CAST(({b}) % {TWO32} AS BIGINT)) AS HUGEINT))"
+        )
+
+    def mul64(a: str, k: int) -> str:
+        kl, kh = k % TWO32, k // TWO32
+        return (
+            f"((( ({a}) % {TWO32}) * {kl}"
+            f" + ((( ({a}) % {TWO32}) * {kh} + (({a}) // {TWO32}) * {kl})"
+            f" % {TWO32}) * {TWO32}) % {TWO64})"
+        )
+
+    m = 1 << _HLL_P
+    w_mod = 1 << (64 - _HLL_P)  # low-bit field below the register index
+    rho_max = 64 - _HLL_P + 1
+    num = 7213 * m**3 * (1 << 64)
+    den_c = 10 * (1000 * m + 1079)
+    g = "g, " if group else ""
+    gby = "GROUP BY g" if group else ""
+    src = (
+        "SELECT DISTINCT event_type AS g, CAST(user_id AS HUGEINT) AS v FROM events"
+        if group
+        else "SELECT DISTINCT CAST(user_id AS HUGEINT) AS v FROM events"
+    )
+    head = "g AS event_type, " if group else ""
+    order_cols = "register" if not group else "g, register"
+    return f"""
+WITH x AS ({src}),
+s0 AS (SELECT {g}(v + {C}) % {TWO64} AS h FROM x),
+s1 AS (SELECT {g}{xor64('h', 'h // 1073741824')} AS h FROM s0),
+s2 AS (SELECT {g}{mul64('h', K1)} AS h FROM s1),
+s3 AS (SELECT {g}{xor64('h', 'h // 134217728')} AS h FROM s2),
+s4 AS (SELECT {g}{mul64('h', K2)} AS h FROM s3),
+s5 AS (SELECT {g}{xor64('h', 'h // 2147483648')} AS h FROM s4),
+rr AS (SELECT {g}h // {w_mod} AS register,
+              CASE WHEN h % {w_mod} = 0 THEN {rho_max}
+                   ELSE {rho_max} - length(printf('%b', CAST(h % {w_mod} AS BIGINT)))
+              END AS rho
+       FROM s5),
+mx AS (SELECT {g}register, MAX(rho) AS rho FROM rr GROUP BY {order_cols}),
+agg AS (SELECT {g}COUNT(*) AS nhit,
+               SUM(CAST(1 AS HUGEINT) << CAST(64 - rho AS INT)) AS s_hit
+        FROM mx {gby}),
+ze AS (SELECT {g}GREATEST({m} - nhit, 1) AS v, {m} - nhit AS zeros,
+              s_hit + CAST({m} - nhit AS HUGEINT) * (CAST(1 AS HUGEINT) << 64) AS S
+       FROM agg),
+zl AS (SELECT {g}zeros, S,
+              CAST(FLOOR(lnk * CAST(1000000.0 AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lnm_z
+       FROM {_shared_ln_cte('ze', 'v')}),
+raw AS (SELECT {g}zeros, lnm_z, CAST({num} AS HUGEINT) // ({den_c} * S) AS e FROM zl)
+SELECT {head}CAST(CASE WHEN 2 * e <= {5 * m} AND zeros > 0
+            THEN {m} * ({lnm_micro(m)} - lnm_z) // 1000000
+            ELSE e END AS BIGINT) AS n_users_approx
+FROM raw
+"""
 
 
 def q_type_user_counts_hll(sf_dir: str, p: int = _HLL_P):
@@ -5801,6 +5893,10 @@ ORACLE_SQL = {
     "peak_concurrency": _SQL_PEAK_CONCURRENCY,
     "pareto_front": _SQL_PARETO,
     "dq_audit": _SQL_DQ_AUDIT,
-    # distinct_users_hll: sketch — approximate by construction, rows-only;
-    # the unit test pins the estimate within 3 sigma of the exact count
+    # HLL (round 5): approximate by construction but EXACTLY
+    # reproducible — the integer estimate fold plus the limb-exact
+    # splitmix64 replay give both variants full hash oracles (the 3σ
+    # unit test still pins accuracy against the exact count)
+    "distinct_users_hll": _hll_oracle_sql(group=False),
+    "type_user_counts_hll": _hll_oracle_sql(group=True),
 }

@@ -39,7 +39,7 @@ def test_every_query_returns_rows_and_schema():
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
     assert len(queries) >= 195
-    assert len(oracles) >= 188
+    assert len(oracles) >= 190
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
