@@ -844,35 +844,139 @@ def q_ngram_dedup_pairs(sf_dir: str, threshold: float = 0.5):
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, simhash) — the single spelling of the
+    64-bit SimHash (md5 word features, sign-sum per bit), shared by
+    :func:`q_simhash` and :func:`q_simhash_dup_pairs`."""
+    out = []
+    for text in batch["text"].to_pylist():
+        words = (text or "").split()
+        if not words:
+            out.append(0)
+            continue
+        digests = b"".join(hashlib.md5(w.encode()).digest()[:8] for w in words)
+        bits = np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(len(words), 8), axis=1
+        ).astype(np.int32)
+        acc = (bits * 2 - 1).sum(axis=0)
+        sign_bits = np.packbits((acc > 0).astype(np.uint8))
+        sh = int.from_bytes(sign_bits.tobytes(), "big")
+        if sh >= 1 << 63:
+            sh -= 1 << 64  # two's-complement into signed int64
+        out.append(sh)
+    return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())})
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash per document (word-feature md5 hashes, sign-sum
     per bit). Deterministic AND exactly SQL-replayable — the md5 word
     features let DuckDB re-derive every bit (``_SQL_SIMHASH``), so
     this sketch carries a full hash-equality oracle."""
-    ds = augmented_corpus(sf_dir)
+    return augmented_corpus(sf_dir).map_batches(
+        _simhash_batch, batch_format="pyarrow", batch_size=None
+    )
 
-    def fn(batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch["text"].to_pylist():
-            words = (text or "").split()
-            if not words:
-                out.append(0)
-                continue
-            digests = b"".join(hashlib.md5(w.encode()).digest()[:8] for w in words)
-            bits = np.unpackbits(
-                np.frombuffer(digests, dtype=np.uint8).reshape(len(words), 8), axis=1
-            ).astype(np.int32)
-            acc = (bits * 2 - 1).sum(axis=0)
-            sign_bits = np.packbits((acc > 0).astype(np.uint8))
-            sh = int.from_bytes(sign_bits.tobytes(), "big")
-            if sh >= 1 << 63:
-                sh -= 1 << 64  # two's-complement into signed int64
-            out.append(sh)
+
+SIMHASH_BANDS = 4  # 4 disjoint 16-bit bands
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: ≤3 differing bits ⇒ ≥1 band identical
+
+
+def q_simhash_dup_pairs(sf_dir: str, n_buckets: int = 32):
+    """SimHash near-dup pairs at Hamming distance ≤ 3 — the Manku,
+    Jain, Das Sarma WWW 2007 web-dedup construction (public paper).
+
+    Candidate generation is the pigeonhole banding: split each 64-bit
+    fingerprint into 4 disjoint 16-bit bands; two fingerprints within
+    Hamming 3 differ in at most 3 bands, so they COLLIDE on at least
+    one — grouping by (band, band value) is therefore LOSSLESS for
+    the ≤3 threshold and the O(N²) SQL twin is a full oracle, not a
+    recall-dependent one (contrast ``near_dup_pairs``' MinHash note).
+
+    Scale shape: the exchange carries (band, band_value, doc_id,
+    simhash) fixed-width rows — 4 rows/doc, like MinHash's 16; pairs
+    verify inside the band bucket with a vectorized byte-table
+    popcount and dedup globally by pair bucket (a pair can collide in
+    up to 4 bands)."""
+    ds = augmented_corpus(sf_dir).map_batches(
+        _simhash_batch, batch_format="pyarrow", batch_size=None
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sh.view(np.uint64)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(u)
+        out_bucket, out_doc, out_sh = [], [], []
+        for b in range(SIMHASH_BANDS):
+            bv = ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_bucket.append(b * 65536 + bv)
+            out_doc.append(dids)
+            out_sh.append(sh)
         return pa.table(
-            {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
+            {
+                "band_key": pa.array(np.concatenate(out_bucket), pa.int64()),
+                "coarse": pa.array(
+                    np.concatenate(out_bucket) % n_buckets, pa.int64()
+                ),
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "simhash": pa.array(np.concatenate(out_sh), pa.int64()),
+            }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+    _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+        axis=1
+    ).astype(np.int64)
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b = [], []
+        for _k, sub in g.groupby("band_key", sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy(dtype=np.int64)
+            sh = sub["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+            for i in range(len(ids) - 1):
+                x = np.bitwise_xor(sh[i + 1 :], sh[i])
+                ham = _POP[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+                hit = ham <= SIMHASH_MAX_HAMMING
+                out_a.extend([int(ids[i])] * int(hit.sum()))
+                out_b.extend(ids[i + 1 :][hit].tolist())
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(band_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("coarse")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    # a pair collides in up to 4 bands → global pair dedup on a coarse
+    # pair bucket (fixed-width rows only, the near_dup_pairs pattern)
+    def tag(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pb", pa.array((a * 1_000_003 + b) % n_buckets, pa.int64())
+        )
+
+    def dedup(g: pd.DataFrame) -> pa.Table:
+        u = g.drop_duplicates(["doc_a", "doc_b"])
+        return pa.table(
+            {
+                "doc_a": pa.array(u["doc_a"].to_numpy(dtype=np.int64), pa.int64()),
+                "doc_b": pa.array(u["doc_b"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        cand.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("pb")
+        .map_groups(dedup, batch_format="pandas")
+    )
 
 
 def label_propagation_clusters(edges, max_rounds: int = 32):
@@ -1346,8 +1450,8 @@ WHERE 2 * inter >= uni
 # the unpackbits order); per (doc, bit) the ±1 sign sum reduces; the
 # 64 sign bits repack via HUGEINT shifts (integer-exact where ** would
 # round through DOUBLE above 2^53) and drop into signed int64 range.
-_SQL_SIMHASH = f"""
-WITH aug AS ({_AUG_SQL}),
+_SQL_SIMHASH_CHAIN = f"""
+aug AS ({_AUG_SQL}),
 w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS wrd FROM aug),
 h AS (SELECT doc_id, md5(wrd) AS hx FROM w),
 bits AS (
@@ -1364,12 +1468,27 @@ sh AS (
              THEN (CAST(1 AS HUGEINT) << CAST(63 - b AS INT))
              ELSE CAST(0 AS HUGEINT) END) AS u
   FROM acc GROUP BY doc_id
-)
-SELECT a.doc_id AS doc_id,
-       CAST(CASE WHEN COALESCE(sh.u, 0) >= (CAST(1 AS HUGEINT) << 63)
-            THEN COALESCE(sh.u, 0) - (CAST(1 AS HUGEINT) << 64)
-            ELSE COALESCE(sh.u, 0) END AS BIGINT) AS simhash
-FROM aug a LEFT JOIN sh ON sh.doc_id = a.doc_id
+),
+shfinal AS (
+  SELECT a.doc_id AS doc_id,
+         CAST(CASE WHEN COALESCE(sh.u, 0) >= (CAST(1 AS HUGEINT) << 63)
+              THEN COALESCE(sh.u, 0) - (CAST(1 AS HUGEINT) << 64)
+              ELSE COALESCE(sh.u, 0) END AS BIGINT) AS simhash
+  FROM aug a LEFT JOIN sh ON sh.doc_id = a.doc_id
+)"""
+
+_SQL_SIMHASH = f"""
+WITH {_SQL_SIMHASH_CHAIN}
+SELECT doc_id, simhash FROM shfinal
+"""
+
+# Full oracle (NOT recall-dependent): the banding is lossless for
+# Hamming ≤ 3, so the engine must return exactly these pairs.
+_SQL_SIMHASH_PAIRS = f"""
+WITH {_SQL_SIMHASH_CHAIN}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM shfinal a JOIN shfinal b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 QUERIES = {
@@ -1382,6 +1501,7 @@ QUERIES = {
     "ngram_dedup_pairs_df": q_ngram_dedup_pairs_df,
     "near_dup_clusters": q_near_dup_clusters,
     "simhash": q_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
     "edit_dup_pairs": q_edit_dup_pairs,
 }
 
@@ -1417,4 +1537,5 @@ ORACLE_SQL = {
     # folds into two's-complement int64 — bit-identical to numpy's
     # unpackbits/packbits path.
     "simhash": _SQL_SIMHASH,
+    "simhash_dup_pairs": _SQL_SIMHASH_PAIRS,
 }
