@@ -110,16 +110,11 @@ def train_nb(sf_dir: str):
     return counts, n_class
 
 
-def q_nb_content_eval(sf_dir: str):
-    """Train on the corpus, classify every block with the broadcast
-    model, and emit the corpus confusion matrix (pred, gold,
-    n_blocks) — the end-to-end learned-extractor evaluation."""
-    from ..io.sources import read_parquet_clean
-
+def compile_model(sf_dir: str):
+    """Train and compile the integer-micro score tables driver-side
+    (the model is O(vocabulary); this is model compilation, not data
+    movement). Returns (prior, score_tbl)."""
     counts, n_class = train_nb(sf_dir)
-
-    # precompute the integer-micro score tables driver-side (the model
-    # is O(vocabulary); this is model compilation, not data movement)
     vocab = {0: V_WORDS, 1: V_LINK, 2: V_STOP}
     prior = {g: lnm_micro(max(n_class[g], 1)) for g in (0, 1)}
     denom = {
@@ -140,16 +135,30 @@ def q_nb_content_eval(sf_dir: str):
         }
         for g in (0, 1)
     }
+    return prior, score_tbl
+
+
+def _nb_predict(prior, score_tbl, wb, lb, sb):
+    scores = {}
+    for g in (0, 1):
+        t = score_tbl[g]
+        scores[g] = prior[g] + t[0][wb] + t[1][lb] + t[2][sb]
+    return (scores[1] > scores[0]).astype(np.int64)
+
+
+def q_nb_content_eval(sf_dir: str):
+    """Train on the corpus, classify every block with the broadcast
+    model, and emit the corpus confusion matrix (pred, gold,
+    n_blocks) — the end-to-end learned-extractor evaluation."""
+    from ..io.sources import read_parquet_clean
+
+    prior, score_tbl = compile_model(sf_dir)
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def classify(batch: pa.Table) -> pa.Table:
         wb, lb, sb, gold = _block_features(batch)
-        scores = {}
-        for g in (0, 1):
-            t = score_tbl[g]
-            scores[g] = prior[g] + t[0][wb] + t[1][lb] + t[2][sb]
-        pred = (scores[1] > scores[0]).astype(np.int64)
+        pred = _nb_predict(prior, score_tbl, wb, lb, sb)
         # pre-aggregate to the confusion grain inside the batch
         cell = pred * 2 + gold
         bc = np.bincount(cell, minlength=4)
@@ -171,6 +180,49 @@ def q_nb_content_eval(sf_dir: str):
     )
 
 
+def q_nb_content_strip(sf_dir: str):
+    """The learned extractor EMITTING: per document, the text of the
+    blocks the trained model keeps, joined in reading order (the
+    ``justext_strip`` rollup shape with the NB verdict in place of
+    the heuristic) plus kept/total counts. Same zero-shuffle classify
+    pass; the rollup is Arrow kernels (filter → offsets ListArray →
+    ``binary_join``), no row loop."""
+    import pyarrow.compute as pc
+
+    from ..io.sources import read_parquet_clean
+
+    prior, score_tbl = compile_model(sf_dir)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def strip(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        doc, blk, nw, nl, ns, txt = _block_arrays(dids, texts)
+        link_ppm, stop_ppm, _, _ = classify_blocks(doc, nw, nl, ns)
+        wb, lb, sb = _features(nw, link_ppm, stop_ppm)
+        pred = _nb_predict(prior, score_tbl, wb, lb, sb).astype(bool)
+
+        first = np.r_[True, doc[1:] != doc[:-1]]
+        starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(starts, len(doc)))
+        n_kept = np.add.reduceat(pred.astype(np.int64), starts)
+        kept = pc.filter(pa.array(txt, pa.string()), pa.array(pred))
+        offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+        np.cumsum(n_kept, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "content_text": pc.binary_join(lists, " "),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "n_blocks": pa.array(seg_len.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow", batch_size=None)
+
+
 def _lnm_sql(src: str) -> str:
     """lnm table over integer column v of ``src``: (v, lnm)."""
     return (
@@ -180,8 +232,10 @@ def _lnm_sql(src: str) -> str:
     )
 
 
-_SQL_NB_EVAL = f"""
-WITH {_SQL_BLOCKS_CTE},
+# CTE chain (composes after the shared blocks CTE) ending at
+# ``predt(doc_id, blk, gold, pred)`` — shared by the confusion-matrix
+# eval and the content-strip rollup.
+_SQL_NB_CHAIN = f"""
 sig AS (
     SELECT f.doc_id, f.blk,
            CASE WHEN f.n_words >= 32 THEN 6 WHEN f.n_words >= 16 THEN 5
@@ -242,20 +296,36 @@ scored AS (
     JOIN liket ll ON ll.fid = 1 AND ll.v = s.lb AND ll.g = p.g
     JOIN liket ls ON ls.fid = 2 AND ls.v = s.sb AND ls.g = p.g
 ),
-pred AS (
+predt AS (
     SELECT doc_id, blk, gold,
            CAST(MAX(CASE WHEN cls = 1 THEN score END)
                 > MAX(CASE WHEN cls = 0 THEN score END) AS BIGINT) AS pred
     FROM scored GROUP BY doc_id, blk, gold
-)
+)"""
+
+_SQL_NB_EVAL = f"""
+WITH {_SQL_BLOCKS_CTE}, {_SQL_NB_CHAIN}
 SELECT pred, gold, CAST(COUNT(*) AS BIGINT) AS n
-FROM pred GROUP BY pred, gold
+FROM predt GROUP BY pred, gold
 HAVING COUNT(*) > 0
+"""
+
+_SQL_NB_STRIP = f"""
+WITH {_SQL_BLOCKS_CTE}, {_SQL_NB_CHAIN}
+SELECT p.doc_id,
+       COALESCE(string_agg(CASE WHEN p.pred = 1 THEN f.btext END,
+                           ' ' ORDER BY p.blk), '') AS content_text,
+       CAST(SUM(p.pred) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks
+FROM predt p JOIN final f ON f.doc_id = p.doc_id AND f.blk = p.blk
+GROUP BY p.doc_id
 """
 
 QUERIES = {
     "nb_content_eval": q_nb_content_eval,
+    "nb_content_strip": q_nb_content_strip,
 }
 ORACLE_SQL = {
     "nb_content_eval": _SQL_NB_EVAL,
+    "nb_content_strip": _SQL_NB_STRIP,
 }

@@ -38,8 +38,8 @@ def test_every_query_returns_rows_and_schema():
     # lock the round-5 coverage floor: 196 queries, ≥191 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 196
-    assert len(oracles) >= 191
+    assert len(queries) >= 197
+    assert len(oracles) >= 192
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
