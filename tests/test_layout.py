@@ -167,24 +167,27 @@ def test_unrolled_equals_recursive_at_same_depth(boxes):
 
 @settings(max_examples=100, deadline=None)
 @given(boxes_strategy)
-def test_depth4_converges_on_band_geometry(boxes):
-    """On any geometry, depth-4 and unbounded recursion agree whenever
-    depth 4 is enough for both axes to go dry — which the synthesized
-    band geometry guarantees; here we only assert the weaker invariant
-    that capped rank is a valid permutation and equals the unbounded
-    rank when the unbounded cut tree is ≤4 deep (checked by equality of
-    the two capped levels 4 and 6: if another cut existed at level 5,
-    they would differ)."""
+def test_deep_cap_equals_unbounded(boxes):
+    """Any capped rank is a valid permutation, and a cap beyond the
+    deepest possible cut tree equals unbounded recursion.
+
+    The earlier formulation inferred convergence from ``r4 == r6`` —
+    unsound, and hypothesis eventually found the counterexample: a cut
+    whose sub-regions happen to emit in the leaf ``(y0, x0)`` order is
+    INVISIBLE to that comparison, so a later cut on the other axis can
+    still reorder. The sound bound: every root-to-leaf path alternates
+    cuts (each strictly shrinking the region, ≤ n−1 of them) with at
+    most two consecutive dry pass-through levels, so depth
+    ``2·n + 4`` can never be the binding constraint."""
     x0 = np.array([b[0] for b in boxes], dtype=np.int64)
     y0 = np.array([b[1] for b in boxes], dtype=np.int64)
     x1 = x0 + np.array([b[2] for b in boxes], dtype=np.int64)
     y1 = y0 + np.array([b[3] for b in boxes], dtype=np.int64)
     r4 = xy_cut_order(x0, y0, x1, y1, max_depth=4)
-    r6 = xy_cut_order(x0, y0, x1, y1, max_depth=6)
     assert sorted(r4.tolist()) == list(range(len(boxes)))
-    if r4.tolist() == r6.tolist():
-        rinf = xy_cut_order(x0, y0, x1, y1, max_depth=None)
-        assert r6.tolist() == rinf.tolist()
+    deep = xy_cut_order(x0, y0, x1, y1, max_depth=2 * len(boxes) + 4)
+    rinf = xy_cut_order(x0, y0, x1, y1, max_depth=None)
+    assert deep.tolist() == rinf.tolist()
 
 
 def test_unrolled_multi_doc_independence():
