@@ -1927,6 +1927,285 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (the rank-robust twin of Pearson above)
+# ---------------------------------------------------------------------------
+
+def q_discount_qty_spearman(sf_dir: str):
+    """Per-returnflag Spearman rank correlation between discount and
+    quantity — the rank-robust companion of
+    :func:`q_discount_qty_correlation` (Pearson asks "linear in the
+    raw values", Spearman asks "monotone at all"; a corpus-QA suite
+    wants both because rank correlation survives the heavy-tailed
+    marginals web data always has).
+
+    Exactness with ties: ranks are midranks, doubled to stay integer
+    (the :func:`q_order_price_ranksum` device) — on the per-(flag,
+    variable) value-count table each distinct value's doubled midrank
+    is ``M = 2·cum_before + t + 1``. Both variables live on tiny
+    discrete domains (discount: 11 whole-percent values, quantity: 50
+    whole units), so the frequency table IS the rank function, and
+    centering by the exact doubled-midrank mean ``n+1`` (Σmidranks =
+    n(n+1)/2 identically) zeroes both sums: ρ² reduces to
+    ``(Σexey)² / (Σex²·Σey²)`` with no n·Σ cross terms.
+
+    Two passes, both shuffle-light: (1) per-batch value counts → one
+    ``groupby(flag, var, value).Sum`` whose exchange is bounded by the
+    VALUE DOMAIN (≤ flags·61 rows), driver builds the doubled-midrank
+    arrays and broadcasts them once (``ray.put``); (2) per-batch
+    centered products fold to one (Σexey, Σex², Σey²) row per flag →
+    one ``groupby(flag).Sum`` → bignum read-off on ≤ 3 rows. Partials
+    are int64-safe through ~3M lines per flag (ex ≤ n, Σex² ≈ n³/3);
+    past that the partial columns widen to decimal128 — the SQL twin
+    already runs HUGEINT. Reference parity: engine addition for
+    corpus QA (no relational layer in the reference)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_quantity"])
+
+    def _xy(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        x = (np.sign(d) * np.floor(np.abs(d) * 100.0 + 0.5)).astype(np.int64)
+        y = _qty_int(batch["l_quantity"])
+        flag = batch["l_returnflag"].to_pandas().to_numpy()
+        return flag, x, y
+
+    def freq_partial(batch: pa.Table) -> pa.Table:
+        flag, x, y = _xy(batch)
+        df = pd.concat(
+            [
+                pd.DataFrame({"flag": flag, "var": 0, "val": x}),
+                pd.DataFrame({"flag": flag, "var": 1, "val": y}),
+            ]
+        )
+        agg = (
+            df.groupby(["flag", "var", "val"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "flag": pa.array(agg["flag"].astype(str), pa.string()),
+                "var": pa.array(agg["var"].to_numpy(dtype=np.int64), pa.int64()),
+                "val": pa.array(agg["val"].to_numpy(dtype=np.int64), pa.int64()),
+                "cnt": pa.array(agg["cnt"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    freq = (
+        li.map_batches(freq_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["flag", "var", "val"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded by the value domain: ≤ flags·61 rows
+    )
+    # doubled midrank per distinct value, centered by its exact mean
+    # n+1 so pass-2 sums of ex/ey are identically zero
+    tables: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+    n_by_flag: dict[str, int] = {}
+    for (f, v), sub in freq.groupby(["flag", "var"]):
+        sub = sub.sort_values("val")
+        c = sub["cnt"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        if v == 0:
+            n_by_flag[str(f)] = n
+        cum_before = np.concatenate(([0], np.cumsum(c)[:-1]))
+        centered = 2 * cum_before + c + 1 - (n + 1)
+        tables[(str(f), int(v))] = (
+            sub["val"].to_numpy(dtype=np.int64),
+            centered.astype(np.int64),
+        )
+    ref = ray.put(tables)
+
+    def prod_partial(batch: pa.Table) -> pa.Table:
+        tabs = ray.get(ref)
+        flag, x, y = _xy(batch)
+        out = {"flag": [], "n": [], "sxy": [], "sxx": [], "syy": []}
+        for f in pd.unique(flag):
+            m = flag == f
+            vx, exm = tabs[(str(f), 0)]
+            vy, eym = tabs[(str(f), 1)]
+            ex = exm[np.searchsorted(vx, x[m])]
+            ey = eym[np.searchsorted(vy, y[m])]
+            out["flag"].append(str(f))
+            out["n"].append(int(m.sum()))
+            out["sxy"].append(int((ex * ey).sum()))
+            out["sxx"].append(int((ex * ex).sum()))
+            out["syy"].append(int((ey * ey).sum()))
+        return pa.table(
+            {
+                "flag": pa.array(out["flag"], pa.string()),
+                **{
+                    c: pa.array(np.asarray(out[c], dtype=np.int64), pa.int64())
+                    for c in ("n", "sxy", "sxx", "syy")
+                },
+            }
+        )
+
+    g = (
+        li.map_batches(prod_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("flag")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sxy", "sxx", "syy")])
+    )
+    df = g.to_pandas()  # ≤ #flags rows
+    out = {"l_returnflag": [], "n_lines": [], "spearman_sign": [], "rho2_ppm": []}
+    for _, r in df.iterrows():
+        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+        out["l_returnflag"].append(str(r["flag"]))
+        out["n_lines"].append(int(r["n"]))
+        out["spearman_sign"].append(0 if sxy == 0 else (1 if sxy > 0 else -1))
+        out["rho2_ppm"].append(
+            0 if sxx == 0 or syy == 0 else ((sxy * sxy * 1_000_000) // sxx) // syy
+        )
+    return pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "n_lines": pd.Series(out["n_lines"], dtype=np.int64),
+            "spearman_sign": pd.Series(out["spearman_sign"], dtype=np.int64),
+            "rho2_ppm": pd.Series(out["rho2_ppm"], dtype=np.int64),
+        }
+    )
+
+
+_SQL_DISCOUNT_QTY_SPEARMAN = """
+WITH s AS (
+    SELECT l_returnflag AS flag,
+           CAST(ROUND(l_discount*100) AS BIGINT) AS x,
+           CAST(ROUND(l_quantity) AS BIGINT) AS y
+    FROM lineitem),
+r AS (
+    SELECT flag,
+           CAST(2*rank() OVER (PARTITION BY flag ORDER BY x)
+                + COUNT(*) OVER (PARTITION BY flag, x) - 1
+                - COUNT(*) OVER (PARTITION BY flag) - 1 AS BIGINT) AS ex,
+           CAST(2*rank() OVER (PARTITION BY flag ORDER BY y)
+                + COUNT(*) OVER (PARTITION BY flag, y) - 1
+                - COUNT(*) OVER (PARTITION BY flag) - 1 AS BIGINT) AS ey
+    FROM s),
+a AS (
+    SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(ex AS HUGEINT)*ey) AS HUGEINT) AS sxy,
+           CAST(SUM(CAST(ex AS HUGEINT)*ex) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(ey AS HUGEINT)*ey) AS HUGEINT) AS syy
+    FROM r GROUP BY flag)
+SELECT flag AS l_returnflag,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS spearman_sign,
+       CAST(CASE WHEN sxx = 0 OR syy = 0 THEN 0
+                 ELSE ((sxy*sxy*1000000) // sxx) // syy END
+            AS BIGINT) AS rho2_ppm
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean (robust location estimate per order year)
+# ---------------------------------------------------------------------------
+
+def q_trimmed_mean_price(sf_dir: str, trim_permille: int = 50):
+    """Per-order-year 5%-trimmed mean of the order total — the robust
+    location estimate a drift monitor tracks instead of the raw mean
+    (one whale order moves the mean; the trimmed mean ignores the
+    tails by construction). Completes the robust-statistics family
+    next to the weighted median and MAD.
+
+    Exactness: trimming k = ⌊n·50/1000⌋ rows off each end is
+    order-statistics arithmetic on the per-year VALUE-COUNT summary —
+    equal values contribute equally, so which tied row is trimmed
+    never matters and no tie-break key is needed. The trimmed sum is
+    ``total − Σ(k smallest) − Σ(k largest)`` with the straddling bin
+    taken partially (vectorized clip over the cumulative counts), and
+    the mean is one integer floor-division — hash-exact against a
+    row_number window twin.
+
+    Shape: per-batch (year, cents, cnt) partials → ONE
+    ``groupby(year)`` exchange carrying pre-aggregated fixed-width
+    rows; each year-task folds its histogram vectorized. Year-group
+    size is O(distinct totals in the year); at 10⁹+ orders/year the
+    same read-off runs on the log-histogram sketch bins
+    (:func:`~pdf_parser_ray.relational.ops.q_price_percentiles_sketch`)
+    or a two-round exact bisect — the trim RULE is unchanged."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = _year_of(_ts_us(batch["o_orderdate"]))
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"o_year": y, "cents": cents})
+        agg = (
+            df.groupby(["o_year", "cents"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "o_year": pa.array(agg["o_year"].to_numpy(dtype=np.int64), pa.int64()),
+                "cents": pa.array(agg["cents"].to_numpy(dtype=np.int64), pa.int64()),
+                "cnt": pa.array(agg["cnt"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        h = g.groupby("cents", sort=True)["cnt"].sum()
+        vals = h.index.to_numpy(dtype=np.int64)
+        cnt = h.to_numpy(dtype=np.int64)
+        n = int(cnt.sum())
+        k = n * trim_permille // 1000
+        cum_lo = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        take_lo = np.clip(k - cum_lo, 0, cnt)
+        cum_hi = np.concatenate(([0], np.cumsum(cnt[::-1])[:-1]))
+        take_hi = np.clip(k - cum_hi, 0, cnt[::-1])[::-1]
+        kept = int((vals * cnt).sum()) - int((vals * take_lo).sum()) - int(
+            (vals * take_hi).sum()
+        )
+        n_kept = n - 2 * k
+        return pa.table(
+            {
+                "o_year": pa.array([int(g["o_year"].iloc[0])], pa.int64()),
+                "n_orders": pa.array([n], pa.int64()),
+                "n_trimmed": pa.array([k], pa.int64()),
+                "trimmed_mean_cents": pa.array(
+                    [kept // n_kept if n_kept > 0 else 0], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_year")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+_SQL_TRIMMED_MEAN = """
+WITH c AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+    FROM orders),
+k AS (
+    SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*)*50//1000 AS BIGINT) AS k
+    FROM c GROUP BY o_year),
+r AS (
+    SELECT o_year, cents,
+           row_number() OVER (PARTITION BY o_year ORDER BY cents) AS rn
+    FROM c),
+j AS (SELECT r.o_year, cents, rn, k.n, k.k FROM r JOIN k USING (o_year))
+SELECT o_year,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MAX(k) AS BIGINT) AS n_trimmed,
+       CAST(CASE WHEN MAX(n) - 2*MAX(k) <= 0 THEN 0
+                 ELSE CAST(SUM(CASE WHEN rn > k AND rn <= n - k
+                                    THEN cents ELSE 0 END) AS HUGEINT)
+                      // (MAX(n) - 2*MAX(k)) END
+            AS BIGINT) AS trimmed_mean_cents
+FROM j GROUP BY o_year
+"""
+
+
 QUERIES = {
     "discount_revenue": q_discount_revenue,
     "nation_trade_volume": q_nation_trade_volume,
@@ -1942,6 +2221,8 @@ QUERIES = {
     "benford_deviation": q_benford_deviation,
     "order_price_ranksum": q_order_price_ranksum,
     "priority_year_chi2": q_priority_year_chi2,
+    "discount_qty_spearman": q_discount_qty_spearman,
+    "trimmed_mean_price": q_trimmed_mean_price,
 }
 
 ORACLE_SQL = {
@@ -1959,4 +2240,6 @@ ORACLE_SQL = {
     "benford_deviation": _SQL_BENFORD,
     "order_price_ranksum": _SQL_ORDER_PRICE_RANKSUM,
     "priority_year_chi2": _SQL_PRIORITY_YEAR_CHI2,
+    "discount_qty_spearman": _SQL_DISCOUNT_QTY_SPEARMAN,
+    "trimmed_mean_price": _SQL_TRIMMED_MEAN,
 }

@@ -144,6 +144,8 @@ ALL = [
     "benford_deviation",
     "order_price_ranksum",
     "priority_year_chi2",
+    "discount_qty_spearman",
+    "trimmed_mean_price",
 ]
 
 
