@@ -1451,10 +1451,25 @@ def q_lm_doc_nll(sf_dir: str, vocab_size: int = 32768, n_buckets: int = 32):
     document with ``nll_micro = Σmicro // Σtf`` — all-integer, so the
     approximate-by-construction MODEL still carries a hash-exact
     oracle."""
+    return lm_score_ds(sf_dir, vocab_size=vocab_size, n_buckets=n_buckets)
+
+
+def lm_score_ds(
+    sf_dir: str,
+    vocab_size: int = 32768,
+    n_buckets: int = 32,
+    carry: tuple[str, ...] = (),
+):
+    """The unigram-LM train+score pipeline behind :func:`q_lm_doc_nll`,
+    factored out so downstream consumers (the CCNet-style perplexity
+    bucketing in :mod:`~pdf_parser_ray.stages.dsir`) can thread extra
+    per-document columns (``carry``, e.g. ``lang``) through the score
+    pass instead of paying a corpus-scale join afterwards. With
+    ``carry=()`` the output is exactly ``q_lm_doc_nll``'s."""
     import pandas as pd
     import ray
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text", *carry])
     tf_rows = tf_rows_vec(n_buckets)
 
     def bucket_model(g: "pd.DataFrame") -> pa.Table:
@@ -1524,17 +1539,19 @@ def q_lm_doc_nll(sf_dir: str, vocab_size: int = 32768, n_buckets: int = 32):
             .sum()
         )
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[per_doc.index.to_numpy()], pa.int64()),
-                "n_tokens": pa.array(per_doc["tf"].to_numpy(dtype=np.int64), pa.int64()),
-                "nll_micro": pa.array(
-                    per_doc["micro"].to_numpy(dtype=np.int64)
-                    // per_doc["tf"].to_numpy(dtype=np.int64),
-                    pa.int64(),
-                ),
-            }
+        rows = per_doc.index.to_numpy()
+        cols: dict = {"doc_id": pa.array(ids[rows], pa.int64())}
+        for c in carry:
+            cols[c] = batch[c].take(pa.array(rows))
+        cols["n_tokens"] = pa.array(
+            per_doc["tf"].to_numpy(dtype=np.int64), pa.int64()
         )
+        cols["nll_micro"] = pa.array(
+            per_doc["micro"].to_numpy(dtype=np.int64)
+            // per_doc["tf"].to_numpy(dtype=np.int64),
+            pa.int64(),
+        )
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
