@@ -296,6 +296,19 @@ def q_triangle_count(
        counted exactly once — at its lowest-(deg,id) vertex.
 
     Returns one row: ``(n_edges, n_triangles)``."""
+    edges = _copurchase_edges(sf_dir, n_buckets)
+    deg_nodes, deg_vals = _degree_arrays(edges)
+    oriented = _orient_edges(edges, deg_nodes, deg_vals, n_buckets)
+    return _triangle_count_from(
+        edges, oriented, n_buckets, broadcast_probe=broadcast_probe
+    )
+
+
+def _copurchase_edges(sf_dir: str, n_buckets: int):
+    """The co-purchase part graph's distinct undirected edge set
+    (id-ordered ``a < b``), materialized once — shared by the
+    triangle count and the clustering coefficient. Two exchanges:
+    orderkey-bucket basket expansion, then edge-hash global dedup."""
     import pandas as pd
 
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -338,7 +351,7 @@ def q_triangle_count(
             }
         )
 
-    edges = (
+    return (
         lineitem.map_batches(op_rows, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .map_groups(basket_pairs, batch_format="pandas")
@@ -346,6 +359,14 @@ def q_triangle_count(
         .map_groups(distinct_edges, batch_format="pandas")
         .materialize()  # O(edges) pin, reused by degrees + wedge join
     )
+
+
+def _degree_arrays(edges) -> tuple[np.ndarray, np.ndarray]:
+    """Node degrees as two sorted numpy arrays (nodes, degrees) —
+    dimension-bounded (one row per part), so they broadcast as a
+    vectorized ``searchsorted`` lookup, never a per-edge dict probe.
+    (With an unbounded node universe this becomes one more node-bucket
+    exchange joining degrees onto edges.)"""
 
     def deg_partials(b: pa.Table) -> pa.Table:
         n = np.concatenate(
@@ -370,12 +391,14 @@ def q_triangle_count(
         .aggregate(Sum("cnt", alias_name="deg"))
         .to_pandas()  # dimension-bounded: one row per part
     )
-    # broadcast as two sorted arrays: degree lookup is a vectorized
-    # searchsorted, not a Python dict probe per edge
     deg_nodes = deg_df["node"].to_numpy(dtype=np.int64)
     deg_order = np.argsort(deg_nodes)
-    deg_nodes = deg_nodes[deg_order]
-    deg_vals = deg_df["deg"].to_numpy(dtype=np.int64)[deg_order]
+    return deg_nodes[deg_order], deg_df["deg"].to_numpy(dtype=np.int64)[deg_order]
+
+
+def _orient_edges(edges, deg_nodes: np.ndarray, deg_vals: np.ndarray, n_buckets: int):
+    """Re-orient every edge src→dst by ascending ``(degree, id)`` key —
+    caps out-degree at O(√edges), the hot-node wedge-explosion guard."""
 
     def orient(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)
@@ -397,38 +420,63 @@ def q_triangle_count(
             }
         )
 
-    oriented = edges.map_batches(orient, batch_format="pyarrow", batch_size=None)
+    return edges.map_batches(orient, batch_format="pyarrow", batch_size=None)
 
-    # Wedge keys pack both endpoints into one int64 (u << 32 | v, in
-    # (deg,id) order) — membership tests become a sorted searchsorted,
-    # never a pandas merge. Part keys stay < 2^31 at every TPC-H scale;
-    # a wider id universe would move the pack to two columns.
-    def _wedge_keys(g: pd.DataFrame) -> np.ndarray:
-        g2 = g.sort_values(["src", "dkey"], kind="stable")
-        src = g2["src"].to_numpy(dtype=np.int64)
-        dst = g2["dst"].to_numpy(dtype=np.int64)
-        if not len(src):
-            return np.empty(0, dtype=np.int64)
-        new = np.empty(len(src), dtype=bool)
-        new[0] = True
-        new[1:] = src[1:] != src[:-1]
-        starts = np.flatnonzero(new)
-        lens = np.diff(np.append(starts, len(src)))
-        out = []
-        for s0, ln in zip(starts.tolist(), lens.tolist()):
-            if ln < 2:
-                continue
-            i, j = np.triu_indices(ln, 1)
-            out.append((dst[s0 + i] << 32) | dst[s0 + j])
-        return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
 
-    def _count_members(wedge_keys: np.ndarray, sorted_edge_keys: np.ndarray) -> int:
-        if not len(wedge_keys) or not len(sorted_edge_keys):
-            return 0
-        pos = np.searchsorted(sorted_edge_keys, wedge_keys)
-        ok = pos < len(sorted_edge_keys)
-        pos[~ok] = 0
-        return int(((sorted_edge_keys[pos] == wedge_keys) & ok).sum())
+# Wedge keys pack both endpoints into one int64 (u << 32 | v, in
+# (deg,id) order) — membership tests become a sorted searchsorted,
+# never a pandas merge. Part keys stay < 2^31 at every TPC-H scale;
+# a wider id universe would move the pack to two columns.
+def _wedges(g) -> tuple[np.ndarray, np.ndarray]:
+    """All wedges of an oriented src-bucket partition as
+    ``(centers, packed endpoint keys)`` — the center is the wedge's
+    apex node (lowest (deg,id) vertex of any triangle it closes)."""
+    g2 = g.sort_values(["src", "dkey"], kind="stable")
+    src = g2["src"].to_numpy(dtype=np.int64)
+    dst = g2["dst"].to_numpy(dtype=np.int64)
+    if not len(src):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    new = np.empty(len(src), dtype=bool)
+    new[0] = True
+    new[1:] = src[1:] != src[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(src)))
+    out_c, out_k = [], []
+    for s0, ln in zip(starts.tolist(), lens.tolist()):
+        if ln < 2:
+            continue
+        i, j = np.triu_indices(ln, 1)
+        out_c.append(np.full(len(i), src[s0], dtype=np.int64))
+        out_k.append((dst[s0 + i] << 32) | dst[s0 + j])
+    if not out_k:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_c), np.concatenate(out_k)
+
+
+def _wedge_keys(g) -> np.ndarray:
+    return _wedges(g)[1]
+
+
+def _member_mask(wedge_keys: np.ndarray, sorted_edge_keys: np.ndarray) -> np.ndarray:
+    if not len(wedge_keys) or not len(sorted_edge_keys):
+        return np.zeros(len(wedge_keys), dtype=bool)
+    pos = np.searchsorted(sorted_edge_keys, wedge_keys)
+    ok = pos < len(sorted_edge_keys)
+    pos_c = np.where(ok, pos, 0)
+    return (sorted_edge_keys[pos_c] == wedge_keys) & ok
+
+
+def _count_members(wedge_keys: np.ndarray, sorted_edge_keys: np.ndarray) -> int:
+    return int(_member_mask(wedge_keys, sorted_edge_keys).sum())
+
+
+def _triangle_count_from(
+    edges, oriented, n_buckets: int, broadcast_probe: bool | None
+):
+    """Close wedges against the edge-key set and tally — the shared
+    tail of :func:`q_triangle_count` (see its docstring for the
+    broadcast-vs-exchange gate)."""
+    import pandas as pd
 
     n_edges_total = edges.count()  # materialized → metadata read
 
@@ -552,6 +600,174 @@ SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
              JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT)
            AS n_triangles
+"""
+
+
+def q_clustering_coeff(
+    sf_dir: str, n_buckets: int = 32, broadcast_probe: bool | None = None
+):
+    """Local clustering coefficient per part — how close each node's
+    co-purchase neighborhood is to a clique, ``2·tri(v) / (deg(v)·
+    (deg(v)−1))`` in exact ppm for every node with degree ≥ 2. The
+    per-NODE refinement of :func:`q_triangle_count` (one global count
+    → a per-vertex community-density signal; Watts–Strogatz's local
+    measure, the standard "is this node in a tight cluster" prior).
+
+    Reuses the whole triangle machinery (shared helpers): edge build,
+    degree-ordered orientation, wedge generation at the lowest-(deg,
+    id) vertex. The one difference: a closed wedge ``(c; u, v)`` is
+    the triangle ``{c, u, v}``, and every triangle must credit ALL
+    THREE vertices — so instead of a scalar tally, each wedge task
+    unpacks its members' endpoints and emits pre-aggregated
+    ``(node, tri)`` partials into one node groupby. The same
+    broadcast-vs-exchange gate as the count applies (auto on the
+    edge-key budget); past the budget, wedge keys ship WITH their
+    8-byte center through the key-hash exchange.
+
+    Output is dimension-bounded (one row per part with deg ≥ 2), so
+    the degree join runs on the driver against the already-broadcast
+    degree arrays — zero additional exchanges."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    edges = _copurchase_edges(sf_dir, n_buckets)
+    deg_nodes, deg_vals = _degree_arrays(edges)
+    oriented = _orient_edges(edges, deg_nodes, deg_vals, n_buckets)
+
+    from ..core.util import BROADCAST_BUDGET_BYTES
+
+    n_edges_total = edges.count()
+    if broadcast_probe is None:
+        broadcast_probe = n_edges_total * 8 <= BROADCAST_BUDGET_BYTES
+
+    def _node_partials(centers: np.ndarray, keys: np.ndarray, mask: np.ndarray):
+        u = keys[mask] >> 32
+        v = keys[mask] & 0xFFFFFFFF
+        nodes = np.concatenate([centers[mask], u, v])
+        nd, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nd.astype(np.int64)),
+                "tri": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    if broadcast_probe:
+        ekeys = np.sort(
+            oriented.map_batches(
+                lambda b: pa.table(
+                    {
+                        "key": pa.array(
+                            (b["src"].to_numpy(zero_copy_only=False) << 32)
+                            | b["dst"].to_numpy(zero_copy_only=False)
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .to_pandas()["key"]
+            .to_numpy(dtype=np.int64)
+        )
+
+        def credit_local(g: pd.DataFrame) -> pa.Table:
+            centers, keys = _wedges(g)
+            return _node_partials(centers, keys, _member_mask(keys, ekeys))
+
+        tri_rows = oriented.groupby("sbucket").map_groups(
+            credit_local, batch_format="pandas"
+        )
+    else:
+
+        def wedge_rows(g: pd.DataFrame) -> pa.Table:
+            centers, k = _wedges(g)
+            return pa.table(
+                {
+                    "jbucket": pa.array(k % n_buckets),
+                    "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+                    "key": pa.array(k),
+                    "center": pa.array(centers),
+                }
+            )
+
+        def edge_key_rows(b: pa.Table) -> pa.Table:
+            k = (b["src"].to_numpy(zero_copy_only=False) << 32) | b[
+                "dst"
+            ].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "jbucket": pa.array(k % n_buckets),
+                    "side": pa.array(np.ones(len(k), dtype=np.int8)),
+                    "key": pa.array(k),
+                    "center": pa.array(np.zeros(len(k), dtype=np.int64)),
+                }
+            )
+
+        tagged = (
+            oriented.groupby("sbucket")
+            .map_groups(wedge_rows, batch_format="pandas")
+            .union(
+                oriented.map_batches(
+                    edge_key_rows, batch_format="pyarrow", batch_size=None
+                )
+            )
+        )
+
+        def credit_bucket(g: pd.DataFrame) -> pa.Table:
+            w = g[g["side"] == 0]
+            keys = w["key"].to_numpy(dtype=np.int64)
+            centers = w["center"].to_numpy(dtype=np.int64)
+            e = np.sort(g[g["side"] == 1]["key"].to_numpy(dtype=np.int64))
+            return _node_partials(centers, keys, _member_mask(keys, e))
+
+        tri_rows = tagged.groupby("jbucket").map_groups(
+            credit_bucket, batch_format="pandas"
+        )
+
+    tri = (
+        tri_rows.groupby("node")
+        .aggregate(Sum("tri", alias_name="n_tri"))
+        .to_pandas()  # dimension-bounded: ≤ one row per part
+    )
+    keep = deg_vals >= 2
+    out = pd.DataFrame(
+        {"part": deg_nodes[keep], "deg": deg_vals[keep]}
+    ).merge(tri.rename(columns={"node": "part"}), on="part", how="left")
+    n_tri = out["n_tri"].fillna(0).to_numpy(dtype=np.int64)
+    deg = out["deg"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "part": pd.Series(out["part"].to_numpy(dtype=np.int64), dtype=np.int64),
+            "deg": pd.Series(deg, dtype=np.int64),
+            "n_tri": pd.Series(n_tri, dtype=np.int64),
+            "coeff_ppm": pd.Series(
+                (2 * n_tri * 1_000_000) // (deg * (deg - 1)), dtype=np.int64
+            ),
+        }
+    )
+
+
+_SQL_CLUSTERING = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node),
+t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+tri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (SELECT a AS node FROM t
+              UNION ALL SELECT b FROM t
+              UNION ALL SELECT c FROM t)
+        GROUP BY node)
+SELECT d.node AS part, d.deg,
+       CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST((2*COALESCE(tri.n_tri, 0)*1000000) // (d.deg*(d.deg-1))
+            AS BIGINT) AS coeff_ppm
+FROM deg d LEFT JOIN tri ON tri.node = d.node
+WHERE d.deg >= 2
 """
 
 
@@ -685,11 +901,13 @@ FROM d GROUP BY node
 QUERIES = {
     "purchase_pagerank": q_purchase_pagerank,
     "triangle_count": q_triangle_count,
+    "clustering_coeff": q_clustering_coeff,
     "part_hops": q_part_hops,
 }
 
 ORACLE_SQL = {
     "purchase_pagerank": _SQL_PAGERANK,
     "triangle_count": _SQL_TRIANGLES,
+    "clustering_coeff": _SQL_CLUSTERING,
     "part_hops": _SQL_PART_HOPS,
 }

@@ -3149,6 +3149,48 @@ class TestTriangleCount:
             assert int(got["n_triangles"].iloc[0]) == 1
 
 
+class TestClusteringCoeff:
+    def test_hand_check_and_twins(self, ray_session, tmp_path_factory):
+        from pdf_parser_ray.stages.graph import q_clustering_coeff
+
+        d = tmp_path_factory.mktemp("cc_sf")
+        # triangle {1,2,3} + pendant 4 on node 3: parts 1,2 have
+        # deg 2 / 1 triangle → coeff 10⁶; part 3 has deg 3 / 1
+        # triangle → ⌊2·10⁶/6⌋; part 4 (deg 1) must be excluded
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                    "l_partkey": pa.array([1, 2, 3, 3, 4], pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        for probe in (None, False):
+            got = (
+                q_clustering_coeff(str(d), n_buckets=4, broadcast_probe=probe)
+                .set_index("part")
+                .sort_index()
+            )
+            assert got.index.tolist() == [1, 2, 3]
+            assert got.loc[1, "coeff_ppm"] == 1_000_000
+            assert got.loc[2, "coeff_ppm"] == 1_000_000
+            assert got.loc[3, "deg"] == 3 and got.loc[3, "n_tri"] == 1
+            assert got.loc[3, "coeff_ppm"] == 333_333
+
+    def test_per_node_credits_sum_to_three_per_triangle(self, ray_session):
+        from pdf_parser_ray.stages.graph import (
+            q_clustering_coeff,
+            q_triangle_count,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        cc = q_clustering_coeff(sf)
+        tc = q_triangle_count(sf).to_pandas()
+        assert int(cc["n_tri"].sum()) == 3 * int(tc["n_triangles"].iloc[0])
+        assert (cc["coeff_ppm"] >= 0).all() and (cc["coeff_ppm"] <= 1_000_000).all()
+
+
 class TestDqAudit:
     """Every violation class fires: null FK, orphan FK, duplicate PK,
     non-positive total, pre-epoch date."""
