@@ -1928,6 +1928,118 @@ FROM a
 
 
 # ---------------------------------------------------------------------------
+# Population stability index (binned distribution-drift monitor)
+# ---------------------------------------------------------------------------
+
+def q_order_price_psi(sf_dir: str, n_bins: int = 10):
+    """Population Stability Index contributions between the expedited
+    and rest order-total distributions — the THIRD member of the drift
+    family on the same shared exchange (KS flags any shape change, the
+    rank-sum flags a location shift, PSI is the per-BIN attribution
+    scorecards monitor: WHICH decile moved and by how much).
+
+    Bins are exact pooled deciles by rank: a distinct value joins bin
+    ``(10·cum_before) // n`` (cum_before = pooled count of strictly
+    smaller rows) — deterministic under ties, replayed by a window
+    cumsum in SQL. Per bin, with Laplace +1 smoothing over the fixed
+    bin count (A = n_a + 10, B = n_b + 10):
+
+        dln_micro = (lnm(ca+1) − lnm(A)) − (lnm(cb+1) − lnm(B))
+        psi_num   = ((ca+1)·B − (cb+1)·A) · dln_micro
+
+    every ln snapped to integer micro by the shared IEEE spec first.
+    ``PSI = Σ psi_num / (A·B·10⁶)`` for the consumer; the QUERY
+    surface stays division-free because the two engines' integer
+    divisions disagree on tiny negative snaps (Python floors, DuckDB
+    truncates) — products of exact integers hash identically, a
+    quotient of a ±2-micro-snapped difference need not.
+
+    Shape: zero additional exchanges — the whole read-off runs on the
+    drift family's shared (cents, cnt_a, cnt_b) value-count summary
+    (:func:`_expedited_price_hist`), bounded by the price domain.
+    Reference parity: engine addition for corpus QA."""
+    import pandas as pd
+
+    from ..stages.textstats import lnm_micro
+
+    hist = _expedited_price_hist(sf_dir)
+    ca = hist["cnt_a"].to_numpy(dtype=np.int64)
+    cb = hist["cnt_b"].to_numpy(dtype=np.int64)
+    t = ca + cb
+    n = int(t.sum())
+    cum_before = np.concatenate(([0], np.cumsum(t)[:-1]))
+    bins = (n_bins * cum_before) // max(n, 1)
+    per = (
+        pd.DataFrame({"bin": bins, "ca": ca, "cb": cb})
+        .groupby("bin", sort=True)
+        .sum()
+    )
+    na, nb = int(ca.sum()), int(cb.sum())
+    a_den, b_den = na + n_bins, nb + n_bins
+    ln_a, ln_b = lnm_micro(a_den), lnm_micro(b_den)
+    out = {"bin": [], "n_a": [], "n_b": [], "dln_micro": [], "psi_num": []}
+    for b, row in per.iterrows():
+        bca, bcb = int(row["ca"]), int(row["cb"])
+        dln = (lnm_micro(bca + 1) - ln_a) - (lnm_micro(bcb + 1) - ln_b)
+        out["bin"].append(int(b))
+        out["n_a"].append(bca)
+        out["n_b"].append(bcb)
+        out["dln_micro"].append(dln)
+        out["psi_num"].append(((bca + 1) * b_den - (bcb + 1) * a_den) * dln)
+    return pd.DataFrame({k: pd.Series(v, dtype=np.int64) for k, v in out.items()})
+
+
+def _sql_psi() -> str:
+    from ..stages.textstats import _shared_ln_cte
+
+    lnm = (
+        "CAST(FLOOR(lnk * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+        "AS BIGINT)"
+    )
+    ln_tbl = _shared_ln_cte("(SELECT DISTINCT kint FROM lnargs)", "kint")
+    return f"""
+WITH s AS (
+    SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS a
+    FROM orders),
+h AS (
+    SELECT cents, CAST(SUM(a) AS BIGINT) AS ca,
+           CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+    FROM s GROUP BY cents),
+c AS (
+    SELECT cents, ca, cb,
+           CAST(SUM(ca + cb) OVER (ORDER BY cents) - (ca + cb) AS BIGINT)
+               AS cum_before
+    FROM h),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+               CAST(SUM(ca + cb) AS BIGINT) AS n FROM c),
+b AS (
+    SELECT (10 * c.cum_before) // greatest(tot.n, 1) AS bin,
+           CAST(SUM(ca) AS BIGINT) AS bca, CAST(SUM(cb) AS BIGINT) AS bcb
+    FROM c, tot GROUP BY 1),
+lnargs AS (SELECT bca + 1 AS kint FROM b
+           UNION SELECT bcb + 1 FROM b
+           UNION SELECT na + 10 FROM tot
+           UNION SELECT nb + 10 FROM tot),
+lk AS (SELECT kint, {lnm} AS lnm FROM {ln_tbl})
+SELECT CAST(b.bin AS BIGINT) AS bin,
+       b.bca AS n_a, b.bcb AS n_b,
+       CAST((la.lnm - lda.lnm) - (lb.lnm - ldb.lnm) AS BIGINT) AS dln_micro,
+       CAST(((b.bca + 1)*(tot.nb + 10) - (b.bcb + 1)*(tot.na + 10))
+            * ((la.lnm - lda.lnm) - (lb.lnm - ldb.lnm)) AS BIGINT) AS psi_num
+FROM b, tot
+JOIN lk la ON la.kint = b.bca + 1
+JOIN lk lb ON lb.kint = b.bcb + 1
+JOIN lk lda ON lda.kint = tot.na + 10
+JOIN lk ldb ON ldb.kint = tot.nb + 10
+"""
+
+
+_SQL_ORDER_PRICE_PSI = _sql_psi()
+
+
+# ---------------------------------------------------------------------------
 # Spearman rank correlation (the rank-robust twin of Pearson above)
 # ---------------------------------------------------------------------------
 
@@ -2223,6 +2335,7 @@ QUERIES = {
     "priority_year_chi2": q_priority_year_chi2,
     "discount_qty_spearman": q_discount_qty_spearman,
     "trimmed_mean_price": q_trimmed_mean_price,
+    "order_price_psi": q_order_price_psi,
 }
 
 ORACLE_SQL = {
@@ -2242,4 +2355,5 @@ ORACLE_SQL = {
     "priority_year_chi2": _SQL_PRIORITY_YEAR_CHI2,
     "discount_qty_spearman": _SQL_DISCOUNT_QTY_SPEARMAN,
     "trimmed_mean_price": _SQL_TRIMMED_MEAN,
+    "order_price_psi": _SQL_ORDER_PRICE_PSI,
 }

@@ -747,6 +747,103 @@ def q_clustering_coeff(
     )
 
 
+def q_degree_assortativity(sf_dir: str, n_buckets: int = 32):
+    """Degree assortativity of the co-purchase graph — Newman's "do
+    hubs connect to hubs" coefficient, the Pearson correlation of
+    endpoint degrees over every edge counted in both directions (the
+    standard symmetrization). Negative assortativity is the web-graph
+    signature (hubs attach to leaves); a corpus-QA suite tracks it per
+    snapshot as a cheap structural-drift scalar next to the triangle
+    density.
+
+    Exactness: the convention of the correlation family
+    (:func:`~pdf_parser_ray.relational.analytics2.q_discount_qty_correlation`)
+    — report ``r²`` in exact ppm plus the covariance sign, since r
+    itself needs a square root. With symmetrized pairs Σx = Σy and
+    Σx² = Σy² identically, so ``r² = (n·Σxy − (Σx)²)² / (n·Σx² −
+    (Σx)²)²`` — nested nonnegative floor divisions, bit-identical in
+    Python bignums and HUGEINT.
+
+    Shape: degrees ride the already-broadcast sorted arrays
+    (:func:`_degree_arrays`); ONE shuffle-free pass over the
+    materialized edge set folds each batch to a single (n, Σx, Σxy,
+    Σx²) row; one trivial Sum exchange; bignum read-off on one row."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    edges = _copurchase_edges(sf_dir, n_buckets)
+    deg_nodes, deg_vals = _degree_arrays(edges)
+
+    def partials(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        b_ = b["b"].to_numpy(zero_copy_only=False)
+        dx = deg_vals[np.searchsorted(deg_nodes, a)]
+        dy = deg_vals[np.searchsorted(deg_nodes, b_)]
+        return pa.table(
+            {
+                "one": pa.array([0], pa.int64()),
+                "n": pa.array([2 * len(a)], pa.int64()),
+                "sx": pa.array([int(dx.sum()) + int(dy.sum())], pa.int64()),
+                "sxy": pa.array([2 * int((dx * dy).sum())], pa.int64()),
+                "sxx": pa.array(
+                    [int((dx * dx).sum()) + int((dy * dy).sum())], pa.int64()
+                ),
+            }
+        )
+
+    g = (
+        edges.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sxy", "sxx")])
+        .to_pandas()  # exactly one row
+    )
+    n, sx = int(g["n"].iloc[0]), int(g["sx"].iloc[0])
+    sxy, sxx = int(g["sxy"].iloc[0]), int(g["sxx"].iloc[0])
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n // 2], dtype=np.int64),
+            "assort_sign": pd.Series(
+                [0 if num == 0 else (1 if num > 0 else -1)], dtype=np.int64
+            ),
+            "r2_ppm": pd.Series(
+                [0 if den == 0 else (num * num * 1_000_000) // den // den],
+                dtype=np.int64,
+            ),
+        }
+    )
+
+
+_SQL_ASSORTATIVITY = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node),
+p AS (SELECT da.deg AS x, db.deg AS y
+      FROM e JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v
+      UNION ALL
+      SELECT db.deg, da.deg
+      FROM e JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v),
+a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(x AS HUGEINT)*y) AS sxy,
+             SUM(CAST(x AS HUGEINT)*x) AS sxx
+      FROM p)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+       CAST(CASE WHEN n*sxy - sx*sx > 0 THEN 1
+                 WHEN n*sxy - sx*sx < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS assort_sign,
+       CAST(CASE WHEN (n*sxx - sx*sx) = 0 THEN 0
+                 ELSE ((n*sxy - sx*sx)*(n*sxy - sx*sx)*1000000)
+                      // (n*sxx - sx*sx) // (n*sxx - sx*sx) END
+            AS BIGINT) AS r2_ppm
+FROM a
+"""
+
+
 _SQL_CLUSTERING = """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (SELECT DISTINCT a.p AS u, b.p AS v
@@ -902,6 +999,7 @@ QUERIES = {
     "purchase_pagerank": q_purchase_pagerank,
     "triangle_count": q_triangle_count,
     "clustering_coeff": q_clustering_coeff,
+    "degree_assortativity": q_degree_assortativity,
     "part_hops": q_part_hops,
 }
 
@@ -909,5 +1007,6 @@ ORACLE_SQL = {
     "purchase_pagerank": _SQL_PAGERANK,
     "triangle_count": _SQL_TRIANGLES,
     "clustering_coeff": _SQL_CLUSTERING,
+    "degree_assortativity": _SQL_ASSORTATIVITY,
     "part_hops": _SQL_PART_HOPS,
 }

@@ -146,6 +146,7 @@ ALL = [
     "priority_year_chi2",
     "discount_qty_spearman",
     "trimmed_mean_price",
+    "order_price_psi",
 ]
 
 
@@ -433,7 +434,13 @@ class TestDegenerateStatGuards:
         return d
 
     @pytest.mark.parametrize(
-        "name", ["order_price_drift", "order_price_ranksum", "benford_deviation"]
+        "name",
+        [
+            "order_price_drift",
+            "order_price_ranksum",
+            "benford_deviation",
+            "order_price_psi",
+        ],
     )
     def test_engine_matches_oracle_on_degenerate_corpus(self, degenerate, name):
         got = _pd(a2.QUERIES[name](str(degenerate)))

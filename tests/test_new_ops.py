@@ -3178,6 +3178,28 @@ class TestClusteringCoeff:
             assert got.loc[3, "deg"] == 3 and got.loc[3, "n_tri"] == 1
             assert got.loc[3, "coeff_ppm"] == 333_333
 
+    def test_assortativity_hand_check(self, ray_session, tmp_path_factory):
+        """Triangle {1,2,3} + pendant 4 on node 3: degrees (2,2,3,1).
+        Symmetrized sums: n=8, Σx=18, Σxy=38, Σx²=44 → num=−20
+        (disassortative — the pendant drags hubs toward leaves),
+        den=28, r² = ⌊⌊400·10⁶/28⌋/28⌋ = 510204."""
+        from pdf_parser_ray.stages.graph import q_degree_assortativity
+
+        d = tmp_path_factory.mktemp("as_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                    "l_partkey": pa.array([1, 2, 3, 3, 4], pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        got = q_degree_assortativity(str(d), n_buckets=4)
+        assert int(got["n_edges"].iloc[0]) == 4
+        assert int(got["assort_sign"].iloc[0]) == -1
+        assert int(got["r2_ppm"].iloc[0]) == 510_204
+
     def test_per_node_credits_sum_to_three_per_triangle(self, ray_session):
         from pdf_parser_ray.stages.graph import (
             q_clustering_coeff,
