@@ -63,6 +63,7 @@ def _bench_queries():
     from pdf_parser_ray.stages.media import q_resolve_media_refs
     from pdf_parser_ray.stages.textstats import q_lm_doc_nll, q_token_count
     from pdf_parser_ray.stages.tieragree import q_tier_agreement
+    from pdf_parser_ray.stages.dsir import q_ccnet_buckets, q_dsir_weights
 
     return {
         "pricing_summary": q_pricing_summary,
@@ -100,6 +101,11 @@ def _bench_queries():
         # join (north-star step 3) and the three-signal agreement map
         "resolve_media_refs": q_resolve_media_refs,
         "tier_agreement": q_tier_agreement,
+        # late-round-5 data selection: DSIR importance weights (term
+        # exchange + broadcast-scored streaming pass) and the CCNet
+        # perplexity thirds (LM score pass + one lang exchange)
+        "dsir_weights": q_dsir_weights,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 

@@ -430,24 +430,34 @@ def _orient_edges(edges, deg_nodes: np.ndarray, deg_vals: np.ndarray, n_buckets:
 def _wedges(g) -> tuple[np.ndarray, np.ndarray]:
     """All wedges of an oriented src-bucket partition as
     ``(centers, packed endpoint keys)`` — the center is the wedge's
-    apex node (lowest (deg,id) vertex of any triangle it closes)."""
+    apex node (lowest (deg,id) vertex of any triangle it closes).
+
+    Enumeration is a stride-offset sweep instead of a per-src Python
+    loop: after sorting by (src, dkey), positions ``t`` and ``t+d``
+    belong to the same src run iff ``src[t] == src[t+d]``, so ONE
+    vectorized comparison per offset d emits every wedge at that
+    stride, and the sweep stops at the longest run (degree
+    orientation caps that at O(√edges)). ≤ max-out-degree vector
+    passes (97 at sf0.1) replace one Python iteration per src
+    (~600k at sf0.1); measured at parity with the triu loop on this
+    box (the edge-build exchanges dominate both) and strictly less
+    Python in the hot path."""
     g2 = g.sort_values(["src", "dkey"], kind="stable")
     src = g2["src"].to_numpy(dtype=np.int64)
     dst = g2["dst"].to_numpy(dtype=np.int64)
-    if not len(src):
+    n = len(src)
+    if n < 2:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    new = np.empty(len(src), dtype=bool)
-    new[0] = True
-    new[1:] = src[1:] != src[:-1]
-    starts = np.flatnonzero(new)
-    lens = np.diff(np.append(starts, len(src)))
     out_c, out_k = [], []
-    for s0, ln in zip(starts.tolist(), lens.tolist()):
-        if ln < 2:
-            continue
-        i, j = np.triu_indices(ln, 1)
-        out_c.append(np.full(len(i), src[s0], dtype=np.int64))
-        out_k.append((dst[s0 + i] << 32) | dst[s0 + j])
+    d = 1
+    while d < n:
+        same = src[:-d] == src[d:]
+        if not same.any():
+            break  # sorted runs: no run exceeds length d anywhere
+        idx = np.flatnonzero(same)
+        out_c.append(src[idx])
+        out_k.append((dst[idx] << 32) | dst[idx + d])
+        d += 1
     if not out_k:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     return np.concatenate(out_c), np.concatenate(out_k)
@@ -640,11 +650,29 @@ def q_clustering_coeff(
     if broadcast_probe is None:
         broadcast_probe = n_edges_total * 8 <= BROADCAST_BUDGET_BYTES
 
+    # dense-id fast path: part keys are dimension-bounded, so a
+    # bincount over the id range beats np.unique's O(n log n) sort on
+    # the 3·triangles member array (measured 21.5 s → bincount cuts
+    # the credit pass; the sparse fallback keeps an unbounded id
+    # universe correct)
+    id_span = int(deg_nodes[-1]) + 1 if len(deg_nodes) else 1
+    dense_ids = id_span <= 4_000_000
+
     def _node_partials(centers: np.ndarray, keys: np.ndarray, mask: np.ndarray):
-        u = keys[mask] >> 32
-        v = keys[mask] & 0xFFFFFFFF
-        nodes = np.concatenate([centers[mask], u, v])
-        nd, cnt = np.unique(nodes, return_counts=True)
+        hit = keys[mask]
+        u = hit >> 32
+        v = hit & 0xFFFFFFFF
+        c = centers[mask]
+        if dense_ids:
+            cnt_all = (
+                np.bincount(c, minlength=id_span)
+                + np.bincount(u, minlength=id_span)
+                + np.bincount(v, minlength=id_span)
+            )
+            nd = np.flatnonzero(cnt_all)
+            cnt = cnt_all[nd]
+        else:
+            nd, cnt = np.unique(np.concatenate([c, u, v]), return_counts=True)
         return pa.table(
             {
                 "node": pa.array(nd.astype(np.int64)),

@@ -54,6 +54,8 @@ def main() -> None:
     from pdf_parser_ray.stages.media import q_resolve_media_refs
     from pdf_parser_ray.stages.textstats import q_bm25_search
     from pdf_parser_ray.stages.tiereval import q_tier_eval
+    from pdf_parser_ray.stages.dsir import q_ccnet_buckets, q_dsir_weights
+    from pdf_parser_ray.relational.analytics2 import q_trimmed_mean_price
 
     targets = {
         "extract_spans": lambda sf: flagship(sf),
@@ -81,6 +83,14 @@ def main() -> None:
         # three-signal eval (single fused read→map chain)
         "resolve_media_refs": q_resolve_media_refs,
         "tier_eval": q_tier_eval,
+        # late round 5 data selection + robust stats: dsir_weights
+        # should show one term-bucket Sort + a shuffle-free score map,
+        # ccnet_buckets the LM exchanges + exactly one lang Sort,
+        # trimmed_mean_price a single year Sort over pre-aggregated
+        # partials
+        "dsir_weights": q_dsir_weights,
+        "ccnet_buckets": q_ccnet_buckets,
+        "trimmed_mean_price": q_trimmed_mean_price,
     }
 
     report = {"sf": SF_DIR, "queries": {}}
