@@ -2050,8 +2050,101 @@ FROM {totals_ln}
 _SQL_SOURCE_ENTROPY = _sql_source_entropy()
 
 
+# ---------------------------------------------------------------------------
+# Power-law tail index of the document-length distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_XMIN = 128  # tail threshold (chars); fixed so both sides share it
+
+
+def q_length_tail_index(sf_dir: str, x_min: int = _ZIPF_XMIN):
+    """Hill / Clauset MLE tail index of the document-length
+    distribution: ``α = 1 + n / Σ ln(xᵢ/x_min)`` over documents with
+    ``n_chars ≥ x_min`` — the corpus-profiling scalar behind every
+    "web text is heavy-tailed" sizing decision (batch-size and
+    block-size planning for giant-doc skew starts from this α;
+    Clauset–Shalizi–Newman 2009 is the public recipe).
+
+    Exactness: one shared-ln micro snap per DISTINCT length, the sum
+    is integer micro-nats (order-free), and
+    ``α_micro = 10⁶ + n·10¹² // S`` is one nonnegative floor
+    division. Reads ONLY the footer-backed ``n_chars`` column — no
+    text bytes leave storage.
+
+    Shape: per-batch (count, Σ ln-ratio) partials → one trivial Sum
+    exchange → two-integer read-off."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["n_chars"])
+    ln_xmin = lnm_micro(int(x_min))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = x[x >= x_min]
+        vals, cnt = np.unique(x, return_counts=True)
+        # one shared-ln per distinct length, never per document
+        s = sum(
+            int(c) * (lnm_micro(int(v)) - ln_xmin) for v, c in zip(vals, cnt)
+        )
+        return pa.table(
+            {
+                "one": pa.array([0], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+                "s": pa.array([s], pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()  # exactly one row
+    )
+    n, s = int(g["n"].iloc[0]), int(g["s"].iloc[0])
+    return pd.DataFrame(
+        {
+            "n_tail": pd.Series([n], dtype=np.int64),
+            "sum_ln_ratio_micro": pd.Series([s], dtype=np.int64),
+            "alpha_micro": pd.Series(
+                [1_000_000 + n * 10**12 // s if s > 0 else 0], dtype=np.int64
+            ),
+        }
+    )
+
+
+def _sql_zipf() -> str:
+    lnm = (
+        "CAST(FLOOR(lnk * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+        "AS BIGINT)"
+    )
+    ln_tbl = _shared_ln_cte("(SELECT DISTINCT kint FROM dk)", "kint")
+    return f"""
+WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+           WHERE n_chars >= {_ZIPF_XMIN}),
+dk AS (SELECT DISTINCT x AS kint FROM v
+       UNION SELECT {_ZIPF_XMIN}),
+lk AS (SELECT kint, {lnm} AS lnm FROM {ln_tbl}),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lk.lnm - lx.lnm) AS BIGINT) AS smicro
+      FROM v
+      JOIN lk ON lk.kint = v.x
+      CROSS JOIN (SELECT lnm FROM lk WHERE kint = {_ZIPF_XMIN}) lx)
+SELECT n AS n_tail,
+       smicro AS sum_ln_ratio_micro,
+       CAST(CASE WHEN smicro > 0
+                 THEN 1000000 + CAST(n AS HUGEINT) * 1000000000000 // smicro
+                 ELSE 0 END AS BIGINT) AS alpha_micro
+FROM s
+"""
+
+
+_SQL_LENGTH_TAIL = _sql_zipf()
+
+
 QUERIES = {
     "token_count": q_token_count,
+    "length_tail_index": q_length_tail_index,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2076,6 +2169,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "token_count": _SQL_TOKEN_COUNT,
+    "length_tail_index": _SQL_LENGTH_TAIL,
     "quality_score": _SQL_QUALITY,
     "lang_id": _SQL_LANG,
     "fingerprint": _SQL_FINGERPRINT,

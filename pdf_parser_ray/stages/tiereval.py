@@ -162,6 +162,170 @@ def q_block_signals(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+_KAPPA_PAIRS = (
+    ("justext", "cetr"),
+    ("justext", "bte"),
+    ("justext", "boilerpipe"),
+    ("cetr", "bte"),
+    ("cetr", "boilerpipe"),
+    ("bte", "boilerpipe"),
+)
+
+
+def q_tier_kappa(sf_dir: str):
+    """Cohen's kappa between every pair of the four block classifiers
+    (jusText, CETR, BTE, boilerpipe) at corpus grain — chance-corrected
+    inter-annotator agreement, the statistic extraction papers report
+    when raw agreement is inflated by the majority class (most blocks
+    are chrome, so two tiers that both say "drop everything" agree 80%
+    by chance alone). ``tier_agreement`` gives per-document Jaccard of
+    the kept sets; this gives the corpus-level chance-corrected scalar
+    per pair — the number that actually ranks which tiers are
+    redundant vs complementary in the cascade.
+
+    Exactness: kappa = (pₒ − pₑ)/(1 − pₑ) is a ratio of integers from
+    the 2×2 confusion sums — ``kappa_num = n·(n11+n00) − a1·b1 −
+    a0·b0`` over ``kappa_den = n² − a1·b1 − a0·b0``. kappa can be
+    NEGATIVE and Python floors negative division while DuckDB
+    truncates, so the surface is division-free: the exact
+    (kappa_num, kappa_den) pair ships verbatim (consumer divides),
+    plus the nonnegative raw ``agree_ppm``.
+
+    Scale shape: all four signals in ONE zero-shuffle map pass over
+    the shared block synthesis; each batch folds to SIX fixed-width
+    partial rows (one per pair) → one tiny ``groupby(pair)`` Sum →
+    bignum read-off on 6 rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..io.sources import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .boilerpipe import boilerpipe_blocks as _bp
+
+        dids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        doc, blk, nw, nl, ns, txt = _block_arrays(dids, texts)
+
+        first = np.r_[True, doc[1:] != doc[:-1]]
+        starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(starts, len(doc)))
+
+        _, _, _, final = classify_blocks(doc, nw, nl, ns)
+        jt = final == _GOOD
+        chars = np.fromiter((len(t) for t in txt), dtype=np.int64, count=len(txt))
+        _, _, ce = cetr_blocks(doc, chars, 1 + nl)
+        _, sb, eb, _, _ = bte_spans(doc, blk, nw, nl)
+        bt = (blk >= np.repeat(sb, seg_len)) & (blk <= np.repeat(eb, seg_len))
+        _, bp = _bp(doc, nw, nl)
+        sig = {"justext": jt, "cetr": ce, "bte": bt, "boilerpipe": bp.astype(bool)}
+
+        rows = {"pair": [], "n": [], "n11": [], "n00": [], "a1": [], "b1": []}
+        for a, b in _KAPPA_PAIRS:
+            sa, sb_ = sig[a], sig[b]
+            rows["pair"].append(f"{a}|{b}")
+            rows["n"].append(len(sa))
+            rows["n11"].append(int((sa & sb_).sum()))
+            rows["n00"].append(int((~sa & ~sb_).sum()))
+            rows["a1"].append(int(sa.sum()))
+            rows["b1"].append(int(sb_.sum()))
+        return pa.table(
+            {
+                "pair": pa.array(rows["pair"], pa.string()),
+                **{
+                    c: pa.array(np.asarray(rows[c], dtype=np.int64), pa.int64())
+                    for c in ("n", "n11", "n00", "a1", "b1")
+                },
+            }
+        )
+
+    g = (
+        ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+        .groupby("pair")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "n11", "n00", "a1", "b1")])
+        .to_pandas()  # exactly 6 rows
+    )
+    out = {"pair": [], "n_blocks": [], "agree_ppm": [], "kappa_num": [], "kappa_den": []}
+    for _, r in g.iterrows():
+        n, n11, n00 = int(r["n"]), int(r["n11"]), int(r["n00"])
+        a1, b1 = int(r["a1"]), int(r["b1"])
+        chance = a1 * b1 + (n - a1) * (n - b1)
+        out["pair"].append(str(r["pair"]))
+        out["n_blocks"].append(n)
+        out["agree_ppm"].append((n11 + n00) * 1_000_000 // n if n else 0)
+        out["kappa_num"].append(n * (n11 + n00) - chance)
+        out["kappa_den"].append(n * n - chance)
+    return pd.DataFrame(
+        {
+            "pair": out["pair"],
+            **{
+                c: pd.Series(out[c], dtype=np.int64)
+                for c in ("n_blocks", "agree_ppm", "kappa_num", "kappa_den")
+            },
+        }
+    )
+
+
+_SQL_TIER_KAPPA = f"""
+WITH {_SQL_BLOCKS_CTE}, {_SQL_BTE_CHAIN}, {_SQL_BP_CHAIN},
+cetr AS (
+    SELECT doc_id, blk,
+           CAST(length(btext) AS BIGINT) * 1000000
+               // GREATEST(1 + n_links, 1) AS ttr
+    FROM blocks
+),
+smo AS (
+    SELECT *,
+           (COALESCE(LAG(ttr) OVER w, ttr) + ttr
+            + COALESCE(LEAD(ttr) OVER w, ttr)) // 3 AS smooth
+    FROM cetr WINDOW w AS (PARTITION BY doc_id ORDER BY blk)
+),
+cek AS (
+    SELECT doc_id, blk,
+           CAST(smooth >= SUM(smooth) OVER (PARTITION BY doc_id)
+                // COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ce
+    FROM smo
+),
+sig AS (
+    SELECT f.doc_id, f.blk,
+           CAST(f.cls = 'good' AS BIGINT) AS jt,
+           ck.ce AS ce,
+           CAST(f.blk BETWEEN b.start_blk AND b.end_blk AS BIGINT) AS bt,
+           k.bp AS bp
+    FROM final f
+    JOIN cek ck ON ck.doc_id = f.doc_id AND ck.blk = f.blk
+    JOIN bte b ON b.doc_id = f.doc_id
+    JOIN bpk k ON k.doc_id = f.doc_id AND k.blk = f.blk
+),
+long_form AS (
+    SELECT 'justext|cetr' AS pair, jt AS a, ce AS b FROM sig
+    UNION ALL SELECT 'justext|bte', jt, bt FROM sig
+    UNION ALL SELECT 'justext|boilerpipe', jt, bp FROM sig
+    UNION ALL SELECT 'cetr|bte', ce, bt FROM sig
+    UNION ALL SELECT 'cetr|boilerpipe', ce, bp FROM sig
+    UNION ALL SELECT 'bte|boilerpipe', bt, bp FROM sig
+),
+conf AS (
+    SELECT pair, CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(a * b) AS HUGEINT) AS n11,
+           CAST(SUM((1 - a) * (1 - b)) AS HUGEINT) AS n00,
+           CAST(SUM(a) AS HUGEINT) AS a1,
+           CAST(SUM(b) AS HUGEINT) AS b1
+    FROM long_form GROUP BY pair
+)
+SELECT pair,
+       CAST(n AS BIGINT) AS n_blocks,
+       CAST(CASE WHEN n > 0 THEN (n11 + n00) * 1000000 // n ELSE 0 END
+            AS BIGINT) AS agree_ppm,
+       CAST(n*(n11 + n00) - (a1*b1 + (n - a1)*(n - b1)) AS BIGINT)
+           AS kappa_num,
+       CAST(n*n - (a1*b1 + (n - a1)*(n - b1)) AS BIGINT) AS kappa_den
+FROM conf
+"""
+
+
 _SQL_BLOCK_SIGNALS = f"""
 WITH {_SQL_BLOCKS_CTE}, {_SQL_BTE_CHAIN}, {_SQL_BP_CHAIN},
 cetr AS (
@@ -264,8 +428,10 @@ FROM conf
 QUERIES = {
     "tier_eval": q_tier_eval,
     "block_signals": q_block_signals,
+    "tier_kappa": q_tier_kappa,
 }
 ORACLE_SQL = {
     "tier_eval": _SQL_TIER_EVAL,
     "block_signals": _SQL_BLOCK_SIGNALS,
+    "tier_kappa": _SQL_TIER_KAPPA,
 }

@@ -3464,3 +3464,36 @@ class TestSourceCapSample:
             sub = sorted(res.loc[res["source"] == s, "doc_id"])
             lowest = sorted(i for i in range(150) if i % 3 == int(s[1]))[:5]
             assert sub == lowest
+
+
+class TestLengthTailIndex:
+    def test_independent_math(self, ray_session):
+        """Recompute the Hill/Clauset MLE from raw n_chars with the
+        same shared-ln spec — the engine's distributed fold must
+        reproduce the sequential arithmetic exactly."""
+        import duckdb
+
+        from pdf_parser_ray.stages.textstats import (
+            _ZIPF_XMIN,
+            lnm_micro,
+            q_length_tail_index,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = q_length_tail_index(sf)
+        lens = (
+            duckdb.connect()
+            .execute(
+                f"SELECT n_chars FROM read_parquet('{sf}/documents.parquet')"
+                f" WHERE n_chars >= {_ZIPF_XMIN}"
+            )
+            .df()["n_chars"]
+            .tolist()
+        )
+        ln0 = lnm_micro(_ZIPF_XMIN)
+        s = sum(lnm_micro(int(x)) - ln0 for x in lens)
+        assert int(got["n_tail"].iloc[0]) == len(lens)
+        assert int(got["sum_ln_ratio_micro"].iloc[0]) == s
+        assert int(got["alpha_micro"].iloc[0]) == 1_000_000 + len(lens) * 10**12 // s
+        # heavy-tail sanity: alpha lands in the physically plausible band
+        assert 1_000_000 < int(got["alpha_micro"].iloc[0]) < 20_000_000

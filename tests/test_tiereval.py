@@ -37,3 +37,40 @@ def test_tier_eval_invariants(ray_session):
     means = by_tier["f1_micro"].mean()
     singles = means[["justext", "cetr", "bte"]]
     assert means["vote"] > singles.min()
+
+
+def test_tier_kappa_consistent_with_block_signals(ray_session):
+    """kappa's 2×2 sums must be recomputable from the published
+    per-block signal matrix — the two operators share one synthesis,
+    so any drift between them is a bug in one of the folds. Also pins
+    the bound |kappa| ≤ 1 (num within ±den) and chance-correction
+    being LOWER than raw agreement on this chrome-heavy corpus."""
+    from pdf_parser_ray.stages.tiereval import (
+        _KAPPA_PAIRS,
+        q_block_signals,
+        q_tier_kappa,
+    )
+
+    kappa = q_tier_kappa(SF).set_index("pair")
+    sig = q_block_signals(SF).to_pandas()
+    cols = {"justext": "jt", "cetr": "ce", "bte": "bt", "boilerpipe": "bp"}
+    assert len(kappa) == len(_KAPPA_PAIRS)
+    for a, b in _KAPPA_PAIRS:
+        sa = sig[cols[a]].to_numpy()
+        sb = sig[cols[b]].to_numpy()
+        n = len(sig)
+        n11 = int((sa & sb).sum())
+        n00 = int(((1 - sa) & (1 - sb)).sum())
+        a1, b1 = int(sa.sum()), int(sb.sum())
+        chance = a1 * b1 + (n - a1) * (n - b1)
+        row = kappa.loc[f"{a}|{b}"]
+        assert int(row["n_blocks"]) == n
+        assert int(row["agree_ppm"]) == (n11 + n00) * 1_000_000 // n
+        assert int(row["kappa_num"]) == n * (n11 + n00) - chance
+        assert int(row["kappa_den"]) == n * n - chance
+        assert abs(int(row["kappa_num"])) <= int(row["kappa_den"])
+        # chance correction bites: kappa < raw agreement
+        assert (
+            int(row["kappa_num"]) * 1_000_000
+            < int(row["agree_ppm"]) * int(row["kappa_den"])
+        )
