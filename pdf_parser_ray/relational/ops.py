@@ -1687,6 +1687,96 @@ def q_user_sessions(sf_dir: str, gap_s: int = 1800, n_buckets: int = 32):
     )
 
 
+def q_user_interarrival(sf_dir: str, n_buckets: int = 32):
+    """Per-user inter-arrival-time statistics (gap count, exact lower
+    median, max) — the burstiness profile behind rate limiting, bot
+    scoring and session-gap calibration (``q_user_sessions``'s 30-min
+    threshold is exactly the kind of number this distribution
+    justifies).
+
+    Same scale shape as the session op: coarse ``user_id % B`` bucket
+    exchange (never one group per user), then a fully vectorized
+    per-partition scan — one sort by (user, ts, event_id), one diff
+    masked at user boundaries, one value-sorted pass whose per-user
+    offsets read the lower median (index ``(n−1)//2``) without any
+    Python per-user loop. Users with a single event have no gaps and
+    are absent on both sides (the oracle's LAG is NULL there).
+    Ordering assumption: ts ties break by event_id — stated here and
+    in the oracle."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array(uid % n_buckets, pa.int64()))
+
+    def fn(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        us = g["ts"].astype("int64").to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gaps = pd.DataFrame(
+            {
+                "user_id": uid[same],
+                "gap_us": us[np.flatnonzero(same)] - us[np.flatnonzero(same) - 1],
+            }
+        )
+        if not len(gaps):
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "median_gap_us": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        s = gaps.sort_values(["user_id", "gap_us"], kind="mergesort")
+        su = s["user_id"].to_numpy()
+        sg = s["gap_us"].to_numpy(dtype=np.int64)
+        first = np.r_[True, su[1:] != su[:-1]]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(su)))
+        med = sg[starts + (cnt - 1) // 2]
+        mx = sg[starts + cnt - 1]
+        return pa.table(
+            {
+                "user_id": pa.array(su[starts].astype(np.int64), pa.int64()),
+                "n_gaps": pa.array(cnt.astype(np.int64), pa.int64()),
+                "median_gap_us": pa.array(med, pa.int64()),
+                "max_gap_us": pa.array(mx, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(fn, batch_format="pandas")
+    )
+
+
+_SQL_INTERARRIVAL = """
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events),
+h AS (SELECT user_id, CAST(gap_us AS BIGINT) AS gap_us
+      FROM g WHERE gap_us IS NOT NULL),
+r AS (SELECT user_id, gap_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM h)
+SELECT user_id,
+       CAST(MAX(cnt) AS BIGINT) AS n_gaps,
+       CAST(SUM(CASE WHEN rn = (cnt - 1)//2 + 1 THEN gap_us ELSE 0 END)
+            AS BIGINT) AS median_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM r GROUP BY user_id
+"""
+
+
 _SQL_SESSIONS = """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -5786,6 +5876,7 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "hourly_events": q_hourly_events,
     "user_sessions": q_user_sessions,
+    "user_interarrival": q_user_interarrival,
     "top_customers": q_top_customers,
     "brand_revenue": q_brand_revenue,
     "last_order_before_event": q_last_order_before_event,
@@ -5854,6 +5945,7 @@ ORACLE_SQL = {
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "hourly_events": _SQL_HOURLY,
     "user_sessions": _SQL_SESSIONS,
+    "user_interarrival": _SQL_INTERARRIVAL,
     "top_customers": _SQL_TOP_CUSTOMERS,
     "brand_revenue": _SQL_BRAND_REVENUE,
     "last_order_before_event": _SQL_ASOF,

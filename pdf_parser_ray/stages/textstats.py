@@ -2051,6 +2051,151 @@ _SQL_SOURCE_ENTROPY = _sql_source_entropy()
 
 
 # ---------------------------------------------------------------------------
+# Source-vocabulary overlap (pairwise Jaccard of per-source term sets)
+# ---------------------------------------------------------------------------
+
+def q_source_vocab_overlap(sf_dir: str, n_buckets: int = 32):
+    """Pairwise Jaccard similarity of the DISTINCT-term vocabularies of
+    every source pair — the corpus-profiling matrix behind "are these
+    two crawls/domains the same register?" mix decisions (high vocab
+    overlap + high chrome overlap usually means a mirror; low overlap
+    flags a register the mix under-represents).
+
+    Shape: one term-partitioned exchange (the tf family's
+    ``crc32(term) % B``), carrying per-batch-DISTINCT (term, source)
+    rows. All rows of a term land in one bucket, so the bucket sees
+    each term's full source set: it emits (a) per-source distinct-term
+    count partials and (b) per-pair co-occurrence partials via one
+    vectorized self-merge — the driver folds O(B·sources²) fixed-width
+    rows, never the vocabulary. Jaccard is exact integer ppm over
+    ``|A∩B| / (|A|+|B|−|A∩B|)``; pairs sharing no term are absent on
+    both sides. The per-term pair expansion is quadratic in the
+    term's source count — the price of EXACT overlap; at web scale
+    (millions of domains) the published recipe swaps the inner
+    self-merge for per-source MinHash signatures, same exchange
+    (`stages/dedup.py` has the sketch machinery)."""
+    import zlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def ts_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        src = batch["source"].to_pandas().to_numpy()
+        s = flat.to_pandas()
+        keep = (s != "").to_numpy()
+        df = pd.DataFrame({"source": src[parent], "term": s})
+        if not keep.all():
+            df = df[keep]
+        df = df.drop_duplicates()
+        bmap = {t: zlib.crc32(t.encode()) % n_buckets for t in pd.unique(df["term"])}
+        return pa.table(
+            {
+                "term_bucket": pa.array(
+                    df["term"].map(bmap).to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "term": pa.array(df["term"].tolist(), pa.string()),
+                "source": pa.array(df["source"].tolist(), pa.string()),
+            }
+        )
+
+    def bucket_partials(g: "pd.DataFrame") -> pa.Table:
+        g = g[["term", "source"]].drop_duplicates()
+        nt = g.groupby("source", sort=False).size().reset_index(name="c")
+        j = g.merge(g, on="term")
+        j = j[j["source_x"] < j["source_y"]]
+        pairs = (
+            j.groupby(["source_x", "source_y"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "sa": pa.array(
+                    nt["source"].tolist() + pairs["source_x"].tolist(), pa.string()
+                ),
+                "sb": pa.array(
+                    [""] * len(nt) + pairs["source_y"].tolist(), pa.string()
+                ),
+                "c": pa.array(
+                    np.concatenate(
+                        [
+                            nt["c"].to_numpy(dtype=np.int64),
+                            pairs["c"].to_numpy(dtype=np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    folded = (
+        ds.map_batches(ts_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("term_bucket")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .groupby(["sa", "sb"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded: sources + sources² rows
+    )
+    nt = {
+        r["sa"]: int(r["c"]) for _, r in folded[folded["sb"] == ""].iterrows()
+    }
+    pairs = folded[folded["sb"] != ""]
+    out = {
+        "source_a": [],
+        "source_b": [],
+        "n_terms_a": [],
+        "n_terms_b": [],
+        "n_common": [],
+        "jaccard_ppm": [],
+    }
+    for _, r in pairs.iterrows():
+        a, b, inter = str(r["sa"]), str(r["sb"]), int(r["c"])
+        union = nt[a] + nt[b] - inter
+        out["source_a"].append(a)
+        out["source_b"].append(b)
+        out["n_terms_a"].append(nt[a])
+        out["n_terms_b"].append(nt[b])
+        out["n_common"].append(inter)
+        out["jaccard_ppm"].append(inter * 1_000_000 // union)
+    return pd.DataFrame(
+        {
+            "source_a": out["source_a"],
+            "source_b": out["source_b"],
+            **{
+                c: pd.Series(out[c], dtype=np.int64)
+                for c in ("n_terms_a", "n_terms_b", "n_common", "jaccard_ppm")
+            },
+        }
+    )
+
+
+_SQL_SOURCE_VOCAB = r"""
+WITH ts AS (
+    SELECT DISTINCT source, term
+    FROM (SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS term
+          FROM documents)
+    WHERE term <> ''),
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nt FROM ts GROUP BY source),
+p AS (SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ts a JOIN ts b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT p.sa AS source_a, p.sb AS source_b,
+       na.nt AS n_terms_a, nb.nt AS n_terms_b,
+       p.inter AS n_common,
+       CAST(p.inter * 1000000 // (na.nt + nb.nt - p.inter) AS BIGINT)
+           AS jaccard_ppm
+FROM p
+JOIN n na ON na.source = p.sa
+JOIN n nb ON nb.source = p.sb
+"""
+
+
+# ---------------------------------------------------------------------------
 # Power-law tail index of the document-length distribution
 # ---------------------------------------------------------------------------
 
@@ -2145,6 +2290,7 @@ _SQL_LENGTH_TAIL = _sql_zipf()
 QUERIES = {
     "token_count": q_token_count,
     "length_tail_index": q_length_tail_index,
+    "source_vocab_overlap": q_source_vocab_overlap,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2170,6 +2316,7 @@ QUERIES = {
 ORACLE_SQL = {
     "token_count": _SQL_TOKEN_COUNT,
     "length_tail_index": _SQL_LENGTH_TAIL,
+    "source_vocab_overlap": _SQL_SOURCE_VOCAB,
     "quality_score": _SQL_QUALITY,
     "lang_id": _SQL_LANG,
     "fingerprint": _SQL_FINGERPRINT,

@@ -3497,3 +3497,54 @@ class TestLengthTailIndex:
         assert int(got["alpha_micro"].iloc[0]) == 1_000_000 + len(lens) * 10**12 // s
         # heavy-tail sanity: alpha lands in the physically plausible band
         assert 1_000_000 < int(got["alpha_micro"].iloc[0]) < 20_000_000
+
+
+from pdf_parser_ray.stages.textstats import q_source_vocab_overlap as q_svo
+
+
+class TestUserInterarrival:
+    def test_crafted_gaps(self, ray_session, tmp_path_factory):
+        """User 1: gaps [10s, 20s] → median 10s, max 20s; user 2 has a
+        single event (no gaps — absent); user 3 has two events at the
+        SAME ts (gap 0 — ties must not crash the order contract)."""
+        import numpy as np
+
+        from pdf_parser_ray.relational.ops import q_user_interarrival
+
+        d = tmp_path_factory.mktemp("ia_sf")
+        base = np.datetime64("2025-01-01T00:00:00", "us")
+        ts = [0, 10, 30, 5, 7, 7]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                    "user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+                    "ts": pa.array(
+                        [base + np.timedelta64(s * 1_000_000, "us") for s in ts]
+                    ),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        got = (
+            q_user_interarrival(str(d), n_buckets=2)
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        assert got.index.tolist() == [1, 3]
+        assert int(got.loc[1, "n_gaps"]) == 2
+        assert int(got.loc[1, "median_gap_us"]) == 10_000_000
+        assert int(got.loc[1, "max_gap_us"]) == 20_000_000
+        assert int(got.loc[3, "n_gaps"]) == 1
+        assert int(got.loc[3, "median_gap_us"]) == 0
+
+
+class TestSourceVocabOverlap:
+    def test_identities(self, ray_session):
+        got = q_svo("/root/testdata/sf0.001")
+        # all 20 synthetic sources share the tiny vocab: full pair grid
+        assert len(got) == 20 * 19 // 2
+        assert (got["source_a"] < got["source_b"]).all()
+        assert (got["n_common"] <= got[["n_terms_a", "n_terms_b"]].min(axis=1)).all()
+        assert (got["jaccard_ppm"] > 0).all() and (got["jaccard_ppm"] <= 1_000_000).all()
