@@ -513,6 +513,86 @@ FROM h
 """
 
 
+def q_stratified_split(sf_dir: str):
+    """Per-language EXACT 80/10/10 split by hash rank — the stratified
+    companion of :func:`q_train_split`. The plain hash split is
+    proportion-exact only in expectation; on a skewed language mix the
+    low-resource languages can lose their whole eval slice to hash
+    variance. Here each language's documents rank by
+    ``(md5('split:'||doc_id), doc_id)`` and the first ⌊n·80/100⌋ are
+    train, through ⌊n·90/100⌋ val, rest test — every language gets its
+    exact thirds-of-tail, deterministic across runs.
+
+    The trade (stated, it is the reason BOTH splits exist): rank
+    assignment depends on the language's corpus, so membership is NOT
+    frozen under corpus growth — use `train_split` when eval sets must
+    survive recrawls, this when per-stratum proportions must be exact.
+
+    Shape: one ``groupby(lang)`` exchange over (doc_id, lang, hash)
+    rows; per-language rank is a vectorized sort. At corpus scale the
+    per-lang rank read-off moves to the value-count summary exactly
+    like the percentile family."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..io.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = [hashlib.md5(f"split:{i}".encode()).hexdigest() for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": batch["lang"],
+                "h": pa.array(h, pa.string()),
+            }
+        )
+
+    def assign(g: "pd.DataFrame") -> pa.Table:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        n = len(g)
+        rn = np.arange(1, n + 1)
+        k_train = n * 80 // 100
+        k_val = n * 90 // 100
+        split = np.where(rn <= k_train, "train", np.where(rn <= k_val, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(hash_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .map_groups(assign, batch_format="pandas")
+    )
+
+
+_SQL_STRATIFIED_SPLIT = """
+WITH r AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rn <= n*80//100 THEN 'train'
+            WHEN rn <= n*90//100 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicated-substring removal (Lee et al. 2022 style)
 # ---------------------------------------------------------------------------
@@ -938,6 +1018,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "epoch_shuffle": q_epoch_shuffle,
     "train_split": q_train_split,
+    "stratified_split": q_stratified_split,
     "temperature_mix": q_temperature_mix,
 }
 
@@ -949,5 +1030,6 @@ ORACLE_SQL = {
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
     "train_split": _SQL_TRAIN_SPLIT,
+    "stratified_split": _SQL_STRATIFIED_SPLIT,
     "temperature_mix": _SQL_TEMPERATURE_MIX,
 }

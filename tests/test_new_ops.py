@@ -3548,3 +3548,25 @@ class TestSourceVocabOverlap:
         assert (got["source_a"] < got["source_b"]).all()
         assert (got["n_common"] <= got[["n_terms_a", "n_terms_b"]].min(axis=1)).all()
         assert (got["jaccard_ppm"] > 0).all() and (got["jaccard_ppm"] <= 1_000_000).all()
+
+
+class TestStratifiedSplit:
+    def test_exact_per_lang_proportions(self, ray_session):
+        from pdf_parser_ray.stages.corpus import q_stratified_split
+
+        got = q_stratified_split("/root/testdata/sf0.001").to_pandas()
+        for lang, sub in got.groupby("lang"):
+            n = len(sub)
+            counts = sub["split"].value_counts()
+            assert int(counts.get("train", 0)) == n * 80 // 100
+            assert int(counts.get("val", 0)) == n * 90 // 100 - n * 80 // 100
+            assert int(counts.get("test", 0)) == n - n * 90 // 100
+
+    def test_deterministic_across_runs(self, ray_session):
+        from pdf_parser_ray.stages.corpus import q_stratified_split
+
+        a = q_stratified_split("/root/testdata/sf0.001").to_pandas()
+        b = q_stratified_split("/root/testdata/sf0.001").to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)

@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-5 coverage floor: 208 queries, ≥203 oracled —
+    # lock the round-5 coverage floor: 209 queries, ≥204 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 208
-    assert len(oracles) >= 203
+    assert len(queries) >= 209
+    assert len(oracles) >= 204
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []
