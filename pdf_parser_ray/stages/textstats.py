@@ -161,6 +161,71 @@ FROM s
 """
 
 
+def q_lang_confusion(sf_dir: str):
+    """Confusion matrix of the n-gram language identifier against the
+    labeled ``lang`` column — the evaluation the lang-id heuristic
+    OWES its consumers (the mixture subsampler and balanced sampler
+    route on predictions; this is the exact per-cell error budget they
+    inherit). One row per (labeled, predicted) pair with counts and
+    the labeled language's recall in exact ppm.
+
+    Shape: the same zero-shuffle scoring pass as
+    :func:`q_lang_id` with ``lang`` carried, folding each batch to
+    ≤ labels·preds count partials → one tiny cell groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _, pred = _lang_scores_and_pred(batch["text"])
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_pandas().to_numpy(), "lang_pred": pred}
+        )
+        agg = df.groupby(["lang", "lang_pred"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "lang": pa.array(agg["lang"].tolist(), pa.string()),
+                "lang_pred": pa.array(agg["lang_pred"].tolist(), pa.string()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()  # bounded: labels × predictions cells
+    )
+    totals = cells.groupby("lang")["n_docs"].transform("sum").to_numpy(dtype=np.int64)
+    n = cells["n_docs"].to_numpy(dtype=np.int64)
+    hit = (cells["lang"] == cells["lang_pred"]).to_numpy()
+    return pd.DataFrame(
+        {
+            "lang": cells["lang"],
+            "lang_pred": cells["lang_pred"],
+            "n_docs": pd.Series(n, dtype=np.int64),
+            "cell_share_ppm": pd.Series(n * 1_000_000 // totals, dtype=np.int64),
+            "is_hit": pd.Series(hit.astype(np.int64), dtype=np.int64),
+        }
+    )
+
+
+_SQL_LANG_CONFUSION = f"""
+WITH p AS (SELECT doc_id, lang_pred FROM ({_SQL_LANG}) t),
+c AS (
+    SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM p JOIN documents d USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+)
+SELECT lang, lang_pred, n_docs,
+       CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY lang)
+            AS BIGINT) AS cell_share_ppm,
+       CAST(lang = lang_pred AS BIGINT) AS is_hit
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------
@@ -2051,6 +2116,119 @@ _SQL_SOURCE_ENTROPY = _sql_source_entropy()
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps'-law profile)
+# ---------------------------------------------------------------------------
+
+def q_vocab_growth(sf_dir: str, n_bins: int = 10):
+    """New-distinct-3-grams per corpus decile — the Heaps'-law growth
+    curve (how fast vocabulary accumulates as the corpus scans in id
+    order), the companion profile to the Zipf tail index: together
+    they are the two standard "is this corpus natural text or
+    template spam" shape checks (template corpora flatline early;
+    natural text keeps adding tail vocabulary). The unit is the word
+    3-GRAM: the synthetic unigram vocabulary saturates inside the
+    first decile (31 terms), while the trigram space keeps producing
+    genuinely new entries corpus-long — the grain real novelty
+    profiling uses.
+
+    A gram belongs to the decile of its FIRST occurrence:
+    ``(10·min(doc_id)) // N`` over the synthetic contiguous id space
+    (a general corpus bins by id RANK — same exchange with the rank
+    from the percentile family). Shape: per-batch (gram, min doc_id)
+    partials → one gram-bucket exchange taking the global per-gram
+    min → ≤10 count rows fold on the driver with the cumulative sum."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = flat.to_pandas().to_numpy()
+        keep = s != ""  # Arrow split can emit edge empties; SQL never does
+        if not keep.all():
+            s, parent = s[keep], parent[keep]
+        # word 3-grams: positions i where parent[i] == parent[i+2]
+        ok = np.zeros(len(s), dtype=bool)
+        if len(s) >= 3:
+            ok[: len(s) - 2] = parent[: len(s) - 2] == parent[2:]
+        i = np.flatnonzero(ok)
+        grams = pd.Series(s[i]) + " " + pd.Series(s[i + 1]) + " " + pd.Series(s[i + 2])
+        df = pd.DataFrame({"d": ids[parent[i]], "t": grams.to_numpy()})
+        agg = df.groupby("t", sort=False)["d"].min().reset_index()
+        bmap = {t: zlib.crc32(t.encode()) % 32 for t in agg["t"]}
+        return pa.table(
+            {
+                "term_bucket": pa.array(
+                    agg["t"].map(bmap).to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "term": pa.array(agg["t"].tolist(), pa.string()),
+                "first_doc": pa.array(agg["d"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_bins(g: "pd.DataFrame") -> pa.Table:
+        first = g.groupby("term", sort=False)["first_doc"].min()
+        decile = (n_bins * first.to_numpy(dtype=np.int64)) // n_docs
+        vals, cnt = np.unique(decile, return_counts=True)
+        return pa.table(
+            {
+                "decile": pa.array(vals.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    bins = (
+        ds.map_batches(firsts, batch_format="pyarrow", batch_size=None)
+        .groupby("term_bucket")
+        .map_groups(bucket_bins, batch_format="pandas")
+        .groupby("decile")
+        .aggregate(Sum("n", alias_name="n_new_terms"))
+        .to_pandas()  # ≤ n_bins rows
+        .sort_values("decile")
+    )
+    return pd.DataFrame(
+        {
+            "decile": pd.Series(bins["decile"].to_numpy(dtype=np.int64), dtype=np.int64),
+            "n_new_terms": pd.Series(
+                bins["n_new_terms"].to_numpy(dtype=np.int64), dtype=np.int64
+            ),
+            "cum_terms": pd.Series(
+                bins["n_new_terms"].to_numpy(dtype=np.int64).cumsum(), dtype=np.int64
+            ),
+        }
+    )
+
+
+_SQL_VOCAB_GROWTH = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+           FROM documents),
+g AS (SELECT doc_id, array_to_string(words[i+1 : i+3], ' ') AS term
+      FROM w, LATERAL unnest(range(len(words) - 2)) AS t(i)
+      WHERE len(words) >= 3),
+f AS (
+    SELECT term, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM g
+    GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+b AS (SELECT (10*first_doc)//nd AS decile, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM f, n GROUP BY 1)
+SELECT CAST(decile AS BIGINT) AS decile,
+       n_new AS n_new_terms,
+       CAST(SUM(n_new) OVER (ORDER BY decile) AS BIGINT) AS cum_terms
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Source-vocabulary overlap (pairwise Jaccard of per-source term sets)
 # ---------------------------------------------------------------------------
 
@@ -2291,6 +2469,8 @@ QUERIES = {
     "token_count": q_token_count,
     "length_tail_index": q_length_tail_index,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "vocab_growth": q_vocab_growth,
+    "lang_confusion": q_lang_confusion,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2317,6 +2497,8 @@ ORACLE_SQL = {
     "token_count": _SQL_TOKEN_COUNT,
     "length_tail_index": _SQL_LENGTH_TAIL,
     "source_vocab_overlap": _SQL_SOURCE_VOCAB,
+    "vocab_growth": _SQL_VOCAB_GROWTH,
+    "lang_confusion": _SQL_LANG_CONFUSION,
     "quality_score": _SQL_QUALITY,
     "lang_id": _SQL_LANG,
     "fingerprint": _SQL_FINGERPRINT,

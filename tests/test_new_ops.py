@@ -3570,3 +3570,40 @@ class TestStratifiedSplit:
         a = a.sort_values("doc_id").reset_index(drop=True)
         b = b.sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestVocabGrowthAndLangConfusion:
+    def test_heaps_curve_nondegenerate(self, ray_session):
+        from pdf_parser_ray.stages.textstats import q_vocab_growth
+
+        got = q_vocab_growth("/root/testdata/sf0.001")
+        assert got["decile"].tolist() == list(range(10))
+        assert (got["n_new_terms"] > 0).all()
+        assert got["cum_terms"].is_monotonic_increasing
+        # novelty decays: the last decile adds fewer grams than the first
+        assert int(got["n_new_terms"].iloc[-1]) < int(got["n_new_terms"].iloc[0])
+        assert int(got["cum_terms"].iloc[-1]) == int(got["n_new_terms"].sum())
+
+    def test_confusion_marginals_match_labels(self, ray_session):
+        import duckdb
+
+        from pdf_parser_ray.stages.textstats import q_lang_confusion
+
+        sf = "/root/testdata/sf0.001"
+        got = q_lang_confusion(sf)
+        want = dict(
+            duckdb.connect()
+            .execute(
+                f"SELECT lang, COUNT(*) FROM read_parquet('{sf}/documents.parquet')"
+                " GROUP BY lang"
+            )
+            .fetchall()
+        )
+        marg = got.groupby("lang")["n_docs"].sum().to_dict()
+        assert marg == want
+        # the identifier has NO zh profile: labeled zh never hits
+        zh = got[(got["lang"] == "zh") & (got["is_hit"] == 1)]
+        assert len(zh) == 0
+        # but en is the majority class and mostly identified
+        en_hit = got[(got["lang"] == "en") & (got["is_hit"] == 1)]["cell_share_ppm"]
+        assert len(en_hit) == 1 and int(en_hit.iloc[0]) > 500_000
