@@ -382,13 +382,109 @@ FROM words w LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_corpus_prep_v3(sf_dir: str, n_buckets: int = 32):
+    """The round-5 MODEL-BASED selection pipeline — what a mix curator
+    runs AFTER hygiene (v2): CCNet perplexity bucketing drops each
+    language's tail third, then the DSIR importance gate keeps only
+    documents that look like the target slice (weight > 0). Both
+    stages are the registered operators themselves
+    (:func:`~pdf_parser_ray.stages.dsir.q_ccnet_buckets`,
+    :func:`~pdf_parser_ray.stages.dsir.q_dsir_weights`) — the
+    composition property again: each trains its model on the FULL
+    corpus exactly as standalone (so the oracle composes the two
+    published SQLs by reference), the gates are vectorized expression
+    filters, and the only new plumbing is ONE doc-bucket hash join
+    merging the two per-doc score streams. Output per surviving doc:
+    language, NLL + bucket, DSIR weight, token count."""
+    import pandas as pd
+
+    from ..stages.dsir import q_ccnet_buckets, q_dsir_weights
+
+    cc = q_ccnet_buckets(sf_dir).filter(expr="ppl_bucket < 2")
+    dw = q_dsir_weights(sf_dir).filter(expr="dsir_micro > 0")
+
+    def tag_cc(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ids % n_buckets, pa.int64()),
+                "kind": pa.array(np.zeros(len(ids), dtype=np.int64), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": b["lang"],
+                "nll_micro": b["nll_micro"],
+                "ppl_bucket": b["ppl_bucket"],
+                "dsir_micro": pa.array(np.zeros(len(ids), dtype=np.int64), pa.int64()),
+                "n_tokens": pa.array(np.zeros(len(ids), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def tag_dw(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        return pa.table(
+            {
+                "bucket": pa.array(ids % n_buckets, pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int64), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array([""] * n, pa.string()),
+                "nll_micro": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "ppl_bucket": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "dsir_micro": b["dsir_micro"],
+                "n_tokens": b["n_tokens"],
+            }
+        )
+
+    tagged = cc.map_batches(tag_cc, batch_format="pyarrow", batch_size=None).union(
+        dw.map_batches(tag_dw, batch_format="pyarrow", batch_size=None)
+    )
+
+    def merge(g: "pd.DataFrame") -> pa.Table:
+        left = g[g["kind"] == 0][["doc_id", "lang", "nll_micro", "ppl_bucket"]]
+        right = g[g["kind"] == 1][["doc_id", "dsir_micro", "n_tokens"]]
+        j = left.merge(right, on="doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(j["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "lang": pa.array(j["lang"].tolist(), pa.string()),
+                "nll_micro": pa.array(
+                    j["nll_micro"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "ppl_bucket": pa.array(
+                    j["ppl_bucket"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "dsir_micro": pa.array(
+                    j["dsir_micro"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    j["n_tokens"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def _render_prep_v3_sql() -> str:
+    from ..stages.dsir import _SQL_CCNET, _SQL_DSIR
+
+    return f"""
+SELECT cc.doc_id, cc.lang, cc.nll_micro, cc.ppl_bucket,
+       dw.dsir_micro, dw.n_tokens
+FROM (SELECT * FROM ({_SQL_CCNET}) c WHERE ppl_bucket < 2) cc
+JOIN (SELECT * FROM ({_SQL_DSIR}) d WHERE dsir_micro > 0) dw
+  USING (doc_id)
+"""
+
+
 QUERIES = {
     "training_prep": q_training_prep,
     "training_prep_shuffle": q_training_prep_shuffle,
     "corpus_prep_v2": q_corpus_prep_v2,
+    "corpus_prep_v3": q_corpus_prep_v3,
 }
 ORACLE_SQL = {
     "training_prep": _SQL_TRAINING_PREP,
     "training_prep_shuffle": _SQL_TRAINING_PREP,
     "corpus_prep_v2": _render_prep_v2_sql(),
+    "corpus_prep_v3": _render_prep_v3_sql(),
 }

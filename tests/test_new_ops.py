@@ -3607,3 +3607,37 @@ class TestVocabGrowthAndLangConfusion:
         # but en is the majority class and mostly identified
         en_hit = got[(got["lang"] == "en") & (got["is_hit"] == 1)]["cell_share_ppm"]
         assert len(en_hit) == 1 and int(en_hit.iloc[0]) > 500_000
+
+
+class TestCorpusPrepV3:
+    def test_composition_equals_standalone_gates(self, ray_session):
+        """v3 survivors must be exactly the intersection of the two
+        standalone operators' gates — the composition property the
+        pipeline claims (models trained on the FULL corpus either
+        way)."""
+        from pdf_parser_ray.pipelines.prep import q_corpus_prep_v3
+        from pdf_parser_ray.stages.dsir import q_ccnet_buckets, q_dsir_weights
+
+        sf = "/root/testdata/sf0.001"
+        got = q_corpus_prep_v3(sf).to_pandas()
+        cc = q_ccnet_buckets(sf).to_pandas()
+        dw = q_dsir_weights(sf).to_pandas()
+        want = set(cc[cc["ppl_bucket"] < 2]["doc_id"]) & set(
+            dw[dw["dsir_micro"] > 0]["doc_id"]
+        )
+        assert set(got["doc_id"]) == want
+        assert (got["ppl_bucket"] < 2).all()
+        assert (got["dsir_micro"] > 0).all()
+        # the DSIR gate biases the mix toward the target slice
+        langs = duck_langs = None
+        import duckdb
+
+        labels = (
+            duckdb.connect()
+            .execute(f"SELECT doc_id, lang FROM read_parquet('{sf}/documents.parquet')")
+            .df()
+        )
+        merged = got.merge(labels, on="doc_id", suffixes=("", "_label"))
+        en_share_out = (merged["lang_label"] == "en").mean()
+        en_share_in = (labels["lang"] == "en").mean()
+        assert en_share_out > en_share_in
