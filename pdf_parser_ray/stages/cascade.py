@@ -274,11 +274,91 @@ SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'raw' AS kind,
 FROM route WHERE tier = 'raw'
 """
 
+def q_cascade_routing_by_source(sf_dir: str):
+    """Tier-routing shares PER SOURCE — the production monitoring
+    rollup over the cascade: a source whose dom-share collapses (or
+    raw-share spikes) between crawls is the canary for a template
+    change breaking extraction, long before span diffs surface it.
+    One row per (source, tier) with counts, the source's routing
+    share in exact ppm, and total content mass.
+
+    Shape: the SAME zero-shuffle cascade pass with ``source`` carried
+    (attached per batch by doc_id — unique within a documents batch),
+    folding each batch to ≤ sources·3 cell partials → one tiny cell
+    groupby; shares read off per source on the bounded cell grain."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..io.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = _cascade_table(batch).to_pandas()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        smap = pd.Series(batch["source"].to_pandas().to_numpy(), index=ids)
+        out["source"] = smap.loc[out["doc_id"].to_numpy()].to_numpy()
+        agg = (
+            out.groupby(["source", "tier"], sort=False)
+            .agg(n=("doc_id", "size"), cw=("content_words", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(agg["source"].tolist(), pa.string()),
+                "tier": pa.array(agg["tier"].tolist(), pa.string()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "cw": pa.array(agg["cw"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+        .groupby(["source", "tier"])
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("cw", alias_name="sum_content_words"))
+        .to_pandas()  # bounded: sources × 3 cells
+    )
+    totals = cells.groupby("source")["n_docs"].transform("sum").to_numpy(dtype=np.int64)
+    n = cells["n_docs"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "source": cells["source"],
+            "tier": cells["tier"],
+            "n_docs": pd.Series(n, dtype=np.int64),
+            "share_ppm": pd.Series(n * 1_000_000 // totals, dtype=np.int64),
+            "sum_content_words": pd.Series(
+                cells["sum_content_words"].to_numpy(dtype=np.int64), dtype=np.int64
+            ),
+        }
+    )
+
+
+_SQL_CASCADE_ROUTING = f"""
+WITH casc AS (SELECT * FROM ({_SQL_EXTRACT_CASCADE}) t),
+j AS (
+    SELECT d.source, c.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c.content_words) AS BIGINT) AS sum_content_words
+    FROM casc c JOIN documents d USING (doc_id)
+    GROUP BY d.source, c.tier
+)
+SELECT source, tier, n_docs,
+       CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY source)
+            AS BIGINT) AS share_ppm,
+       sum_content_words
+FROM j
+"""
+
+
 QUERIES = {
     "extract_cascade": q_extract_cascade,
     "cascade_spans": q_cascade_spans,
+    "cascade_routing_by_source": q_cascade_routing_by_source,
 }
 ORACLE_SQL = {
     "extract_cascade": _SQL_EXTRACT_CASCADE,
     "cascade_spans": _SQL_CASCADE_SPANS,
+    "cascade_routing_by_source": _SQL_CASCADE_ROUTING,
 }

@@ -108,3 +108,37 @@ def test_corpus_exercises_every_tier():
     assert set(df["tier"]) == {"dom", "justext", "raw"}
     assert (df.loc[df["tier"] == "raw", "tier_score"] == 0).all()
     assert (df.loc[df["tier"] != "raw", "content_words"] > 0).all()
+
+
+def test_routing_rollup_consistent_with_cascade(ray_session):
+    """The per-source rollup must re-aggregate exactly from the
+    per-document cascade output joined to labels — shared pass, so
+    drift between them is a fold bug. Shares sum to 1e6 ± rounding
+    per source."""
+    import duckdb
+
+    from pdf_parser_ray.stages.cascade import (
+        q_cascade_routing_by_source,
+        q_extract_cascade,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_cascade_routing_by_source(sf)
+    casc = q_extract_cascade(sf).to_pandas()
+    labels = (
+        duckdb.connect()
+        .execute(f"SELECT doc_id, source FROM read_parquet('{sf}/documents.parquet')")
+        .df()
+    )
+    want = (
+        casc.merge(labels, on="doc_id")
+        .groupby(["source", "tier"])
+        .agg(n_docs=("doc_id", "size"), sum_content_words=("content_words", "sum"))
+        .reset_index()
+    )
+    m = got.merge(want, on=["source", "tier"], suffixes=("", "_want"))
+    assert len(m) == len(got) == len(want)
+    assert (m["n_docs"] == m["n_docs_want"]).all()
+    assert (m["sum_content_words"] == m["sum_content_words_want"]).all()
+    for _, sub in got.groupby("source"):
+        assert abs(int(sub["share_ppm"].sum()) - 1_000_000) < len(sub) + 1
