@@ -35,6 +35,8 @@ _QUERY_MODULES = (
     "pdf_parser_ray.stages.corpus",
     "pdf_parser_ray.stages.tokenize",
     "pdf_parser_ray.stages.dsir",
+    "pdf_parser_ray.stages.zorder",
+    "pdf_parser_ray.stages.watermark",
     "pdf_parser_ray.pipelines.ingest",
     "pdf_parser_ray.stages.graph",
     "pdf_parser_ray.relational.analytics",

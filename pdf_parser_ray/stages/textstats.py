@@ -2465,10 +2465,232 @@ FROM s
 _SQL_LENGTH_TAIL = _sql_zipf()
 
 
+# ---------------------------------------------------------------------------
+# Pairwise Jensen–Shannon divergence between source unigram mixes
+# ---------------------------------------------------------------------------
+
+def _lnm_vec(a: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`lnm_micro` over positive int64s: one call per
+    DISTINCT value via a unique→LUT map (ln args repeat heavily in
+    count data)."""
+    u, inv = np.unique(a, return_inverse=True)
+    lut = np.array([lnm_micro(int(k)) for k in u], dtype=np.int64)
+    return lut[inv]
+
+
+def q_source_js_divergence(sf_dir: str, n_buckets: int = 32):
+    """Pairwise Jensen–Shannon divergence between the unigram
+    distributions of every source pair — the distributional
+    complement of :func:`q_source_vocab_overlap`'s set-overlap view:
+    two mirrors share vocabulary AND term frequencies (JSD ≈ 0), while
+    a shared-register-different-topic pair overlaps in vocabulary but
+    diverges in mix. Training-mix curation uses exactly this matrix to
+    pick maximally-diverse sources at a fixed token budget.
+
+    Exactness: with ``p_t = c^a_t / T_a`` and the mixture
+    ``m_t = (c^a_t·T_b + c^b_t·T_a) / (2·T_a·T_b)``, every logarithm
+    has an INTEGER argument::
+
+        ln p_t − ln m_t = ln c^a_t − ln T_a
+                          − ln(c^a_t·T_b + c^b_t·T_a) + ln(2·T_a·T_b)
+
+    so each term's contribution is an exact integer micro-nat via the
+    shared ln (:func:`lnm_micro`), summed order-free. The output is
+    division-free (the house rule for signed quantities): per pair,
+    ``sum_p_micro = Σ_{c^a_t>0} c^a_t·(…)`` and symmetrically
+    ``sum_q_micro``; the consumer divides once —
+    ``JSD = (sum_p/(2·T_a) + sum_q/(2·T_b)) · 10⁻⁶`` nats. Integer
+    domain: ln args reach ``2·T_a·T_b`` — fine to ~10⁹ tokens per
+    source in int64; beyond that scale the counts to a shared
+    fixed-point first.
+
+    Plan: one tiny ``groupby(source)`` totals pass (≤ sources rows),
+    then ONE term-partitioned exchange (``crc32(term) % B``, the tf
+    family's key): all rows of a term land in one bucket, so each
+    bucket computes every pair's per-term contributions vectorized
+    (dense term × source count matrix, 190 pair-column ops for 20
+    sources) and emits O(pairs) partial rows; a final
+    ``groupby(pair)`` Sum folds buckets. The pair loop is quadratic
+    in SOURCES, not terms — at web scale (millions of domains) you
+    bound the pair set (each candidate vs the reference mixes), which
+    leaves the exchange unchanged."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+    tfv = tf_rows_vec(n_buckets)
+
+    def tf_src(batch: pa.Table) -> pa.Table:
+        t = tfv(batch)
+        src = batch["source"].to_pandas().to_numpy()
+        # tf_rows_vec keys rows by doc_id taken from the batch; map
+        # each row back to its document's source (ids unique per batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        smap = pd.Series(src, index=ids)
+        rows_src = smap.loc[
+            t["doc_id"].to_numpy(zero_copy_only=False)
+        ].to_numpy()
+        df = pd.DataFrame(
+            {
+                "term_bucket": t["term_bucket"].to_numpy(zero_copy_only=False),
+                "term": t["term"].to_pandas().to_numpy(),
+                "source": rows_src,
+                "tf": t["tf"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby(["term_bucket", "term", "source"], sort=False,
+                         as_index=False)["tf"].sum()
+        return pa.table(
+            {
+                "term_bucket": pa.array(
+                    agg["term_bucket"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "term": pa.array(agg["term"].tolist(), pa.string()),
+                "source": pa.array(agg["source"].tolist(), pa.string()),
+                "tf": pa.array(agg["tf"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    totals_df = (
+        ds.map_batches(tf_src, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .aggregate(Sum("tf", alias_name="t"))
+        .to_pandas()  # bounded: one row per source
+        .sort_values("source")
+    )
+    sources = totals_df["source"].tolist()
+    totals = dict(zip(sources, totals_df["t"].astype(np.int64).tolist()))
+    ln_tot = {s: lnm_micro(int(t)) for s, t in totals.items()}
+    ln_m2 = {
+        (a, b): lnm_micro(2 * totals[a] * totals[b])
+        for i, a in enumerate(sources)
+        for b in sources[i + 1:]
+    }
+
+    def bucket_pairs(g: "pd.DataFrame") -> pa.Table:
+        cmat = (
+            g.pivot_table(index="term", columns="source", values="tf",
+                          aggfunc="sum", fill_value=0)
+            .reindex(columns=sources, fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+        sa_out, sb_out, p_out, q_out = [], [], [], []
+        for i, a in enumerate(sources):
+            cp_all = cmat[:, i]
+            for j in range(i + 1, len(sources)):
+                b = sources[j]
+                cq_all = cmat[:, j]
+                any_mask = (cp_all > 0) | (cq_all > 0)
+                if not any_mask.any():
+                    continue
+                cp, cq = cp_all[any_mask], cq_all[any_mask]
+                ln_arg = _lnm_vec(cp * totals[b] + cq * totals[a])
+                base = ln_m2[(a, b)] - ln_arg
+                mp = cp > 0
+                sum_p = int(
+                    (cp[mp] * (_lnm_vec(cp[mp]) - ln_tot[a] + base[mp])).sum()
+                )
+                mq = cq > 0
+                sum_q = int(
+                    (cq[mq] * (_lnm_vec(cq[mq]) - ln_tot[b] + base[mq])).sum()
+                )
+                sa_out.append(a)
+                sb_out.append(b)
+                p_out.append(sum_p)
+                q_out.append(sum_q)
+        return pa.table(
+            {
+                "source_a": pa.array(sa_out, pa.string()),
+                "source_b": pa.array(sb_out, pa.string()),
+                "sum_p_micro": pa.array(p_out, pa.int64()),
+                "sum_q_micro": pa.array(q_out, pa.int64()),
+            }
+        )
+
+    def attach_totals(batch: pa.Table) -> pa.Table:
+        ta = [totals[s] for s in batch["source_a"].to_pylist()]
+        tb = [totals[s] for s in batch["source_b"].to_pylist()]
+        return batch.append_column(
+            "t_a", pa.array(ta, pa.int64())
+        ).append_column("t_b", pa.array(tb, pa.int64()))
+
+    return (
+        ds.map_batches(tf_src, batch_format="pyarrow", batch_size=None)
+        .groupby("term_bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(
+            Sum("sum_p_micro", alias_name="sum_p_micro"),
+            Sum("sum_q_micro", alias_name="sum_q_micro"),
+        )
+        .map_batches(attach_totals, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _sql_js_divergence() -> str:
+    lnm = (
+        "CAST(FLOOR(lnk * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+        "AS BIGINT)"
+    )
+    ln_tbl = _shared_ln_cte("karg", "kint")
+    return rf"""
+WITH tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT source,
+                         UNNEST(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents)
+            GROUP BY source, term),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM tf GROUP BY source),
+pr AS (SELECT a.source AS sa, b.source AS sb, a.t AS ta, b.t AS tb
+       FROM tot a JOIN tot b ON a.source < b.source),
+grid AS (SELECT pr.sa, pr.sb, pr.ta, pr.tb,
+                COALESCE(ca.c, 0) AS cp, COALESCE(cb.c, 0) AS cq
+         FROM pr
+         JOIN (SELECT DISTINCT term FROM tf) v ON TRUE
+         LEFT JOIN tf ca ON ca.source = pr.sa AND ca.term = v.term
+         LEFT JOIN tf cb ON cb.source = pr.sb AND cb.term = v.term
+         WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0),
+karg AS (SELECT DISTINCT kint FROM (
+             SELECT cp AS kint FROM grid WHERE cp > 0
+             UNION SELECT cq FROM grid WHERE cq > 0
+             UNION SELECT cp*tb + cq*ta FROM grid
+             UNION SELECT 2*ta*tb FROM grid
+             UNION SELECT ta FROM grid
+             UNION SELECT tb FROM grid)),
+lk AS (SELECT kint, {lnm} AS lnm FROM {ln_tbl}),
+contrib AS (SELECT g.sa, g.sb,
+                   CASE WHEN g.cp > 0
+                        THEN g.cp * (lcp.lnm - lta.lnm - larg.lnm + lm2.lnm)
+                        ELSE 0 END AS p_part,
+                   CASE WHEN g.cq > 0
+                        THEN g.cq * (lcq.lnm - ltb.lnm - larg.lnm + lm2.lnm)
+                        ELSE 0 END AS q_part
+            FROM grid g
+            LEFT JOIN lk lcp ON lcp.kint = g.cp
+            LEFT JOIN lk lcq ON lcq.kint = g.cq
+            JOIN lk larg ON larg.kint = g.cp*g.tb + g.cq*g.ta
+            JOIN lk lm2 ON lm2.kint = 2*g.ta*g.tb
+            JOIN lk lta ON lta.kint = g.ta
+            JOIN lk ltb ON ltb.kint = g.tb)
+SELECT c.sa AS source_a, c.sb AS source_b,
+       CAST(SUM(c.p_part) AS BIGINT) AS sum_p_micro,
+       CAST(SUM(c.q_part) AS BIGINT) AS sum_q_micro,
+       CAST(ANY_VALUE(ta.t) AS BIGINT) AS t_a,
+       CAST(ANY_VALUE(tb.t) AS BIGINT) AS t_b
+FROM contrib c
+JOIN tot ta ON ta.source = c.sa
+JOIN tot tb ON tb.source = c.sb
+GROUP BY 1, 2
+"""
+
+
+_SQL_JS_DIVERGENCE = _sql_js_divergence()
+
+
 QUERIES = {
     "token_count": q_token_count,
     "length_tail_index": q_length_tail_index,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "source_js_divergence": q_source_js_divergence,
     "vocab_growth": q_vocab_growth,
     "lang_confusion": q_lang_confusion,
     "quality_score": q_quality_score,
@@ -2494,6 +2716,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "source_js_divergence": _SQL_JS_DIVERGENCE,
     "token_count": _SQL_TOKEN_COUNT,
     "length_tail_index": _SQL_LENGTH_TAIL,
     "source_vocab_overlap": _SQL_SOURCE_VOCAB,

@@ -1,0 +1,159 @@
+"""Z-order (Morton-curve) layout clustering — the storage-layout
+optimizer lakehouse engines ship as ``OPTIMIZE ... ZORDER BY`` (Delta)
+or ``rewrite_data_files(strategy='sort', sort_order=zorder(...))``
+(Iceberg).
+
+At 100 TB the single biggest lever on scan cost is not the scan — it
+is what the scan can SKIP. Z-ordering co-locates rows that are close
+in a multi-dimensional key space into the same file, so per-file
+zone maps (min/max per column) become selective for predicates on ANY
+of the interleaved dimensions, not just the leading sort key. This
+module computes exactly that artifact: the per-cell zone-map table
+(row count + min/max of each dimension per Z-cell), i.e. the pruning
+statistics a Z-ordered rewrite of ``lineitem`` on
+``(l_partkey, l_suppkey)`` would produce, one cell per output file.
+
+Scale shape (two passes, both cheap):
+
+1. **Domain probe** — one ``Max`` aggregate per dimension (a
+   column-pruned scan; at production scale this comes free from the
+   Parquet/Lance footer statistics instead).
+2. **Zone-map build** — per-batch vectorized grid-normalize +
+   bit-interleave (numpy magic-mask spreading, no Python loop), then a
+   per-batch partial aggregate so the single ``groupby(cell)``
+   exchange carries at most ``cells × blocks`` fixed-width rows —
+   never lineitems. With ``CELL_BITS = 5`` per dimension that is a
+   1,024-cell table regardless of input size.
+
+The actual rewrite step is the engine's existing ordered
+``resumable_write`` sink keyed by ``zval`` — this query surfaces the
+deterministic, oracle-checkable part (the layout statistics), which is
+also what an operator would inspect to decide whether a rewrite pays.
+
+Reference parity: the reference engine (a single-machine PDF-form
+parser, ``/root/reference``) has no storage layer; this is an engine
+addition for the 100 TB lakehouse surface (SURVEY.md §2.11
+extensions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_BITS = 16  # per-dimension grid resolution (2^16 cells per axis)
+_CELL_BITS = 5  # top bits per dimension that define a layout cell
+_CELL_SHIFT = 2 * (_BITS - _CELL_BITS)  # zval >> 22 → 10-bit cell id
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    from ..io.sources import read_parquet_clean, sized_blocks
+
+    path = f"{sf_dir}/{table}.parquet"
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=sized_blocks(path)
+    )
+
+
+def _spread16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of ``v`` onto the even bit positions of
+    a 32-bit lane (classic Morton magic masks) — fully vectorized."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def morton16(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Interleave two 16-bit grid coordinates into the 32-bit Morton
+    (Z-order) value; ``gx`` occupies even bits, ``gy`` odd bits."""
+    return (_spread16(gx) | (_spread16(gy) << np.uint64(1))).astype(np.int64)
+
+
+def q_zorder_layout(sf_dir: str):
+    """Zone-map table of a Z-ordered layout of ``lineitem`` on
+    ``(l_partkey, l_suppkey)``: one row per Z-cell with the row count
+    and per-dimension min/max — the statistics that make multi-column
+    predicate pruning work after a ZORDER rewrite.
+
+    Grid-normalize each key to 16 bits via
+    ``g = (key << 16) // (max_key + 1)`` (exact integer scaling so the
+    SQL oracle replays it bit-for-bit), interleave with magic-mask
+    spreading, and take the top ``2 × 5`` interleaved bits as the cell
+    id. Output columns: ``cell, n_rows, min_partkey, max_partkey,
+    min_suppkey, max_suppkey``."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    mx = ds.aggregate(Max("l_partkey"), Max("l_suppkey"))
+    max_pk = int(mx["max(l_partkey)"])
+    max_sk = int(mx["max(l_suppkey)"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = (pk << _BITS) // (max_pk + 1)
+        gy = (sk << _BITS) // (max_sk + 1)
+        cell = morton16(gx, gy) >> _CELL_SHIFT
+        df = pd.DataFrame({"cell": cell, "pk": pk, "sk": sk})
+        agg = df.groupby("cell", sort=False).agg(
+            n_rows=("pk", "size"),
+            min_partkey=("pk", "min"),
+            max_partkey=("pk", "max"),
+            min_suppkey=("sk", "min"),
+            max_suppkey=("sk", "max"),
+        )
+        agg = agg.reset_index()
+        return pa.table(
+            {
+                c: pa.array(agg[c].to_numpy(dtype=np.int64), pa.int64())
+                for c in agg.columns
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("cell")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Min("min_partkey", alias_name="min_partkey"),
+            Max("max_partkey", alias_name="max_partkey"),
+            Min("min_suppkey", alias_name="min_suppkey"),
+            Max("max_suppkey", alias_name="max_suppkey"),
+        )
+    )
+
+
+# The bit interleave as pure integer SQL: positive disjoint summands,
+# so `+` equals `|`; `//` on non-negatives matches numpy's shifts.
+_ZEXPR = " + ".join(
+    f"(((gx >> {i}) & 1) << {2 * i}) + (((gy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_BITS)
+)
+
+_SQL_ZORDER = f"""
+WITH mx AS (SELECT CAST(MAX(l_partkey) AS BIGINT) AS mp,
+                   CAST(MAX(l_suppkey) AS BIGINT) AS ms
+            FROM lineitem),
+g AS (SELECT l_partkey, l_suppkey,
+             (l_partkey * {1 << _BITS}) // (mp + 1) AS gx,
+             (l_suppkey * {1 << _BITS}) // (ms + 1) AS gy
+      FROM lineitem, mx),
+z AS (SELECT l_partkey, l_suppkey, ({_ZEXPR}) AS zval FROM g)
+SELECT CAST(zval // {1 << _CELL_SHIFT} AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_partkey,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_partkey,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_suppkey,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_suppkey
+FROM z
+GROUP BY 1
+"""
+
+
+QUERIES = {"zorder_layout": q_zorder_layout}
+
+ORACLE_SQL = {"zorder_layout": _SQL_ZORDER}
