@@ -55,6 +55,30 @@ def _read(sf_dir: str, table: str, columns: list[str]):
     )
 
 
+def _footer_max(path: str, columns: list[str]) -> list[int] | None:
+    """Exact per-column max from the Parquet footer (row-group
+    statistics), no data scan — the production domain probe (Lance
+    fragments carry the same stats). Integer column statistics are
+    exact by the format spec; returns ``None`` if any statistic is
+    absent so the caller can fall back to a real aggregate."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    maxes: list[int] = []
+    for name in columns:
+        best = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[name]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            best = st.max if best is None else max(best, st.max)
+        if best is None:
+            return None
+        maxes.append(int(best))
+    return maxes
+
+
 def _spread16(v: np.ndarray) -> np.ndarray:
     """Spread the low 16 bits of ``v`` onto the even bit positions of
     a 32-bit lane (classic Morton magic masks) — fully vectorized."""
@@ -88,9 +112,15 @@ def q_zorder_layout(sf_dir: str):
     from ray.data.aggregate import Max, Min, Sum
 
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-    mx = ds.aggregate(Max("l_partkey"), Max("l_suppkey"))
-    max_pk = int(mx["max(l_partkey)"])
-    max_sk = int(mx["max(l_suppkey)"])
+    stats = _footer_max(
+        f"{sf_dir}/lineitem.parquet", ["l_partkey", "l_suppkey"]
+    )
+    if stats is not None:
+        max_pk, max_sk = stats
+    else:  # footer lacks statistics — pay one column-pruned scan
+        mx = ds.aggregate(Max("l_partkey"), Max("l_suppkey"))
+        max_pk = int(mx["max(l_partkey)"])
+        max_sk = int(mx["max(l_suppkey)"])
 
     def partial(batch: pa.Table) -> pa.Table:
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -115,6 +115,33 @@ def test_zorder_cells_prune_on_both_dimensions():
     assert sk_span < sk_dom / 4
 
 
+def test_zorder_footer_probe_and_scan_fallback(tmp_path):
+    """The footer fast path must agree with the scan fallback: a
+    lineitem file written WITHOUT statistics routes through the Max
+    aggregate and yields the identical zone-map table."""
+    import pyarrow.parquet as pqw
+
+    from pdf_parser_ray.stages.zorder import _footer_max, q_zorder_layout
+
+    src = f"{SF}/lineitem.parquet"
+    assert _footer_max(src, ["l_partkey", "l_suppkey"]) is not None
+    t = pq.read_table(src)
+    bare = tmp_path / "lineitem.parquet"
+    pqw.write_table(t, bare, write_statistics=False)
+    assert _footer_max(str(bare), ["l_partkey", "l_suppkey"]) is None
+
+    via_footer = (
+        q_zorder_layout(SF).to_pandas().sort_values("cell").reset_index(drop=True)
+    )
+    via_scan = (
+        q_zorder_layout(str(tmp_path))
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_footer, via_scan)
+
+
 # ---------------------------------------------------------------------------
 # Watermark split
 # ---------------------------------------------------------------------------
