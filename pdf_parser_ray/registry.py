@@ -37,6 +37,8 @@ _QUERY_MODULES = (
     "pdf_parser_ray.stages.dsir",
     "pdf_parser_ray.stages.zorder",
     "pdf_parser_ray.stages.watermark",
+    "pdf_parser_ray.stages.placement",
+    "pdf_parser_ray.relational.ranks",
     "pdf_parser_ray.pipelines.ingest",
     "pdf_parser_ray.stages.graph",
     "pdf_parser_ray.relational.analytics",

@@ -1,0 +1,106 @@
+"""Tests for the global-rank materialization and the rendezvous
+placement churn matrix."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    yield
+
+
+def test_global_rank_matches_pandas_replay():
+    from pdf_parser_ray.relational.ranks import q_global_rank
+
+    got = (
+        q_global_rank(SF)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    cents = np.rint(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    want = (
+        pd.DataFrame({"o_orderkey": orders["o_orderkey"].astype(np.int64),
+                      "cents": cents})
+        .sort_values(["cents", "o_orderkey"], ascending=[False, True],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = len(want)
+    want["rank"] = np.arange(1, n + 1, dtype=np.int64)
+    want["pct_ppm"] = want["rank"].to_numpy() * 1_000_000 // n
+    pd.testing.assert_frame_equal(got, want)
+    # rank must be a dense bijection 1..n regardless of bucket skew
+    assert got["rank"].min() == 1 and got["rank"].max() == n
+    assert got["rank"].is_unique
+
+
+def test_global_rank_bucket_count_invariance():
+    """The two-level scan must not depend on the bucket fan-out."""
+    from pdf_parser_ray.relational.ranks import q_global_rank
+
+    a = q_global_rank(SF, n_buckets=7).to_pandas().sort_values("rank")
+    b = q_global_rank(SF, n_buckets=512).to_pandas().sort_values("rank")
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_rendezvous_moves_only_to_new_node():
+    """The rendezvous guarantee: growing the ring N→N+1 only ever
+    moves keys TO the new node — the relative contest among surviving
+    nodes is unchanged. Every off-diagonal cell must therefore have
+    owner_after == the new node id."""
+    from pdf_parser_ray.stages.placement import q_rendezvous_moves
+
+    got = q_rendezvous_moves(SF).to_pandas()
+    moved = got[got["owner_before"] != got["owner_after"]]
+    assert (moved["owner_after"] == 8).all()
+    # and the churn is near the ideal 1/9, far below mod-hash's 8/9
+    frac = moved["n_keys"].sum() / got["n_keys"].sum()
+    assert 0.05 < frac < 0.2
+
+
+def test_rendezvous_matches_driver_replay_and_balances():
+    from pdf_parser_ray.stages.placement import _owner, q_rendezvous_moves
+
+    got = (
+        q_rendezvous_moves(SF)
+        .to_pandas()
+        .sort_values(["owner_before", "owner_after"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    keys = (
+        pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey"])
+        .to_pandas()["o_orderkey"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    before, after = _owner(keys, 8), _owner(keys, 9)
+    want = (
+        pd.DataFrame({"owner_before": before, "owner_after": after})
+        .value_counts()
+        .rename("n_keys")
+        .reset_index()
+        .sort_values(["owner_before", "owner_after"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # per-node load within 3x of uniform even at this tiny scale
+    load8 = got.groupby("owner_before")["n_keys"].sum()
+    assert len(load8) == 8
+    assert load8.max() < 3 * load8.min()

@@ -56,6 +56,11 @@ def main() -> None:
     from pdf_parser_ray.stages.tiereval import q_tier_eval
     from pdf_parser_ray.stages.dsir import q_ccnet_buckets, q_dsir_weights
     from pdf_parser_ray.relational.analytics2 import q_trimmed_mean_price
+    from pdf_parser_ray.stages.zorder import q_zorder_layout
+    from pdf_parser_ray.stages.watermark import q_watermark_split
+    from pdf_parser_ray.stages.textstats import q_source_js_divergence
+    from pdf_parser_ray.relational.ranks import q_global_rank
+    from pdf_parser_ray.stages.placement import q_rendezvous_moves
 
     targets = {
         "extract_spans": lambda sf: flagship(sf),
@@ -91,6 +96,16 @@ def main() -> None:
         "dsir_weights": q_dsir_weights,
         "ccnet_buckets": q_ccnet_buckets,
         "trimmed_mean_price": q_trimmed_mean_price,
+        # final round-5 trio + rank/placement: zorder and global_rank
+        # must show NO scan for their domain probe (footer stats) —
+        # one bounded-cell / bucket Sort each; watermark two passes
+        # with day/hour-grain exchanges; JSD one term Sort; rendezvous
+        # a single fused read→map chain + one cell Sort
+        "zorder_layout": q_zorder_layout,
+        "watermark_split": q_watermark_split,
+        "source_js_divergence": q_source_js_divergence,
+        "global_rank": q_global_rank,
+        "rendezvous_moves": q_rendezvous_moves,
     }
 
     report = {"sf": SF_DIR, "queries": {}}
