@@ -1010,7 +1010,87 @@ WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 6)
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (priority sampling)
+# ---------------------------------------------------------------------------
+
+_PPS_K = 200
+_PPS_SHIFT = 20  # priority = (h40 << 20) // weight stays far inside int64
+
+
+def q_weighted_sample(sf_dir: str, k: int = _PPS_K):
+    """Size-weighted sample WITHOUT replacement: the ``k`` documents
+    with the smallest priority ``⌊(h · 2²⁰) / n_chars⌋`` where ``h``
+    is a 40-bit id hash — Duffield–Lund–Thorup priority sampling with
+    the uniform replaced by the engine's deterministic md5 stream, so
+    membership is reproducible run-to-run and cluster-size-invariant
+    (the property true reservoir sampling lacks). Inclusion odds rise
+    with ``n_chars``: the token-budget-aware way to thin a corpus
+    (long docs carry more tokens, so dropping them distorts the mix
+    more — complements :func:`q_temperature_mix`'s per-LANGUAGE
+    reweighting at the per-DOCUMENT grain).
+
+    Exactness: ``h`` (40 bits) shifted 20 stays < 2⁶⁰ before the
+    integer division, so numpy-side and DuckDB-side priorities are the
+    same int64; ties (same floored priority) break by doc_id on both
+    sides. Scale shape: one streaming pass emits each block's LOCAL
+    top-k (the global winners are a subset of the per-block winners),
+    then one ``sort().limit(k)`` over the ≤ k·blocks candidate rows —
+    the exchange never carries the corpus."""
+    import hashlib
+
+    from ..io.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(
+            batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64), 1
+        )
+        h = np.array(
+            [
+                int(hashlib.md5(f"pps:{i}".encode()).hexdigest()[:10], 16)
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        pri = (h << _PPS_SHIFT) // w
+        df = (
+            pd.DataFrame({"doc_id": ids, "n_chars": w, "pri": pri})
+            .sort_values(["pri", "doc_id"], kind="mergesort")
+            .head(k)
+        )
+        return pa.table(
+            {
+                c: pa.array(df[c].to_numpy(dtype=np.int64), pa.int64())
+                for c in ("doc_id", "n_chars", "pri")
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+        .sort(["pri", "doc_id"])
+        .limit(k)
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id,
+       CAST(GREATEST(n_chars, 1) AS BIGINT) AS n_chars,
+       (CAST('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 10)
+             AS BIGINT) * {1 << _PPS_SHIFT})
+           // CAST(GREATEST(n_chars, 1) AS BIGINT) AS pri
+FROM documents
+ORDER BY pri, doc_id
+LIMIT {_PPS_K}
+"""
+
+
 QUERIES = {
+    "weighted_sample": q_weighted_sample,
     "doc_chunks": q_doc_chunks,
     "segment_dedup": q_segment_dedup,
     "substring_dedup": q_substring_dedup,
@@ -1023,6 +1103,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "weighted_sample": _SQL_WEIGHTED_SAMPLE,
     "doc_chunks": _SQL_DOC_CHUNKS,
     "segment_dedup": _SQL_SEGMENT_DEDUP,
     "substring_dedup": _SQL_SUBSTRING_DEDUP,

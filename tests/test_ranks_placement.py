@@ -104,3 +104,47 @@ def test_rendezvous_matches_driver_replay_and_balances():
     load8 = got.groupby("owner_before")["n_keys"].sum()
     assert len(load8) == 8
     assert load8.max() < 3 * load8.min()
+
+
+def test_weighted_sample_replay_and_pps_property():
+    """Priority sampling: engine output equals the driver-side global
+    replay (pinning the local-top-k prune), and inclusion is
+    size-biased — the sampled docs' mean n_chars exceeds the corpus
+    mean (the point of weighting by size)."""
+    import hashlib
+
+    from pdf_parser_ray.stages.corpus import _PPS_SHIFT, q_weighted_sample
+
+    got = (
+        q_weighted_sample(SF)
+        .to_pandas()
+        .sort_values(["pri", "doc_id"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas()
+    w = np.maximum(docs["n_chars"].to_numpy(dtype=np.int64), 1)
+    h = np.array(
+        [
+            int(hashlib.md5(f"pps:{i}".encode()).hexdigest()[:10], 16)
+            for i in docs["doc_id"]
+        ],
+        dtype=np.int64,
+    )
+    want = (
+        pd.DataFrame(
+            {
+                "doc_id": docs["doc_id"].astype(np.int64),
+                "n_chars": w,
+                "pri": (h << _PPS_SHIFT) // w,
+            }
+        )
+        .sort_values(["pri", "doc_id"], kind="mergesort")
+        .head(200)
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_chars"].mean() > docs["n_chars"].mean()
