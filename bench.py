@@ -64,6 +64,12 @@ def _bench_queries():
     from pdf_parser_ray.stages.textstats import q_lm_doc_nll, q_token_count
     from pdf_parser_ray.stages.tieragree import q_tier_agreement
     from pdf_parser_ray.stages.dsir import q_ccnet_buckets, q_dsir_weights
+    from pdf_parser_ray.stages.zorder import q_zorder_layout
+    from pdf_parser_ray.stages.watermark import q_watermark_split
+    from pdf_parser_ray.stages.textstats import q_source_js_divergence
+    from pdf_parser_ray.relational.ranks import q_global_rank
+    from pdf_parser_ray.stages.placement import q_rendezvous_moves
+    from pdf_parser_ray.stages.corpus import q_weighted_sample
 
     return {
         "pricing_summary": q_pricing_summary,
@@ -106,6 +112,15 @@ def _bench_queries():
         # perplexity thirds (LM score pass + one lang exchange)
         "dsir_weights": q_dsir_weights,
         "ccnet_buckets": q_ccnet_buckets,
+        # final round-5 additions: layout/placement/streaming/sampling
+        # primitives — steady states in BASELINE.md "Final round-5
+        # additions"
+        "zorder_layout": q_zorder_layout,
+        "watermark_split": q_watermark_split,
+        "source_js_divergence": q_source_js_divergence,
+        "global_rank": q_global_rank,
+        "rendezvous_moves": q_rendezvous_moves,
+        "weighted_sample": q_weighted_sample,
     }
 
 
