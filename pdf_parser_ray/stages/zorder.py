@@ -184,6 +184,119 @@ GROUP BY 1
 """
 
 
-QUERIES = {"zorder_layout": q_zorder_layout}
+def q_zorder_prune_stats(sf_dir: str):
+    """Pruning effectiveness of the Z-ordered layout: for a uniformly
+    random point predicate on EACH dimension, the expected number of
+    cells a zone-map-pruned scan must read is
+    ``Σ_cells (max_d − min_d + 1) / |domain_d|`` — the sum of each
+    cell's chance of covering the probe value. Emitted per dimension
+    in exact ppm of the total cell count (``expected_cells_ppm =
+    Σ_cells ⌊(span·10⁶)/domain⌋ // n_cells``, every step integer so
+    the oracle replays it bit-for-bit), alongside the cell and row
+    counts. This single table is the evidence a ZORDER rewrite pays:
+    BOTH dimensions land far below 10⁶ ppm, where a single-column sort
+    leaves the non-leading dimension at ~10⁶ (every cell spans the
+    full domain).
 
-ORACLE_SQL = {"zorder_layout": _SQL_ZORDER}
+    Plan: one bounded fold over :func:`q_zorder_layout`'s ≤1,024-cell
+    output (per-batch integer partials → a 2-row read-off); the SQL
+    twin composes the full zorder layout query as a CTE (the house
+    oracle-composition pattern)."""
+    from ray.data.aggregate import Sum
+
+    cells = q_zorder_layout(sf_dir)
+    stats = _footer_max(
+        f"{sf_dir}/lineitem.parquet", ["l_partkey", "l_suppkey"]
+    )
+    if stats is not None:
+        max_pk, max_sk = stats
+    else:  # pragma: no cover - fixture footers always carry stats
+        from ray.data.aggregate import Max
+
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        mx = li.aggregate(Max("l_partkey"), Max("l_suppkey"))
+        max_pk, max_sk = int(mx["max(l_partkey)"]), int(mx["max(l_suppkey)"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        rows = batch["n_rows"].to_numpy(zero_copy_only=False)
+        out = []
+        for dim, lo, hi, dom in (
+            ("l_partkey", "min_partkey", "max_partkey", max_pk),
+            ("l_suppkey", "min_suppkey", "max_suppkey", max_sk),
+        ):
+            span = (
+                batch[hi].to_numpy(zero_copy_only=False)
+                - batch[lo].to_numpy(zero_copy_only=False)
+                + 1
+            )
+            out.append(
+                (dim, int((span * 1_000_000 // dom).sum()), n, int(rows.sum()))
+            )
+        return pa.table(
+            {
+                "dim": pa.array([r[0] for r in out], pa.string()),
+                "cover_ppm_sum": pa.array([r[1] for r in out], pa.int64()),
+                "n_cells": pa.array([r[2] for r in out], pa.int64()),
+                "n_rows": pa.array([r[3] for r in out], pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cover = batch["cover_ppm_sum"].to_numpy(zero_copy_only=False)
+        nc = batch["n_cells"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dim": batch["dim"],
+                "n_cells": batch["n_cells"],
+                "n_rows": batch["n_rows"],
+                "expected_cells_ppm": pa.array(cover // nc, pa.int64()),
+            }
+        )
+
+    return (
+        cells.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("dim")
+        .aggregate(
+            Sum("cover_ppm_sum", alias_name="cover_ppm_sum"),
+            Sum("n_cells", alias_name="n_cells"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+        .select_columns(["dim", "n_cells", "n_rows", "expected_cells_ppm"])
+    )
+
+
+_SQL_PRUNE = f"""
+WITH cells AS ({_SQL_ZORDER}),
+mx AS (SELECT CAST(MAX(l_partkey) AS BIGINT) AS mp,
+              CAST(MAX(l_suppkey) AS BIGINT) AS ms
+       FROM lineitem),
+d AS (SELECT 'l_partkey' AS dim,
+             CAST(SUM((max_partkey - min_partkey + 1) * 1000000 // mp)
+                  AS BIGINT) AS cover_ppm_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(n_rows) AS BIGINT) AS n_rows
+      FROM cells, mx GROUP BY mp
+      UNION ALL
+      SELECT 'l_suppkey' AS dim,
+             CAST(SUM((max_suppkey - min_suppkey + 1) * 1000000 // ms)
+                  AS BIGINT) AS cover_ppm_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(n_rows) AS BIGINT) AS n_rows
+      FROM cells, mx GROUP BY ms)
+SELECT dim, n_cells, n_rows,
+       CAST(cover_ppm_sum // n_cells AS BIGINT) AS expected_cells_ppm
+FROM d
+"""
+
+
+QUERIES = {
+    "zorder_layout": q_zorder_layout,
+    "zorder_prune_stats": q_zorder_prune_stats,
+}
+
+ORACLE_SQL = {
+    "zorder_layout": _SQL_ZORDER,
+    "zorder_prune_stats": _SQL_PRUNE,
+}

@@ -35,11 +35,11 @@ def test_every_query_returns_rows_and_schema():
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    # lock the round-5 coverage floor: 219 queries, ≥214 oracled —
+    # lock the round-5 coverage floor: 220 queries, ≥215 oracled —
     # a registration regression (lost import, dropped dict entry)
     # must fail loudly here, not silently shrink the driver surface
-    assert len(queries) >= 219
-    assert len(oracles) >= 214
+    assert len(queries) >= 220
+    assert len(oracles) >= 215
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
     failures = []

@@ -275,3 +275,44 @@ def test_source_js_divergence_matches_replay_and_bounds():
     assert (jsd > -1e-4).all()
     assert (jsd < np.log(2) + 1e-4).all()
     assert len(got) == len(sources) * (len(sources) - 1) // 2
+
+
+def test_zorder_prune_stats_replay_and_effectiveness():
+    """The zone maps must actually prune: expected cells scanned for a
+    uniform point predicate lands far below 10^6 ppm on BOTH
+    dimensions (the multi-column payoff a single-column sort cannot
+    give), and the engine fold equals a driver-side replay over the
+    layout table."""
+    from pdf_parser_ray.stages.zorder import (
+        q_zorder_layout,
+        q_zorder_prune_stats,
+    )
+
+    got = (
+        q_zorder_prune_stats(SF)
+        .to_pandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    cells = q_zorder_layout(SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).to_pandas()
+    rows = []
+    for dim, lo, hi, dom in (
+        ("l_partkey", "min_partkey", "max_partkey", li["l_partkey"].max()),
+        ("l_suppkey", "min_suppkey", "max_suppkey", li["l_suppkey"].max()),
+    ):
+        span = (cells[hi] - cells[lo] + 1).to_numpy(dtype=np.int64)
+        cover = int((span * 1_000_000 // int(dom)).sum())
+        rows.append((dim, len(cells), int(cells["n_rows"].sum()),
+                     cover // len(cells)))
+    want = pd.DataFrame(
+        rows, columns=["dim", "n_cells", "n_rows", "expected_cells_ppm"]
+    )
+    got["n_cells"] = got["n_cells"].astype(np.int64)
+    got["n_rows"] = got["n_rows"].astype(np.int64)
+    got["expected_cells_ppm"] = got["expected_cells_ppm"].astype(np.int64)
+    want = want.astype({c: np.int64 for c in want.columns if c != "dim"})
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["expected_cells_ppm"] < 250_000).all()
