@@ -136,3 +136,13 @@ def write_corpus(ds, path: str, min_rows_per_file: int | None = None):
     if min_rows_per_file is not None:
         kwargs["min_rows_per_file"] = min_rows_per_file
     return ds.write_parquet(path, **kwargs)
+
+
+def read_table(sf_dir: str, table: str, columns: list[str] | None = None):
+    """The ONE spelling of "read a fixture table with footer-sized
+    blocks" — every operator module's table read routes here so block
+    sizing / read cleaning changes land in one place."""
+    path = f"{sf_dir}/{table}.parquet"
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=sized_blocks(path)
+    )

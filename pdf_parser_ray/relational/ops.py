@@ -33,12 +33,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    from ..io.sources import read_parquet_clean, sized_blocks
+    from ..io.sources import read_table
 
-    path = f"{sf_dir}/{table}.parquet"
-    return read_parquet_clean(
-        path, columns=columns, override_num_blocks=sized_blocks(path)
-    )
+    return read_table(sf_dir, table, columns)
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:

@@ -39,13 +39,10 @@ import pyarrow as pa
 _B = 256  # value-range buckets; widen at scale to bound bucket size
 
 
-def _read(sf_dir: str, table: str, columns: list[str]):
-    from ..io.sources import read_parquet_clean, sized_blocks
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    from ..io.sources import read_table
 
-    path = f"{sf_dir}/{table}.parquet"
-    return read_parquet_clean(
-        path, columns=columns, override_num_blocks=sized_blocks(path)
-    )
+    return read_table(sf_dir, table, columns)
 
 
 def q_global_rank(sf_dir: str, n_buckets: int = _B):
@@ -64,7 +61,11 @@ def q_global_rank(sf_dir: str, n_buckets: int = _B):
 
     stats = _footer_max(f"{sf_dir}/orders.parquet", ["o_totalprice"])
     if stats is not None:
-        max_cents = int(round(stats[0] * 100))
+        # ceil: the double footer max times 100 must never UNDERSTATE
+        # the true max cents, or top rows fall off the bucket range
+        import math
+
+        max_cents = int(math.ceil(stats[0] * 100))
     else:  # pragma: no cover - fixture footers always carry stats
         max_cents = int(round(float(ds.max("o_totalprice")) * 100))
 
@@ -85,27 +86,20 @@ def q_global_rank(sf_dir: str, n_buckets: int = _B):
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
 
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            b["bucket"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(vals.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
     hist = (
         prepped.map_batches(
-            lambda b: pa.table(
-                {
-                    "bucket": pa.array(
-                        np.unique(
-                            b["bucket"].to_numpy(zero_copy_only=False)
-                        ),
-                        pa.int64(),
-                    ),
-                    "n": pa.array(
-                        np.unique(
-                            b["bucket"].to_numpy(zero_copy_only=False),
-                            return_counts=True,
-                        )[1].astype(np.int64),
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
+            bucket_counts, batch_format="pyarrow", batch_size=None
         )
         .groupby("bucket")
         .aggregate(Sum("n", alias_name="n"))

@@ -30,13 +30,10 @@ BASE = 150_000      # (1 − 0.85) in micro-units
 R0 = 1_000_000      # initial rank: 1.0 per node (unnormalised)
 
 
-def _read(sf_dir: str, table: str, columns: list[str]):
-    from ..io.sources import read_parquet_clean, sized_blocks
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    from ..io.sources import read_table
 
-    path = f"{sf_dir}/{table}.parquet"
-    return read_parquet_clean(
-        path, columns=columns, override_num_blocks=sized_blocks(path)
-    )
+    return read_table(sf_dir, table, columns)
 
 
 def q_purchase_pagerank(sf_dir: str, n_buckets: int = 16):

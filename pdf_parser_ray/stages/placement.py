@@ -52,13 +52,10 @@ def _salts(node: int) -> tuple[int, int]:
     )
 
 
-def _read(sf_dir: str, table: str, columns: list[str]):
-    from ..io.sources import read_parquet_clean, sized_blocks
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    from ..io.sources import read_table
 
-    path = f"{sf_dir}/{table}.parquet"
-    return read_parquet_clean(
-        path, columns=columns, override_num_blocks=sized_blocks(path)
-    )
+    return read_table(sf_dir, table, columns)
 
 
 def _owner(keys: np.ndarray, n_nodes: int) -> np.ndarray:

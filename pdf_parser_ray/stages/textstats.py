@@ -2551,10 +2551,32 @@ def q_source_js_divergence(sf_dir: str, n_buckets: int = 32):
             }
         )
 
+    def src_token_counts(batch: pa.Table) -> pa.Table:
+        # totals need only the per-source token COUNT — no term
+        # materialization, no crc32 bucketing (the tf pass runs once,
+        # in the pair phase below)
+        toks = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        src = batch["source"].to_pandas().to_numpy()
+        agg = (
+            pd.DataFrame({"source": src[parent[nonempty]]})
+            .groupby("source", sort=False)
+            .size()
+            .reset_index(name="t")
+        )
+        return pa.table(
+            {
+                "source": pa.array(agg["source"].tolist(), pa.string()),
+                "t": pa.array(agg["t"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
     totals_df = (
-        ds.map_batches(tf_src, batch_format="pyarrow", batch_size=None)
+        ds.map_batches(src_token_counts, batch_format="pyarrow", batch_size=None)
         .groupby("source")
-        .aggregate(Sum("tf", alias_name="t"))
+        .aggregate(Sum("t", alias_name="t"))
         .to_pandas()  # bounded: one row per source
         .sort_values("source")
     )

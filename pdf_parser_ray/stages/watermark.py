@@ -58,18 +58,19 @@ _HOUR_US = 3_600_000_000
 _NEG_INF = -(1 << 62)  # carry-in for the first arrival day
 
 
-def _read(sf_dir: str, table: str, columns: list[str]):
-    from ..io.sources import read_parquet_clean, sized_blocks
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    from ..io.sources import read_table
 
-    path = f"{sf_dir}/{table}.parquet"
-    return read_parquet_clean(
-        path, columns=columns, override_num_blocks=sized_blocks(path)
-    )
+    return read_table(sf_dir, table, columns)
 
 
 def _cents(arr) -> pa.Array:
-    np_arr = arr.to_numpy(zero_copy_only=False)
-    return pa.array(np.rint(np_arr * 100).astype(np.int64))
+    # half-away-from-zero, not np.rint: events.value is an ARBITRARY
+    # double (unlike 2-decimal money), so DuckDB ROUND's .5 boundary
+    # is reachable and banker's rounding would diverge from the oracle
+    # (same hazard documented at relational/ops.py latest_bucket)
+    v = arr.to_numpy(zero_copy_only=False) * 100.0
+    return pa.array((np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64))
 
 
 def _prep(batch: pa.Table) -> pa.Table:

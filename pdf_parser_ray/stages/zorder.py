@@ -46,26 +46,26 @@ _CELL_BITS = 5  # top bits per dimension that define a layout cell
 _CELL_SHIFT = 2 * (_BITS - _CELL_BITS)  # zval >> 22 → 10-bit cell id
 
 
-def _read(sf_dir: str, table: str, columns: list[str]):
-    from ..io.sources import read_parquet_clean, sized_blocks
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    from ..io.sources import read_table
 
-    path = f"{sf_dir}/{table}.parquet"
-    return read_parquet_clean(
-        path, columns=columns, override_num_blocks=sized_blocks(path)
-    )
+    return read_table(sf_dir, table, columns)
 
 
-def _footer_max(path: str, columns: list[str]) -> list[int] | None:
+def _footer_max(path: str, columns: list[str]) -> list | None:
     """Exact per-column max from the Parquet footer (row-group
     statistics), no data scan — the production domain probe (Lance
-    fragments carry the same stats). Integer column statistics are
-    exact by the format spec; returns ``None`` if any statistic is
-    absent so the caller can fall back to a real aggregate."""
+    fragments carry the same stats). Numeric column statistics are
+    exact by the format spec and returned UNCONVERTED (int columns
+    yield ints, double columns doubles — callers own the rounding
+    direction; truncating a double max here would understate the
+    domain). Returns ``None`` if any statistic is absent so the
+    caller can fall back to a real aggregate."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    maxes: list[int] = []
+    maxes: list = []
     for name in columns:
         best = None
         for rg in range(md.num_row_groups):
@@ -75,7 +75,7 @@ def _footer_max(path: str, columns: list[str]) -> list[int] | None:
             best = st.max if best is None else max(best, st.max)
         if best is None:
             return None
-        maxes.append(int(best))
+        maxes.append(best)
     return maxes
 
 
@@ -116,7 +116,7 @@ def q_zorder_layout(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", ["l_partkey", "l_suppkey"]
     )
     if stats is not None:
-        max_pk, max_sk = stats
+        max_pk, max_sk = int(stats[0]), int(stats[1])  # int columns
     else:  # footer lacks statistics — pay one column-pruned scan
         mx = ds.aggregate(Max("l_partkey"), Max("l_suppkey"))
         max_pk = int(mx["max(l_partkey)"])
@@ -209,7 +209,7 @@ def q_zorder_prune_stats(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", ["l_partkey", "l_suppkey"]
     )
     if stats is not None:
-        max_pk, max_sk = stats
+        max_pk, max_sk = int(stats[0]), int(stats[1])  # int columns
     else:  # pragma: no cover - fixture footers always carry stats
         from ray.data.aggregate import Max
 

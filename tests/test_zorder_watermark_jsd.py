@@ -153,9 +153,8 @@ def _watermark_replay(lateness_us: int) -> pd.DataFrame:
     t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "ts", "value"])
     us = pc.cast(t["ts"], "int64").to_numpy(zero_copy_only=False)
     ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cents = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
-        np.int64
-    )
+    v = t["value"].to_numpy(zero_copy_only=False) * 100.0
+    cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
     df = pd.DataFrame(
         {"arr": us + (ids * _HASH_MULT) % _HASH_MOD, "id": ids, "us": us,
          "cents": cents}
