@@ -76,10 +76,19 @@ def resumable_write(
     fail_on: Callable[[int], bool] | None = None,
     verify_fingerprints: bool = False,
     allow_empty_input: bool = False,
+    partition_col: str | None = None,
 ) -> dict:
     """Write ``ds`` to a resumable partitioned layout.
 
-    Rows route to ``md5(key) % n_partitions``; partitions already
+    Rows route to ``md5(key) % n_partitions`` — or, when
+    ``partition_col`` names an int column already on the dataset, to
+    that value directly (must lie in ``[0, n_partitions)``): the
+    RANGE-routing mode a layout-clustering rewrite needs, where
+    contiguous key ranges must land in the same file so its zone maps
+    stay tight (hash routing would scatter them). All
+    resume/kill/fingerprint semantics are identical in both modes.
+
+    Partitions already
     bearing a manifest are filtered out *before* the shuffle, so a
     resumed run reprocesses only missing partitions. ``fail_on`` is a
     test hook: raise inside the writer for chosen partitions to
@@ -116,7 +125,10 @@ def resumable_write(
     done = done_partitions(out_dir)
 
     def add_partition(batch: pa.Table) -> pa.Table:
-        parts = _partition_of(batch[key].to_pylist(), n_partitions)
+        if partition_col is not None:
+            parts = [int(p) for p in batch[partition_col].to_pylist()]
+        else:
+            parts = _partition_of(batch[key].to_pylist(), n_partitions)
         batch = batch.append_column("_part", pa.array(parts, pa.int32()))
         if done and not verify_fingerprints:
             import numpy as np
