@@ -70,6 +70,11 @@ def _bench_queries():
     from pdf_parser_ray.relational.ranks import q_global_rank
     from pdf_parser_ray.stages.placement import q_rendezvous_moves
     from pdf_parser_ray.stages.corpus import q_weighted_sample
+    from pdf_parser_ray.relational.analytics3 import (
+        q_user_active_time,
+        q_geo_mean_price,
+    )
+    from pdf_parser_ray.stages.dedup import q_containment_dup_pairs
 
     return {
         "pricing_summary": q_pricing_summary,
@@ -121,6 +126,12 @@ def _bench_queries():
         "global_rank": q_global_rank,
         "rendezvous_moves": q_rendezvous_moves,
         "weighted_sample": q_weighted_sample,
+        # session-2 additions: the interval-union coverage exchange,
+        # the shared-ln grouped geometric mean, and the asymmetric
+        # containment join (three gram-family exchanges)
+        "user_active_time": q_user_active_time,
+        "geo_mean_price": q_geo_mean_price,
+        "containment_dup_pairs": q_containment_dup_pairs,
     }
 
 

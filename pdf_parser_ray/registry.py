@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "pdf_parser_ray.stages.graph",
     "pdf_parser_ray.relational.analytics",
     "pdf_parser_ray.relational.analytics2",
+    "pdf_parser_ray.relational.analytics3",
 )
 
 

@@ -1491,6 +1491,180 @@ FROM shfinal a JOIN shfinal b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment join (sub-document duplication)
+# ---------------------------------------------------------------------------
+
+# Containment threshold as an exact rational (4/5) — float 0.8 is not
+# exactly representable, so both sides compare with these integers.
+_CONTAIN_NUM, _CONTAIN_DEN = 4, 5
+
+
+def _containment_gram_rows(n_buckets: int = 32, k: int = 3):
+    """doc → one ``(gram_bucket, gram, doc_id, n_grams, in_prefix)``
+    row per gram (ALL grams, not just the prefix): asymmetric
+    containment needs the full inverted index on the CONTAINING side,
+    while the prefix-filtering lemma applies only on the CONTAINED
+    side — ``in_prefix`` marks the rows eligible to SEED a directed
+    pair. Same (crc32, gram) global order as the Jaccard path. Empty
+    docs emit nothing (documented precondition: containment over
+    empty gram sets is excluded on both sides)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_bucket, out_gram, out_doc, out_n, out_pfx = [], [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            grams = sorted(
+                _gram_set(text, k), key=lambda g: (zlib.crc32(g.encode()), g)
+            )
+            n = len(grams)
+            if not n:
+                continue
+            # C(A→B) ≥ t ⇒ A shares ≥ ⌈t·n⌉ grams with B ⇒ at least
+            # one shared gram among A's first n − ⌈t·n⌉ + 1 grams.
+            pfx = n - (_CONTAIN_NUM * n + _CONTAIN_DEN - 1) // _CONTAIN_DEN + 1
+            for pos, g in enumerate(grams):
+                out_bucket.append(zlib.crc32(g.encode()) % n_buckets)
+                out_gram.append(g)
+                out_doc.append(doc_id)
+                out_n.append(n)
+                out_pfx.append(pos < pfx)
+        return pa.table(
+            {
+                "gram_bucket": pa.array(out_bucket, pa.int64()),
+                "gram": pa.array(out_gram, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "n_grams": pa.array(out_n, pa.int64()),
+                "in_prefix": pa.array(out_pfx, pa.bool_()),
+            }
+        )
+
+    return fn
+
+
+def _containment_pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-gram-bucket DIRECTED candidate pairs (contained → containing):
+    for each fine gram group, prefix-flagged rows seed pairs against
+    every row of the group; the length filter ``t·n_a ≤ n_b`` prunes at
+    pair time. Vectorized per group via broadcasted index grids; pair
+    keys dedup once per partition."""
+    codes, _ = pd.factorize(g["gram"], sort=False)
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    all_ids = g["doc_id"].to_numpy(dtype=np.int64)[order]
+    all_ns = g["n_grams"].to_numpy(dtype=np.int64)[order]
+    all_pfx = g["in_prefix"].to_numpy()[order]
+    bounds = np.flatnonzero(np.diff(codes)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(codes)]])
+    keys = []
+    for s, e in zip(starts, ends):
+        m = int(e - s)
+        if m < 2:
+            continue
+        ids = all_ids[s:e]
+        ns = all_ns[s:e]
+        seed = np.flatnonzero(all_pfx[s:e])
+        if not len(seed):
+            continue
+        # directed grid: contained index i (prefix rows) × containing j
+        i = np.repeat(seed, m)
+        j = np.tile(np.arange(m), len(seed))
+        keep = (ids[i] != ids[j]) & (
+            _CONTAIN_NUM * ns[i] <= _CONTAIN_DEN * ns[j]
+        )
+        keys.append((ids[i][keep] << np.int64(32)) | ids[j][keep])
+    if not keys:
+        return pd.DataFrame(
+            {
+                "doc_a": np.zeros(0, dtype=np.int64),
+                "doc_b": np.zeros(0, dtype=np.int64),
+            }
+        )
+    uniq = np.unique(np.concatenate(keys))
+    return pd.DataFrame(
+        {"doc_a": uniq >> np.int64(32), "doc_b": uniq & np.int64(0xFFFFFFFF)}
+    )
+
+
+def q_containment_dup_pairs(sf_dir: str):
+    """Asymmetric n-gram CONTAINMENT join: every directed pair
+    (contained, containing) with ``|grams(A) ∩ grams(B)| ≥ ⅘·|grams(A)|``
+    — the sub-document duplication detector symmetric Jaccard misses
+    by construction (a paragraph quoted inside a 100× larger page has
+    J ≈ 0.01 but containment ≈ 1; Broder's "roughly contained"
+    relation, the curation rule for quote-farms and scraped-into-
+    aggregator content).
+
+    Complete, not a sketch: candidates come from a prefix-filtered
+    inverted index where the prefix lemma is applied on the CONTAINED
+    side only (pigeonhole over ⌈t·|A|⌉ required shared grams) and the
+    containing side indexes ALL grams — every qualifying directed pair
+    shares a contained-prefix gram, then exact integer verification
+    (``|∩|·5 ≥ 4·|A|``) decides. Same three-exchange shape as the
+    Jaccard path: gram-bucket candidates → one-corpus-pass text
+    resolve (:func:`_resolve_pair_texts`) → vectorized verify. Empty
+    docs are excluded on both sides (precondition, mirrored in SQL).
+
+    Emits ``containment_micro = ⌊10⁶·|∩|/|A|⌋`` per surviving directed
+    pair — both directions appear when two docs mutually contain each
+    other (exact copies)."""
+    corpus = augmented_corpus(sf_dir)
+    rows = corpus.map_batches(
+        _containment_gram_rows(), batch_format="pyarrow", batch_size=None
+    )
+    cand = rows.groupby("gram_bucket").map_groups(
+        _containment_pairs_bucket, batch_format="pandas"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch["doc_a"].to_pylist()
+        db = batch["doc_b"].to_pylist()
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        keep_a, keep_b, keep_c = [], [], []
+        for x, y, sx, sy in zip(da, db, ta, tb):
+            sa, sb = _gram_set(sx), _gram_set(sy)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter * _CONTAIN_DEN >= _CONTAIN_NUM * len(sa):
+                keep_a.append(x)
+                keep_b.append(y)
+                keep_c.append(inter * 1_000_000 // len(sa))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "containment_micro": pa.array(keep_c, pa.int64()),
+            }
+        )
+
+    return _resolve_pair_texts(cand, corpus).map_batches(
+        verify, batch_format="pyarrow", batch_size=None
+    )
+
+
+# Directed containment pairs in pure SQL — the spec twin: same grams,
+# same exact-rational threshold, same empty-doc exclusion. Guaranteed
+# equality (prefix-filter candidates are complete), no recall caveat.
+_SQL_CONTAINMENT_PAIRS = f"""
+WITH sh AS ({_SQL_GRAMS}),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.grams, b.grams)) AS inter,
+           len(a.grams) AS na
+    FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+    WHERE len(a.grams) > 0 AND len(b.grams) > 0
+)
+SELECT doc_a, doc_b,
+       CAST((inter * 1000000) // na AS BIGINT) AS containment_micro
+FROM pairs
+WHERE {_CONTAIN_DEN} * inter >= {_CONTAIN_NUM} * na
+"""
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
@@ -1503,6 +1677,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "edit_dup_pairs": q_edit_dup_pairs,
+    "containment_dup_pairs": q_containment_dup_pairs,
 }
 
 ORACLE_SQL = {
@@ -1538,4 +1713,7 @@ ORACLE_SQL = {
     # unpackbits/packbits path.
     "simhash": _SQL_SIMHASH,
     "simhash_dup_pairs": _SQL_SIMHASH_PAIRS,
+    # Guaranteed-equality oracle (complete prefix-filter candidates):
+    # exact O(N²) directed containment spec.
+    "containment_dup_pairs": _SQL_CONTAINMENT_PAIRS,
 }

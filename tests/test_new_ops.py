@@ -1082,6 +1082,63 @@ class TestNgramJaccard:
         assert checked > 100  # the property was actually exercised
 
 
+class TestContainment:
+    """Asymmetric n-gram containment join
+    (stages/dedup.py::q_containment_dup_pairs). Doc ids avoid the
+    augmentation multiples; the crafted corpus pins the asymmetry
+    (subset ⊂ superset fires one direction only), the exact-4/5
+    boundary, mutual containment of exact copies, and the empty-doc
+    exclusion."""
+
+    def _brute(self, ids, texts):
+        from pdf_parser_ray.stages.dedup import (
+            _CONTAIN_DEN,
+            _CONTAIN_NUM,
+            _gram_set,
+        )
+
+        out = set()
+        for i in range(len(ids)):
+            for j in range(len(ids)):
+                if i == j:
+                    continue
+                sa, sb = _gram_set(texts[i]), _gram_set(texts[j])
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                if inter * _CONTAIN_DEN >= _CONTAIN_NUM * len(sa):
+                    out.add((ids[i], ids[j], inter * 1_000_000 // len(sa)))
+        return out
+
+    def test_crafted_corpus(self, tmp_path, ray_session):
+        from pdf_parser_ray.stages.dedup import q_containment_dup_pairs
+
+        w = [f"w{i}" for i in range(22)]
+        ids = [1, 2, 3, 4, 5, 6]
+        texts = [
+            " ".join(w),          # 1: 20 grams (superset)
+            " ".join(w[:7]),      # 2: 5 grams, all in 1 → contained (1e6), not vice versa
+            " ".join(w[:6]) + " zzz",  # 3: 5 grams, 4 shared with 1 → exactly 4/5 (kept)
+            " ".join(w),          # 4: exact copy of 1 → mutual containment
+            "",                   # 5: empty → excluded
+            "q r",                # 6: single disjoint gram → no pairs
+        ]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            str(tmp_path / "documents.parquet"),
+        )
+        df = q_containment_dup_pairs(str(tmp_path)).to_pandas()
+        got = set(zip(df["doc_a"], df["doc_b"], df["containment_micro"]))
+        want = self._brute(ids, texts)
+        assert got == want
+        assert (2, 1, 1_000_000) in got and (1, 2) not in {
+            (a, b) for a, b, _ in got if (a, b) == (1, 2)
+        }
+        assert (3, 1, 800_000) in got  # the exact-boundary pair
+        assert (1, 4, 1_000_000) in got and (4, 1, 1_000_000) in got
+        assert not any(5 in (a, b) or 6 in (a, b) for a, b, _ in got)
+
+
 class TestTfIdf:
     """tfidf_top_terms boundary behavior on a crafted corpus: idf = 0
     for corpus-wide terms (ties broken by term), tf ties, and the
