@@ -533,63 +533,73 @@ def prefix_gram_rows_loop(threshold: float, n_buckets: int = 32):
     return fn
 
 
+def _gram_pos_table(batch: pa.Table, k: int = 3):
+    """Shared vectorized core of the gram-row emitters: flat-token
+    k-gram construction via C-level ``binary_join_element_wise``,
+    per-doc SET + (crc32, gram) global order — crc32 runs once per
+    DISTINCT gram. Returns ``(ids, df[d, g, crc], n, pos, wc)`` with
+    ``n`` = doc gram count, ``pos`` = the gram's rank in the doc's
+    sorted gram list, ``wc`` = per-doc word counts (for the empty-doc
+    sentinel decision, which differs per caller)."""
+    import pyarrow.compute as pc
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.utf8_split_whitespace(batch["text"])
+    flat = pc.list_flatten(toks).combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")
+    if len(flat) and not pc.all(keep).as_py():
+        m = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        parent = parent[m]
+    L = len(flat)
+    wc = np.zeros(batch.num_rows, dtype=np.int64)
+    if L:
+        np.add.at(wc, parent, 1)
+
+    if L >= k:
+        n_g = L - k + 1
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(i, n_g) for i in range(k)], " "
+        )
+        valid = parent[:n_g] == parent[k - 1 :]
+        df = pd.DataFrame(
+            {"d": parent[:n_g][valid], "g": grams.filter(pa.array(valid)).to_pandas()}
+        )
+    else:
+        df = pd.DataFrame({"d": np.array([], np.int64), "g": pd.Series([], dtype=object)})
+
+    short = np.flatnonzero((wc > 0) & (wc < k))  # whole-doc gram
+    if len(short):
+        s = pd.DataFrame({"d": parent, "g": flat.to_pandas()})
+        s = s[np.isin(parent, short)]
+        joined = s.groupby("d", sort=False)["g"].agg(" ".join)
+        df = pd.concat(
+            [df, pd.DataFrame({"d": joined.index.to_numpy(), "g": joined.to_numpy()})],
+            ignore_index=True,
+        )
+
+    df = df.drop_duplicates()  # gram SET per doc
+    cmap = {g: zlib.crc32(g.encode()) for g in pd.unique(df["g"])}
+    df = df.assign(crc=df["g"].map(cmap)).sort_values(
+        ["d", "crc", "g"], kind="mergesort"
+    )
+    n = df.groupby("d", sort=False)["g"].transform("size").to_numpy(np.int64)
+    pos = df.groupby("d", sort=False).cumcount().to_numpy(np.int64)
+    return ids, df, n, pos, wc
+
+
 def prefix_gram_rows_vec(threshold: float, n_buckets: int = 32, k: int = 3):
     """Vectorized twin of :func:`prefix_gram_rows_loop` (VERDICT r3
-    item 6): flat-token k-gram construction via C-level
-    ``binary_join_element_wise``, per-doc SET + (crc32, gram) order +
-    prefix cut all as one pandas sort/groupby; crc32 runs once per
-    DISTINCT gram. Output identical to the loop (asserted by the A/B
+    item 6): the :func:`_gram_pos_table` core plus the Jaccard prefix
+    cut. Output identical to the loop (asserted by the A/B
     tool and ``test_prefix_gram_rows_vec_equals_loop``); measured
     1.13× faster at sf0.1 (best-of-7, BASELINE.md) — the adopted
     formulation."""
     thr_num, thr_den = float(threshold).as_integer_ratio()
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        toks = pc.utf8_split_whitespace(batch["text"])
-        flat = pc.list_flatten(toks).combine_chunks()
-        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "")
-        if len(flat) and not pc.all(keep).as_py():
-            m = keep.to_numpy(zero_copy_only=False)
-            flat = flat.filter(keep)
-            parent = parent[m]
-        L = len(flat)
-        wc = np.zeros(batch.num_rows, dtype=np.int64)
-        if L:
-            np.add.at(wc, parent, 1)
-
-        if L >= k:
-            n_g = L - k + 1
-            grams = pc.binary_join_element_wise(
-                *[flat.slice(i, n_g) for i in range(k)], " "
-            )
-            valid = parent[:n_g] == parent[k - 1 :]
-            df = pd.DataFrame(
-                {"d": parent[:n_g][valid], "g": grams.filter(pa.array(valid)).to_pandas()}
-            )
-        else:
-            df = pd.DataFrame({"d": np.array([], np.int64), "g": pd.Series([], dtype=object)})
-
-        short = np.flatnonzero((wc > 0) & (wc < k))  # whole-doc gram
-        if len(short):
-            s = pd.DataFrame({"d": parent, "g": flat.to_pandas()})
-            s = s[np.isin(parent, short)]
-            joined = s.groupby("d", sort=False)["g"].agg(" ".join)
-            df = pd.concat(
-                [df, pd.DataFrame({"d": joined.index.to_numpy(), "g": joined.to_numpy()})],
-                ignore_index=True,
-            )
-
-        df = df.drop_duplicates()  # gram SET per doc
-        cmap = {g: zlib.crc32(g.encode()) for g in pd.unique(df["g"])}
-        df = df.assign(crc=df["g"].map(cmap)).sort_values(
-            ["d", "crc", "g"], kind="mergesort"
-        )
-        n = df.groupby("d", sort=False)["g"].transform("size").to_numpy(np.int64)
-        pos = df.groupby("d", sort=False).cumcount().to_numpy(np.int64)
+        ids, df, n, pos, wc = _gram_pos_table(batch, k)
         alpha = -((-thr_num * n) // thr_den)  # ⌈t·n⌉
         m = pos < (n - alpha + 1)
         out_d = ids[df["d"].to_numpy()[m]]
@@ -1507,37 +1517,27 @@ def _containment_gram_rows(n_buckets: int = 32, k: int = 3):
     containment needs the full inverted index on the CONTAINING side,
     while the prefix-filtering lemma applies only on the CONTAINED
     side — ``in_prefix`` marks the rows eligible to SEED a directed
-    pair. Same (crc32, gram) global order as the Jaccard path. Empty
-    docs emit nothing (documented precondition: containment over
-    empty gram sets is excluded on both sides)."""
+    pair. Built on the shared :func:`_gram_pos_table` vectorized core
+    (same (crc32, gram) global order as the Jaccard path). Empty docs
+    emit nothing (documented precondition: containment over empty
+    gram sets is excluded on both sides)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        out_bucket, out_gram, out_doc, out_n, out_pfx = [], [], [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            grams = sorted(
-                _gram_set(text, k), key=lambda g: (zlib.crc32(g.encode()), g)
-            )
-            n = len(grams)
-            if not n:
-                continue
-            # C(A→B) ≥ t ⇒ A shares ≥ ⌈t·n⌉ grams with B ⇒ at least
-            # one shared gram among A's first n − ⌈t·n⌉ + 1 grams.
-            pfx = n - (_CONTAIN_NUM * n + _CONTAIN_DEN - 1) // _CONTAIN_DEN + 1
-            for pos, g in enumerate(grams):
-                out_bucket.append(zlib.crc32(g.encode()) % n_buckets)
-                out_gram.append(g)
-                out_doc.append(doc_id)
-                out_n.append(n)
-                out_pfx.append(pos < pfx)
+        ids, df, n, pos, _wc = _gram_pos_table(batch, k)
+        # C(A→B) ≥ t ⇒ A shares ≥ ⌈t·n⌉ grams with B ⇒ at least one
+        # shared gram among A's first n − ⌈t·n⌉ + 1 grams.
+        alpha = -((-_CONTAIN_NUM * n) // _CONTAIN_DEN)  # ⌈t·n⌉
+        in_prefix = pos < (n - alpha + 1)
         return pa.table(
             {
-                "gram_bucket": pa.array(out_bucket, pa.int64()),
-                "gram": pa.array(out_gram, pa.string()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "n_grams": pa.array(out_n, pa.int64()),
-                "in_prefix": pa.array(out_pfx, pa.bool_()),
+                "gram_bucket": pa.array(
+                    df["crc"].to_numpy(np.int64) % n_buckets, pa.int64()
+                ),
+                "gram": pa.array(df["g"].tolist(), pa.string()),
+                "doc_id": pa.array(ids[df["d"].to_numpy()], pa.int64()),
+                "n_grams": pa.array(n, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "in_prefix": pa.array(in_prefix, pa.bool_()),
             }
         )
 
@@ -1547,14 +1547,20 @@ def _containment_gram_rows(n_buckets: int = 32, k: int = 3):
 def _containment_pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """Per-gram-bucket DIRECTED candidate pairs (contained → containing):
     for each fine gram group, prefix-flagged rows seed pairs against
-    every row of the group; the length filter ``t·n_a ≤ n_b`` prunes at
-    pair time. Vectorized per group via broadcasted index grids; pair
-    keys dedup once per partition."""
+    every row of the group, pruned by two integer filters — length
+    (``t·n_a ≤ n_b``) and the positional upper bound
+    ``1 + min(n_a−p_a−1, n_b−p_b−1) ≥ ⌈t·n_a⌉`` (valid at the pair's
+    EARLIEST shared gram, where no common gram precedes either
+    position; a pair seeded at a later gram may be dropped there but
+    always survives its earliest-gram emission — the same argument as
+    the Jaccard path's PPJoin filter). Vectorized per group via
+    broadcasted index grids; pair keys dedup once per partition."""
     codes, _ = pd.factorize(g["gram"], sort=False)
     order = np.argsort(codes, kind="stable")
     codes = codes[order]
     all_ids = g["doc_id"].to_numpy(dtype=np.int64)[order]
     all_ns = g["n_grams"].to_numpy(dtype=np.int64)[order]
+    all_ps = g["pos"].to_numpy(dtype=np.int64)[order]
     all_pfx = g["in_prefix"].to_numpy()[order]
     bounds = np.flatnonzero(np.diff(codes)) + 1
     starts = np.concatenate([[0], bounds])
@@ -1566,14 +1572,20 @@ def _containment_pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
             continue
         ids = all_ids[s:e]
         ns = all_ns[s:e]
+        ps = all_ps[s:e]
         seed = np.flatnonzero(all_pfx[s:e])
         if not len(seed):
             continue
         # directed grid: contained index i (prefix rows) × containing j
         i = np.repeat(seed, m)
         j = np.tile(np.arange(m), len(seed))
-        keep = (ids[i] != ids[j]) & (
-            _CONTAIN_NUM * ns[i] <= _CONTAIN_DEN * ns[j]
+        na, nb = ns[i], ns[j]
+        alpha = (_CONTAIN_NUM * na + _CONTAIN_DEN - 1) // _CONTAIN_DEN
+        ub = 1 + np.minimum(na - ps[i] - 1, nb - ps[j] - 1)
+        keep = (
+            (ids[i] != ids[j])
+            & (_CONTAIN_NUM * na <= _CONTAIN_DEN * nb)
+            & (ub >= alpha)
         )
         keys.append((ids[i][keep] << np.int64(32)) | ids[j][keep])
     if not keys:
@@ -1625,8 +1637,20 @@ def q_containment_dup_pairs(sf_dir: str):
         ta = batch["text_a"].to_pylist()
         tb = batch["text_b"].to_pylist()
         keep_a, keep_b, keep_c = [], [], []
+        # Candidate pairs heavily share endpoints (one doc pairs with
+        # many); build each doc's gram set once per batch, not once
+        # per pair — same results, ~pairs/docs fewer set builds.
+        cache: dict[int, frozenset] = {}
+
+        def grams_of(doc: int, text: str) -> frozenset:
+            s = cache.get(doc)
+            if s is None:
+                s = frozenset(_gram_set(text))
+                cache[doc] = s
+            return s
+
         for x, y, sx, sy in zip(da, db, ta, tb):
-            sa, sb = _gram_set(sx), _gram_set(sy)
+            sa, sb = grams_of(x, sx), grams_of(y, sy)
             if not sa or not sb:
                 continue
             inter = len(sa & sb)
