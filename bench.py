@@ -75,6 +75,8 @@ def _bench_queries():
         q_geo_mean_price,
     )
     from pdf_parser_ray.stages.dedup import q_containment_dup_pairs
+    from pdf_parser_ray.stages.textstats import q_doc_novelty
+    from pdf_parser_ray.stages.layout import q_reading_order_inversions
 
     return {
         "pricing_summary": q_pricing_summary,
@@ -132,6 +134,10 @@ def _bench_queries():
         "user_active_time": q_user_active_time,
         "geo_mean_price": q_geo_mean_price,
         "containment_dup_pairs": q_containment_dup_pairs,
+        # batch 2: the distinct-(gram, doc) novelty exchange and the
+        # zero-shuffle padded-broadcast reading-order metric
+        "doc_novelty": q_doc_novelty,
+        "reading_order_inversions": q_reading_order_inversions,
     }
 
 

@@ -516,8 +516,215 @@ SELECT s AS event_type, r AS pi_micro FROM pi{_MARKOV_ITERS} WHERE r != 0
 _SQL_MARKOV = _render_markov_sql()
 
 
+# ---------------------------------------------------------------------------
+# time_to_convert — first-view → first-purchase latency distribution
+# ---------------------------------------------------------------------------
+
+def q_time_to_convert(sf_dir: str, n_buckets: int = 32):
+    """Per-user conversion latency — µs from the user's FIRST view to
+    their first purchase AT OR AFTER that view — folded to the
+    three-number summary growth teams track (converter count, exact
+    lower-median latency, max latency). The time-dimension complement
+    of :func:`~pdf_parser_ray.relational.ops.q_conversion_funnel`'s
+    unordered counts.
+
+    Exactness: per-user µs deltas are int64; the lower median over the
+    per-user latency list is ``sorted[(n−1)//2]`` = ``quantile_disc(0.5)``
+    (house median convention). Users with no view or no qualifying
+    purchase drop out on both sides.
+
+    Shape: ONE coarse user-bucket exchange (events cross the wire
+    once); per bucket, a vectorized groupby takes first-view /
+    first-qualifying-purchase and emits ONE latency row per converter;
+    the final fold is a bounded three-number read-off (at 10¹² events
+    the median read-off moves to the value-count summary exactly like
+    the grouped-percentile family)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(["view", "purchase"]))
+        t = pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "is_view": pc.equal(et, "view"),
+            }
+        )
+        return t.filter(keep)
+
+    def fold_bucket(g: "pd.DataFrame") -> pa.Table:
+        views = (
+            g[g["is_view"]]
+            .groupby("user_id", sort=False)["ts_us"]
+            .min()
+            .rename("v0")
+            .reset_index()
+        )
+        p = g[~g["is_view"]][["user_id", "ts_us"]].merge(views, on="user_id")
+        p = p[p["ts_us"] >= p["v0"]]
+        first_p = p.groupby("user_id", sort=False)["ts_us"].min().reset_index()
+        lat = first_p.merge(views, on="user_id")
+        vals = (lat["ts_us"] - lat["v0"]).to_numpy(dtype=np.int64)
+        return pa.table({"latency_us": pa.array(vals, pa.int64())})
+
+    lats = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: one row per CONVERTER (≤ users)
+    )
+    v = np.sort(lats["latency_us"].to_numpy(dtype=np.int64))
+    n = len(v)
+    return pd.DataFrame(
+        {
+            "n_converters": [n],
+            "median_latency_us": [int(v[(n - 1) // 2]) if n else 0],
+            "max_latency_us": [int(v[-1]) if n else 0],
+        }
+    ).astype(np.int64)
+
+
+_SQL_TIME_TO_CONVERT = """
+WITH v AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS v0
+    FROM events WHERE event_type = 'view' GROUP BY user_id),
+p AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) - MAX(v.v0) AS latency_us
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v0
+    GROUP BY e.user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+       CAST(COALESCE(quantile_disc(latency_us, 0.5), 0) AS BIGINT)
+           AS median_latency_us,
+       CAST(COALESCE(MAX(latency_us), 0) AS BIGINT) AS max_latency_us
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_decile_share — revenue concentration (top 10% of customers)
+# ---------------------------------------------------------------------------
+
+def q_top_decile_share(sf_dir: str):
+    """Revenue concentration: the exact share of total order revenue
+    captured by the top 10% of ordering customers — the read-off form
+    of the concentration story ``spend_gini`` summarizes as one index
+    (a Gini says "unequal"; this says "the top decile is N% of
+    revenue", the number the business conversation actually uses).
+
+    Exactness: the decile cut runs on the per-customer-total
+    VALUE-COUNT summary — equal totals contribute equally, so the
+    straddling value is taken partially and no tie-break key is needed
+    (same order-statistics arithmetic as the trimmed mean);
+    ``share_ppm = _rhalf(10⁶·top_cents, total_cents)``.
+
+    Shape: per-batch (custkey, cents) partials → ONE coarse
+    custkey-bucket exchange (the tiny-group-trap-free pattern: per-key
+    totals resolve vectorized INSIDE each bucket, then collapse to
+    per-bucket value counts) → bounded driver fold over (value, cnt)
+    rows (one per distinct spend total; at 10⁹+ customers the same
+    cut runs on the log-histogram sketch bins, the rule unchanged).
+    k = n_customers // 10 (floor; customers with no orders don't
+    participate)."""
+    import pandas as pd
+
+    n_buckets = 32
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        agg = (
+            pd.DataFrame(
+                {
+                    "o_custkey": batch["o_custkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "cents": cents,
+                }
+            )
+            .groupby("o_custkey", sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        keys = agg["o_custkey"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, pa.int64()),
+                "o_custkey": pa.array(keys, pa.int64()),
+                "cents": pa.array(agg["cents"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_value_counts(g: "pd.DataFrame") -> pa.Table:
+        totals = g.groupby("o_custkey", sort=False)["cents"].sum()
+        vals, cnt = np.unique(totals.to_numpy(dtype=np.int64), return_counts=True)
+        return pa.table(
+            {
+                "total_cents_v": pa.array(vals.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vc = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(bucket_value_counts, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ one row per DISTINCT spend total per bucket
+        .groupby("total_cents_v", sort=False)["cnt"]
+        .sum()
+        .reset_index()
+        .sort_values("total_cents_v", ascending=False)
+        .reset_index(drop=True)
+    )
+    vals = vc["total_cents_v"].to_numpy(dtype=np.int64)
+    cnt = vc["cnt"].to_numpy(dtype=np.int64)
+    n = int(cnt.sum())
+    k = n // 10
+    cum = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    take = np.clip(k - cum, 0, cnt)
+    top = int((vals * take).sum())
+    tot = int((vals * cnt).sum())
+    return pd.DataFrame(
+        {
+            "n_customers": [n],
+            "k_top": [k],
+            "top_cents": [top],
+            "total_cents": [tot],
+            "share_ppm": [_rhalf(10**6 * top, tot) if tot else 0],
+        }
+    ).astype(np.int64)
+
+
+_SQL_TOP_DECILE = """
+WITH s AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) // 10 AS BIGINT) AS k FROM s),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents DESC) AS rn FROM s)
+SELECT (SELECT n FROM k) AS n_customers,
+       (SELECT k FROM k) AS k_top,
+       CAST(SUM(CASE WHEN rn <= (SELECT k FROM k) THEN cents ELSE 0 END)
+            AS BIGINT) AS top_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST((2*1000000*SUM(CASE WHEN rn <= (SELECT k FROM k)
+                                THEN cents ELSE 0 END)
+             + SUM(cents)) // (2*SUM(cents)) AS BIGINT) AS share_ppm
+FROM r
+"""
+
+
 QUERIES = {
     "event_markov_stationary": q_event_markov_stationary,
+    "time_to_convert": q_time_to_convert,
+    "top_decile_share": q_top_decile_share,
     "user_active_time": q_user_active_time,
     "user_burstiness": q_user_burstiness,
     "geo_mean_price": q_geo_mean_price,
@@ -526,6 +733,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "event_markov_stationary": _SQL_MARKOV,
+    "time_to_convert": _SQL_TIME_TO_CONVERT,
+    "top_decile_share": _SQL_TOP_DECILE,
     "user_active_time": _SQL_USER_ACTIVE_TIME,
     "user_burstiness": _SQL_USER_BURSTINESS,
     "geo_mean_price": _sql_geo_mean(),

@@ -496,14 +496,92 @@ FROM lvl{XY_DEPTH}"""
     return "".join(parts)
 
 
+def q_reading_order_inversions(sf_dir: str):
+    """Per-document Kendall-tau DISTANCE between the XY-cut recovered
+    reading order and the synthesis order — the extraction-quality
+    metric for reading-order recovery itself: 0 inversions means the
+    cut tree reproduced the author order exactly, a high count flags
+    multi-column or interleaved layouts where recovered order diverges
+    (the number a layout-parser regression suite watches per corpus
+    slice). Emits ``(doc_id, n_boxes, n_pairs, n_inversions,
+    inversion_ppm)`` with ``inversion_ppm = _rhalf(10⁶·inv, pairs)``.
+
+    Exactness: pure integer pair counting over the same deterministic
+    box synthesis + depth-unrolled XY-cut as ``reading_order_xycut``;
+    the oracle composes that query's full SQL as a CTE and counts
+    discordant (i < j, pos_i > pos_j) pairs by self-join.
+
+    Shape: zero-shuffle single map. Boxes per page are bounded
+    (∈ [NB_MIN, NB_MIN + NB_MOD − 1] = [6, 24]), so per-batch
+    inversion counting is ONE padded (docs × n × n) boolean
+    broadcast — no per-doc Python loop, no pair rows ever leave the
+    task."""
+    from ..relational.ops import _rhalf
+
+    def fn(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cols = ("doc_id", "n_boxes", "n_pairs", "n_inversions", "inversion_ppm")
+        if len(dids) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        doc_idx, box_i, x0, y0, x1, y1 = _synth_boxes(dids)
+        pos = _xycut_unrolled(doc_idx, box_i, x0, y0, x1, y1)
+        n_docs = len(dids)
+        nb = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        w = int(nb.max())
+        # padded position matrix: P[d, i] = reading pos of box i
+        P = np.zeros((n_docs, w), dtype=np.int64)
+        P[doc_idx, box_i] = pos
+        valid = np.zeros((n_docs, w), dtype=bool)
+        valid[doc_idx, box_i] = True
+        iu, ju = np.triu_indices(w, 1)
+        disc = (
+            (P[:, iu] > P[:, ju]) & valid[:, iu] & valid[:, ju]
+        ).sum(axis=1).astype(np.int64)
+        pairs = nb * (nb - 1) // 2
+        ppm = np.array(
+            [_rhalf(10**6 * int(d), int(p)) for d, p in zip(disc, pairs)],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(dids.astype(np.int64), pa.int64()),
+                "n_boxes": pa.array(nb, pa.int64()),
+                "n_pairs": pa.array(pairs, pa.int64()),
+                "n_inversions": pa.array(disc, pa.int64()),
+                "inversion_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return _read_doc_ids(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def _sql_inversions() -> str:
+    return f"""
+WITH xy AS ({_sql_xycut()})
+SELECT a.doc_id,
+       CAST(MAX(b.i) + 1 AS BIGINT) AS n_boxes,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN a.pos > b.pos THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_inversions,
+       CAST((2*1000000*SUM(CASE WHEN a.pos > b.pos THEN 1 ELSE 0 END)
+             + COUNT(*)) // (2*COUNT(*)) AS BIGINT) AS inversion_ppm
+FROM xy a JOIN xy b ON a.doc_id = b.doc_id AND a.i < b.i
+GROUP BY a.doc_id
+"""
+
+
 QUERIES = {
     "layout_blocks": q_layout_blocks,
     "table_grid": q_table_grid,
     "reading_order_xycut": q_reading_order_xycut,
+    "reading_order_inversions": q_reading_order_inversions,
 }
 
 ORACLE_SQL = {
     "layout_blocks": _SQL_LAYOUT_BLOCKS,
     "table_grid": _SQL_TABLE_GRID,
     "reading_order_xycut": _sql_xycut(),
+    "reading_order_inversions": _sql_inversions(),
 }

@@ -2708,6 +2708,204 @@ GROUP BY 1, 2
 _SQL_JS_DIVERGENCE = _sql_js_divergence()
 
 
+# ---------------------------------------------------------------------------
+# Per-document novelty (first-occurrence 3-gram fraction)
+# ---------------------------------------------------------------------------
+
+def q_doc_novelty(sf_dir: str, n_buckets: int = 32):
+    """Per-document novelty: the fraction of the doc's DISTINCT word
+    3-grams whose global FIRST occurrence (min doc_id over the corpus)
+    is this document — the per-doc read-off of the Heaps'-law growth
+    curve (:func:`q_vocab_growth` bins the same first-occurrence
+    signal by decile; this emits it per doc). Curation uses it
+    directly: template spam scores near zero novelty past the first
+    few instances, genuinely new content scores high — the streaming
+    analog of "does this doc add anything to the corpus".
+
+    Exactness: counts are integers; ``novelty_ppm =
+    _rhalf(10⁶·n_novel, n_grams)``. Docs with < 3 words have no
+    3-grams and are excluded on both sides (same rule as
+    ``vocab_growth``).
+
+    Shape: per-batch DISTINCT (gram, doc) rows → ONE gram-bucket
+    exchange carrying the distinct gram–doc pairs; each gram group
+    resolves its global min doc and credits one novel count to it
+    while every (gram, doc) row contributes a gram count — folded to
+    per-doc partials inside the bucket, so the SECOND exchange
+    (groupby doc_id) carries O(docs × buckets) count rows, never
+    grams."""
+    import zlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _gram_pos_table
+    from ..relational.ops import _rhalf
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def gram_doc_rows(batch: pa.Table) -> pa.Table:
+        ids, df, n, pos, _wc = _gram_pos_table(batch, 3)
+        # pure 3-grams only: _gram_pos_table emits a whole-doc gram
+        # for 1-2-word docs (the Jaccard fallback); those docs are
+        # excluded here, detectable as n_grams == 1 with < 3 words —
+        # cheapest exact filter: keep docs whose token count ≥ 3.
+        wc_of_row = _wc[df["d"].to_numpy()]
+        keep = wc_of_row >= 3
+        d = ids[df["d"].to_numpy()[keep]]
+        grams = df["g"].to_numpy()[keep]
+        crc = df["crc"].to_numpy(np.int64)[keep]
+        return pa.table(
+            {
+                "gram_bucket": pa.array(crc % n_buckets, pa.int64()),
+                "gram": pa.array(grams.tolist(), pa.string()),
+                "doc_id": pa.array(d, pa.int64()),
+            }
+        )
+
+    def fold_bucket(g: "pd.DataFrame") -> pa.Table:
+        first = g.groupby("gram", sort=False)["doc_id"].transform("min")
+        out = (
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(np.int64),
+                    "n_grams": np.ones(len(g), dtype=np.int64),
+                    "n_novel": (
+                        g["doc_id"].to_numpy(np.int64)
+                        == first.to_numpy(np.int64)
+                    ).astype(np.int64),
+                }
+            )
+            .groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
+                "n_grams": pa.array(out["n_grams"].to_numpy(np.int64), pa.int64()),
+                "n_novel": pa.array(out["n_novel"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_grams"].to_numpy(zero_copy_only=False)
+        nov = batch["n_novel"].to_numpy(zero_copy_only=False)
+        ppm = np.array(
+            [_rhalf(10**6 * int(v), int(t)) for v, t in zip(nov, n)],
+            dtype=np.int64,
+        )
+        return batch.append_column("novelty_ppm", pa.array(ppm, pa.int64()))
+
+    return (
+        ds.map_batches(gram_doc_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("gram_bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_grams", alias_name="n_grams"),
+            Sum("n_novel", alias_name="n_novel"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+_SQL_DOC_NOVELTY = """
+WITH w AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+g AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+    FROM w WHERE len(ws) >= 3),
+m AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((2*1000000*SUM(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             + COUNT(*)) // (2*COUNT(*)) AS BIGINT) AS novelty_ppm
+FROM g JOIN m USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search (scan-side positional matching)
+# ---------------------------------------------------------------------------
+
+def q_phrase_search(sf_dir: str, phrase: str = "sort merge"):
+    """Exact PHRASE occurrence count per document — adjacent-token
+    matching, the query shape a bag-of-words index cannot answer
+    (``term_search_indexed`` finds docs containing both words; this
+    finds them ADJACENT, in order). Scan-side formulation: a
+    zero-shuffle vectorized map (flat tokens + shifted equality inside
+    each doc), the map-side complement of the term-partitioned
+    positional index — at corpus scale the index variant stores
+    (term, doc, pos) postings and intersects with position offset,
+    same machinery as ``term_search_indexed`` plus one offset filter.
+
+    Emits ``(doc_id, n_hits)`` for matching docs. Overlapping
+    occurrences count each start position (both sides count start
+    positions, so the oracle agrees by construction)."""
+    words = phrase.split()
+    k = len(words)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def hits(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = flat.to_pandas().to_numpy()
+        keep = s != ""
+        if not keep.all():
+            s, parent = s[keep], parent[keep]
+        L = len(s)
+        if L < k:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            )
+        n_pos = L - k + 1
+        ok = parent[:n_pos] == parent[k - 1 :]
+        for off, w in enumerate(words):
+            ok &= s[off : off + n_pos] == w
+        i = np.flatnonzero(ok)
+        docs, cnt = np.unique(parent[i], return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[docs], pa.int64()),
+                "n_hits": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(hits, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_phrase(phrase: str = "sort merge") -> str:
+    words = phrase.split()
+    k = len(words)
+    conds = " AND ".join(
+        f"ws[i+{off}] = '{w}'" for off, w in enumerate(words)
+    )
+    return f"""
+WITH w AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+h AS (
+    SELECT doc_id,
+           len(list_filter(range(1, len(ws) - {k - 2}), i -> {conds}))
+               AS n_hits
+    FROM w WHERE len(ws) >= {k})
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM h WHERE n_hits > 0
+"""
+
+
+_SQL_PHRASE_SEARCH = _sql_phrase()
+
+
 QUERIES = {
     "token_count": q_token_count,
     "length_tail_index": q_length_tail_index,
@@ -2735,9 +2933,13 @@ QUERIES = {
     "term_search_indexed": q_term_search_indexed,
     "lexical_diversity": q_lexical_diversity,
     "source_lang_entropy": q_source_lang_entropy,
+    "doc_novelty": q_doc_novelty,
+    "phrase_search": q_phrase_search,
 }
 
 ORACLE_SQL = {
+    "doc_novelty": _SQL_DOC_NOVELTY,
+    "phrase_search": _SQL_PHRASE_SEARCH,
     "source_js_divergence": _SQL_JS_DIVERGENCE,
     "token_count": _SQL_TOKEN_COUNT,
     "length_tail_index": _SQL_LENGTH_TAIL,

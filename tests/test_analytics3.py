@@ -195,6 +195,147 @@ class TestTheilSen:
         assert _canon(got) == _canon(want)
 
 
+class TestTimeToConvert:
+    def test_crafted_latencies(self, tmp_path):
+        base = np.datetime64("1995-06-01T00:00:00", "us")
+        rows = [
+            # user 1: view at t=0, purchase at t=100s → latency 100s
+            (1, 0, "view"),
+            (1, 100, "purchase"),
+            # user 2: purchase BEFORE first view is excluded; the
+            # later one counts (view t=50, purchases t=10 and t=80)
+            (2, 10, "purchase"),
+            (2, 50, "view"),
+            (2, 80, "purchase"),
+            # user 3: view only → not a converter
+            (3, 0, "view"),
+            # user 4: purchase only → not a converter
+            (4, 0, "purchase"),
+            # user 5: purchase AT the first view instant → latency 0
+            (5, 7, "view"),
+            (5, 7, "purchase"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+                "ts": pa.array(
+                    np.array(
+                        [base + np.timedelta64(s, "s") for _, s, _ in rows]
+                    )
+                ),
+                "event_type": pa.array([e for _, _, e in rows]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = _pd(a3.q_time_to_convert(str(tmp_path)))
+        # converters: u1 (100s), u2 (30s), u5 (0s) → median 30s
+        assert got.loc[0, "n_converters"] == 3
+        assert got.loc[0, "median_latency_us"] == 30_000_000
+        assert got.loc[0, "max_latency_us"] == 100_000_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        want = con.execute(a3._SQL_TIME_TO_CONVERT).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestDocNoveltyPhrase:
+    @pytest.fixture()
+    def docs(self, tmp_path):
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d",      # 1: grams {abc, bcd} — all novel
+                        "a b c d",      # 2: exact copy — zero novel
+                        "a b c x",      # 3: {abc, bcx} — half novel
+                        "q r",          # 4: <3 words — excluded
+                        "a a a a",      # 5: gram {aaa} ×2 distinct→1, novel
+                    ]
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_novelty(self, docs):
+        from pdf_parser_ray.stages.textstats import (
+            _SQL_DOC_NOVELTY,
+            q_doc_novelty,
+        )
+
+        got = _pd(q_doc_novelty(docs)).sort_values("doc_id").reset_index(drop=True)
+        assert got["doc_id"].tolist() == [1, 2, 3, 5]
+        assert got["n_novel"].tolist() == [2, 0, 1, 1]
+        assert got["novelty_ppm"].tolist() == [1_000_000, 0, 500_000, 1_000_000]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{docs}/documents.parquet'"
+        )
+        want = con.execute(_SQL_DOC_NOVELTY).df()
+        assert _canon(got) == _canon(want)
+
+    def test_phrase_overlap_counting(self, tmp_path):
+        from pdf_parser_ray.stages.textstats import _sql_phrase, q_phrase_search
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a a a",        # overlapping "a a" → 2 hits
+                        "a b a a b",    # one hit at position 3
+                        "b b",          # no hit
+                    ]
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = (
+            _pd(q_phrase_search(str(tmp_path), phrase="a a"))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [1, 2]
+        assert got["n_hits"].tolist() == [2, 1]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        want = con.execute(_sql_phrase("a a")).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestTopDecileShare:
+    def test_tie_straddle_and_differential(self, tmp_path):
+        # 12 customers → k = 1; the top VALUE (500.00) is shared by two
+        # customers, so the cut takes it partially (1 of 2) — the
+        # order-statistics arithmetic that makes tie-breaks irrelevant.
+        cust = list(range(1, 13))
+        totals = [500.0, 500.0] + [100.0] * 10
+        t = pa.table(
+            {
+                "o_custkey": pa.array(cust, pa.int64()),
+                "o_totalprice": pa.array(totals),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = _pd(a3.q_top_decile_share(str(tmp_path)))
+        assert got.loc[0, "n_customers"] == 12 and got.loc[0, "k_top"] == 1
+        assert got.loc[0, "top_cents"] == 50_000
+        assert got.loc[0, "total_cents"] == 200_000
+        assert got.loc[0, "share_ppm"] == 250_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a3._SQL_TOP_DECILE).df()
+        assert _canon(got) == _canon(want)
+
+
 class TestMarkovStationary:
     def test_two_state_chain_and_differential(self, tmp_path):
         # user 1 path: a b b a b b  → counts a→b 2, b→b 2, b→a 1

@@ -289,3 +289,40 @@ def test_layout_queries_smoke():
     assert (g.max() == g.count() - 1).all()
     assert order.groupby("doc_id")["pos"].nunique().equals(g.count())
     assert len(blocks) == len(grid) == order["doc_id"].nunique()
+
+
+def test_reading_order_inversions_brute_force():
+    """The padded (docs × n × n) broadcast inversion count equals a
+    per-doc Python brute force over the same synthesis + XY-cut."""
+    import numpy as np
+
+    from pdf_parser_ray.stages.layout import _synth_boxes, _xycut_unrolled
+
+    dids = np.arange(40, dtype=np.int64)
+    doc_idx, box_i, x0, y0, x1, y1 = _synth_boxes(dids)
+    pos = _xycut_unrolled(doc_idx, box_i, x0, y0, x1, y1)
+
+    # brute force per doc
+    want = {}
+    for d in range(len(dids)):
+        p = pos[doc_idx == d]
+        inv = sum(
+            1
+            for i in range(len(p))
+            for j in range(i + 1, len(p))
+            if p[i] > p[j]
+        )
+        want[int(dids[d])] = (len(p), inv)
+
+    # padded broadcast (the engine formulation)
+    n_docs = len(dids)
+    nb = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    w = int(nb.max())
+    P = np.zeros((n_docs, w), dtype=np.int64)
+    P[doc_idx, box_i] = pos
+    valid = np.zeros((n_docs, w), dtype=bool)
+    valid[doc_idx, box_i] = True
+    iu, ju = np.triu_indices(w, 1)
+    disc = ((P[:, iu] > P[:, ju]) & valid[:, iu] & valid[:, ju]).sum(axis=1)
+    for d in range(n_docs):
+        assert (int(nb[d]), int(disc[d])) == want[int(dids[d])]
