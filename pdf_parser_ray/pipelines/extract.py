@@ -264,6 +264,24 @@ ORACLE_SQL = (
             + _guarded_fixture_sql(_FIXTURE_COLS)
             + ") GROUP BY kind"
         ),
+        "extract_offset_audit": (
+            """
+WITH fx AS ("""
+            + _guarded_fixture_sql(_FIXTURE_COLS)
+            + """),
+per AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN("offset") AS mn, MAX("offset") AS mx
+    FROM fx GROUP BY doc_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN mn = 0 AND n = mx + 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dense_docs,
+       CAST(SUM(CASE WHEN mn = 0 AND n = mx + 1 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_sparse_docs
+FROM per
+"""
+        ),
     }
     if fixture_manifest()
     else {}
@@ -278,6 +296,85 @@ def extract_kind_stats(sf_dir: str):
     from ray.data.aggregate import Count
 
     return flagship(sf_dir).groupby("kind").aggregate(Count(alias_name="n_spans"))
+
+
+def extract_offset_audit(sf_dir: str, n_buckets: int = 32, _spans=None):
+    """Span-sequence integrity monitor over the flagship output — the
+    north rule's ordering invariant (kind, text, media_ref, ORDER) as
+    a production data-quality check: per document, is the ``offset``
+    column a dense 0..n−1 sequence? Emits one row:
+    ``(n_docs, n_spans, n_dense_docs, n_sparse_docs)``. A non-zero
+    sparse count after any pipeline change means span identity or
+    ordering drifted — the first alarm a span-consuming trainer needs
+    (offset uniqueness per doc is a pipeline construction invariant;
+    this audits density: min = 0 and count = max + 1).
+
+    Shape: per-batch per-doc (n, min, max) partials → ONE coarse
+    doc-bucket exchange (a doc's spans normally sit in one task's
+    output, but the audit must not ASSUME that, so partials re-merge
+    per doc) → per-bucket density verdicts pre-aggregated → a ≤
+    buckets-row final fold. Span text never moves — only three ints
+    per (doc, block)."""
+    import numpy as np
+    import pandas as pd
+
+    # _spans: test injection point — a (doc_id, offset, ...) Dataset
+    # standing in for the flagship output, so the SPARSE detection
+    # path is exercisable without corrupting a real pipeline.
+    spans = flagship(sf_dir) if _spans is None else _spans
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_pylist(),
+                "off": batch["offset"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = (
+            df.groupby("doc_id", sort=False)["off"]
+            .agg(["size", "min", "max"])
+            .reset_index()
+        )
+        import zlib
+
+        h = np.array(
+            [zlib.crc32(str(d).encode()) for d in agg["doc_id"]],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(h % n_buckets, pa.int64()),
+                "doc_id": pa.array(agg["doc_id"].tolist(), pa.string()),
+                "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+                "mn": pa.array(agg["min"].to_numpy(np.int64), pa.int64()),
+                "mx": pa.array(agg["max"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def verdicts(g: pd.DataFrame) -> pa.Table:
+        per = g.groupby("doc_id", sort=False).agg(
+            n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        )
+        dense = (per["mn"] == 0) & (per["n"] == per["mx"] + 1)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(per)], pa.int64()),
+                "n_spans": pa.array([int(per["n"].sum())], pa.int64()),
+                "n_dense_docs": pa.array([int(dense.sum())], pa.int64()),
+                "n_sparse_docs": pa.array([int((~dense).sum())], pa.int64()),
+            }
+        )
+
+    per_bucket = (
+        spans.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(verdicts, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ n_buckets verdict rows
+    )
+    return pd.DataFrame(
+        {c: [int(per_bucket[c].sum())] for c in
+         ("n_docs", "n_spans", "n_dense_docs", "n_sparse_docs")}
+    ).astype(np.int64)
 
 
 def extract_pipeline_skew_aware(

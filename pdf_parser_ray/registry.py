@@ -62,7 +62,11 @@ def _collect(attr: str) -> dict:
 
 def all_queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.relational.ops import QUERIES as REL
-    from pdf_parser_ray.pipelines.extract import extract_kind_stats, flagship
+    from pdf_parser_ray.pipelines.extract import (
+        extract_kind_stats,
+        extract_offset_audit,
+        flagship,
+    )
 
     out: dict[str, Callable[[str], Any]] = dict(REL)
     out["extract_spans"] = lambda sf_dir: flagship(sf_dir)
@@ -77,6 +81,7 @@ def all_queries() -> dict[str, Callable[[str], Any]]:
         sf_dir, fused=False, concurrency=(1, 8)
     )
     out["extract_kind_stats"] = extract_kind_stats
+    out["extract_offset_audit"] = extract_offset_audit
     out.update(_collect("QUERIES"))
     return out
 

@@ -721,10 +721,206 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# revenue_autocorr — lag-1 autocorrelation of the monthly revenue series
+# ---------------------------------------------------------------------------
+
+def q_revenue_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of monthly order revenue — is this
+    month's revenue predictive of next month's? The first number a
+    forecasting effort computes (high positive → trend/momentum, near
+    zero → white noise around seasonality, negative → mean
+    reversion). Output is DIVISION-FREE (the ``tier_kappa``/PSI house
+    pattern): ``corr_sign`` plus the exact integer moments
+    ``r2_num = n·Σxy − Σx·Σy``, ``r2_dx``, ``r2_dy`` with
+    ``r² = num²/(dx·dy)`` — a ratio column would need num²·10⁶,
+    which exceeds HUGEINT on real monthly magnitudes (measured at
+    sf0.01; the first formulation overflowed DuckDB INT128). Pairs
+    are CONSECUTIVE entries of the sorted month list.
+
+    Exactness: monthly totals fold to whole THOUSANDS of dollars and
+    are centered by the series minimum before the moment sums —
+    translation leaves Pearson invariant and the k$ unit keeps every
+    moment inside BIGINT (envelope: centered monthly k$ ≲ 3·10⁸,
+    ≈ sf400; beyond that rescale the unit, the rule unchanged); the
+    driver side uses Python bigints so the spec is shared.
+
+    Shape: per-batch (month, cents) partials → ONE ``groupby(month)``
+    exchange (≤ calendar-months rows) → bounded driver fold over the
+    ≤ dozens-entry series. Same bounded-read-off contract as
+    ``theilsen_trend``."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch["o_orderdate"])
+        month = (
+            us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        )
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        agg = (
+            pd.DataFrame({"month": month, "cents": cents})
+            .groupby("month", sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "month": pa.array(agg["month"].to_numpy(np.int64), pa.int64()),
+                "cents": pa.array(agg["cents"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    m = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("month")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()  # bounded: one row per calendar month
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    rev = (m["cents"].to_numpy(dtype=np.int64) // 100_000).astype(object)
+    n_months = len(rev)
+    if n_months >= 2:
+        c = int(rev.min())
+        x = [int(v) - c for v in rev[:-1]]
+        y = [int(v) - c for v in rev[1:]]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        syy = sum(b * b for b in y)
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        sign = 0 if num == 0 else (1 if num > 0 else -1)
+    else:
+        n, sign, num, dx, dy = 0, 0, 0, 0, 0
+    return pd.DataFrame(
+        {
+            "n_months": [n_months],
+            "n_pairs": [n],
+            "corr_sign": [sign],
+            "r2_num": [num],
+            "r2_dx": [dx],
+            "r2_dy": [dy],
+        }
+    ).astype(np.int64)
+
+
+_SQL_REVENUE_AUTOCORR = """
+WITH m AS (
+    SELECT date_trunc('month', o_orderdate) AS mo,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) // 100000
+                AS BIGINT) AS rev
+    FROM orders GROUP BY 1),
+c AS (SELECT MIN(rev) AS c0 FROM m),
+p AS (
+    SELECT CAST(rev - (SELECT c0 FROM c) AS HUGEINT) AS x,
+           CAST(lead(rev) OVER (ORDER BY mo) - (SELECT c0 FROM c)
+                AS HUGEINT) AS y
+    FROM m),
+s AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+           SUM(x*x) AS sxx, SUM(y*y) AS syy
+    FROM p WHERE y IS NOT NULL)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_months,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN n IS NULL OR n*sxy - sx*sy = 0 THEN 0
+                 WHEN n*sxy - sx*sy > 0 THEN 1 ELSE -1 END
+            AS BIGINT) AS corr_sign,
+       CAST(COALESCE(n*sxy - sx*sy, 0) AS BIGINT) AS r2_num,
+       CAST(COALESCE(n*sxx - sx*sx, 0) AS BIGINT) AS r2_dx,
+       CAST(COALESCE(n*syy - sy*sy, 0) AS BIGINT) AS r2_dy
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekday_seasonality — revenue mix by day of week
+# ---------------------------------------------------------------------------
+
+def q_weekday_seasonality(sf_dir: str):
+    """Order count and exact revenue share per day of week — the
+    seasonality fingerprint batch schedulers and anomaly baselines key
+    on (a Tuesday that looks like a Sunday is an incident). Weekday is
+    derived arithmetically from epoch days (``(days + 4) % 7``,
+    Sunday = 0 — the DuckDB ``dayofweek`` convention, pinned by the
+    oracle) so no timezone or locale library is involved.
+
+    Shape: per-batch (dow, n, cents) partials → ONE 7-key exchange;
+    ``rev_share_ppm = _rhalf(10⁶·dow_cents, total_cents)`` read off
+    the ≤7-row fold."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch["o_orderdate"])
+        dow = (us // 86_400_000_000 + 4) % 7
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        agg = (
+            pd.DataFrame({"dow": dow, "cents": cents})
+            .groupby("dow", sort=False)
+            .agg(n_orders=("cents", "size"), rev_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "dow": pa.array(agg["dow"].to_numpy(np.int64), pa.int64()),
+                "n_orders": pa.array(
+                    agg["n_orders"].to_numpy(np.int64), pa.int64()
+                ),
+                "rev_cents": pa.array(
+                    agg["rev_cents"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    df = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("dow")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("rev_cents", alias_name="rev_cents"),
+        )
+        .to_pandas()  # bounded: ≤ 7 rows
+        .sort_values("dow")
+        .reset_index(drop=True)
+    )
+    tot = int(df["rev_cents"].sum())
+    df["rev_share_ppm"] = [
+        _rhalf(10**6 * int(v), tot) if tot else 0 for v in df["rev_cents"]
+    ]
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+_SQL_WEEKDAY = """
+WITH d AS (
+    SELECT dayofweek(o_orderdate) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders GROUP BY 1)
+SELECT CAST(dow AS BIGINT) AS dow, n_orders, rev_cents,
+       CAST((2*1000000*rev_cents + SUM(rev_cents) OVER ())
+            // (2*SUM(rev_cents) OVER ()) AS BIGINT) AS rev_share_ppm
+FROM d
+"""
+
+
 QUERIES = {
     "event_markov_stationary": q_event_markov_stationary,
     "time_to_convert": q_time_to_convert,
     "top_decile_share": q_top_decile_share,
+    "revenue_autocorr": q_revenue_autocorr,
+    "weekday_seasonality": q_weekday_seasonality,
     "user_active_time": q_user_active_time,
     "user_burstiness": q_user_burstiness,
     "geo_mean_price": q_geo_mean_price,
@@ -735,6 +931,8 @@ ORACLE_SQL = {
     "event_markov_stationary": _SQL_MARKOV,
     "time_to_convert": _SQL_TIME_TO_CONVERT,
     "top_decile_share": _SQL_TOP_DECILE,
+    "revenue_autocorr": _SQL_REVENUE_AUTOCORR,
+    "weekday_seasonality": _SQL_WEEKDAY,
     "user_active_time": _SQL_USER_ACTIVE_TIME,
     "user_burstiness": _SQL_USER_BURSTINESS,
     "geo_mean_price": _sql_geo_mean(),

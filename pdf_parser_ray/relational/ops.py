@@ -2726,6 +2726,38 @@ def _hll_estimate(registers: np.ndarray) -> int:
     return int(E)
 
 
+_HLL_TWO64, _HLL_TWO32 = 1 << 64, 1 << 32
+_HLL_C, _HLL_K1, _HLL_K2 = (
+    0x9E3779B97F4A7C15,
+    0xBF58476D1CE4E5B9,
+    0x94D049BB133111EB,
+)
+
+
+def _sql_xor64(a: str, b: str) -> str:
+    """64-bit xor over HUGEINT via 32-bit limbs (shared by the HLL
+    oracle renderers; pure string generator — rendered text is
+    byte-identical to the original inline helper)."""
+    TWO32 = _HLL_TWO32
+    return (
+        f"(CAST(xor(CAST(({a}) // {TWO32} AS BIGINT),"
+        f" CAST(({b}) // {TWO32} AS BIGINT)) AS HUGEINT) * {TWO32}"
+        f" + CAST(xor(CAST(({a}) % {TWO32} AS BIGINT),"
+        f" CAST(({b}) % {TWO32} AS BIGINT)) AS HUGEINT))"
+    )
+
+
+def _sql_mul64(a: str, k: int) -> str:
+    """Wrap-exact 64-bit multiply-by-constant via 32-bit limbs."""
+    TWO32, TWO64 = _HLL_TWO32, _HLL_TWO64
+    kl, kh = k % TWO32, k // TWO32
+    return (
+        f"((( ({a}) % {TWO32}) * {kl}"
+        f" + ((( ({a}) % {TWO32}) * {kh} + (({a}) // {TWO32}) * {kl})"
+        f" % {TWO32}) * {TWO32}) % {TWO64})"
+    )
+
+
 def _hll_oracle_sql(group: bool) -> str:
     """Exact SQL replay of the HLL sketch (round 5 — upgraded from
     rows-only): splitmix64 re-derived with wrap-exact 32-bit-limb
@@ -2737,24 +2769,9 @@ def _hll_oracle_sql(group: bool) -> str:
     registers AND the estimate are bit-identical to the engine."""
     from ..stages.textstats import _shared_ln_cte, lnm_micro
 
-    TWO64, TWO32 = 1 << 64, 1 << 32
-    C, K1, K2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-
-    def xor64(a: str, b: str) -> str:
-        return (
-            f"(CAST(xor(CAST(({a}) // {TWO32} AS BIGINT),"
-            f" CAST(({b}) // {TWO32} AS BIGINT)) AS HUGEINT) * {TWO32}"
-            f" + CAST(xor(CAST(({a}) % {TWO32} AS BIGINT),"
-            f" CAST(({b}) % {TWO32} AS BIGINT)) AS HUGEINT))"
-        )
-
-    def mul64(a: str, k: int) -> str:
-        kl, kh = k % TWO32, k // TWO32
-        return (
-            f"((( ({a}) % {TWO32}) * {kl}"
-            f" + ((( ({a}) % {TWO32}) * {kh} + (({a}) // {TWO32}) * {kl})"
-            f" % {TWO32}) * {TWO32}) % {TWO64})"
-        )
+    TWO64, TWO32 = _HLL_TWO64, _HLL_TWO32
+    C, K1, K2 = _HLL_C, _HLL_K1, _HLL_K2
+    xor64, mul64 = _sql_xor64, _sql_mul64
 
     m = 1 << _HLL_P
     w_mod = 1 << (64 - _HLL_P)  # low-bit field below the register index
@@ -2895,6 +2912,158 @@ def q_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
     return pd.DataFrame(
         {"n_users_approx": pd.Series([_hll_estimate(M)], dtype="int64")}
     )
+
+
+def q_type_user_overlap_hll(sf_dir: str, p: int = _HLL_P):
+    """SKETCH ALGEBRA — approximate audience overlap between every
+    event-type pair by HLL inclusion–exclusion:
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)``, where the union sketch is
+    the elementwise register MAX of the two type sketches (the merge
+    HLL supports natively; intersection has no native merge, which is
+    exactly why inclusion–exclusion over unions is THE production
+    pattern for audience-overlap at 100 TB — no per-pair distinct
+    shuffle ever runs).
+
+    Distribution: identical register build to
+    :func:`q_type_user_counts_hll` (ONE ``groupby([type, register])``
+    Max exchange, batches pre-dedup locally); the driver folds
+    types × 2^p register rows — sketches, never users — and all the
+    pair algebra runs on those. Estimates use the INTEGER-EXACT fold
+    (:func:`_hll_estimate`), so the oracle replays every estimate
+    bit-for-bit; overlap clamps at 0 (inclusion–exclusion can go
+    slightly negative on near-disjoint sets — part of the spec on
+    both sides)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def registers(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "t": batch["event_type"].to_pylist(),
+                "u": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        reg, rho = _hll_reg_rho(df["u"].to_numpy(dtype=np.int64), p)
+        return pa.table(
+            {
+                "event_type": pa.array(df["t"].tolist(), pa.string()),
+                "register": pa.array(reg, pa.int64()),
+                "rho": pa.array(rho, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    regs = (
+        ds.map_batches(registers, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()  # types × ≤2^p rows — the sketches, not the data
+    )
+    m = 1 << p
+    sketches: dict[str, np.ndarray] = {}
+    for t, sub in regs.groupby("event_type", sort=True):
+        M = np.zeros(m, dtype=np.int64)
+        M[sub["register"].to_numpy()] = sub["rho"].to_numpy()
+        sketches[t] = M
+    types = sorted(sketches)
+    est = {t: _hll_estimate(sketches[t]) for t in types}
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            eu = _hll_estimate(np.maximum(sketches[a], sketches[b]))
+            rows.append(
+                (a, b, est[a], est[b], eu, max(est[a] + est[b] - eu, 0))
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "type_a",
+            "type_b",
+            "n_a_approx",
+            "n_b_approx",
+            "n_union_approx",
+            "n_overlap_approx",
+        ],
+    ).astype(
+        {c: np.int64 for c in ("n_a_approx", "n_b_approx", "n_union_approx", "n_overlap_approx")}
+    )
+
+
+def _hll_fold_cte(src: str, gcols: str, tag: str) -> str:
+    """Render the INTEGER estimate fold (:func:`_hll_estimate`) as SQL
+    CTEs over ``src`` rows (gcols..., register, rho) — parameterized
+    so the overlap oracle can apply the identical fold to single-type
+    and union sketches; the single-sketch renderer
+    (:func:`_hll_oracle_sql`) keeps its original inline text."""
+    from ..stages.textstats import _shared_ln_cte, lnm_micro
+
+    m = 1 << _HLL_P
+    num = 7213 * m**3 * (1 << 64)
+    den_c = 10 * (1000 * m + 1079)
+    g = f"{gcols}, " if gcols else ""
+    gby = f"GROUP BY {gcols}" if gcols else ""
+    return f"""
+agg{tag} AS (SELECT {g}COUNT(*) AS nhit,
+               SUM(CAST(1 AS HUGEINT) << CAST(64 - rho AS INT)) AS s_hit
+        FROM {src} {gby}),
+ze{tag} AS (SELECT {g}GREATEST({m} - nhit, 1) AS v, {m} - nhit AS zeros,
+              s_hit + CAST({m} - nhit AS HUGEINT) * (CAST(1 AS HUGEINT) << 64) AS S
+       FROM agg{tag}),
+zl{tag} AS (SELECT {g}zeros, S,
+              CAST(FLOOR(lnk * CAST(1000000.0 AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lnm_z
+       FROM {_shared_ln_cte(f'ze{tag}', 'v')}),
+est{tag} AS (SELECT {g}CAST(CASE
+            WHEN 2 * (CAST({num} AS HUGEINT) // ({den_c} * S)) <= {5 * m}
+                 AND zeros > 0
+            THEN {m} * ({lnm_micro(m)} - lnm_z) // 1000000
+            ELSE CAST({num} AS HUGEINT) // ({den_c} * S) END AS BIGINT) AS est
+       FROM zl{tag})"""
+
+
+def _hll_overlap_sql() -> str:
+    """Exact SQL replay of :func:`q_type_user_overlap_hll`: the same
+    splitmix64 limb chain and register MAX as the grouped-HLL oracle,
+    then per-pair union sketches by register MAX across the two types
+    and THREE applications of the shared integer estimate fold."""
+    TWO64 = _HLL_TWO64
+    C, K1, K2 = _HLL_C, _HLL_K1, _HLL_K2
+    xor64, mul64 = _sql_xor64, _sql_mul64
+    w_mod = 1 << (64 - _HLL_P)
+    rho_max = 64 - _HLL_P + 1
+    return f"""
+WITH x AS (SELECT DISTINCT event_type AS g, CAST(user_id AS HUGEINT) AS v FROM events),
+s0 AS (SELECT g, (v + {C}) % {TWO64} AS h FROM x),
+s1 AS (SELECT g, {xor64('h', 'h // 1073741824')} AS h FROM s0),
+s2 AS (SELECT g, {mul64('h', K1)} AS h FROM s1),
+s3 AS (SELECT g, {xor64('h', 'h // 134217728')} AS h FROM s2),
+s4 AS (SELECT g, {mul64('h', K2)} AS h FROM s3),
+s5 AS (SELECT g, {xor64('h', 'h // 2147483648')} AS h FROM s4),
+rr AS (SELECT g, h // {w_mod} AS register,
+              CASE WHEN h % {w_mod} = 0 THEN {rho_max}
+                   ELSE {rho_max} - length(printf('%b', CAST(h % {w_mod} AS BIGINT)))
+              END AS rho
+       FROM s5),
+mx AS (SELECT g, register, MAX(rho) AS rho FROM rr GROUP BY g, register),
+tp AS (SELECT DISTINCT g FROM mx),
+pr AS (SELECT a.g AS ga, b.g AS gb FROM tp a JOIN tp b ON a.g < b.g),
+um AS (SELECT pr.ga, pr.gb, mm.register, MAX(mm.rho) AS rho
+       FROM pr JOIN mx mm ON mm.g = pr.ga OR mm.g = pr.gb
+       GROUP BY 1, 2, 3),
+{_hll_fold_cte('mx', 'g', 'g')},
+{_hll_fold_cte('um', 'ga, gb', 'u')}
+SELECT pr.ga AS type_a, pr.gb AS type_b,
+       ea.est AS n_a_approx, eb.est AS n_b_approx,
+       eu.est AS n_union_approx,
+       CAST(GREATEST(ea.est + eb.est - eu.est, 0) AS BIGINT)
+           AS n_overlap_approx
+FROM pr
+JOIN estg ea ON ea.g = pr.ga
+JOIN estg eb ON eb.g = pr.gb
+JOIN estu eu ON eu.ga = pr.ga AND eu.gb = pr.gb
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -5864,6 +6033,7 @@ QUERIES = {
     "event_dedup_windowed": q_event_dedup_windowed,
     "customer_spend_quartiles": q_customer_spend_quartiles,
     "type_user_counts_hll": q_type_user_counts_hll,
+    "type_user_overlap_hll": q_type_user_overlap_hll,
     "hourly_top_user": q_hourly_top_user,
     "active_buyers": q_active_buyers,
     "silent_buyers": q_silent_buyers,
@@ -5988,4 +6158,5 @@ ORACLE_SQL = {
     # unit test still pins accuracy against the exact count)
     "distinct_users_hll": _hll_oracle_sql(group=False),
     "type_user_counts_hll": _hll_oracle_sql(group=True),
+    "type_user_overlap_hll": _hll_overlap_sql(),
 }

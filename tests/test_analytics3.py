@@ -336,6 +336,116 @@ class TestTopDecileShare:
         assert _canon(got) == _canon(want)
 
 
+class TestRevenueAutocorr:
+    def test_alternating_series_is_perfect_negative(self, tmp_path):
+        # monthly revenue alternating 1000/2000 dollars → lag-1 pairs
+        # are perfectly anticorrelated: sign −1 and num² = dx·dy.
+        months = [f"1995-{m:02d}-15" for m in range(1, 9)]
+        revs = [1000.0, 2000.0] * 4
+        t = pa.table(
+            {
+                "o_orderdate": pa.array(
+                    np.array([np.datetime64(d, "us") for d in months])
+                ),
+                "o_totalprice": pa.array(revs),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = _pd(a3.q_revenue_autocorr(str(tmp_path)))
+        assert got.loc[0, "n_months"] == 8 and got.loc[0, "n_pairs"] == 7
+        assert got.loc[0, "corr_sign"] == -1
+        num, dx, dy = (
+            int(got.loc[0, "r2_num"]),
+            int(got.loc[0, "r2_dx"]),
+            int(got.loc[0, "r2_dy"]),
+        )
+        assert num * num == dx * dy  # r² = 1 exactly
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a3._SQL_REVENUE_AUTOCORR).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestWeekdaySeasonality:
+    def test_known_dates_and_differential(self, tmp_path):
+        # 1995-06-04 was a Sunday (dow 0), 1995-06-05 a Monday (dow 1)
+        t = pa.table(
+            {
+                "o_orderdate": pa.array(
+                    np.array(
+                        [
+                            np.datetime64("1995-06-04", "us"),
+                            np.datetime64("1995-06-05", "us"),
+                            np.datetime64("1995-06-05", "us"),
+                        ]
+                    )
+                ),
+                "o_totalprice": pa.array([100.0, 100.0, 100.0]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = (
+            _pd(a3.q_weekday_seasonality(str(tmp_path)))
+            .sort_values("dow")
+            .reset_index(drop=True)
+        )
+        assert got["dow"].tolist() == [0, 1]
+        assert got["n_orders"].tolist() == [1, 2]
+        assert got["rev_share_ppm"].tolist() == [333333, 666667]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a3._SQL_WEEKDAY).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestHllOverlap:
+    def test_inclusion_exclusion_accuracy(self, tmp_path):
+        # types a and b share exactly 600 of 1000 users each; the HLL
+        # overlap estimate must land within 3σ-ish of 600 (σ ≈
+        # 1.04/√m per sketch; inclusion–exclusion compounds to a few
+        # percent of the union at p=12).
+        rng = range
+        rows_t, rows_u = [], []
+        for u in rng(1000):
+            rows_t.append("a")
+            rows_u.append(u)
+        for u in rng(400, 1400):
+            rows_t.append("b")
+            rows_u.append(u)
+        n = len(rows_t)
+        base = np.datetime64("1995-06-01T00:00:00", "us")
+        t = pa.table(
+            {
+                "event_id": pa.array(range(1, n + 1), pa.int64()),
+                "user_id": pa.array(rows_u, pa.int64()),
+                "ts": pa.array(
+                    np.array([base + np.timedelta64(i, "s") for i in range(n)])
+                ),
+                "event_type": pa.array(rows_t),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        from pdf_parser_ray.relational.ops import (
+            _hll_overlap_sql,
+            q_type_user_overlap_hll,
+        )
+
+        got = _pd(q_type_user_overlap_hll(str(tmp_path)))
+        assert len(got) == 1
+        ov = int(got.loc[0, "n_overlap_approx"])
+        assert abs(ov - 600) < 150  # sketch tolerance at p=12
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        want = con.execute(_hll_overlap_sql()).df()
+        assert _canon(got) == _canon(want)
+
+
 class TestMarkovStationary:
     def test_two_state_chain_and_differential(self, tmp_path):
         # user 1 path: a b b a b b  → counts a→b 2, b→b 2, b→a 1
@@ -364,3 +474,25 @@ class TestMarkovStationary:
         # chain drifts toward b (2/3 of b's mass self-loops)
         pi = dict(zip(got["event_type"], got["pi_micro"]))
         assert pi["b"] > pi["a"]
+
+
+class TestOffsetAudit:
+    def test_sparse_detection(self):
+        import ray.data as rd
+
+        from pdf_parser_ray.pipelines.extract import extract_offset_audit
+
+        rows = (
+            # doc a: dense 0..2
+            [{"doc_id": "a", "offset": i} for i in range(3)]
+            # doc b: gap (0, 2) → sparse
+            + [{"doc_id": "b", "offset": 0}, {"doc_id": "b", "offset": 2}]
+            # doc c: does not start at 0 → sparse
+            + [{"doc_id": "c", "offset": 1}, {"doc_id": "c", "offset": 2}]
+        )
+        ds = rd.from_items(rows)
+        got = extract_offset_audit("unused", _spans=ds)
+        assert got.loc[0, "n_docs"] == 3
+        assert got.loc[0, "n_spans"] == 7
+        assert got.loc[0, "n_dense_docs"] == 1
+        assert got.loc[0, "n_sparse_docs"] == 2
