@@ -264,6 +264,21 @@ ORACLE_SQL = (
             + _guarded_fixture_sql(_FIXTURE_COLS)
             + ") GROUP BY kind"
         ),
+        "extract_kind_transitions": (
+            """
+WITH fx AS ("""
+            + _guarded_fixture_sql(_FIXTURE_COLS)
+            + """),
+lagged AS (
+    SELECT kind,
+           LAG(kind) OVER (PARTITION BY doc_id ORDER BY "offset") AS prev
+    FROM fx)
+SELECT prev AS kind_from, kind AS kind_to,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+        ),
         "extract_offset_audit": (
             """
 WITH fx AS ("""
@@ -375,6 +390,81 @@ def extract_offset_audit(sf_dir: str, n_buckets: int = 32, _spans=None):
         {c: [int(per_bucket[c].sum())] for c in
          ("n_docs", "n_spans", "n_dense_docs", "n_sparse_docs")}
     ).astype(np.int64)
+
+
+def extract_kind_transitions(sf_dir: str, n_buckets: int = 32, _spans=None):
+    """Reading-order span-KIND transition matrix over the flagship
+    output: counts of (kind → next kind) over offset-adjacent span
+    pairs within each document — the structural profile of extracted
+    documents (how often text flows into a table, a figure interrupts
+    prose, media runs back-to-back). A drifting matrix after a parser
+    change flags layout-recovery regressions that per-kind COUNTS
+    (:func:`extract_kind_stats`) cannot see, because it audits the
+    north rule's ORDER dimension, not just span identity.
+
+    Shape: spans re-key by a coarse ``crc32(doc_id) % B`` bucket
+    carrying only (doc_id, kind, offset) — text/media_ref never move —
+    each bucket sorts (doc, offset) once and counts its same-doc
+    shifted pairs vectorized into ≤ kinds² cells; a tiny (from, to)
+    groupby merges buckets. Oracle: ``LAG(kind) OVER (PARTITION BY
+    doc_id ORDER BY offset)`` over the frozen fixture.
+    """
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    spans = flagship(sf_dir) if _spans is None else _spans
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        h = np.array(
+            [zlib.crc32(str(d).encode()) for d in batch["doc_id"].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(h % n_buckets, pa.int64()),
+                "doc_id": batch["doc_id"],
+                "kind": batch["kind"],
+                "off": batch["offset"],
+            }
+        )
+
+    _cell_schema = pa.schema(
+        [("kind_from", pa.string()), ("kind_to", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def cells_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "off"], kind="stable")
+        doc = g["doc_id"].to_numpy()
+        kind = g["kind"].to_numpy()
+        same = doc[1:] == doc[:-1]
+        agg = (
+            pd.DataFrame(
+                {"kind_from": kind[:-1][same], "kind_to": kind[1:][same]}
+            )
+            .groupby(["kind_from", "kind_to"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "kind_from": pa.array(agg["kind_from"].tolist(), pa.string()),
+                "kind_to": pa.array(agg["kind_to"].tolist(), pa.string()),
+                "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            },
+            schema=_cell_schema,
+        )
+
+    return (
+        spans.map_batches(rekey, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(cells_bucket, batch_format="pandas")
+        .groupby(["kind_from", "kind_to"])
+        .aggregate(Sum("n", alias_name="n_pairs"))
+    )
 
 
 def extract_pipeline_skew_aware(

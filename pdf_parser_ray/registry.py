@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "pdf_parser_ray.relational.analytics",
     "pdf_parser_ray.relational.analytics2",
     "pdf_parser_ray.relational.analytics3",
+    "pdf_parser_ray.relational.analytics4",
 )
 
 
@@ -64,6 +65,7 @@ def all_queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.relational.ops import QUERIES as REL
     from pdf_parser_ray.pipelines.extract import (
         extract_kind_stats,
+        extract_kind_transitions,
         extract_offset_audit,
         flagship,
     )
@@ -81,6 +83,7 @@ def all_queries() -> dict[str, Callable[[str], Any]]:
         sf_dir, fused=False, concurrency=(1, 8)
     )
     out["extract_kind_stats"] = extract_kind_stats
+    out["extract_kind_transitions"] = extract_kind_transitions
     out["extract_offset_audit"] = extract_offset_audit
     out.update(_collect("QUERIES"))
     return out

@@ -1020,7 +1020,123 @@ SELECT node AS partkey, CAST(MIN(hops) AS BIGINT) AS hops
 FROM d GROUP BY node
 """
 
+# ---------------------------------------------------------------------------
+# copurchase_components — connected components of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+# Driver union-find bound for component resolution: below this edge
+# count the support-filtered pair graph is folded driver-side (the
+# recompute-upstream twin of the repo's size-gated pins — ~16 B/edge,
+# so the default bounds driver memory at ~32 MB); above it the
+# distributed min-label propagation runs. Co-purchase graphs are NOT
+# shallow like dup clusters (the sf0.01 giant component already has
+# eccentricity 10 → ~12 propagation rounds), so the driver fold is
+# also the latency-correct branch wherever it fits.
+_CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def q_copurchase_components(
+    sf_dir: str, min_support: int = 2, driver_max_edges: int | None = None
+):
+    """Connected components of the part co-purchase graph (nodes =
+    parts, edges = pairs bought together in ≥ ``min_support`` orders)
+    — the product-affinity clusters behind "frequently bought
+    together" families, and the graph twin of the dedup family's
+    cluster resolution. Output is (part_id, component_rep = min part
+    in the component), one row per part in a qualifying edge.
+
+    Shape: the edge list comes from
+    :func:`~pdf_parser_ray.relational.ops.q_copurchase_pairs`' basket
+    exchange (orderkey-bucket pair expansion, support filter applied
+    before anything ships) — already the REDUCED grain. Component
+    resolution is size-gated on the edge count (the repo's standing
+    gate-with-recompute pattern): under ``driver_max_edges`` the
+    edges stream to a driver union-find with path halving (exact,
+    O(E·α)); above it the distributed min-label propagation of
+    :func:`~pdf_parser_ray.stages.dedup.label_propagation_clusters`
+    runs with rounds sized to the measured depth of purchase graphs
+    (``max_rounds=64`` — unlike dup clusters these are NOT shallow;
+    the guard still raises rather than emit split components).
+    Oracle: recursive reachability CTE over the same pairs.
+    """
+    import pandas as pd
+
+    from ..relational.ops import q_copurchase_pairs
+
+    bound = _CC_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    pairs = q_copurchase_pairs(sf_dir, min_support=min_support)
+    n_edges = pairs.count()
+    if n_edges > bound:  # pragma: no cover - corpus-scale branch
+        from .dedup import label_propagation_clusters
+
+        def as_edges(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_a": b["part_a"], "doc_b": b["part_b"]})
+
+        comp = label_propagation_clusters(
+            pairs.map_batches(as_edges, batch_format="pyarrow", batch_size=None),
+            max_rounds=64,
+        )
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"part_id": b["doc_id"], "component_rep": b["cluster_rep"]}
+            )
+
+        return comp.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+    # driver branch: recompute the pairs plan and fold its edges as
+    # they stream (never more than one block held beyond the find maps)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(
+            batch["part_a"].to_numpy(zero_copy_only=False),
+            batch["part_b"].to_numpy(zero_copy_only=False),
+        ):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    nodes = sorted(parent)
+    return pd.DataFrame(
+        {
+            "part_id": pd.Series(nodes, dtype=np.int64),
+            "component_rep": pd.Series(
+                [find(n) for n in nodes], dtype=np.int64
+            ),
+        }
+    )
+
+
+_SQL_COPURCHASE_COMPONENTS = """
+WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM pp a JOIN pp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+edges AS (
+    SELECT pa AS s, pb AS d FROM pairs
+    UNION ALL
+    SELECT pb AS s, pa AS d FROM pairs),
+reach(node, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)
+SELECT node AS part_id, CAST(MIN(r) AS BIGINT) AS component_rep
+FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
+    "copurchase_components": q_copurchase_components,
     "purchase_pagerank": q_purchase_pagerank,
     "triangle_count": q_triangle_count,
     "clustering_coeff": q_clustering_coeff,
@@ -1029,6 +1145,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "copurchase_components": _SQL_COPURCHASE_COMPONENTS,
     "purchase_pagerank": _SQL_PAGERANK,
     "triangle_count": _SQL_TRIANGLES,
     "clustering_coeff": _SQL_CLUSTERING,

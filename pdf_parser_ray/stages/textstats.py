@@ -2906,6 +2906,133 @@ SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM h WHERE n_hits > 0
 _SQL_PHRASE_SEARCH = _sql_phrase()
 
 
+# ---------------------------------------------------------------------------
+# bigram_entropy_rate — conditional next-token entropy of the corpus
+# ---------------------------------------------------------------------------
+
+def q_bigram_entropy_rate(sf_dir: str, n_buckets: int = 32):
+    """Corpus entropy RATE: the conditional entropy ``H(next | cur) =
+    (1/N)·Σ_xy n_xy·(ln r_x − ln n_xy)`` over token bigrams (within
+    documents, never across doc boundaries) — the bits-per-token
+    predictability floor a bigram LM attains on this corpus. Low rate
+    = templated/repetitive text (boilerplate, machine spam), high
+    rate = diverse natural language; the one-number sequel to
+    :func:`q_lm_doc_nll`'s per-doc unigram NLL and the generation-side
+    twin of :func:`q_lexical_diversity`.
+
+    Exactness: every ln snaps to the shared integer-micro spec
+    (:func:`lnm_micro`) BEFORE the reduction; ``r_x`` is the bigram
+    CONTINUATION count (Σ_y n_xy — derived from the bigram cells
+    themselves, exactly the margin conditioning requires, so no
+    unigram join is needed); the weighted sum is an order-free
+    integer and the rate one ``_rhalf`` against N. Hash-exact vs the
+    zipped-``UNNEST`` + ``_shared_ln_cte`` SQL replay.
+
+    Shape: per-batch bigram partials (one row per distinct bigram per
+    batch) → ONE ``groupby(x, y)`` exchange on the bigram grain (the
+    wordcount shape, one rank up) → a ``hash_bucket(x)`` exchange
+    where each bucket folds its x-groups vectorized (margins via one
+    pandas transform, lns via the distinct-value LUT) into a single
+    (Σcontrib, N) partial row → a ≤ #buckets driver read-off.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..core.util import hash_bucket
+    from ..relational.ops import _rhalf
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[tuple[str, str], int] = {}
+        for t in batch["text"].to_pylist():
+            toks = (t or "").split()
+            for x, y in zip(toks, toks[1:]):
+                cnt[(x, y)] = cnt.get((x, y), 0) + 1
+        return pa.table(
+            {
+                "x": pa.array([k[0] for k in cnt], pa.string()),
+                "y": pa.array([k[1] for k in cnt], pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def rekey(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [hash_bucket(x, n_buckets) for x in b["x"].to_pylist()],
+                    pa.int64(),
+                ),
+                "x": b["x"],
+                "n": b["n"],
+            }
+        )
+
+    def fold_bucket(g: pd.DataFrame) -> pa.Table:
+        n = g["n"].to_numpy(np.int64)
+        r = g.groupby("x", sort=False)["n"].transform("sum").to_numpy(np.int64)
+        contrib = int(np.sum(n * (_lnm_vec(r) - _lnm_vec(n)), dtype=np.int64))
+        return pa.table(
+            {
+                "s": pa.array([contrib], pa.int64()),
+                "nb": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["x", "y"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(rekey, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ #buckets rows
+    )
+    s = int(parts["s"].sum())
+    nb = int(parts["nb"].sum())
+    return pd.DataFrame(
+        {
+            "n_bigrams": pd.Series([nb], dtype=np.int64),
+            "h_cond_sum_micro": pd.Series([s], dtype=np.int64),
+            "h_cond_micro": pd.Series(
+                [_rhalf(s, nb) if nb else 0], dtype=np.int64
+            ),
+        }
+    )
+
+
+def _sql_bigram_entropy() -> str:
+    cte = _shared_ln_cte("(SELECT DISTINCT kint FROM lnargs)", "kint")
+    return rf"""
+WITH w AS (SELECT regexp_extract_all(text, '\S+') AS words FROM documents),
+bg AS (
+    SELECT UNNEST(words[1:len(words)-1]) AS x,
+           UNNEST(words[2:len(words)]) AS y
+    FROM w WHERE len(words) >= 2),
+cell AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+m AS (SELECT x, y, n,
+             CAST(SUM(n) OVER (PARTITION BY x) AS BIGINT) AS r
+      FROM cell),
+lnargs AS (SELECT n AS kint FROM m UNION SELECT r FROM m),
+lns AS (SELECT kint,
+               CAST(FLOOR(lnk * CAST(1000000.0 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lnm
+        FROM {cte} t),
+t AS (SELECT CAST(SUM(m.n) AS BIGINT) AS nb,
+             CAST(SUM(m.n * (a.lnm - b.lnm)) AS HUGEINT) AS s
+      FROM m JOIN lns a ON a.kint = m.r JOIN lns b ON b.kint = m.n)
+SELECT nb AS n_bigrams, CAST(s AS BIGINT) AS h_cond_sum_micro,
+       CAST(CASE WHEN nb = 0 THEN 0
+                 WHEN s >= 0 THEN (2*s + nb) // (2*nb)
+                 ELSE -((-2*s + nb) // (2*nb)) END AS BIGINT) AS h_cond_micro
+FROM t
+"""
+
+
+_SQL_BIGRAM_ENTROPY = _sql_bigram_entropy()
+
+
 QUERIES = {
     "token_count": q_token_count,
     "length_tail_index": q_length_tail_index,
@@ -2935,9 +3062,11 @@ QUERIES = {
     "source_lang_entropy": q_source_lang_entropy,
     "doc_novelty": q_doc_novelty,
     "phrase_search": q_phrase_search,
+    "bigram_entropy_rate": q_bigram_entropy_rate,
 }
 
 ORACLE_SQL = {
+    "bigram_entropy_rate": _SQL_BIGRAM_ENTROPY,
     "doc_novelty": _SQL_DOC_NOVELTY,
     "phrase_search": _SQL_PHRASE_SEARCH,
     "source_js_divergence": _SQL_JS_DIVERGENCE,

@@ -1,0 +1,413 @@
+"""Unit tests for relational/analytics4.py (CUSUM drift, Kaplan–Meier
+survival, mutual information, Zipf slope, basket lift).
+
+Pins beyond the oracle harness: crafted corpora with the algebraic
+edges (flat series, censoring boundary, independent vs dependent
+contingency, duplicate basket lines) on which each query must
+hash-match DuckDB running its registered oracle SQL verbatim, plus
+direct value pins for the closed-form cases.
+"""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_parser_ray.relational import analytics4 as a4
+from pdf_parser_ray.stages.textstats import lnm_micro
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    yield
+
+
+def _canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    rows = sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False))
+    return hashlib.md5(str(rows).encode()).hexdigest()
+
+
+def _pd(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    return result.to_pandas()
+
+
+def _days(offsets, base="1995-01-01"):
+    b = np.datetime64(base, "us")
+    return pa.array(
+        np.array([b + np.timedelta64(int(d), "D") for d in offsets],
+                 dtype="datetime64[us]")
+    )
+
+
+class TestRevenueCusum:
+    def test_upward_shift_is_found(self, tmp_path):
+        # daily revenue 1.00 ×3 then 2.00 ×2 (cents 100/200), mean 140:
+        # S walks 0,0,0,300,600 in cents·D → peak 600/5 = 120 cents on
+        # the last day.
+        t = pa.table(
+            {
+                "o_orderdate": _days([0, 1, 2, 3, 4]),
+                "o_totalprice": pa.array([1.0, 1.0, 1.0, 2.0, 2.0]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = _pd(a4.q_revenue_cusum(str(tmp_path)))
+        base_day = int(np.datetime64("1995-01-01").astype("datetime64[D]").astype(int))
+        assert got.loc[0, "n_days"] == 5
+        assert got.loc[0, "peak_day"] == base_day + 4
+        assert got.loc[0, "peak_cusum_cents"] == 120
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a4._SQL_REVENUE_CUSUM).df()
+        assert _canon(got) == _canon(want)
+
+    def test_flat_series_peaks_at_first_day_with_zero(self, tmp_path):
+        t = pa.table(
+            {
+                "o_orderdate": _days([0, 1, 2]),
+                "o_totalprice": pa.array([5.0, 5.0, 5.0]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = _pd(a4.q_revenue_cusum(str(tmp_path)))
+        base_day = int(np.datetime64("1995-01-01").astype("datetime64[D]").astype(int))
+        assert got.loc[0, "peak_cusum_cents"] == 0
+        assert got.loc[0, "peak_day"] == base_day  # tie → earliest
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a4._SQL_REVENUE_CUSUM).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestSurvivalKM:
+    @pytest.fixture()
+    def corpus(self, tmp_path):
+        # max date = day 200 → horizon = day 110.
+        # cust 1: days 0,10   → t=10,  death (last 10 ≤ 110)
+        # cust 2: day 0       → t=0,   death
+        # cust 3: days 0,150  → t=150, censored (last 150 > 110)
+        # cust 4: day 100     → t=0,   death
+        # cust 5: days 0,200  → t=200, censored
+        rows = [(1, 0), (1, 10), (2, 0), (3, 0), (3, 150), (4, 100),
+                (5, 0), (5, 200)]
+        t = pa.table(
+            {
+                "o_custkey": pa.array([c for c, _ in rows], pa.int64()),
+                "o_orderdate": _days([d for _, d in rows]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        return str(tmp_path)
+
+    def test_closed_form_curve(self, corpus):
+        got = _pd(a4.q_customer_survival_km(corpus)).sort_values("t_day")
+        got = got.reset_index(drop=True)
+        # death times: t=0 (d=2, r=5) and t=10 (d=1, r=3); censored
+        # lifetimes 150/200 produce no rows.
+        assert list(got["t_day"]) == [0, 10]
+        assert list(got["n_risk"]) == [5, 3]
+        assert list(got["n_death"]) == [2, 1]
+        s0 = lnm_micro(3) - lnm_micro(5)
+        s1 = s0 + lnm_micro(2) - lnm_micro(3)
+        assert list(got["ln_surv_micro"]) == [s0, s1]
+
+    def test_matches_duckdb(self, corpus):
+        got = _pd(a4.q_customer_survival_km(corpus))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{corpus}/orders.parquet'"
+        )
+        want = con.execute(a4.ORACLE_SQL["customer_survival_km"]).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestEventTypeMI:
+    def _write(self, tmp_path, rows):
+        base = np.datetime64("1995-06-01T00:00:00", "us")
+        t = pa.table(
+            {
+                "event_type": pa.array([ty for ty, _ in rows]),
+                "ts": pa.array(
+                    np.array(
+                        [base + np.timedelta64(h, "h") for _, h in rows],
+                        dtype="datetime64[us]",
+                    )
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_independent_is_zero(self, tmp_path):
+        rows = [(ty, h) for ty in ("A", "B") for h in (0, 1) for _ in range(5)]
+        d = self._write(tmp_path, rows)
+        got = _pd(a4.q_event_type_mi(d))
+        assert got.loc[0, "mi_sum_micro"] == 0
+        assert got.loc[0, "mi_micro"] == 0
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        want = con.execute(a4.ORACLE_SQL["event_type_mi"]).df()
+        assert _canon(got) == _canon(want)
+
+    def test_perfect_dependence_is_ln2(self, tmp_path):
+        # A only at hour 0, B only at hour 1 → MI = ln 2 exactly
+        rows = [("A", 0)] * 5 + [("B", 1)] * 5
+        d = self._write(tmp_path, rows)
+        got = _pd(a4.q_event_type_mi(d))
+        # each cell: n=5, N=10, r=c=5 → 5·(lnm(50) − lnm(25)) twice
+        assert got.loc[0, "mi_micro"] == lnm_micro(50) - lnm_micro(25)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        want = con.execute(a4.ORACLE_SQL["event_type_mi"]).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestZipfSlope:
+    def test_crafted_head_and_oracle(self, tmp_path):
+        # totals a=6 b=3 c=1 (empty doc and double spaces exercise the
+        # tokenizer edges) → ranks 1..3; expected slope is the exact
+        # OLS over the same lnm coordinates the engine uses.
+        t = pa.table(
+            {"text": pa.array(["a a a a b b c", "", "a a  b"])}
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = _pd(a4.q_zipf_slope(str(tmp_path)))
+        tf = [6, 3, 1]
+        xs = [lnm_micro(i + 1) for i in range(3)]
+        ys = [lnm_micro(v) for v in tf]
+        k = 3
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = k * sxy - sx * sy, k * sxx - sx * sx
+        from pdf_parser_ray.relational.ops import _rhalf
+
+        assert got.loc[0, "n_terms"] == 3
+        assert got.loc[0, "slope_micro"] == _rhalf(1_000_000 * num, den)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        want = con.execute(a4.ORACLE_SQL["zipf_slope"]).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestBasketLift:
+    def test_closed_form_and_oracle(self, tmp_path):
+        # baskets: o1 {p1,p2} (p1 duplicated — dedup), o2 {p1,p2},
+        # o3 {p1,p3}, o4 {p2}; N = 4 orders.
+        li = [(1, 1), (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2)]
+        t = pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in li], pa.int64()),
+                "l_partkey": pa.array([p for _, p in li], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        orders = pa.table({"o_orderkey": pa.array([1, 2, 3, 4], pa.int64())})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = _pd(a4.q_basket_lift(str(tmp_path)))
+        # only (p1,p2) reaches min_support 2: n_ab=2, n_a=3, n_b=3,
+        # lift = 2·4/9 = 0.888… → 888889 ppm (half-away rounding)
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["part_a"], r["part_b"]) == (1, 2)
+        assert (r["n_orders"], r["n_a"], r["n_b"]) == (2, 3, 3)
+        assert r["lift_ppm"] == 888_889
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+        )
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a4.ORACLE_SQL["basket_lift"]).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestRunsTest:
+    def test_alternating_series(self, tmp_path):
+        # revs 1,3,1,3,1 (cents 100/300): lower median = 100 → the
+        # three median days are TIES (dropped); remaining 3,3 → one
+        # run of two "above" days. n1=2, n2=0, runs=1,
+        # expected = 1 + 2·2·0/2 = 1.
+        t = pa.table(
+            {
+                "o_orderdate": _days([0, 1, 2, 3, 4]),
+                "o_totalprice": pa.array([1.0, 3.0, 1.0, 3.0, 1.0]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = _pd(a4.q_revenue_runs_test(str(tmp_path)))
+        assert (
+            got.loc[0, "n_above"],
+            got.loc[0, "n_below"],
+            got.loc[0, "n_runs"],
+        ) == (2, 0, 1)
+        assert got.loc[0, "expected_runs_micro"] == 1_000_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a4._SQL_REVENUE_RUNS).df()
+        assert _canon(got) == _canon(want)
+
+    def test_trend_gives_two_runs(self, tmp_path):
+        # 1,2,3,4 → median (lower) 2 is a tie-drop; signs −,+,+ →
+        # runs 2, n1=2, n2=1, expected = 1 + 2·2·1/3 = 2.333…
+        t = pa.table(
+            {
+                "o_orderdate": _days([0, 1, 2, 3]),
+                "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = _pd(a4.q_revenue_runs_test(str(tmp_path)))
+        assert (
+            got.loc[0, "n_above"],
+            got.loc[0, "n_below"],
+            got.loc[0, "n_runs"],
+        ) == (2, 1, 2)
+        assert got.loc[0, "expected_runs_micro"] == 2_333_333
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a4._SQL_REVENUE_RUNS).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestHHI:
+    def test_even_vs_whale_years(self, tmp_path):
+        # 1995: four customers at 1.00 each → HHI = 1/4 = 250000 ppm.
+        # 1996: whale 9.00 + minnow 1.00 → (81+1)/100 = 820000 ppm.
+        rows = [
+            (1, 0, 1.0), (2, 1, 1.0), (3, 2, 1.0), (4, 3, 1.0),
+            (1, 365, 9.0), (2, 366, 1.0),
+        ]
+        t = pa.table(
+            {
+                "o_custkey": pa.array([c for c, _, _ in rows], pa.int64()),
+                "o_orderdate": _days([d for _, d, _ in rows]),
+                "o_totalprice": pa.array([p for _, _, p in rows]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = _pd(a4.q_customer_concentration_hhi(str(tmp_path)))
+        got = got.sort_values("o_year").reset_index(drop=True)
+        assert list(got["o_year"]) == [1995, 1996]
+        assert list(got["n_customers"]) == [4, 2]
+        assert list(got["hhi_ppm"]) == [250_000, 820_000]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a4._SQL_HHI).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestCopurchaseComponents:
+    def test_two_components_and_oracle(self, tmp_path):
+        # edges with support ≥ 2: (1,2) ×2 and (4,5) ×2; (1,3) appears
+        # once → no edge, part 3 absent from the output. Components:
+        # {1,2} rep 1 and {4,5} rep 4.
+        li = [
+            (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3),
+            (4, 4), (4, 5), (5, 4), (5, 5),
+        ]
+        t = pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in li], pa.int64()),
+                "l_partkey": pa.array([p for _, p in li], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        from pdf_parser_ray.stages import graph as gr
+
+        got = (
+            _pd(gr.q_copurchase_components(str(tmp_path)))
+            .sort_values("part_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["part_id"]) == [1, 2, 4, 5]
+        assert list(got["component_rep"]) == [1, 1, 4, 4]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+        )
+        want = con.execute(gr._SQL_COPURCHASE_COMPONENTS).df()
+        assert _canon(got) == _canon(want)
+        # distributed branch (size gate forced off) agrees exactly
+        dist = (
+            _pd(gr.q_copurchase_components(str(tmp_path), driver_max_edges=0))
+            .sort_values("part_id")
+            .reset_index(drop=True)
+        )
+        assert _canon(dist) == _canon(got)
+
+
+class TestBigramEntropyRate:
+    def test_closed_form_and_oracle(self, tmp_path):
+        # "a b a c": bigrams (a,b),(b,a),(a,c); r_a=2 → two lnm(2)
+        # contributions, (b,a) deterministic → 0. Doc boundaries never
+        # pair ("c" then "x y" contributes no (c,x) bigram).
+        t = pa.table({"text": pa.array(["a b a c", "x y", "solo", ""])})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        from pdf_parser_ray.stages import textstats as ts
+
+        got = _pd(ts.q_bigram_entropy_rate(str(tmp_path)))
+        ln2 = lnm_micro(2) - lnm_micro(1)
+        assert got.loc[0, "n_bigrams"] == 4
+        assert got.loc[0, "h_cond_sum_micro"] == 2 * ln2
+        from pdf_parser_ray.relational.ops import _rhalf
+
+        assert got.loc[0, "h_cond_micro"] == _rhalf(2 * ln2, 4)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        want = con.execute(ts._SQL_BIGRAM_ENTROPY).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestKindTransitions:
+    def test_crafted_matrix(self):
+        import ray.data as rd
+
+        from pdf_parser_ray.pipelines.extract import extract_kind_transitions
+
+        rows = (
+            # doc a in reading order: text → text → media → text
+            [
+                {"doc_id": "a", "kind": "text", "offset": 0},
+                {"doc_id": "a", "kind": "text", "offset": 1},
+                {"doc_id": "a", "kind": "media", "offset": 2},
+                {"doc_id": "a", "kind": "text", "offset": 3},
+            ]
+            # doc b: a single span contributes no pair; doc boundary
+            # between a and b must not pair either
+            + [{"doc_id": "b", "kind": "media", "offset": 0}]
+        )
+        ds = rd.from_items(rows)
+        got = (
+            _pd(extract_kind_transitions("unused", _spans=ds))
+            .sort_values(["kind_from", "kind_to"])
+            .reset_index(drop=True)
+        )
+        assert list(
+            got.itertuples(index=False, name=None)
+        ) == [("media", "text", 1), ("text", "media", 1), ("text", "text", 1)]
