@@ -961,10 +961,115 @@ FROM y
 """
 
 
+# ---------------------------------------------------------------------------
+# winsorized_mean_price — clamp-the-tails sibling of the trimmed mean
+# ---------------------------------------------------------------------------
+
+def q_winsorized_mean_price(sf_dir: str, winsor_permille: int = 50):
+    """Per-order-year 5%-WINSORIZED mean of the order total: the k
+    most extreme values at each end are CLAMPED to the boundary order
+    statistics instead of dropped — the robust location estimate that
+    keeps n constant (so it composes with per-group weights where the
+    trimmed mean's shrinking denominator does not), completing the
+    tail-handling pair next to
+    :func:`~pdf_parser_ray.relational.analytics2.q_trimmed_mean_price`.
+
+    Exactness: clamping is order-statistics arithmetic on the same
+    per-year VALUE-COUNT summary the trimmed mean folds — bounds are
+    the order statistics at 0-based index ``k`` and ``n−1−k``
+    (``k = ⌊n·permille/1000⌋``), the winsorized sum is one vectorized
+    ``clip`` over the histogram, and the mean one integer floor
+    division, mirroring the trimmed mean's convention — hash-exact
+    against a row_number window twin.
+
+    Shape: per-batch (year, cents, cnt) partials → ONE
+    ``groupby(year)`` exchange carrying pre-aggregated fixed-width
+    rows; each year-task folds its histogram vectorized.
+    """
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    from .analytics2 import _year_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = _year_of(_ts_us(batch["o_orderdate"]))
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        agg = (
+            pd.DataFrame({"o_year": y, "cents": cents})
+            .groupby(["o_year", "cents"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "o_year": pa.array(agg["o_year"].to_numpy(np.int64), pa.int64()),
+                "cents": pa.array(agg["cents"].to_numpy(np.int64), pa.int64()),
+                "cnt": pa.array(agg["cnt"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        h = g.groupby("cents", sort=True)["cnt"].sum()
+        vals = h.index.to_numpy(np.int64)
+        cnt = h.to_numpy(np.int64)
+        n = int(cnt.sum())
+        k = n * winsor_permille // 1000
+        cum = np.cumsum(cnt)
+        lo = int(vals[np.searchsorted(cum, k, side="right")])
+        hi = int(vals[np.searchsorted(cum, n - 1 - k, side="right")])
+        wsum = int((np.clip(vals, lo, hi) * cnt).sum())
+        return pa.table(
+            {
+                "o_year": pa.array([int(g["o_year"].iloc[0])], pa.int64()),
+                "n_orders": pa.array([n], pa.int64()),
+                "n_winsorized": pa.array([k], pa.int64()),
+                "winsorized_mean_cents": pa.array(
+                    [wsum // n if n else 0], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_year")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+_SQL_WINSORIZED_MEAN = """
+WITH c AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+    FROM orders),
+k AS (
+    SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*)*50//1000 AS BIGINT) AS k
+    FROM c GROUP BY o_year),
+r AS (
+    SELECT o_year, cents,
+           row_number() OVER (PARTITION BY o_year ORDER BY cents) AS rn
+    FROM c),
+b AS (
+    SELECT r.o_year,
+           MAX(CASE WHEN rn = k.k + 1 THEN cents END) AS lo,
+           MAX(CASE WHEN rn = k.n - k.k THEN cents END) AS hi
+    FROM r JOIN k USING (o_year) GROUP BY 1)
+SELECT r.o_year,
+       CAST(MAX(k.n) AS BIGINT) AS n_orders,
+       CAST(MAX(k.k) AS BIGINT) AS n_winsorized,
+       CAST(CAST(SUM(LEAST(GREATEST(cents, b.lo), b.hi)) AS HUGEINT)
+            // MAX(k.n) AS BIGINT) AS winsorized_mean_cents
+FROM r JOIN k USING (o_year) JOIN b ON b.o_year = r.o_year
+GROUP BY r.o_year
+"""
+
+
 QUERIES = {
     "revenue_cusum": q_revenue_cusum,
     "revenue_runs_test": q_revenue_runs_test,
     "customer_concentration_hhi": q_customer_concentration_hhi,
+    "winsorized_mean_price": q_winsorized_mean_price,
     "customer_survival_km": q_customer_survival_km,
     "event_type_mi": q_event_type_mi,
     "zipf_slope": q_zipf_slope,
@@ -975,6 +1080,7 @@ ORACLE_SQL = {
     "revenue_cusum": _SQL_REVENUE_CUSUM,
     "revenue_runs_test": _SQL_REVENUE_RUNS,
     "customer_concentration_hhi": _SQL_HHI,
+    "winsorized_mean_price": _SQL_WINSORIZED_MEAN,
     "customer_survival_km": _sql_survival_km(),
     "event_type_mi": _sql_event_type_mi(),
     "zipf_slope": _sql_zipf_slope(),

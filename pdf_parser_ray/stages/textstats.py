@@ -2907,6 +2907,260 @@ _SQL_PHRASE_SEARCH = _sql_phrase()
 
 
 # ---------------------------------------------------------------------------
+# token_freq_spectrum — frequency-of-frequencies and Good–Turing mass
+# ---------------------------------------------------------------------------
+
+def q_token_freq_spectrum(sf_dir: str, max_class: int = 10):
+    """Frequency-of-frequencies spectrum of the corpus vocabulary:
+    how many token TYPES occur exactly 1, 2, …, ``max_class`` times
+    (singletons, doubletons, …), with everything rarer than
+    ``max_class`` occurrences collapsed into one ``-1`` tail class —
+    plus each class's share of total token MASS in ppm. The singleton
+    row IS the Good–Turing estimate of unseen-token probability mass
+    (``V₁/N``, Good 1953) — the corpus-completeness diagnostic next
+    to :func:`q_vocab_growth`'s Heaps curve: a corpus whose singleton
+    mass stays high keeps discovering new vocabulary; one whose
+    spectrum head collapses is template-saturated.
+
+    Exactness: pure integer counts; the only division is the ppm
+    ``_rhalf`` against total tokens, done driver-side on bignums.
+
+    Shape: the wordcount exchange (per-batch token partials →
+    ``groupby(token)``) → per-block spectrum partials (class → types,
+    mass) → a ≤ (max_class+1)-cell groupby → driver ppm fold.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..relational.ops import _rhalf
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in (t or "").split():
+                toks[w] = toks.get(w, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(toks.keys()), pa.string()),
+                "cnt": pa.array(list(toks.values()), pa.int64()),
+            }
+        )
+
+    def spectrum(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        cls = np.where(n <= max_class, n, -1)
+        agg = (
+            pd.DataFrame({"freq_class": cls, "types": 1, "mass": n})
+            .groupby("freq_class", sort=False)
+            .agg(n_types=("types", "sum"), sum_tf=("mass", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "freq_class": pa.array(
+                    agg["freq_class"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_types": pa.array(agg["n_types"].to_numpy(np.int64), pa.int64()),
+                "sum_tf": pa.array(agg["sum_tf"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .map_batches(spectrum, batch_format="pyarrow")
+        .groupby("freq_class")
+        .aggregate(
+            Sum("n_types", alias_name="n_types"),
+            Sum("sum_tf", alias_name="sum_tf"),
+        )
+        .to_pandas()  # ≤ max_class + 1 rows
+        .sort_values("freq_class", kind="stable")
+        .reset_index(drop=True)
+    )
+    total = int(cells["sum_tf"].sum())
+    mass = [
+        _rhalf(1_000_000 * int(v), total) if total else 0
+        for v in cells["sum_tf"]
+    ]
+    return pd.DataFrame(
+        {
+            "freq_class": cells["freq_class"].astype(np.int64),
+            "n_types": cells["n_types"].astype(np.int64),
+            "sum_tf": cells["sum_tf"].astype(np.int64),
+            "mass_ppm": pd.Series(mass, dtype=np.int64),
+        }
+    )
+
+
+_SQL_FREQ_SPECTRUM = r"""
+WITH tf AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT UNNEST(regexp_extract_all(text, '\S+')) AS token
+          FROM documents)
+    GROUP BY token),
+cls AS (
+    SELECT CASE WHEN n <= 10 THEN n ELSE -1 END AS freq_class,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n) AS BIGINT) AS sum_tf
+    FROM tf GROUP BY 1)
+SELECT freq_class, n_types, sum_tf,
+       CAST((2 * 1000000 * CAST(sum_tf AS HUGEINT)
+             + SUM(sum_tf) OVER ())
+            // (2 * SUM(sum_tf) OVER ()) AS BIGINT) AS mass_ppm
+FROM cls
+"""
+
+
+# ---------------------------------------------------------------------------
+# lm_doc_bigram_nll — per-document NLL under the corpus bigram LM
+# ---------------------------------------------------------------------------
+
+def q_lm_doc_bigram_nll(sf_dir: str, n_buckets: int = 32):
+    """Per-document negative log-likelihood under the corpus's own
+    MLE bigram model: for each within-doc bigram occurrence (x → y),
+    the surprisal is ``ln r_x − ln n_xy`` (continuation count over
+    joint count), and the doc score is the mean in integer micro-nats
+    — the bigram upgrade of :func:`q_lm_doc_nll`'s unigram CCNet
+    shape: unigram NLL flags odd VOCABULARY, bigram NLL flags odd
+    SEQUENCING (shuffled/templated/machine text with plausible words
+    in implausible orders). Every bigram is seen by construction
+    (model = corpus), so no smoothing term enters.
+
+    Exactness: the shared integer-micro ln spec snaps each surprisal
+    BEFORE summation; per-doc sums are order-free integers and the
+    mean one ``_rhalf`` — hash-exact vs the zipped-``UNNEST`` +
+    ``_shared_ln_cte`` replay.
+
+    Shape: per-batch per-doc bigram cells (docs arrive whole, so doc
+    cells finish in one batch) → ONE ``hash_bucket(x)`` exchange
+    co-locating each x's joint counts AND margins (both derive from
+    the same cells, no second pass) where surprisals resolve
+    vectorized via the distinct-value lnm LUT → a coarse doc-bucket
+    exchange folds each doc's partials into its final row.
+    """
+    import zlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..core.util import hash_bucket
+    from ..relational.ops import _rhalf
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[tuple[int, str, str], int] = {}
+        for d, t in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        ):
+            toks = (t or "").split()
+            for x, y in zip(toks, toks[1:]):
+                k = (int(d), x, y)
+                cnt[k] = cnt.get(k, 0) + 1
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [hash_bucket(k[1], n_buckets) for k in cnt], pa.int64()
+                ),
+                "doc_id": pa.array([k[0] for k in cnt], pa.int64()),
+                "x": pa.array([k[1] for k in cnt], pa.string()),
+                "y": pa.array([k[2] for k in cnt], pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        c = g["c"].to_numpy(np.int64)
+        xy = g.groupby(["x", "y"], sort=False)["c"].transform("sum")
+        rx = g.groupby("x", sort=False)["c"].transform("sum")
+        surp = _lnm_vec(rx.to_numpy(np.int64)) - _lnm_vec(xy.to_numpy(np.int64))
+        agg = (
+            pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                          "s": c * surp, "nb": c})
+            .groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_bucket": pa.array(
+                    np.array(
+                        [zlib.crc32(str(d).encode()) for d in agg["doc_id"]],
+                        dtype=np.int64,
+                    )
+                    % n_buckets,
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(agg["s"].to_numpy(np.int64), pa.int64()),
+                "nb": pa.array(agg["nb"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def finish_bucket(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("doc_id", sort=False)[["s", "nb"]].sum().reset_index()
+        nll = np.array(
+            [_rhalf(int(s), int(nb)) for s, nb in zip(agg["s"], agg["nb"])],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64), pa.int64()),
+                "n_bigrams": pa.array(agg["nb"].to_numpy(np.int64), pa.int64()),
+                "nll_micro": pa.array(nll, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+        .groupby("doc_bucket")
+        .map_groups(finish_bucket, batch_format="pandas")
+    )
+
+
+def _sql_lm_bigram_nll() -> str:
+    cte = _shared_ln_cte("(SELECT DISTINCT kint FROM lnargs)", "kint")
+    return rf"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+           FROM documents),
+bg AS (
+    SELECT doc_id, UNNEST(words[1:len(words)-1]) AS x,
+           UNNEST(words[2:len(words)]) AS y
+    FROM w WHERE len(words) >= 2),
+cell AS (SELECT doc_id, x, y, CAST(COUNT(*) AS BIGINT) AS c
+         FROM bg GROUP BY 1, 2, 3),
+m AS (SELECT doc_id, x, y, c,
+             CAST(SUM(c) OVER (PARTITION BY x, y) AS BIGINT) AS nxy,
+             CAST(SUM(c) OVER (PARTITION BY x) AS BIGINT) AS rx
+      FROM cell),
+lnargs AS (SELECT nxy AS kint FROM m UNION SELECT rx FROM m),
+lns AS (SELECT kint,
+               CAST(FLOOR(lnk * CAST(1000000.0 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lnm
+        FROM {cte} t),
+per AS (
+    SELECT m.doc_id, CAST(SUM(m.c) AS BIGINT) AS nb,
+           CAST(SUM(m.c * (a.lnm - b.lnm)) AS HUGEINT) AS s
+    FROM m JOIN lns a ON a.kint = m.rx JOIN lns b ON b.kint = m.nxy
+    GROUP BY m.doc_id)
+SELECT doc_id, nb AS n_bigrams,
+       CAST(CASE WHEN s >= 0 THEN (2*s + nb) // (2*nb)
+                 ELSE -((-2*s + nb) // (2*nb)) END AS BIGINT) AS nll_micro
+FROM per
+"""
+
+
+_SQL_LM_BIGRAM_NLL = _sql_lm_bigram_nll()
+
+
+# ---------------------------------------------------------------------------
 # bigram_entropy_rate — conditional next-token entropy of the corpus
 # ---------------------------------------------------------------------------
 
@@ -3063,10 +3317,14 @@ QUERIES = {
     "doc_novelty": q_doc_novelty,
     "phrase_search": q_phrase_search,
     "bigram_entropy_rate": q_bigram_entropy_rate,
+    "token_freq_spectrum": q_token_freq_spectrum,
+    "lm_doc_bigram_nll": q_lm_doc_bigram_nll,
 }
 
 ORACLE_SQL = {
     "bigram_entropy_rate": _SQL_BIGRAM_ENTROPY,
+    "token_freq_spectrum": _SQL_FREQ_SPECTRUM,
+    "lm_doc_bigram_nll": _SQL_LM_BIGRAM_NLL,
     "doc_novelty": _SQL_DOC_NOVELTY,
     "phrase_search": _SQL_PHRASE_SEARCH,
     "source_js_divergence": _SQL_JS_DIVERGENCE,

@@ -411,3 +411,112 @@ class TestKindTransitions:
         assert list(
             got.itertuples(index=False, name=None)
         ) == [("media", "text", 1), ("text", "media", 1), ("text", "text", 1)]
+
+
+class TestWinsorizedMean:
+    def test_clamped_whale_and_oracle(self, tmp_path):
+        # 20 orders in one year: 18 × 1.00, one 0.01 minnow, one
+        # 100.00 whale; k = 20·50//1000 = 1 → both tails clamp to the
+        # boundary statistics (index 1 and 18, both 1.00) → mean 100c.
+        prices = [0.01] + [1.0] * 18 + [100.0]
+        t = pa.table(
+            {
+                "o_orderdate": _days(list(range(20))),
+                "o_totalprice": pa.array(prices),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = _pd(a4.q_winsorized_mean_price(str(tmp_path)))
+        assert got.loc[0, "n_orders"] == 20
+        assert got.loc[0, "n_winsorized"] == 1
+        assert got.loc[0, "winsorized_mean_cents"] == 100
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a4._SQL_WINSORIZED_MEAN).df()
+        assert _canon(got) == _canon(want)
+
+    def test_small_year_no_clamping(self, tmp_path):
+        # n = 3 → k = 0: winsorized mean equals the plain mean.
+        t = pa.table(
+            {
+                "o_orderdate": _days([0, 1, 2]),
+                "o_totalprice": pa.array([1.0, 2.0, 6.0]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = _pd(a4.q_winsorized_mean_price(str(tmp_path)))
+        assert got.loc[0, "n_winsorized"] == 0
+        assert got.loc[0, "winsorized_mean_cents"] == 300
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a4._SQL_WINSORIZED_MEAN).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestFreqSpectrum:
+    def test_classes_and_good_turing_mass(self, tmp_path):
+        from pdf_parser_ray.stages import textstats as ts
+        from pdf_parser_ray.relational.ops import _rhalf
+
+        # a×12 (tail class), b×2, c and d singletons → N = 16;
+        # Good–Turing unseen mass = V1 tokens / N = 2/16.
+        t = pa.table(
+            {"text": pa.array(["a " * 12 + "b b c", "d"])}
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = (
+            _pd(ts.q_token_freq_spectrum(str(tmp_path)))
+            .sort_values("freq_class")
+            .reset_index(drop=True)
+        )
+        assert list(got["freq_class"]) == [-1, 1, 2]
+        assert list(got["n_types"]) == [1, 2, 1]
+        assert list(got["sum_tf"]) == [12, 2, 2]
+        assert got.loc[1, "mass_ppm"] == _rhalf(1_000_000 * 2, 16)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        want = con.execute(ts._SQL_FREQ_SPECTRUM).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestBigramNLL:
+    def test_deterministic_vs_branching_docs(self, tmp_path):
+        from pdf_parser_ray.stages import textstats as ts
+        from pdf_parser_ray.relational.ops import _rhalf
+
+        # corpus model: r_a = 2 with continuations b and c (one each)
+        # → each a-bigram surprisal is ln 2; the (b,a) bigram is
+        # deterministic → 0. Doc 2's only bigram is deterministic.
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b a c", "b a"]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = (
+            _pd(ts.q_lm_doc_bigram_nll(str(tmp_path)))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ln2 = lnm_micro(2) - lnm_micro(1)
+        # doc 1: bigrams (a,b),(b,a),(a,c): r_a=2, n_ab=1 → ln2;
+        # (b,a): r_b=2 (continuations a from both docs), n_ba=2 → ln2−ln2… 
+        # r_b counts corpus-wide: doc1 (b,a) + doc2 (b,a) → n_ba=2,
+        # r_b=2 → surprisal 0.
+        assert list(got["doc_id"]) == [1, 2]
+        assert list(got["n_bigrams"]) == [3, 1]
+        assert got.loc[0, "nll_micro"] == _rhalf(2 * ln2, 3)
+        assert got.loc[1, "nll_micro"] == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        want = con.execute(ts._SQL_LM_BIGRAM_NLL).df()
+        assert _canon(got) == _canon(want)
