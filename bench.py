@@ -77,6 +77,12 @@ def _bench_queries():
     from pdf_parser_ray.stages.dedup import q_containment_dup_pairs
     from pdf_parser_ray.stages.textstats import q_doc_novelty
     from pdf_parser_ray.stages.layout import q_reading_order_inversions
+    from pdf_parser_ray.relational.analytics4 import (
+        q_basket_lift,
+        q_customer_survival_km,
+    )
+    from pdf_parser_ray.stages.textstats import q_bigram_entropy_rate
+    from pdf_parser_ray.pipelines.extract import extract_kind_transitions
 
     return {
         "pricing_summary": q_pricing_summary,
@@ -138,6 +144,14 @@ def _bench_queries():
         # zero-shuffle padded-broadcast reading-order metric
         "doc_novelty": q_doc_novelty,
         "reading_order_inversions": q_reading_order_inversions,
+        # session-3 additions: the calendar-bounded KM survival fold,
+        # the broadcast-free four-exchange association-lift chain, the
+        # bigram-grain margin-co-located entropy rate, and the
+        # flagship ORDER-dimension pair audit
+        "customer_survival_km": q_customer_survival_km,
+        "basket_lift": q_basket_lift,
+        "bigram_entropy_rate": q_bigram_entropy_rate,
+        "extract_kind_transitions": extract_kind_transitions,
     }
 
 

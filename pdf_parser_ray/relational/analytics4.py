@@ -560,8 +560,10 @@ def q_basket_lift(sf_dir: str, min_support: int = 2, n_buckets: int = 16):
     broadcast: (1) the ``orderkey % B`` basket exchange emits tagged
     cells per bucket (pair counts AND per-part distinct-order counts —
     the same dedup'd basket rows feed both, so parts piggyback on the
-    pair exchange for free); (2) a (kind, a, b) groupby reduces cells
-    globally; (3) pairs rekey by ``part_a`` and join their ``n_a``
+    pair exchange for free); (2) a single-int64 packed-key groupby
+    (kind in bit 62, partkeys < 2³¹ in two 31-bit lanes — a
+    multi-column comparator here was the measured chain bottleneck)
+    reduces cells globally; (3) pairs rekey by ``part_a`` and join their ``n_a``
     in-bucket against the part cells; (4) pairs rekey by ``part_b``
     for ``n_b`` and the lift read-off. Pairs below ``min_support``
     drop BEFORE exchanges 3–4. The per-pair lift division runs on
@@ -569,7 +571,6 @@ def q_basket_lift(sf_dir: str, min_support: int = 2, n_buckets: int = 16):
     on ``n_ab·N·10⁶``); everything wider is vectorized.
     """
     import pandas as pd
-    from ray.data.aggregate import Sum
 
     n_baskets = _orders_count(sf_dir)
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -589,58 +590,75 @@ def q_basket_lift(sf_dir: str, min_support: int = 2, n_buckets: int = 16):
             }
         )
 
-    _cell_schema = pa.schema(
-        [("kind", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
-         ("n", pa.int64())]
-    )
-
     def cells_bucket(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates(["ok", "pk"])
         j = d.merge(d, on="ok")
         j = j[j["pk_x"] < j["pk_y"]]
+        # pack (kind, a, b) into ONE int64 exchange key — kind in bit
+        # 62, partkeys below 2³¹ each (the copurchase packing: the
+        # multi-column Sort-aggregate comparator was the measured
+        # bottleneck of the whole chain at sf0.1)
+        pair_key = (
+            (j["pk_x"].to_numpy(dtype=np.int64) << 31)
+            | j["pk_y"].to_numpy(dtype=np.int64)
+        )
         pairs = (
-            j.groupby(["pk_x", "pk_y"], sort=False).size().reset_index(name="n")
+            pd.DataFrame({"cell": pair_key})
+            .groupby("cell", sort=False)
+            .size()
+            .reset_index(name="n")
         )
         parts = d.groupby("pk", sort=False).size().reset_index(name="n")
-        kind = np.concatenate(
-            [np.zeros(len(pairs), np.int64), np.ones(len(parts), np.int64)]
-        )
-        a = np.concatenate(
-            [pairs["pk_x"].to_numpy(np.int64), parts["pk"].to_numpy(np.int64)]
-        )
-        b = np.concatenate(
-            [pairs["pk_y"].to_numpy(np.int64), np.zeros(len(parts), np.int64)]
+        cell = np.concatenate(
+            [
+                pairs["cell"].to_numpy(np.int64),
+                (np.int64(1) << 62) | (parts["pk"].to_numpy(np.int64) << 31),
+            ]
         )
         n = np.concatenate(
             [pairs["n"].to_numpy(np.int64), parts["n"].to_numpy(np.int64)]
         )
+        cb = ((cell >> 31) & 0x7FFFFFFF) % n_buckets * n_buckets + (
+            cell & 0x7FFFFFFF
+        ) % n_buckets
         return pa.table(
-            {"kind": kind, "a": a, "b": b, "n": n}, schema=_cell_schema
+            {"cbucket": cb, "cell": cell, "n": n},
+            schema=pa.schema([("cbucket", pa.int64()), ("cell", pa.int64()),
+                              ("n", pa.int64())]),
+        )
+
+    # global cell reduction folded INTO the coarse cbucket exchange
+    # (a per-cell-key aggregate here is the tiny-group trap — see
+    # q_copurchase_pairs) with the support filter and the part_a rekey
+    # applied before anything else ships
+    def reduce_rekey_a(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("cell", sort=False)["n"].sum().reset_index()
+        cell = agg["cell"].to_numpy(np.int64)
+        n = agg["n"].to_numpy(np.int64)
+        kind = (cell >> 62) & 1
+        a = (cell >> 31) & 0x7FFFFFFF
+        bb = cell & 0x7FFFFFFF
+        keep = (kind == 1) | ((kind == 0) & (n >= min_support))
+        return pa.table(
+            {
+                "bucket": pa.array(a[keep] % n_buckets, pa.int64()),
+                "kind": pa.array(kind[keep], pa.int64()),
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(bb[keep], pa.int64()),
+                "n": pa.array(n[keep], pa.int64()),
+            },
+            schema=pa.schema([("bucket", pa.int64()), ("kind", pa.int64()),
+                              ("a", pa.int64()), ("b", pa.int64()),
+                              ("n", pa.int64())]),
         )
 
     cells = (
         li.map_batches(prep, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .map_groups(cells_bucket, batch_format="pandas")
-        .groupby(["kind", "a", "b"])
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("cbucket")
+        .map_groups(reduce_rekey_a, batch_format="pandas")
     )
-
-    def rekey_a(b: pa.Table) -> pa.Table:
-        kind = b["kind"].to_numpy(zero_copy_only=False)
-        n = b["n"].to_numpy(zero_copy_only=False)
-        keep = (kind == 1) | ((kind == 0) & (n >= min_support))
-        t = b.filter(pa.array(keep))
-        key = t["a"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "bucket": pa.array(key % n_buckets, pa.int64()),
-                "kind": t["kind"],
-                "a": t["a"],
-                "b": t["b"],
-                "n": t["n"],
-            }
-        )
 
     _na_schema = pa.schema(
         [("kind", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
@@ -708,8 +726,7 @@ def q_basket_lift(sf_dir: str, min_support: int = 2, n_buckets: int = 16):
         )
 
     return (
-        cells.map_batches(rekey_a, batch_format="pyarrow")
-        .groupby("bucket")
+        cells.groupby("bucket")
         .map_groups(attach_na, batch_format="pandas")
         .map_batches(rekey_b, batch_format="pyarrow")
         .groupby("bucket")

@@ -1065,7 +1065,35 @@ def q_copurchase_components(
 
     bound = _CC_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
     pairs = q_copurchase_pairs(sf_dir, min_support=min_support)
-    n_edges = pairs.count()
+
+    # driver branch first: stream the support-filtered edges into a
+    # union-find WHILE counting (one plan execution, never more than a
+    # block held beyond the find maps); only if the stream exceeds the
+    # bound mid-flight does the distributed branch run — the one case
+    # that pays the plan twice, exactly when a driver fold was never
+    # an option anyway.
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_edges = 0
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        n_edges += batch.num_rows
+        if n_edges > bound:
+            break
+        for a, b in zip(
+            batch["part_a"].to_numpy(zero_copy_only=False),
+            batch["part_b"].to_numpy(zero_copy_only=False),
+        ):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
     if n_edges > bound:  # pragma: no cover - corpus-scale branch
         from .dedup import label_propagation_clusters
 
@@ -1084,26 +1112,6 @@ def q_copurchase_components(
 
         return comp.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
-    # driver branch: recompute the pairs plan and fold its edges as
-    # they stream (never more than one block held beyond the find maps)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for batch in pairs.iter_batches(batch_format="pyarrow"):
-        for a, b in zip(
-            batch["part_a"].to_numpy(zero_copy_only=False),
-            batch["part_b"].to_numpy(zero_copy_only=False),
-        ):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
     nodes = sorted(parent)
     return pd.DataFrame(
         {
