@@ -264,6 +264,25 @@ ORACLE_SQL = (
             + _guarded_fixture_sql(_FIXTURE_COLS)
             + ") GROUP BY kind"
         ),
+        "extract_span_length_stats": (
+            """
+WITH fx AS ("""
+            + _guarded_fixture_sql(_FIXTURE_COLS)
+            + """),
+l AS (SELECT kind, LENGTH(COALESCE(text, '')) AS ln FROM fx),
+k AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ln) AS BIGINT) AS s, CAST(MAX(ln) AS BIGINT) AS mx
+      FROM l GROUP BY 1),
+r AS (SELECT kind, ln,
+             row_number() OVER (PARTITION BY kind ORDER BY ln) AS rn
+      FROM l)
+SELECT k.kind, k.n AS n_spans, k.s AS sum_len, k.mx AS max_len,
+       CAST(MAX(CASE WHEN rn = (k.n - 1) // 2 + 1 THEN ln END) AS BIGINT)
+           AS median_len
+FROM r JOIN k USING (kind)
+GROUP BY k.kind, k.n, k.s, k.mx
+"""
+        ),
         "extract_kind_transitions": (
             """
 WITH fx AS ("""
@@ -465,6 +484,67 @@ def extract_kind_transitions(sf_dir: str, n_buckets: int = 32, _spans=None):
         .groupby(["kind_from", "kind_to"])
         .aggregate(Sum("n", alias_name="n_pairs"))
     )
+
+
+def extract_span_length_stats(sf_dir: str, _spans=None):
+    """Per-KIND span text-length profile over the flagship output:
+    count, total/max length and the lower-median length — the size
+    fingerprint of extracted structure (text spans shrinking while
+    media refs grow means boilerplate leaking into spans; a median
+    collapse flags truncation bugs the per-kind counts miss). Third
+    flagship monitor beside :func:`extract_kind_stats` (identity) and
+    :func:`extract_kind_transitions` (order).
+
+    Shape: per-batch (kind, length → n) value-count partials — span
+    text reduces to its length before anything ships — then ONE
+    (kind, length) groupby whose key space is bounded by kinds ×
+    distinct lengths, and a driver fold over those cells (the
+    trimmed-mean value-count pattern). Oracle: row_number window over
+    the frozen fixture.
+    """
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    spans = flagship(sf_dir) if _spans is None else _spans
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ln = [len(t or "") for t in batch["text"].to_pylist()]
+        agg = (
+            pd.DataFrame({"kind": batch["kind"].to_pylist(), "ln": ln})
+            .groupby(["kind", "ln"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "kind": pa.array(agg["kind"].tolist(), pa.string()),
+                "ln": pa.array(agg["ln"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        spans.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["kind", "ln"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ kinds × distinct-lengths rows
+    )
+    out = []
+    for kind, g in cells.groupby("kind", sort=True):
+        g = g.sort_values("ln", kind="stable")
+        ln = g["ln"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        total = int(n.sum())
+        cum = np.cumsum(n)
+        med = int(ln[np.searchsorted(cum, (total - 1) // 2, side="right")])
+        out.append(
+            (str(kind), total, int((ln * n).sum()), int(ln.max()), med)
+        )
+    return pd.DataFrame(
+        out, columns=["kind", "n_spans", "sum_len", "max_len", "median_len"]
+    ).astype({c: np.int64 for c in ("n_spans", "sum_len", "max_len",
+                                    "median_len")})
 
 
 def extract_pipeline_skew_aware(

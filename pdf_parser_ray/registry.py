@@ -67,6 +67,7 @@ def all_queries() -> dict[str, Callable[[str], Any]]:
         extract_kind_stats,
         extract_kind_transitions,
         extract_offset_audit,
+        extract_span_length_stats,
         flagship,
     )
 
@@ -84,6 +85,7 @@ def all_queries() -> dict[str, Callable[[str], Any]]:
     )
     out["extract_kind_stats"] = extract_kind_stats
     out["extract_kind_transitions"] = extract_kind_transitions
+    out["extract_span_length_stats"] = extract_span_length_stats
     out["extract_offset_audit"] = extract_offset_audit
     out.update(_collect("QUERIES"))
     return out

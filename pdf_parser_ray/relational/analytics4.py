@@ -1082,11 +1082,390 @@ GROUP BY r.o_year
 """
 
 
+# ---------------------------------------------------------------------------
+# brand_momentum — month-over-month revenue movers per brand
+# ---------------------------------------------------------------------------
+
+def q_brand_momentum(sf_dir: str):
+    """Month-over-month revenue momentum per part brand: each brand's
+    shipped revenue in the corpus's LAST calendar month vs the month
+    before, with the relative change in ppm — the "top movers" board
+    a freshness monitor renders (a brand that halves between the two
+    most recent months is a supply or template problem the
+    whole-history trend lines smooth away).
+
+    Exactness: revenue is the exact integer ``cents × (100 − disc)``
+    convention of ``brand_revenue``; the two reference months derive
+    from the GLOBAL max ship month; the ppm change is one signed
+    ``_rhalf`` on bignums, 0 when the prior month is empty (flagged
+    by ``rev_prev_cents2 = 0``). Missing brand-months count 0.
+
+    Shape: per-batch (partkey, month → Σrev) partials under the
+    ``brand_revenue`` hash join (probe side ships ≤ distinct
+    (partkey, recent-month) pairs per block — months outside the
+    final two are dropped BEFORE the join), then a tiny
+    (brand, month) groupby and a ≤ #brands driver fold.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..core.util import join_partitions
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    last_m = _lineitem_max_month(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        month = _month_of(_ts_us(batch["l_shipdate"]))
+        keep = month >= last_m - 1
+        price = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = (price * (100 - disc))[keep]
+        agg = (
+            pd.DataFrame(
+                {
+                    "l_partkey": batch["l_partkey"].to_numpy(
+                        zero_copy_only=False
+                    )[keep],
+                    "month": month[keep],
+                    "rev": rev,
+                }
+            )
+            .groupby(["l_partkey", "month"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_partkey": pa.array(
+                    agg["l_partkey"].to_numpy(np.int64), pa.int64()
+                ),
+                "month": pa.array(agg["month"].to_numpy(np.int64), pa.int64()),
+                "rev": pa.array(agg["rev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = (
+        li.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .join(
+            part,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+        .groupby(["p_brand", "month"])
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()  # ≤ #brands × 2 rows
+    )
+    piv: dict[str, list[int]] = {}
+    for b, m, r in zip(joined["p_brand"], joined["month"], joined["rev"]):
+        cur = piv.setdefault(str(b), [0, 0])
+        cur[int(m) - (last_m - 1)] += int(r)
+    brands = sorted(piv)
+    prev = [piv[b][0] for b in brands]
+    last = [piv[b][1] for b in brands]
+    mom = [
+        _rhalf(1_000_000 * (lv - pv), pv) if pv else 0
+        for lv, pv in zip(last, prev)
+    ]
+    return pd.DataFrame(
+        {
+            "p_brand": brands,
+            "rev_prev_cents2": pd.Series(prev, dtype=np.int64),
+            "rev_last_cents2": pd.Series(last, dtype=np.int64),
+            "mom_ppm": pd.Series(mom, dtype=np.int64),
+        }
+    )
+
+
+def _month_of(us: np.ndarray) -> np.ndarray:
+    """µs since epoch → linear month index (year·12 + month−1)."""
+    return (
+        us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        + 1970 * 12
+    )
+
+
+def _lineitem_max_month(sf_dir: str) -> int:
+    """Global max ship month (linear index) from footer statistics
+    when present (no scan), else a column-pruned Max aggregate."""
+    import os
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.isfile(path):
+        from ..stages.zorder import _footer_max
+
+        stats = _footer_max(path, ["l_shipdate"])
+        if stats is not None:
+            mx = np.array([np.datetime64(stats[0], "us")], dtype="datetime64[us]")
+            return int(_month_of(mx.astype(np.int64))[0])
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "lineitem", ["l_shipdate"])
+
+    def to_m(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"m": pa.array(_month_of(_ts_us(b["l_shipdate"])), pa.int64())}
+        )
+
+    row = ds.map_batches(to_m, batch_format="pyarrow", batch_size=None).aggregate(
+        Max("m")
+    )
+    return int(row["max(m)"])
+
+
+_SQL_BRAND_MOMENTUM = """
+WITH lm AS (
+    SELECT MAX(CAST(year(l_shipdate) AS BIGINT) * 12
+               + CAST(month(l_shipdate) AS BIGINT) - 1) AS m
+    FROM lineitem),
+r AS (
+    SELECT p_brand,
+           CAST(year(l_shipdate) AS BIGINT) * 12
+               + CAST(month(l_shipdate) AS BIGINT) - 1 AS month,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                AS BIGINT) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey, lm
+    WHERE CAST(year(l_shipdate) AS BIGINT) * 12
+          + CAST(month(l_shipdate) AS BIGINT) - 1 >= lm.m - 1
+    GROUP BY 1, 2),
+p AS (
+    SELECT p_brand,
+           CAST(COALESCE(SUM(CASE WHEN month = lm.m - 1 THEN rev END), 0)
+                AS BIGINT) AS rev_prev_cents2,
+           CAST(COALESCE(SUM(CASE WHEN month = lm.m THEN rev END), 0)
+                AS BIGINT) AS rev_last_cents2
+    FROM r, lm GROUP BY 1)
+SELECT p_brand, rev_prev_cents2, rev_last_cents2,
+       CAST(CASE WHEN rev_prev_cents2 = 0 THEN 0
+                 WHEN rev_last_cents2 >= rev_prev_cents2
+                 THEN (2 * 1000000
+                       * (CAST(rev_last_cents2 AS HUGEINT) - rev_prev_cents2)
+                       + rev_prev_cents2) // (2 * rev_prev_cents2)
+                 ELSE -((2 * 1000000
+                         * (CAST(rev_prev_cents2 AS HUGEINT) - rev_last_cents2)
+                         + rev_prev_cents2) // (2 * rev_prev_cents2)) END
+            AS BIGINT) AS mom_ppm
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_stickiness — months-active distribution of the user base
+# ---------------------------------------------------------------------------
+
+def q_user_stickiness(sf_dir: str, n_buckets: int = 32):
+    """Stickiness profile of the event user base: for each count m,
+    how many users were active in exactly m distinct calendar months —
+    the retention histogram behind DAU/MAU-style engagement ratios
+    (a base of one-month users is acquisition churning out; a fat
+    right tail is habit), with each cohort's share of users in ppm.
+
+    Shape: per-batch distinct (user, month) pairs → ONE coarse
+    ``user % B`` bucket exchange where each bucket resolves its
+    users' distinct-month counts vectorized and pre-reduces to
+    (m → n_users) cells → a ≤ #calendar-months-cell groupby → driver
+    ppm fold on bignums.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        month = (
+            _ts_us(batch["ts"]).astype("datetime64[us]").astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        df = pd.DataFrame({"uid": uid, "m": month}).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(df["uid"].to_numpy() % n_buckets, pa.int64()),
+                "uid": pa.array(df["uid"].to_numpy(np.int64), pa.int64()),
+                "m": pa.array(df["m"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def cells(g: pd.DataFrame) -> pa.Table:
+        per = g.drop_duplicates(["uid", "m"]).groupby("uid", sort=False).size()
+        agg = per.value_counts().sort_index()
+        return pa.table(
+            {
+                "months_active": pa.array(
+                    agg.index.to_numpy(np.int64), pa.int64()
+                ),
+                "n_users": pa.array(agg.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    dist = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(cells, batch_format="pandas")
+        .groupby("months_active")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()  # ≤ #calendar-months rows
+        .sort_values("months_active", kind="stable")
+        .reset_index(drop=True)
+    )
+    total = int(dist["n_users"].sum())
+    share = [
+        _rhalf(1_000_000 * int(v), total) if total else 0
+        for v in dist["n_users"]
+    ]
+    return pd.DataFrame(
+        {
+            "months_active": dist["months_active"].astype(np.int64),
+            "n_users": dist["n_users"].astype(np.int64),
+            "share_ppm": pd.Series(share, dtype=np.int64),
+        }
+    )
+
+
+_SQL_STICKINESS = """
+WITH um AS (
+    SELECT DISTINCT user_id,
+           CAST(year(ts) AS BIGINT) * 12 + CAST(month(ts) AS BIGINT) - 1 AS m
+    FROM events),
+per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ma FROM um GROUP BY 1),
+d AS (SELECT ma AS months_active, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM per GROUP BY 1)
+SELECT months_active, n_users,
+       CAST((2 * 1000000 * CAST(n_users AS HUGEINT) + SUM(n_users) OVER ())
+            // (2 * SUM(n_users) OVER ()) AS BIGINT) AS share_ppm
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# new_vs_returning_revenue — growth accounting of yearly revenue
+# ---------------------------------------------------------------------------
+
+def q_new_vs_returning_revenue(sf_dir: str, n_buckets: int = 32):
+    """Growth accounting: each year's order revenue split into NEW
+    customers (first-ever order falls in that year) vs RETURNING —
+    the decomposition that distinguishes expansion (new logos) from
+    retention (repeat spend) long before a churn model exists.
+
+    Shape: per-batch (custkey → first-year min, per-year spend) —
+    both facts ride ONE coarse ``custkey % B`` bucket exchange (the
+    same rows carry the min-year partial and the (year, spend)
+    cells); each bucket resolves first-year per customer and
+    pre-reduces to (year, is_new → rev, n_customers) cells; a tiny
+    (year, is_new) groupby merges buckets and the ppm share folds
+    driver-side on bignums over ≤ 2 × #years rows.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .analytics2 import _year_of
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        yr = _year_of(_ts_us(batch["o_orderdate"]))
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        agg = (
+            pd.DataFrame({"ck": ck, "yr": yr, "rev": cents})
+            .groupby(["ck", "yr"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    agg["ck"].to_numpy(np.int64) % n_buckets, pa.int64()
+                ),
+                "ck": pa.array(agg["ck"].to_numpy(np.int64), pa.int64()),
+                "yr": pa.array(agg["yr"].to_numpy(np.int64), pa.int64()),
+                "rev": pa.array(agg["rev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def cells(g: pd.DataFrame) -> pa.Table:
+        per = g.groupby(["ck", "yr"], sort=False)["rev"].sum().reset_index()
+        first = per.groupby("ck", sort=False)["yr"].transform("min")
+        per = per.assign(
+            is_new=(per["yr"] == first).astype(np.int64),
+            n=np.ones(len(per), np.int64),
+        )
+        agg = (
+            per.groupby(["yr", "is_new"], sort=False)
+            .agg(rev=("rev", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_year": pa.array(agg["yr"].to_numpy(np.int64), pa.int64()),
+                "is_new": pa.array(agg["is_new"].to_numpy(np.int64), pa.int64()),
+                "rev": pa.array(agg["rev"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cells_df = (
+        orders.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(cells, batch_format="pandas")
+        .groupby(["o_year", "is_new"])
+        .aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ 2 × #years rows
+        .sort_values(["o_year", "is_new"], kind="stable")
+        .reset_index(drop=True)
+    )
+    year_tot = cells_df.groupby("o_year")["rev"].sum().to_dict()
+    share = [
+        _rhalf(1_000_000 * int(r), int(year_tot[y])) if year_tot[y] else 0
+        for y, r in zip(cells_df["o_year"], cells_df["rev"])
+    ]
+    return pd.DataFrame(
+        {
+            "o_year": cells_df["o_year"].astype(np.int64),
+            "is_new": cells_df["is_new"].astype(np.int64),
+            "n_customers": cells_df["n"].astype(np.int64),
+            "rev_cents": cells_df["rev"].astype(np.int64),
+            "rev_share_ppm": pd.Series(share, dtype=np.int64),
+        }
+    )
+
+
+_SQL_NEW_VS_RETURNING = """
+WITH cy AS (
+    SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+    FROM orders GROUP BY 1, 2),
+f AS (SELECT o_custkey, MIN(yr) AS fy FROM cy GROUP BY 1),
+c AS (
+    SELECT cy.yr AS o_year,
+           CASE WHEN cy.yr = f.fy THEN 1 ELSE 0 END AS is_new,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cy.rev) AS BIGINT) AS rev_cents
+    FROM cy JOIN f USING (o_custkey) GROUP BY 1, 2)
+SELECT o_year, CAST(is_new AS BIGINT) AS is_new, n_customers, rev_cents,
+       CAST((2 * 1000000 * CAST(rev_cents AS HUGEINT)
+             + SUM(rev_cents) OVER (PARTITION BY o_year))
+            // (2 * SUM(rev_cents) OVER (PARTITION BY o_year)) AS BIGINT)
+           AS rev_share_ppm
+FROM c
+"""
+
+
 QUERIES = {
     "revenue_cusum": q_revenue_cusum,
+    "user_stickiness": q_user_stickiness,
+    "new_vs_returning_revenue": q_new_vs_returning_revenue,
     "revenue_runs_test": q_revenue_runs_test,
     "customer_concentration_hhi": q_customer_concentration_hhi,
     "winsorized_mean_price": q_winsorized_mean_price,
+    "brand_momentum": q_brand_momentum,
     "customer_survival_km": q_customer_survival_km,
     "event_type_mi": q_event_type_mi,
     "zipf_slope": q_zipf_slope,
@@ -1098,6 +1477,9 @@ ORACLE_SQL = {
     "revenue_runs_test": _SQL_REVENUE_RUNS,
     "customer_concentration_hhi": _SQL_HHI,
     "winsorized_mean_price": _SQL_WINSORIZED_MEAN,
+    "brand_momentum": _SQL_BRAND_MOMENTUM,
+    "user_stickiness": _SQL_STICKINESS,
+    "new_vs_returning_revenue": _SQL_NEW_VS_RETURNING,
     "customer_survival_km": _sql_survival_km(),
     "event_type_mi": _sql_event_type_mi(),
     "zipf_slope": _sql_zipf_slope(),

@@ -2907,6 +2907,110 @@ _SQL_PHRASE_SEARCH = _sql_phrase()
 
 
 # ---------------------------------------------------------------------------
+# dup_rate_by_source — per-source exact-duplicate contamination rate
+# ---------------------------------------------------------------------------
+
+def q_dup_rate_by_source(sf_dir: str, n_buckets: int = 32):
+    """Per-SOURCE exact-duplicate rate: the share of each source's
+    documents whose whitespace-normalized fingerprint (the
+    :func:`q_fingerprint` ``fp_norm`` spec the dedup family partitions
+    on) appears ≥ 2 times ANYWHERE in the corpus — the curation
+    dashboard number that tells you WHICH feed is re-crawling content,
+    where `dedup_exact` only tells you how much to drop. Cross-source
+    duplicates count against every source holding a copy.
+
+    Shape: one fingerprint-bucket exchange carrying (fp, source) —
+    32-byte keys, never text; each bucket holds every copy of its
+    fingerprints, so the duplicate verdict per doc is a vectorized
+    group-count there, pre-reduced to (source, n_docs, n_dup) cells;
+    a tiny source groupby merges buckets and the ppm rate folds
+    driver-side on bignums over ≤ #sources rows.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..core.util import hash_bucket
+    from ..relational.ops import _rhalf
+
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        norm = [" ".join((t or "").split()) for t in batch["text"].to_pylist()]
+        fp = md5_hex(norm)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [hash_bucket(f, n_buckets) for f in fp], pa.int64()
+                ),
+                "fp": pa.array(fp, pa.string()),
+                "source": batch["source"],
+            }
+        )
+
+    def cells(g: pd.DataFrame) -> pa.Table:
+        k = g.groupby("fp", sort=False)["fp"].transform("size")
+        agg = (
+            pd.DataFrame(
+                {"source": g["source"].to_numpy(), "dup": (k >= 2).to_numpy()}
+            )
+            .groupby("source", sort=False)
+            .agg(n_docs=("dup", "size"), n_dup=("dup", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(agg["source"].tolist(), pa.string()),
+                "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64), pa.int64()),
+                "n_dup": pa.array(agg["n_dup"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_source = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(cells, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_dup", alias_name="n_dup_docs"),
+        )
+        .to_pandas()  # ≤ #sources rows
+        .sort_values("source", kind="stable")
+        .reset_index(drop=True)
+    )
+    rate = [
+        _rhalf(1_000_000 * int(d), int(n)) if int(n) else 0
+        for d, n in zip(per_source["n_dup_docs"], per_source["n_docs"])
+    ]
+    return pd.DataFrame(
+        {
+            "source": per_source["source"].astype(str),
+            "n_docs": per_source["n_docs"].astype(np.int64),
+            "n_dup_docs": per_source["n_dup_docs"].astype(np.int64),
+            "dup_rate_ppm": pd.Series(rate, dtype=np.int64),
+        }
+    )
+
+
+_SQL_DUP_RATE = r"""
+WITH f AS (
+    SELECT source,
+           md5(array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS fp
+    FROM documents),
+c AS (SELECT source, COUNT(*) OVER (PARTITION BY fp) AS k FROM f),
+s AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+    FROM c GROUP BY source)
+SELECT source, n_docs, n_dup AS n_dup_docs,
+       CAST(CASE WHEN n_docs = 0 THEN 0
+                 ELSE (2 * 1000000 * CAST(n_dup AS HUGEINT) + n_docs)
+                      // (2 * n_docs) END AS BIGINT) AS dup_rate_ppm
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # token_freq_spectrum — frequency-of-frequencies and Good–Turing mass
 # ---------------------------------------------------------------------------
 
@@ -3319,12 +3423,14 @@ QUERIES = {
     "bigram_entropy_rate": q_bigram_entropy_rate,
     "token_freq_spectrum": q_token_freq_spectrum,
     "lm_doc_bigram_nll": q_lm_doc_bigram_nll,
+    "dup_rate_by_source": q_dup_rate_by_source,
 }
 
 ORACLE_SQL = {
     "bigram_entropy_rate": _SQL_BIGRAM_ENTROPY,
     "token_freq_spectrum": _SQL_FREQ_SPECTRUM,
     "lm_doc_bigram_nll": _SQL_LM_BIGRAM_NLL,
+    "dup_rate_by_source": _SQL_DUP_RATE,
     "doc_novelty": _SQL_DOC_NOVELTY,
     "phrase_search": _SQL_PHRASE_SEARCH,
     "source_js_divergence": _SQL_JS_DIVERGENCE,

@@ -520,3 +520,184 @@ class TestBigramNLL:
         )
         want = con.execute(ts._SQL_LM_BIGRAM_NLL).df()
         assert _canon(got) == _canon(want)
+
+
+class TestDupRateBySource:
+    def test_cross_source_dups_and_oracle(self, tmp_path):
+        from pdf_parser_ray.stages import textstats as ts
+
+        # "x  y" and "x y" normalize to the same fingerprint (dup
+        # across sources A and B); "solo" and "only" are unique.
+        t = pa.table(
+            {
+                "text": pa.array(["x  y", "x y", "solo", "only", "x y"]),
+                "source": pa.array(["A", "B", "A", "B", "A"]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = (
+            _pd(ts.q_dup_rate_by_source(str(tmp_path)))
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        # A: 3 docs, 2 dup ("x  y" and "x y"); B: 2 docs, 1 dup
+        assert list(got["n_docs"]) == [3, 2]
+        assert list(got["n_dup_docs"]) == [2, 1]
+        assert list(got["dup_rate_ppm"]) == [666_667, 500_000]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        want = con.execute(ts._SQL_DUP_RATE).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestBrandMomentum:
+    def test_mover_and_inactive_brand(self, tmp_path):
+        # last month = 1995-02. Brand X: 1.00 → 2.00 (+100%); brand Y
+        # ships only in January (prev 1.00, last 0 → −100%); brand Z
+        # ships only in 1994 → absent from output on both sides.
+        li = [
+            (1, "1995-01-15", 1.0), (1, "1995-02-15", 2.0),
+            (2, "1995-01-20", 1.0),
+            (3, "1994-06-01", 5.0),
+        ]
+        t = pa.table(
+            {
+                "l_partkey": pa.array([p for p, _, _ in li], pa.int64()),
+                "l_shipdate": pa.array(
+                    np.array([np.datetime64(d, "us") for _, d, _ in li])
+                ),
+                "l_extendedprice": pa.array([v for _, _, v in li]),
+                "l_discount": pa.array([0.0] * len(li)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        part = pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                "p_brand": pa.array(["X", "Y", "Z"]),
+            }
+        )
+        pq.write_table(part, str(tmp_path / "part.parquet"))
+        got = (
+            _pd(a4.q_brand_momentum(str(tmp_path)))
+            .sort_values("p_brand")
+            .reset_index(drop=True)
+        )
+        assert list(got["p_brand"]) == ["X", "Y"]
+        assert list(got["rev_prev_cents2"]) == [100 * 100, 100 * 100]
+        assert list(got["rev_last_cents2"]) == [200 * 100, 0]
+        assert list(got["mom_ppm"]) == [1_000_000, -1_000_000]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+        )
+        con.execute(
+            f"CREATE VIEW part AS SELECT * FROM '{tmp_path}/part.parquet'"
+        )
+        want = con.execute(a4._SQL_BRAND_MOMENTUM).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestSpanLengthStats:
+    def test_crafted_profile(self):
+        import ray.data as rd
+
+        from pdf_parser_ray.pipelines.extract import extract_span_length_stats
+
+        rows = [
+            {"kind": "text", "text": "abc"},
+            {"kind": "text", "text": "abcde"},
+            {"kind": "text", "text": "a"},
+            {"kind": "media", "text": None},
+        ]
+        ds = rd.from_items(rows)
+        got = (
+            _pd(extract_span_length_stats("unused", _spans=ds))
+            .sort_values("kind")
+            .reset_index(drop=True)
+        )
+        # media: single None → length 0; text: lengths 1,3,5 →
+        # lower median 3
+        assert list(got.itertuples(index=False, name=None)) == [
+            ("media", 1, 0, 0, 0),
+            ("text", 3, 9, 5, 3),
+        ]
+
+
+class TestStickiness:
+    def test_distribution_and_oracle(self, tmp_path):
+        # user 1 active in 3 months (dup events collapse), user 2 in
+        # 1, user 3 in 1 → histogram {1: 2 users, 3: 1 user}.
+        rows = [
+            (1, "1995-01-05"), (1, "1995-01-20"), (1, "1995-02-05"),
+            (1, "1995-04-05"), (2, "1995-01-01"), (3, "1995-06-30"),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([u for u, _ in rows], pa.int64()),
+                "ts": pa.array(
+                    np.array(
+                        [np.datetime64(d, "us") for _, d in rows],
+                        dtype="datetime64[us]",
+                    )
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = (
+            _pd(a4.q_user_stickiness(str(tmp_path)))
+            .sort_values("months_active")
+            .reset_index(drop=True)
+        )
+        assert list(got["months_active"]) == [1, 3]
+        assert list(got["n_users"]) == [2, 1]
+        assert list(got["share_ppm"]) == [666_667, 333_333]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        want = con.execute(a4._SQL_STICKINESS).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestNewVsReturning:
+    def test_growth_accounting(self, tmp_path):
+        # 1995: cust 1 (new, 1.00) + cust 2 (new, 3.00).
+        # 1996: cust 1 returns (2.00) + cust 3 is new (2.00).
+        rows = [
+            (1, "1995-03-01", 1.0), (2, "1995-07-01", 3.0),
+            (1, "1996-03-01", 2.0), (3, "1996-05-01", 2.0),
+        ]
+        t = pa.table(
+            {
+                "o_custkey": pa.array([c for c, _, _ in rows], pa.int64()),
+                "o_orderdate": pa.array(
+                    np.array(
+                        [np.datetime64(d, "us") for _, d, _ in rows],
+                        dtype="datetime64[us]",
+                    )
+                ),
+                "o_totalprice": pa.array([v for _, _, v in rows]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = (
+            _pd(a4.q_new_vs_returning_revenue(str(tmp_path)))
+            .sort_values(["o_year", "is_new"])
+            .reset_index(drop=True)
+        )
+        assert list(
+            got.itertuples(index=False, name=None)
+        ) == [
+            (1995, 1, 2, 400, 1_000_000),
+            (1996, 0, 1, 200, 500_000),
+            (1996, 1, 1, 200, 500_000),
+        ]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a4._SQL_NEW_VS_RETURNING).df()
+        assert _canon(got) == _canon(want)
