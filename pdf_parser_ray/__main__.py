@@ -23,7 +23,12 @@ def _init_ray(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False, ignore_reinit_error=True,
+        # honor the job runner's cluster (ray job submit sets
+        # RAY_ADDRESS); standalone runs fall back to a local session
+        import os
+
+        kwargs = dict(address=os.environ.get("RAY_ADDRESS", "local"),
+                      include_dashboard=False, ignore_reinit_error=True,
                       logging_level="ERROR")
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
