@@ -61,6 +61,8 @@ def main() -> None:
     from pdf_parser_ray.stages.textstats import q_source_js_divergence
     from pdf_parser_ray.relational.ranks import q_global_rank
     from pdf_parser_ray.stages.placement import q_rendezvous_moves
+    from pdf_parser_ray.relational.ops import q_copurchase_pairs
+    from pdf_parser_ray.relational.analytics4 import q_basket_lift
 
     targets = {
         "extract_spans": lambda sf: flagship(sf),
@@ -83,6 +85,11 @@ def main() -> None:
         # both must show a single fused read→map chain, no exchange
         "justext_strip": q_justext_strip,
         "extract_cascade": q_extract_cascade,
+        # session 3: the packed-key coarse-bucket pair reduce (stats
+        # must show the tiny-group-trap fix — two 64-group exchanges,
+        # no million-key Aggregate operator) and its lift extension
+        "copurchase_pairs": q_copurchase_pairs,
+        "basket_lift": q_basket_lift,
         # end of round 5: media-ref resolution (flagship + ONE
         # tagged-union bucket exchange — exactly one Sort) and the
         # three-signal eval (single fused read→map chain)
