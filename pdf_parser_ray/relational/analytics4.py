@@ -1458,10 +1458,318 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# user_activity_streaks — gaps-and-islands longest consecutive-day runs
+# ---------------------------------------------------------------------------
+
+def q_user_activity_streaks(sf_dir: str, n_buckets: int = 32):
+    """Longest consecutive-DAY activity streak per user — the classic
+    gaps-and-islands shape (islands keyed by ``day − rank``), the
+    habit metric retention teams track next to
+    :func:`q_user_stickiness`'s coarse months-active histogram: a user
+    active 20 scattered days differs from one active 20 days straight.
+
+    Exactness: pure integer day arithmetic; the island key is exact
+    and ties are impossible (days are distinct per user after dedup).
+
+    Shape: per-batch distinct (user, day) pairs → ONE coarse
+    ``user % B`` bucket exchange; each bucket sorts its pairs once and
+    resolves every user's islands VECTORIZED (rank via cumcount, one
+    groupby over island keys) — no per-user Python loop. Output is
+    user-grain (one row per active user), produced directly by the
+    bucket tasks.
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = _ts_us(batch["ts"]) // _DAY_US
+        df = pd.DataFrame({"uid": uid, "day": day}).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(df["uid"].to_numpy() % n_buckets, pa.int64()),
+                "uid": pa.array(df["uid"].to_numpy(np.int64), pa.int64()),
+                "day": pa.array(df["day"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def islands(g: pd.DataFrame) -> pa.Table:
+        d = (
+            g.drop_duplicates(["uid", "day"])
+            .sort_values(["uid", "day"], kind="stable")
+            .reset_index(drop=True)
+        )
+        rank = d.groupby("uid", sort=False).cumcount()
+        d = d.assign(grp=d["day"].to_numpy(np.int64) - rank.to_numpy(np.int64))
+        runs = (
+            d.groupby(["uid", "grp"], sort=False)
+            .size()
+            .reset_index(name="len")
+        )
+        per = (
+            runs.groupby("uid", sort=False)["len"]
+            .agg(n_active_days="sum", max_streak_days="max")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(per["uid"].to_numpy(np.int64), pa.int64()),
+                "n_active_days": pa.array(
+                    per["n_active_days"].to_numpy(np.int64), pa.int64()
+                ),
+                "max_streak_days": pa.array(
+                    per["max_streak_days"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(islands, batch_format="pandas")
+    )
+
+
+_SQL_STREAKS = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+r AS (SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM ud),
+g AS (SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) - rn AS grp
+      FROM r),
+s AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS max_streak_days
+FROM s GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ship_latency_percentiles — order-to-ship latency profile per priority
+# ---------------------------------------------------------------------------
+
+def q_ship_latency_percentiles(
+    sf_dir: str, n_buckets: int = 32, budget_bytes: int | None = None
+):
+    """Order-to-ship latency distribution per order priority: line
+    count, min/max, lower-median and p95 days between a line's ship
+    date and its order's date — the fulfillment-SLA profile (does
+    1-URGENT actually ship faster, and how fat is its tail?), a
+    fact-fact join composed with the grouped exact-percentile pattern.
+
+    Exactness: latencies are integer day differences; percentile
+    indices are integer order statistics (lower median at 0-based
+    ``(n−1)//2``, p95 at ``19·(n−1)//20`` — no float enters); both
+    shapes share one oracle.
+
+    Scale shape — the measured broadcast/shuffle crossover every join
+    in this repo uses (:func:`~..core.util.broadcast_build_fits`, 24
+    B/key on the orders footer row count): within budget the
+    (orderkey → order-day, priority) lookup broadcasts into the
+    lineitem scan — ZERO all-to-alls, per-batch (priority, latency)
+    cells stream to a bounded driver merge (≤ blocks × latency-domain
+    rows). Beyond budget, the tagged-union orderkey bucket join
+    (:func:`~pdf_parser_ray.relational.analytics2._bucket_join`, ONE
+    all-to-all; lineitem pre-reduced to (order, ship-day) count cells)
+    folds each bucket to the same cells. The percentile read-off runs
+    on the value-count summary either way.
+    """
+    from ..core.util import BROADCAST_BUDGET_BYTES, broadcast_build_fits
+
+    if broadcast_build_fits(
+        f"{sf_dir}/orders.parquet",
+        bytes_per_key=24,
+        budget_bytes=budget_bytes or BROADCAST_BUDGET_BYTES,
+    ):
+        return _ship_latency_broadcast(sf_dir)
+    return _ship_latency_shuffle(sf_dir, n_buckets)
+
+
+def _latency_fold(cells: "object"):
+    """(pr, lat, n) value-count cells → per-priority profile with
+    exact integer order statistics."""
+    import pandas as pd
+
+    merged = (
+        cells.groupby(["pr", "lat"], sort=False)["n"].sum().reset_index()
+    )
+    out = []
+    for pr, g in merged.groupby("pr", sort=True):
+        g = g.sort_values("lat", kind="stable")
+        lat = g["lat"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        total = int(n.sum())
+        cum = np.cumsum(n)
+        med = int(lat[np.searchsorted(cum, (total - 1) // 2, side="right")])
+        p95 = int(
+            lat[np.searchsorted(cum, 19 * (total - 1) // 20, side="right")]
+        )
+        out.append((str(pr), total, int(lat.min()), int(lat.max()), med, p95))
+    return pd.DataFrame(
+        out,
+        columns=["o_orderpriority", "n_lines", "min_days", "max_days",
+                 "median_days", "p95_days"],
+    ).astype(
+        {c: np.int64 for c in ("n_lines", "min_days", "max_days",
+                               "median_days", "p95_days")}
+    )
+
+
+def _ship_latency_broadcast(sf_dir: str):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    ok = ot["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order_idx = np.argsort(ok, kind="stable")
+    key_arr = ok[order_idx]
+    day_arr = (_ts_us(ot["o_orderdate"]) // _DAY_US)[order_idx]
+    pr_raw = ot["o_orderpriority"].to_numpy(zero_copy_only=False)[order_idx]
+    names, pr_codes = np.unique(pr_raw, return_inverse=True)
+    pr_arr = pr_codes.astype(np.int64)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(key_arr, key)
+        lat = _ts_us(batch["l_shipdate"]) // _DAY_US - day_arr[idx]
+        agg = (
+            pd.DataFrame({"pr_id": pr_arr[idx], "lat": lat})
+            .groupby(["pr_id", "lat"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "pr_id": pa.array(agg["pr_id"].to_numpy(np.int64), pa.int64()),
+                "lat": pa.array(agg["lat"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(
+        cells, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # ≤ blocks × priorities × latency-domain rows
+    parts = parts.assign(pr=names[parts["pr_id"].to_numpy(np.int64)])
+    return _latency_fold(parts[["pr", "lat", "n"]])
+
+
+def _ship_latency_shuffle(sf_dir: str, n_buckets: int = 32):
+    import pandas as pd
+
+    from .analytics2 import _bucket_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        agg = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": batch["l_orderkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "ship_day": _ts_us(batch["l_shipdate"]) // _DAY_US,
+                }
+            )
+            .groupby(["l_orderkey", "ship_day"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    agg["l_orderkey"].to_numpy(np.int64), pa.int64()
+                ),
+                "ship_day": pa.array(
+                    agg["ship_day"].to_numpy(np.int64), pa.int64()
+                ),
+                "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "ord_day": pa.array(
+                    _ts_us(batch["o_orderdate"]) // _DAY_US, pa.int64()
+                ),
+                "pr": batch["o_orderpriority"],
+            }
+        )
+
+    def cells(j: pd.DataFrame) -> pa.Table:
+        lat = j["ship_day"].to_numpy(np.int64) - j["ord_day"].to_numpy(np.int64)
+        agg = (
+            pd.DataFrame({"pr": j["pr"].to_numpy(), "lat": lat,
+                          "n": j["n"].to_numpy(np.int64)})
+            .groupby(["pr", "lat"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "pr": pa.array(agg["pr"].astype(str), pa.string()),
+                "lat": pa.array(agg["lat"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = _bucket_join(
+        li.map_batches(prep_li, batch_format="pyarrow", batch_size=None),
+        orders.map_batches(
+            prep_orders, batch_format="pyarrow", batch_size=None
+        ),
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_payload={"ship_day": pa.int64(), "n": pa.int64()},
+        right_payload={"ord_day": pa.int64(), "pr": pa.string()},
+        post=cells,
+        n_buckets=n_buckets,
+    ).to_pandas()  # ≤ buckets × priorities × latency-domain rows
+    return _latency_fold(parts)
+
+
+_SQL_SHIP_LATENCY = """
+WITH j AS (
+    SELECT o_orderpriority AS pr,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+k AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1),
+r AS (SELECT pr, lat,
+             row_number() OVER (PARTITION BY pr ORDER BY lat) AS rn
+      FROM j)
+SELECT r.pr AS o_orderpriority,
+       CAST(MAX(k.n) AS BIGINT) AS n_lines,
+       CAST(MIN(lat) AS BIGINT) AS min_days,
+       CAST(MAX(lat) AS BIGINT) AS max_days,
+       CAST(MAX(CASE WHEN rn = (k.n - 1) // 2 + 1 THEN lat END) AS BIGINT)
+           AS median_days,
+       CAST(MAX(CASE WHEN rn = 19 * (k.n - 1) // 20 + 1 THEN lat END)
+            AS BIGINT) AS p95_days
+FROM r JOIN k USING (pr)
+GROUP BY r.pr
+"""
+
+
 QUERIES = {
     "revenue_cusum": q_revenue_cusum,
     "user_stickiness": q_user_stickiness,
     "new_vs_returning_revenue": q_new_vs_returning_revenue,
+    "user_activity_streaks": q_user_activity_streaks,
+    "ship_latency_percentiles": q_ship_latency_percentiles,
     "revenue_runs_test": q_revenue_runs_test,
     "customer_concentration_hhi": q_customer_concentration_hhi,
     "winsorized_mean_price": q_winsorized_mean_price,
@@ -1480,6 +1788,8 @@ ORACLE_SQL = {
     "brand_momentum": _SQL_BRAND_MOMENTUM,
     "user_stickiness": _SQL_STICKINESS,
     "new_vs_returning_revenue": _SQL_NEW_VS_RETURNING,
+    "user_activity_streaks": _SQL_STREAKS,
+    "ship_latency_percentiles": _SQL_SHIP_LATENCY,
     "customer_survival_km": _sql_survival_km(),
     "event_type_mi": _sql_event_type_mi(),
     "zipf_slope": _sql_zipf_slope(),

@@ -701,3 +701,68 @@ class TestNewVsReturning:
         )
         want = con.execute(a4._SQL_NEW_VS_RETURNING).df()
         assert _canon(got) == _canon(want)
+
+
+class TestActivityStreaks:
+    def test_islands_and_oracle(self, tmp_path):
+        # user 1: days 0,1,2 then 5,6 → max streak 3, 5 active days;
+        # duplicate events on day 1 collapse. user 2: single day.
+        rows = [(1, 0), (1, 1), (1, 1), (1, 2), (1, 5), (1, 6), (2, 9)]
+        t = pa.table(
+            {
+                "user_id": pa.array([u for u, _ in rows], pa.int64()),
+                "ts": _days([d for _, d in rows]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = (
+            _pd(a4.q_user_activity_streaks(str(tmp_path)))
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["n_active_days"]) == [5, 1]
+        assert list(got["max_streak_days"]) == [3, 1]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        want = con.execute(a4._SQL_STREAKS).df()
+        assert _canon(got) == _canon(want)
+
+
+class TestShipLatency:
+    def test_percentile_readoff(self, tmp_path):
+        # one URGENT order, 21 lines with latencies 0..20 →
+        # median (index 10) = 10, p95 (index 19·20//20 = 19) = 19.
+        li = [(1, d) for d in range(21)]
+        t = pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in li], pa.int64()),
+                "l_shipdate": _days([d for _, d in li]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_orderdate": _days([0]),
+                "o_orderpriority": pa.array(["1-URGENT"]),
+            }
+        )
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = _pd(a4.q_ship_latency_percentiles(str(tmp_path)))
+        assert list(got.itertuples(index=False, name=None)) == [
+            ("1-URGENT", 21, 0, 20, 10, 19)
+        ]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+        )
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        want = con.execute(a4._SQL_SHIP_LATENCY).df()
+        assert _canon(got) == _canon(want)
+        # shuffle twin (broadcast gate forced off) agrees exactly
+        shuf = _pd(a4.q_ship_latency_percentiles(str(tmp_path), budget_bytes=1))
+        assert _canon(shuf) == _canon(got)
