@@ -80,6 +80,8 @@ def _bench_queries():
     from pdf_parser_ray.relational.analytics4 import (
         q_basket_lift,
         q_customer_survival_km,
+        q_ship_latency_percentiles,
+        q_user_activity_streaks,
     )
     from pdf_parser_ray.stages.textstats import q_bigram_entropy_rate
     from pdf_parser_ray.pipelines.extract import extract_kind_transitions
@@ -152,6 +154,10 @@ def _bench_queries():
         "basket_lift": q_basket_lift,
         "bigram_entropy_rate": q_bigram_entropy_rate,
         "extract_kind_transitions": extract_kind_transitions,
+        # batch 4: the vectorized gaps-and-islands exchange and the
+        # gated broadcast/shuffle fact join with exact percentiles
+        "user_activity_streaks": q_user_activity_streaks,
+        "ship_latency_percentiles": q_ship_latency_percentiles,
     }
 
 
