@@ -3698,3 +3698,61 @@ class TestCorpusPrepV3:
         en_share_out = (merged["lang_label"] == "en").mean()
         en_share_in = (labels["lang"] == "en").mean()
         assert en_share_out > en_share_in
+
+
+class TestAdamicAdar:
+    def test_path_graph_hand_check(self, ray_session, tmp_path_factory):
+        """Path 1–2–3–4 (three two-part baskets): eligible centers are
+        2 and 3 (deg 2); predicted links (1,3) and (2,4) each carry one
+        common neighbor of degree 2 → score 10¹² // lnm(2) = 10¹² //
+        693147 and Jaccard 1/(1+2−1) = 500000 ppm."""
+        from pdf_parser_ray.stages.linkpred import q_adamic_adar
+        from pdf_parser_ray.stages.textstats import lnm_micro
+
+        d = tmp_path_factory.mktemp("aa_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+                    "l_partkey": pa.array([1, 2, 2, 3, 3, 4], pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        got = q_adamic_adar(str(d), n_buckets=4).set_index(["u", "v"]).sort_index()
+        w = 10**12 // lnm_micro(2)
+        assert got.index.tolist() == [(1, 3), (2, 4)]
+        assert (got["cn"] == 1).all()
+        assert (got["score_micro"] == w).all()
+        assert (got["jaccard_ppm"] == 500_000).all()
+
+    def test_existing_edges_excluded_and_cap(self, ray_session, tmp_path_factory):
+        """Triangle {1,2,3}: every wedge closes an existing edge, so
+        the anti-join leaves nothing; a cap below every degree also
+        yields nothing (cap is a center-eligibility filter)."""
+        from pdf_parser_ray.stages.linkpred import q_adamic_adar
+
+        d = tmp_path_factory.mktemp("aa_tri_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+                    "l_partkey": pa.array([1, 2, 2, 3, 1, 3], pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        assert len(q_adamic_adar(str(d), n_buckets=4)) == 0
+
+        # path graph again, but with no eligible centers
+        d2 = tmp_path_factory.mktemp("aa_cap_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+                    "l_partkey": pa.array([1, 2, 2, 3], pa.int64()),
+                }
+            ),
+            str(d2 / "lineitem.parquet"),
+        )
+        assert len(q_adamic_adar(str(d2), n_buckets=4, max_center_deg=1)) == 0
