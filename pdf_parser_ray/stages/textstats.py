@@ -3391,6 +3391,238 @@ FROM t
 _SQL_BIGRAM_ENTROPY = _sql_bigram_entropy()
 
 
+# ---------------------------------------------------------------------------
+# g2_collocations — Dunning log-likelihood-ratio collocation test
+# ---------------------------------------------------------------------------
+
+def q_g2_collocations(
+    sf_dir: str, n_buckets: int = 32, min_count: int = 5, top_k: int = 100
+):
+    """Top collocations by Dunning's G² log-likelihood ratio over
+    adjacent token bigrams (Dunning CL'93) — the statistically-sound
+    sibling of :func:`q_pmi_pairs`: PMI over-ranks rare coincidences,
+    while G² scores each bigram's 2×2 contingency table (with/without
+    first word × with/without second word) against independence, so
+    high-count collocations ("of the", domain phrases, boilerplate
+    templates) surface with calibrated strength. Corpus curation uses
+    exactly this list for stop-phrase mining and template detection.
+
+    Exactness: with margins ``r = c(a,·)``, ``c = c(·,b)`` and total
+    ``N``, the expanded form needs only logs of INTEGERS::
+
+        G² = 2·[Σ_cells k·ln k + N·ln N − r·ln r − (N−r)·ln(N−r)
+                − c·ln c − (N−c)·ln(N−c)]
+
+    and every ln snaps to the shared integer-micro spec
+    (:func:`lnm_micro`) before its integer product, so ``g2_micro``
+    is an order-free exact integer (documented bound: N·lnm(N) needs
+    N ≲ 3·10¹¹ bigrams per int64 — swap to two-limb sums past that).
+
+    Shape: per-batch bigram partials → ONE ``hash_bucket(x)``
+    exchange (joint counts AND the first-word margin resolve
+    co-located; each bucket also forwards its Σk as n_buckets tiny
+    partial rows, so the global N needs NO extra pass or pin) → ONE
+    ``hash_bucket(y)`` exchange (second-word margin, min-count
+    filter, LUT-vectorized G², per-bucket top-k) → a ≤ B·k driver
+    merge. Two exchanges carrying distinct-bigram cells, never
+    occurrences."""
+    import pandas as pd
+
+    from ..core.util import hash_bucket
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[tuple[str, str], int] = {}
+        for t in batch["text"].to_pylist():
+            toks = (t or "").split()
+            for x, y in zip(toks, toks[1:]):
+                cnt[(x, y)] = cnt.get((x, y), 0) + 1
+        return pa.table(
+            {
+                "xbucket": pa.array(
+                    [hash_bucket(k[0], n_buckets) for k in cnt], pa.int64()
+                ),
+                "x": pa.array([k[0] for k in cnt], pa.string()),
+                "y": pa.array([k[1] for k in cnt], pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def margin_x(g: pd.DataFrame) -> pa.Table:
+        cell = g.groupby(["x", "y"], sort=False)["n"].sum().reset_index(name="k11")
+        r = cell.groupby("x", sort=False)["k11"].transform("sum")
+        local_n = int(cell["k11"].sum())
+        yb = np.array(
+            [hash_bucket(y, n_buckets) for y in cell["y"]], dtype=np.int64
+        )
+        # side-1 rows forward this bucket's Σk to EVERY y-bucket: each
+        # destination sums one row per x-bucket back into the global N
+        return pa.table(
+            {
+                "ybucket": pa.array(
+                    np.concatenate([yb, np.arange(n_buckets, dtype=np.int64)])
+                ),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(cell), np.int8), np.ones(n_buckets, np.int8)]
+                    )
+                ),
+                "x": pa.array(cell["x"].tolist() + [""] * n_buckets, pa.string()),
+                "y": pa.array(cell["y"].tolist() + [""] * n_buckets, pa.string()),
+                "k11": pa.array(
+                    np.concatenate(
+                        [
+                            cell["k11"].to_numpy(np.int64),
+                            np.full(n_buckets, local_n, np.int64),
+                        ]
+                    )
+                ),
+                "r": pa.array(
+                    np.concatenate([r.to_numpy(np.int64), np.zeros(n_buckets, np.int64)])
+                ),
+            }
+        )
+
+    def _s(k: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(k), dtype=np.int64)
+        m = k > 0
+        if m.any():
+            out[m] = k[m] * _lnm_vec(k[m])
+        return out
+
+    def score_y(g: pd.DataFrame) -> pa.Table:
+        n_total = int(g[g["side"] == 1]["k11"].sum())
+        s = g[g["side"] == 0]
+        # the C margin MUST see every cell of its y — compute it
+        # BEFORE the min-count candidate filter
+        c_all = s.groupby("y", sort=False)["k11"].transform("sum")
+        keep = s["k11"] >= min_count
+        s = s[keep]
+        empty = pa.table(
+            {
+                "term_a": pa.array([], pa.string()),
+                "term_b": pa.array([], pa.string()),
+                "n_ab": pa.array([], pa.int64()),
+                "g2_micro": pa.array([], pa.int64()),
+            }
+        )
+        if not len(s) or n_total <= 0:
+            return empty
+        c = c_all[keep].to_numpy(np.int64)
+        k11 = s["k11"].to_numpy(np.int64)
+        r = s["r"].to_numpy(np.int64)
+        a12 = r - k11
+        a21 = c - k11
+        a22 = n_total - r - c + k11
+        sn = n_total * lnm_micro(n_total)
+        g2 = 2 * (
+            _s(k11) + _s(a12) + _s(a21) + _s(a22)
+            + sn - _s(r) - _s(np.full(len(r), n_total) - r)
+            - _s(c) - _s(np.full(len(c), n_total) - c)
+        )
+        top = (
+            pd.DataFrame(
+                {"term_a": s["x"].to_numpy(), "term_b": s["y"].to_numpy(),
+                 "n_ab": k11, "g2_micro": g2}
+            )
+            .sort_values(
+                ["g2_micro", "term_a", "term_b"], ascending=[False, True, True],
+                kind="stable",
+            )
+            .head(top_k)
+        )
+        return pa.table(
+            {
+                "term_a": pa.array(top["term_a"].tolist(), pa.string()),
+                "term_b": pa.array(top["term_b"].tolist(), pa.string()),
+                "n_ab": pa.array(top["n_ab"].to_numpy(np.int64), pa.int64()),
+                "g2_micro": pa.array(top["g2_micro"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    tops = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("xbucket")
+        .map_groups(margin_x, batch_format="pandas")
+        .groupby("ybucket")
+        .map_groups(score_y, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ n_buckets·top_k rows
+    )
+    cols = ["term_a", "term_b", "n_ab", "g2_micro"]
+    if tops.empty:
+        tops = pd.DataFrame(
+            {
+                "term_a": pd.Series([], dtype=object),
+                "term_b": pd.Series([], dtype=object),
+                "n_ab": pd.Series([], dtype=np.int64),
+                "g2_micro": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        tops.sort_values(
+            ["g2_micro", "term_a", "term_b"], ascending=[False, True, True],
+            kind="stable",
+        )
+        .head(top_k)[cols]
+        .reset_index(drop=True)
+    )
+
+
+def _sql_g2(min_count: int = 5, top_k: int = 100) -> str:
+    cte = _shared_ln_cte("(SELECT DISTINCT kint FROM lnargs WHERE kint >= 1)", "kint")
+    return rf"""
+WITH w AS (SELECT regexp_extract_all(text, '\S+') AS words FROM documents),
+bg AS (SELECT UNNEST(words[1:len(words)-1]) AS x,
+              UNNEST(words[2:len(words)]) AS y
+       FROM w WHERE len(words) >= 2),
+cell AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS k11 FROM bg GROUP BY 1, 2),
+rm AS (SELECT x, CAST(SUM(k11) AS BIGINT) AS r FROM cell GROUP BY x),
+cm AS (SELECT y, CAST(SUM(k11) AS BIGINT) AS c FROM cell GROUP BY y),
+nn AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM cell),
+cand AS (SELECT cell.x, cell.y, cell.k11, rm.r, cm.c, nn.n,
+                rm.r - cell.k11 AS a12, cm.c - cell.k11 AS a21,
+                nn.n - rm.r - cm.c + cell.k11 AS a22
+         FROM cell JOIN rm USING (x) JOIN cm USING (y) CROSS JOIN nn
+         WHERE cell.k11 >= {min_count}),
+lnargs AS (SELECT k11 AS kint FROM cand UNION SELECT a12 FROM cand
+           UNION SELECT a21 FROM cand UNION SELECT a22 FROM cand
+           UNION SELECT r FROM cand UNION SELECT n - r FROM cand
+           UNION SELECT c FROM cand UNION SELECT n - c FROM cand
+           UNION SELECT n FROM cand),
+lns AS (SELECT kint,
+               CAST(FLOOR(lnk * CAST(1000000.0 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lnm
+        FROM {cte} t)
+SELECT cand.x AS term_a, cand.y AS term_b, cand.k11 AS n_ab,
+       CAST(2 * (cand.k11 * COALESCE(l11.lnm, 0)
+                 + cand.a12 * COALESCE(l12.lnm, 0)
+                 + cand.a21 * COALESCE(l21.lnm, 0)
+                 + cand.a22 * COALESCE(l22.lnm, 0)
+                 + cand.n * ln_n.lnm
+                 - cand.r * lr.lnm
+                 - (cand.n - cand.r) * COALESCE(lnr.lnm, 0)
+                 - cand.c * lc.lnm
+                 - (cand.n - cand.c) * COALESCE(lnc.lnm, 0)) AS BIGINT)
+           AS g2_micro
+FROM cand
+LEFT JOIN lns l11 ON l11.kint = cand.k11
+LEFT JOIN lns l12 ON l12.kint = cand.a12
+LEFT JOIN lns l21 ON l21.kint = cand.a21
+LEFT JOIN lns l22 ON l22.kint = cand.a22
+JOIN lns ln_n ON ln_n.kint = cand.n
+JOIN lns lr ON lr.kint = cand.r
+LEFT JOIN lns lnr ON lnr.kint = cand.n - cand.r
+JOIN lns lc ON lc.kint = cand.c
+LEFT JOIN lns lnc ON lnc.kint = cand.n - cand.c
+ORDER BY g2_micro DESC, term_a, term_b
+LIMIT {top_k}
+"""
+
+
+_SQL_G2 = _sql_g2()
+
+
 QUERIES = {
     "token_count": q_token_count,
     "length_tail_index": q_length_tail_index,
@@ -3424,9 +3656,11 @@ QUERIES = {
     "token_freq_spectrum": q_token_freq_spectrum,
     "lm_doc_bigram_nll": q_lm_doc_bigram_nll,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "g2_collocations": q_g2_collocations,
 }
 
 ORACLE_SQL = {
+    "g2_collocations": _SQL_G2,
     "bigram_entropy_rate": _SQL_BIGRAM_ENTROPY,
     "token_freq_spectrum": _SQL_FREQ_SPECTRUM,
     "lm_doc_bigram_nll": _SQL_LM_BIGRAM_NLL,

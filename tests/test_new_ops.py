@@ -3756,3 +3756,61 @@ class TestAdamicAdar:
             str(d2 / "lineitem.parquet"),
         )
         assert len(q_adamic_adar(str(d2), n_buckets=4, max_center_deg=1)) == 0
+
+
+class TestG2Collocations:
+    def test_matches_bruteforce(self, ray_session, tmp_path_factory):
+        """Independent pure-Python replay of the expanded G² formula
+        (Counter-based margins, scalar lnm) over a small corpus with a
+        planted collocation — the engine's two-exchange plan must
+        reproduce it exactly, including the min-count filter."""
+        from collections import Counter
+
+        from pdf_parser_ray.stages.textstats import lnm_micro, q_g2_collocations
+
+        d = tmp_path_factory.mktemp("g2_sf")
+        texts = (
+            ["new york is a big city"] * 4
+            + ["the new deal and the new york times"] * 3
+            + ["york was new once more than once", "a big deal in a big city"]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+
+        cells = Counter()
+        for t in texts:
+            w = t.split()
+            cells.update(zip(w, w[1:]))
+        n = sum(cells.values())
+        rm, cm = Counter(), Counter()
+        for (x, y), k in cells.items():
+            rm[x] += k
+            cm[y] += k
+
+        def s(k):
+            return k * lnm_micro(k) if k > 0 else 0
+
+        want = []
+        for (x, y), k in cells.items():
+            if k < 2:
+                continue
+            r, c = rm[x], cm[y]
+            g2 = 2 * (
+                s(k) + s(r - k) + s(c - k) + s(n - r - c + k)
+                + s(n) - s(r) - s(n - r) - s(c) - s(n - c)
+            )
+            want.append((x, y, k, g2))
+        want.sort(key=lambda t: (-t[3], t[0], t[1]))
+
+        got = q_g2_collocations(str(d), n_buckets=4, min_count=2, top_k=50)
+        assert list(map(tuple, got.itertuples(index=False))) == want
+        # the planted phrase survives the min-count gate and is scored
+        pairs = list(zip(got["term_a"], got["term_b"]))
+        assert ("new", "york") in pairs
