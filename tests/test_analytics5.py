@@ -1,0 +1,120 @@
+"""Unit tests for relational/analytics5.py (changepoint segmentation,
+seasonal strength, and the session-4 additions).
+
+Pins beyond the oracle harness: crafted monthly series with
+closed-form argmax/ratio answers, plus hash-equality against DuckDB
+running the registered oracle SQL verbatim on the same fixture.
+"""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_parser_ray.relational import analytics5 as a5
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    yield
+
+
+def _canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    rows = sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False))
+    return hashlib.md5(str(rows).encode()).hexdigest()
+
+
+def _monthly_orders(tmp_path, rev_k):
+    """One order per month starting 1995-01; order i totals rev_k[i]
+    thousand dollars, so the k$ series equals rev_k exactly."""
+    months = (np.datetime64("1995-01", "M") + np.arange(len(rev_k))).astype(
+        "datetime64[us]"
+    )
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, len(rev_k) + 1), pa.int64()),
+            "o_orderdate": pa.array(months),
+            "o_totalprice": pa.array([float(v) * 1000.0 for v in rev_k]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+
+
+def _oracle(tmp_path, sql) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+    )
+    return con.sql(sql).df()
+
+
+class TestRevenueChangepoint:
+    def test_step_series_hand_check(self, tmp_path):
+        """[1,1,1,5,5,5] k$: centered y=[0,0,0,4,4,4]; g(k) over the
+        5 splits is [28,36,48,36,28] → argmax at k=3, gain
+        48 − 144//6 = 24, means 1 and 5."""
+        _monthly_orders(tmp_path, [1, 1, 1, 5, 5, 5])
+        got = a5.q_revenue_changepoint(str(tmp_path))
+        base = (1995 - 1970) * 12  # epoch-month of 1995-01
+        assert got.loc[0, "split_month"] == base + 2
+        assert got.loc[0, "n_left"] == 3 and got.loc[0, "n_right"] == 3
+        assert got.loc[0, "mean_left_k"] == 1 and got.loc[0, "mean_right_k"] == 5
+        assert got.loc[0, "gain_k2"] == 24
+        assert _canon(got) == _canon(_oracle(tmp_path, a5._SQL_CHANGEPOINT))
+
+    def test_tie_breaks_to_earlier_month(self, tmp_path):
+        """A symmetric series [3,1,1,3] ties g(1)=g(3); the spec takes
+        the earlier boundary on both sides."""
+        _monthly_orders(tmp_path, [3, 1, 1, 3])
+        got = a5.q_revenue_changepoint(str(tmp_path))
+        oracle = _oracle(tmp_path, a5._SQL_CHANGEPOINT)
+        assert got.loc[0, "split_month"] == (1995 - 1970) * 12
+        assert _canon(got) == _canon(oracle)
+
+    def test_single_month_degenerate(self, tmp_path):
+        _monthly_orders(tmp_path, [7])
+        got = a5.q_revenue_changepoint(str(tmp_path))
+        assert got.loc[0, "n_left"] == 1 and got.loc[0, "n_right"] == 0
+        assert got.loc[0, "gain_k2"] == 0
+
+
+class TestSeasonalStrength:
+    def test_perfectly_seasonal_is_zero(self, tmp_path):
+        """A 24-month series repeating a 12-month pattern has zero
+        seasonal-naive error → strength 0 (seasonal forecast is
+        perfect)."""
+        pattern = [5, 9, 2, 7, 7, 1, 8, 3, 6, 4, 10, 2]
+        _monthly_orders(tmp_path, pattern * 2)
+        got = a5.q_seasonal_strength(str(tmp_path))
+        assert got.loc[0, "n_months"] == 24
+        assert got.loc[0, "seasonal_abs_sum_k"] == 0
+        assert got.loc[0, "strength_ppm"] == 0
+        assert _canon(got) == _canon(_oracle(tmp_path, a5._SQL_SEASONAL_STRENGTH))
+
+    def test_pure_trend_is_twelve(self, tmp_path):
+        """y_t = t: naive MAE 1, seasonal-naive MAE 12 → strength
+        exactly 12·10⁶ (month-over-month deltas are 12× more
+        informative than same-month-last-year)."""
+        _monthly_orders(tmp_path, list(range(1, 25)))
+        got = a5.q_seasonal_strength(str(tmp_path))
+        assert got.loc[0, "naive_abs_sum_k"] == 23
+        assert got.loc[0, "seasonal_abs_sum_k"] == 144
+        assert got.loc[0, "strength_ppm"] == 12_000_000
+        assert _canon(got) == _canon(_oracle(tmp_path, a5._SQL_SEASONAL_STRENGTH))
+
+    def test_short_series_guard(self, tmp_path):
+        """≤ 12 months: no seasonal pairs exist → strength 0 on both
+        sides (the oracle's CASE guard mirrors the engine's)."""
+        _monthly_orders(tmp_path, [4, 8, 6])
+        got = a5.q_seasonal_strength(str(tmp_path))
+        assert got.loc[0, "n_seasonal"] == 0
+        assert got.loc[0, "strength_ppm"] == 0
+        assert _canon(got) == _canon(_oracle(tmp_path, a5._SQL_SEASONAL_STRENGTH))
