@@ -242,12 +242,237 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# rfm_segments — recency/frequency/monetary quartile segmentation
+# ---------------------------------------------------------------------------
+
+def q_rfm_segments(sf_dir: str, n_buckets: int = 32):
+    """The classic RFM customer-value matrix (Hughes 1994, the CRM
+    standard): every customer coded 1–4 on Recency (days since last
+    order; code 1 = most recent quartile), Frequency (order count;
+    code 4 = most orders) and Monetary (lifetime spend in whole
+    dollars; code 4 = top spenders), reported as the ≤ 4³ segment
+    cells with customer counts and floor-average spend — the table a
+    retention campaign is keyed on ("who is 4-4 on F/M but drifting
+    on R?").
+
+    Quartile SPEC (shared verbatim with the oracle): boundaries are
+    PERCENTILE_DISC on each dimension — the smallest value whose
+    cumulative customer count reaches the integer rank ``(n+3)//4``,
+    ``(n+1)//2``, ``(3n+3)//4`` — and ``code = 1 + Σ (v > qᵢ)``
+    (ascending-value quartiles, so ties share a code
+    deterministically).
+
+    Shape: ONE custkey exchange folds orders to per-customer
+    ``(last_day, n_orders, dollars)``; the two consumers of that
+    aggregate (the boundary histograms and the coding pass) share a
+    SIZE-GATED pin (``pin_fits`` on the orders footer row count ×
+    32 B — past budget both passes rebuild upstream). Boundary
+    histograms for all three dimensions ride ONE ``(dim, value)``
+    exchange whose driver read-off is value-DOMAIN-bounded (calendar
+    days / max order count / distinct whole-dollar totals — the
+    ``price_percentiles`` argument, not data-bounded), and the global
+    anchor day is the R histogram's max support. The coding pass
+    emits per-batch cell partials against the broadcast boundaries →
+    a ≤ 64-cell exchange."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Max, Sum
+
+    from ..core.util import pin_fits
+
+    def build_cust():
+        orders = _read(
+            sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            day = _ts_us(batch["o_orderdate"]) // 86_400_000_000
+            cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+            agg = (
+                pd.DataFrame({"ck": ck, "day": day, "cents": cents})
+                .groupby("ck", sort=False)
+                .agg(last_day=("day", "max"), n=("day", "size"),
+                     cents=("cents", "sum"))
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "ck": pa.array(agg["ck"].to_numpy(np.int64), pa.int64()),
+                    "last_day": pa.array(agg["last_day"].to_numpy(np.int64)),
+                    "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+                    "cents": pa.array(agg["cents"].to_numpy(np.int64), pa.int64()),
+                }
+            )
+
+        def finish(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "ck": b["ck"],
+                    "last_day": b["last_day"],
+                    "n": b["n"],
+                    "dollars": pa.array(
+                        b["cents"].to_numpy(zero_copy_only=False) // 100
+                    ),
+                }
+            )
+
+        return (
+            orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("ck")
+            .aggregate(
+                Max("last_day", alias_name="last_day"),
+                Sum("n", alias_name="n"),
+                Sum("cents", alias_name="cents"),
+            )
+            .map_batches(finish, batch_format="pyarrow", batch_size=None)
+        )
+
+    n_orders_rows = pq_.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if pin_fits(n_orders_rows * 32):
+        cust = build_cust().materialize()  # O(customers), spillable
+        cust2 = cust
+    else:
+        cust, cust2 = build_cust(), build_cust()
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        dims, vals, cnts = [], [], []
+        for dim, col in ((0, "last_day"), (1, "n"), (2, "dollars")):
+            v, c = np.unique(b[col].to_numpy(zero_copy_only=False), return_counts=True)
+            dims.append(np.full(len(v), dim, np.int64))
+            vals.append(v.astype(np.int64))
+            cnts.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "dim": pa.array(np.concatenate(dims)),
+                "value": pa.array(np.concatenate(vals)),
+                "cnt": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    hist = (
+        cust.map_batches(hist_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["dim", "value"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # value-domain-bounded: days + counts + dollar levels
+        .sort_values(["dim", "value"], kind="stable")
+    )
+
+    def bounds(dim: int, transform=None) -> tuple[int, int, int]:
+        h = hist[hist["dim"] == dim]
+        v = h["value"].to_numpy(np.int64)
+        c = h["cnt"].to_numpy(np.int64)
+        if transform is not None:
+            v = transform(v)
+            order = np.argsort(v, kind="stable")
+            v, c = v[order], c[order]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        ranks = ((n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4)
+        return tuple(int(v[np.searchsorted(cum, r)]) for r in ranks)
+
+    max_day = int(hist[hist["dim"] == 0]["value"].max())
+    rq = bounds(0, transform=lambda v: max_day - v)
+    fq = bounds(1)
+    mq = bounds(2)
+
+    def code_cells(b: pa.Table) -> pa.Table:
+        rec = max_day - b["last_day"].to_numpy(zero_copy_only=False)
+        f = b["n"].to_numpy(zero_copy_only=False)
+        m = b["dollars"].to_numpy(zero_copy_only=False)
+        rc = 1 + (rec > rq[0]).astype(np.int64) + (rec > rq[1]) + (rec > rq[2])
+        fc = 1 + (f > fq[0]).astype(np.int64) + (f > fq[1]) + (f > fq[2])
+        mc = 1 + (m > mq[0]).astype(np.int64) + (m > mq[1]) + (m > mq[2])
+        agg = (
+            pd.DataFrame({"r_code": rc, "f_code": fc, "m_code": mc, "d": m})
+            .groupby(["r_code", "f_code", "m_code"], sort=False)["d"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "r_code": pa.array(agg["r_code"].to_numpy(np.int64)),
+                "f_code": pa.array(agg["f_code"].to_numpy(np.int64)),
+                "m_code": pa.array(agg["m_code"].to_numpy(np.int64)),
+                "nc": pa.array(agg["size"].to_numpy(np.int64)),
+                "dollars": pa.array(agg["sum"].to_numpy(np.int64)),
+            }
+        )
+
+    cells = (
+        cust2.map_batches(code_cells, batch_format="pyarrow", batch_size=None)
+        .groupby(["r_code", "f_code", "m_code"])
+        .aggregate(Sum("nc", alias_name="n_customers"),
+                   Sum("dollars", alias_name="dollars"))
+        .to_pandas()  # ≤ 64 cells
+    )
+    cells["avg_spend_dollars"] = (
+        cells["dollars"].to_numpy(np.int64) // cells["n_customers"].to_numpy(np.int64)
+    )
+    return (
+        cells[["r_code", "f_code", "m_code", "n_customers", "avg_spend_dollars"]]
+        .astype(np.int64)
+        .sort_values(["r_code", "f_code", "m_code"], kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+_SQL_RFM = """
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(MAX(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+           CAST(COUNT(*) AS BIGINT) AS f,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) // 100
+                AS BIGINT) AS dollars
+    FROM orders GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(last_day) AS BIGINT) AS maxd FROM cust),
+rv AS (SELECT maxd - last_day AS v, COUNT(*) AS c FROM cust, t GROUP BY 1),
+rc_ AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM rv),
+rq AS (SELECT MIN(CASE WHEN cum >= (n+3)//4 THEN v END) AS q1,
+              MIN(CASE WHEN cum >= (n+1)//2 THEN v END) AS q2,
+              MIN(CASE WHEN cum >= (3*n+3)//4 THEN v END) AS q3
+       FROM rc_, t),
+fv AS (SELECT f AS v, COUNT(*) AS c FROM cust GROUP BY 1),
+fc_ AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM fv),
+fq AS (SELECT MIN(CASE WHEN cum >= (n+3)//4 THEN v END) AS q1,
+              MIN(CASE WHEN cum >= (n+1)//2 THEN v END) AS q2,
+              MIN(CASE WHEN cum >= (3*n+3)//4 THEN v END) AS q3
+       FROM fc_, t),
+mv AS (SELECT dollars AS v, COUNT(*) AS c FROM cust GROUP BY 1),
+mc_ AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM mv),
+mq AS (SELECT MIN(CASE WHEN cum >= (n+3)//4 THEN v END) AS q1,
+              MIN(CASE WHEN cum >= (n+1)//2 THEN v END) AS q2,
+              MIN(CASE WHEN cum >= (3*n+3)//4 THEN v END) AS q3
+       FROM mc_, t),
+coded AS (
+    SELECT 1 + CAST(maxd - last_day > rq.q1 AS BIGINT)
+             + CAST(maxd - last_day > rq.q2 AS BIGINT)
+             + CAST(maxd - last_day > rq.q3 AS BIGINT) AS r_code,
+           1 + CAST(f > fq.q1 AS BIGINT) + CAST(f > fq.q2 AS BIGINT)
+             + CAST(f > fq.q3 AS BIGINT) AS f_code,
+           1 + CAST(dollars > mq.q1 AS BIGINT) + CAST(dollars > mq.q2 AS BIGINT)
+             + CAST(dollars > mq.q3 AS BIGINT) AS m_code,
+           dollars
+    FROM cust, t, rq, fq, mq)
+SELECT r_code, f_code, m_code,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(dollars) // COUNT(*) AS BIGINT) AS avg_spend_dollars
+FROM coded
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "revenue_changepoint": q_revenue_changepoint,
     "seasonal_strength": q_seasonal_strength,
+    "rfm_segments": q_rfm_segments,
 }
 
 ORACLE_SQL = {
     "revenue_changepoint": _SQL_CHANGEPOINT,
     "seasonal_strength": _SQL_SEASONAL_STRENGTH,
+    "rfm_segments": _SQL_RFM,
 }

@@ -118,3 +118,55 @@ class TestSeasonalStrength:
         assert got.loc[0, "n_seasonal"] == 0
         assert got.loc[0, "strength_ppm"] == 0
         assert _canon(got) == _canon(_oracle(tmp_path, a5._SQL_SEASONAL_STRENGTH))
+
+
+class TestRfmSegments:
+    def _orders(self, tmp_path):
+        """8 customers, one dimension varied at a time: customer i has
+        last order day i, i+1 orders, and spend scaling with i."""
+        rows = []
+        key = 1
+        for i in range(8):
+            for j in range(i + 1):
+                rows.append((key, i, 100.0 * (i + 1)))
+                key += 1
+        ck = [i + 1 for i in range(8) for _ in range(i + 1)]
+        days = (
+            np.datetime64("1995-01-01", "us")
+            + np.array([r[1] for r in rows]) * np.timedelta64(1, "D")
+        )
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(1, len(rows) + 1), pa.int64()),
+                "o_custkey": pa.array(ck, pa.int64()),
+                "o_orderdate": pa.array(days),
+                "o_totalprice": pa.array([r[2] for r in rows]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+
+    def test_codes_and_oracle(self, tmp_path):
+        self._orders(tmp_path)
+        got = a5.q_rfm_segments(str(tmp_path))
+        oracle = _oracle(tmp_path, a5._SQL_RFM)
+        assert _canon(got) == _canon(oracle)
+        # every code is in 1..4 and counts cover all 8 customers
+        assert got["n_customers"].sum() == 8
+        for c in ("r_code", "f_code", "m_code"):
+            assert got[c].between(1, 4).all()
+        # customer 8 (most recent, most orders, top spend) must land
+        # in the (1, 4, 4) cell
+        cell = got.set_index(["r_code", "f_code", "m_code"])
+        assert (1, 4, 4) in cell.index
+
+    def test_pin_gate_fallback_equals_pinned(self, tmp_path, monkeypatch):
+        """Past the pin budget the two consumers rebuild the custkey
+        exchange instead of materializing — results must be
+        identical."""
+        self._orders(tmp_path)
+        pinned = a5.q_rfm_segments(str(tmp_path))
+        from pdf_parser_ray.core import util as cu
+
+        monkeypatch.setattr(cu, "pin_fits", lambda hint, budget_bytes=0: False)
+        unpinned = a5.q_rfm_segments(str(tmp_path))
+        assert _canon(pinned) == _canon(unpinned)
