@@ -586,8 +586,201 @@ GROUP BY d.doc_id
     )
 
 
+# ---------------------------------------------------------------------------
+# bpe_train — distributed BPE merge induction over the corpus
+# ---------------------------------------------------------------------------
+
+def q_bpe_train(sf_dir: str, n_merges: int = 6, n_buckets: int = 32):
+    """Byte-pair-encoding vocabulary INDUCTION (Sennrich et al.
+    ACL'16, the standard subword-vocab trainer) run as a distributed
+    iterative pipeline: start from the corpus word-frequency table
+    with words split to characters, then ``n_merges`` times (a) count
+    adjacent symbol pairs weighted by word frequency, (b) pick the
+    most frequent pair (ties: count DESC, then lexicographic left,
+    right — binary collation on both sides), (c) merge every
+    occurrence left-to-right in every word. The learned merge list IS
+    a tokenizer (the :class:`TokenizerActor` family's ``__init__``
+    payload); training it inside the engine closes the loop the
+    task's tokenizer stage opened.
+
+    Shape (the PageRank iterative discipline — state lives in the
+    object store, never on the driver): the word table is
+    VOCABULARY-bounded (one row per distinct word — the wordcount
+    exchange output, tiny next to the corpus at any scale); each
+    iteration is ONE pass over it emitting per-batch pre-aggregated
+    pair partials → ONE ``(a, b)`` exchange bounded by distinct
+    adjacent pairs → a per-block top-1 fold so the driver reads
+    O(blocks) rows, never the pair table → the winning merge
+    broadcasts via closure capture and ONE map rewrites the symbol
+    lists, materialized as the next iteration's state (O(vocab),
+    spillable). Merging "first occurrence repeatedly" equals the
+    left-to-right scan: a merge inserts the strictly longer symbol
+    ``a||b``, which can never create a new ``(a, b)`` occurrence
+    earlier than the one just consumed.
+
+    Returns one row per learned merge: ``(merge_rank, lhs, rhs,
+    pair_count, merged)``. The oracle unrolls each iteration as a
+    recursive-CTE splice over the same first-occurrence rule."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in (t or "").split():
+                cnt[w] = cnt.get(w, 0) + 1
+        return pa.table(
+            {
+                "w": pa.array(list(cnt.keys()), pa.string()),
+                "freq": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def to_syms(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "freq": b["freq"],
+                "syms": pa.array(
+                    [list(w) for w in b["w"].to_pylist()],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    state = (
+        ds.map_batches(word_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("w")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .map_batches(to_syms, batch_format="pyarrow", batch_size=None)
+        .materialize()  # O(distinct words) — the iterative loop state
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+
+        def pair_partial(b: pa.Table) -> pa.Table:
+            cnt: dict[tuple[str, str], int] = {}
+            freqs = b["freq"].to_numpy(zero_copy_only=False)
+            for f, syms in zip(freqs, b["syms"].to_pylist()):
+                f = int(f)
+                for a, bb in zip(syms, syms[1:]):
+                    cnt[(a, bb)] = cnt.get((a, bb), 0) + f
+            return pa.table(
+                {
+                    "a": pa.array([k[0] for k in cnt], pa.string()),
+                    "b": pa.array([k[1] for k in cnt], pa.string()),
+                    "cnt": pa.array(list(cnt.values()), pa.int64()),
+                }
+            )
+
+        def block_top1(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            if not len(df):
+                return b.slice(0, 0)
+            top = df.sort_values(
+                ["cnt", "a", "b"], ascending=[False, True, True], kind="stable"
+            ).head(1)
+            return pa.Table.from_pandas(top, preserve_index=False)
+
+        tops = (
+            state.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["a", "b"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .map_batches(block_top1, batch_format="pyarrow", batch_size=None)
+            .to_pandas()  # O(blocks) candidate rows
+        )
+        if not len(tops):
+            break
+        best = tops.sort_values(
+            ["cnt", "a", "b"], ascending=[False, True, True], kind="stable"
+        ).iloc[0]
+        a_m, b_m, c_m = str(best["a"]), str(best["b"]), int(best["cnt"])
+        merges.append((rank, a_m, b_m, c_m))
+
+        def apply_merge(b: pa.Table) -> pa.Table:
+            out = []
+            for syms in b["syms"].to_pylist():
+                res: list[str] = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a_m and syms[i + 1] == b_m:
+                        res.append(a_m + b_m)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pa.table(
+                {"freq": b["freq"], "syms": pa.array(out, pa.list_(pa.string()))}
+            )
+
+        state = state.map_batches(
+            apply_merge, batch_format="pyarrow", batch_size=None
+        ).materialize()
+
+    return pd.DataFrame(
+        {
+            "merge_rank": pd.Series([m[0] for m in merges], dtype=np.int64),
+            "lhs": [m[1] for m in merges],
+            "rhs": [m[2] for m in merges],
+            "pair_count": pd.Series([m[3] for m in merges], dtype=np.int64),
+            "merged": [m[1] + m[2] for m in merges],
+        }
+    )
+
+
+def _sql_bpe_train(n_merges: int = 6) -> str:
+    steps = []
+    for j in range(1, n_merges + 1):
+        prev = f"st{j - 1}"
+        steps.append(f""",
+p{j} AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT UNNEST(syms[1:len(syms)-1]) AS a,
+           UNNEST(syms[2:len(syms)]) AS b, freq
+    FROM {prev} WHERE len(syms) >= 2) GROUP BY a, b),
+m{j} AS (SELECT a, b, cnt FROM p{j} ORDER BY cnt DESC, a, b LIMIT 1),
+app{j} AS (
+    SELECT w, freq, syms, 0 AS step FROM {prev}
+    UNION ALL
+    SELECT ap.w, ap.freq,
+           ap.syms[1:ap.p-1] || [ap.syms[ap.p] || ap.syms[ap.p+1]]
+               || ap.syms[ap.p+2:len(ap.syms)],
+           ap.step + 1
+    FROM (SELECT ap0.w, ap0.freq, ap0.syms, ap0.step,
+                 list_min(list_filter(range(1, len(ap0.syms)),
+                          i -> ap0.syms[i] = m.a AND ap0.syms[i+1] = m.b)) AS p
+          FROM app{j} ap0, m{j} m) ap
+    WHERE ap.p IS NOT NULL),
+st{j} AS (SELECT w, freq, syms FROM app{j}
+          QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({j} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, "
+        f"cnt AS pair_count, a || b AS merged FROM m{j}"
+        for j in range(1, n_merges + 1)
+    )
+    return rf"""
+WITH RECURSIVE
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM
+           (SELECT UNNEST(regexp_extract_all(text, '\S+')) AS w
+            FROM documents) GROUP BY w),
+st0 AS (SELECT w, freq,
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, CAST(i AS INT), 1)) AS syms
+        FROM wf){"".join(steps)}
+{finals}
+"""
+
+
+_SQL_BPE_TRAIN = _sql_bpe_train()
+
+
 QUERIES = {
     "tokenize": q_tokenize,
+    "bpe_train": q_bpe_train,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "doc_chunks_tokens": q_doc_chunks_tokens,
     "heavy_hitters_tokens": q_heavy_hitters_tokens,
@@ -598,6 +791,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "tokenize": _SQL_TOKENIZE,
+    "bpe_train": _SQL_BPE_TRAIN,
     "pack_sequences_bpe": _SQL_PACK_BPE,
     "doc_chunks_tokens": _sql_doc_chunks_tokens(),
     "heavy_hitters_tokens": _SQL_HEAVY_HITTERS_TOKENS,

@@ -3814,3 +3814,88 @@ class TestG2Collocations:
         # the planted phrase survives the min-count gate and is scored
         pairs = list(zip(got["term_a"], got["term_b"]))
         assert ("new", "york") in pairs
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _ref(texts, k):
+        """Independent Sennrich-style reference: Counter pair stats,
+        (count DESC, pair lexicographic) argmax, left-to-right merge."""
+        from collections import Counter
+
+        wf = Counter(w for t in texts for w in t.split())
+        syms = {w: list(w) for w in wf}
+        merges = []
+        for rank in range(1, k + 1):
+            pairs = Counter()
+            for w, f in wf.items():
+                s = syms[w]
+                for p in zip(s, s[1:]):
+                    pairs[p] += f
+            if not pairs:
+                break
+            (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, a, b, c, a + b))
+            for w, s in syms.items():
+                res, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                syms[w] = res
+        return merges
+
+    def test_matches_reference_and_oracle(self, ray_session, tmp_path_factory):
+        import duckdb
+
+        from pdf_parser_ray.stages.tokenize import _sql_bpe_train, q_bpe_train
+
+        d = tmp_path_factory.mktemp("bpe_sf")
+        texts = (
+            ["low low low low low lower lower"] * 2
+            + ["newest newest newest widest widest widest"] * 3
+            + ["aaaa abab aaab"]  # overlap stress: repeated-pair runs
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        k = 5
+        got = q_bpe_train(str(d), n_merges=k, n_buckets=4)
+        want = self._ref(texts, k)
+        assert list(map(tuple, got.itertuples(index=False))) == want
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+        )
+        oracle = con.sql(_sql_bpe_train(k)).df().sort_values("merge_rank")
+        assert list(map(tuple, oracle.itertuples(index=False))) == want
+
+    def test_exhausts_pairs_early(self, ray_session, tmp_path_factory):
+        """Single-character words have no pairs after the first merges
+        run dry — the trainer stops instead of emitting null merges."""
+        from pdf_parser_ray.stages.tokenize import q_bpe_train
+
+        d = tmp_path_factory.mktemp("bpe_dry_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0], pa.int64()),
+                    "text": pa.array(["ab a b a b"], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        got = q_bpe_train(str(d), n_merges=6, n_buckets=4)
+        # only one pair (a,b) exists; after merging it nothing remains
+        assert len(got) == 1
+        assert tuple(got.iloc[0][["lhs", "rhs", "merged"]]) == ("a", "b", "ab")
