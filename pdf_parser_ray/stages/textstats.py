@@ -2907,6 +2907,133 @@ _SQL_PHRASE_SEARCH = _sql_phrase()
 
 
 # ---------------------------------------------------------------------------
+# proximity_search — two terms within a token-distance window
+# ---------------------------------------------------------------------------
+
+def q_proximity_search(
+    sf_dir: str, term_a: str = "hash", term_b: str = "join", slop: int = 3
+):
+    """Unordered proximity query — documents where ``term_a`` and
+    ``term_b`` occur within ``slop`` token positions (the Lucene
+    ``"a b"~k`` shape): the retrieval step between bag-of-words
+    (``term_search_indexed``: both present anywhere) and exact
+    adjacency (``phrase_search``). Emits ``(doc_id, n_pairs,
+    min_dist)`` — every qualifying position pair counts, and the
+    minimum distance is the ranking signal.
+
+    Shape: a ZERO-shuffle vectorized map (docs arrive whole per
+    batch): both terms' positions pack into per-doc ``doc << 32 |
+    pos`` keys, pair counts resolve as two ``searchsorted`` range
+    probes per occurrence of the rarer side, and nearest-distance is
+    the insertion-neighbor check — no per-row Python, no exchange; at
+    corpus scale the index variant intersects positional postings
+    with the same offset filter (the ``phrase_search`` note)."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "min_dist": pa.array([], pa.int64()),
+        }
+    )
+
+    def hits(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = flat.to_pandas().to_numpy()
+        keep = s != ""
+        if not keep.all():
+            s, parent = s[keep], parent[keep]
+        if not len(s):
+            return empty
+        # per-doc token position (0-based): index minus the doc start
+        starts = np.zeros(len(parent), dtype=np.int64)
+        change = np.flatnonzero(np.diff(parent)) + 1
+        starts[change] = change
+        np.maximum.accumulate(starts, out=starts)
+        pos = np.arange(len(parent), dtype=np.int64) - starts
+        key = (parent.astype(np.int64) << 32) | pos
+        ka = np.sort(key[s == term_a])
+        kb = np.sort(key[s == term_b])
+        if not len(ka) or not len(kb):
+            return empty
+        # range-count: for each a-occurrence, b positions within slop
+        # of it in the SAME doc (the packed key clamps the low end at
+        # the doc boundary; the high end cannot cross 2³² positions)
+        lo = np.maximum(ka - slop, ka & ~np.int64(0xFFFFFFFF))
+        hi = ka + slop
+        n_b = np.searchsorted(kb, hi, side="right") - np.searchsorted(
+            kb, lo, side="left"
+        )
+        # nearest b per a: both insertion neighbors, same-doc guarded
+        ins = np.searchsorted(kb, ka)
+        big = np.int64(1) << 40
+        right_ok = ins < len(kb)
+        d_right = np.where(
+            right_ok & ((kb[np.minimum(ins, len(kb) - 1)] >> 32) == (ka >> 32)),
+            np.abs(kb[np.minimum(ins, len(kb) - 1)] - ka),
+            big,
+        )
+        left_ok = ins > 0
+        d_left = np.where(
+            left_ok & ((kb[np.maximum(ins - 1, 0)] >> 32) == (ka >> 32)),
+            np.abs(ka - kb[np.maximum(ins - 1, 0)]),
+            big,
+        )
+        dmin = np.minimum(d_left, d_right)
+        hit = n_b > 0
+        if not hit.any():
+            return empty
+        agg = (
+            pd.DataFrame(
+                {"doc": (ka[hit] >> 32), "n": n_b[hit], "d": dmin[hit]}
+            )
+            .groupby("doc", sort=False)
+            .agg(n_pairs=("n", "sum"), min_dist=("d", "min"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[agg["doc"].to_numpy()], pa.int64()),
+                "n_pairs": pa.array(agg["n_pairs"].to_numpy(np.int64), pa.int64()),
+                "min_dist": pa.array(agg["min_dist"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(hits, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_proximity(
+    term_a: str = "hash", term_b: str = "join", slop: int = 3
+) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+           FROM documents),
+pa_ AS (SELECT doc_id,
+               UNNEST(list_filter(range(1, len(ws) + 1),
+                                  i -> ws[i] = '{term_a}')) AS p
+        FROM w),
+pb_ AS (SELECT doc_id,
+               UNNEST(list_filter(range(1, len(ws) + 1),
+                                  i -> ws[i] = '{term_b}')) AS p
+        FROM w),
+pr AS (SELECT a.doc_id, ABS(a.p - b.p) AS d
+       FROM pa_ a JOIN pb_ b ON a.doc_id = b.doc_id
+       WHERE ABS(a.p - b.p) <= {slop})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(d) AS BIGINT) AS min_dist
+FROM pr GROUP BY doc_id
+"""
+
+
+_SQL_PROXIMITY = _sql_proximity()
+
+
+# ---------------------------------------------------------------------------
 # dup_rate_by_source — per-source exact-duplicate contamination rate
 # ---------------------------------------------------------------------------
 
@@ -3657,10 +3784,12 @@ QUERIES = {
     "lm_doc_bigram_nll": q_lm_doc_bigram_nll,
     "dup_rate_by_source": q_dup_rate_by_source,
     "g2_collocations": q_g2_collocations,
+    "proximity_search": q_proximity_search,
 }
 
 ORACLE_SQL = {
     "g2_collocations": _SQL_G2,
+    "proximity_search": _SQL_PROXIMITY,
     "bigram_entropy_rate": _SQL_BIGRAM_ENTROPY,
     "token_freq_spectrum": _SQL_FREQ_SPECTRUM,
     "lm_doc_bigram_nll": _SQL_LM_BIGRAM_NLL,

@@ -3899,3 +3899,38 @@ class TestBpeTrain:
         # only one pair (a,b) exists; after merging it nothing remains
         assert len(got) == 1
         assert tuple(got.iloc[0][["lhs", "rhs", "merged"]]) == ("a", "b", "ab")
+
+
+class TestProximitySearch:
+    def test_hand_positions(self, ray_session, tmp_path_factory):
+        """Crafted docs with known pair counts and min distances,
+        including a doc-boundary case (terms adjacent across two docs
+        must NOT pair) and both orders within the window."""
+        from pdf_parser_ray.stages.textstats import q_proximity_search
+
+        d = tmp_path_factory.mktemp("prox_sf")
+        texts = [
+            "hash x join y hash",       # pairs: (0,2)d2, (2,4)d2 → 2 pairs, min 2
+            "join a b c d e hash",      # distance 6 > slop → no hit
+            "x y z hash",               # term_a at doc end…
+            "join q r s",               # …term_b at next doc start: no pair
+            "hash join hash join",      # all cross pairs within 3: 4 pairs, min 1
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        got = (
+            q_proximity_search(str(d), term_a="hash", term_b="join", slop=3)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert got.index.tolist() == [0, 4]
+        assert got.loc[0, "n_pairs"] == 2 and got.loc[0, "min_dist"] == 2
+        assert got.loc[4, "n_pairs"] == 4 and got.loc[4, "min_dist"] == 1
