@@ -1143,7 +1143,102 @@ FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# k_core — iterative peeling to the k-core of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_MAX_ROUNDS = 12
+
+
+def q_k_core(sf_dir: str, k: int = _KCORE_K, n_buckets: int = 32):
+    """The ``k``-core of the co-purchase part graph — the maximal
+    subgraph where every node keeps degree ≥ k, found by the standard
+    peeling fixpoint (Seidman 1983; the Batagelj–Zaveršnik sequential
+    algorithm's synchronous bulk variant): repeatedly delete all
+    nodes of degree < k until none remain. Corpus-QA reads the core
+    as the graph's "dense backbone" (nodes surviving a 3-core are in
+    genuinely clustered purchase behavior, not pendant noise) — the
+    subgraph-extraction complement of the per-node
+    :func:`q_clustering_coeff` signal.
+
+    Shape (the engine's third iterative-graph discipline after
+    PageRank's message passing and the components' label
+    propagation): the edge set materializes once (the shared
+    ``_copurchase_edges`` pin); each round is ONE degree aggregate —
+    per-batch endpoint partials into a node groupby whose result is
+    dimension-bounded (one row per part) and broadcasts back as a
+    sorted survivor array — and ONE vectorized edge filter,
+    materialized as next round's state. Synchronous peeling converges
+    in ≤ max-degeneracy-layer rounds (3–5 on every tested corpus);
+    the engine asserts convergence within ``_KCORE_MAX_ROUNDS`` so
+    the unrolled oracle (same bound) is exact by construction.
+
+    Returns one row per core node: ``(part, deg)`` — its degree
+    INSIDE the core (all ≥ k when the core is non-empty)."""
+    import pandas as pd
+
+    edges = _copurchase_edges(sf_dir, n_buckets)
+    for round_no in range(_KCORE_MAX_ROUNDS + 1):
+        if edges.count() == 0:  # everything peeled away: empty core
+            return pd.DataFrame(
+                {
+                    "part": pd.Series([], dtype=np.int64),
+                    "deg": pd.Series([], dtype=np.int64),
+                }
+            )
+        deg_nodes, deg_vals = _degree_arrays(edges)
+        weak = deg_vals < k
+        if not weak.any() or not len(deg_nodes):
+            return pd.DataFrame(
+                {
+                    "part": pd.Series(deg_nodes, dtype=np.int64),
+                    "deg": pd.Series(deg_vals, dtype=np.int64),
+                }
+            )
+        alive = np.sort(deg_nodes[~weak])
+
+        def keep_edges(b: pa.Table, alive=alive) -> pa.Table:
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            ok = np.isin(a, alive) & np.isin(bb, alive)
+            return pa.table({"a": pa.array(a[ok]), "b": pa.array(bb[ok])})
+
+        edges = edges.map_batches(
+            keep_edges, batch_format="pyarrow", batch_size=None
+        ).materialize()  # O(edges), shrinking every round
+    raise RuntimeError(
+        f"k-core peeling did not converge in {_KCORE_MAX_ROUNDS} rounds; "
+        "raise _KCORE_MAX_ROUNDS (and regenerate the unrolled oracle)"
+    )
+
+
+def _sql_k_core(k: int = _KCORE_K, rounds: int = _KCORE_MAX_ROUNDS) -> str:
+    steps = []
+    for j in range(1, rounds + 1):
+        prev = f"e{j - 1}"
+        steps.append(f""",
+d{j - 1} AS MATERIALIZED (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+    (SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev}) GROUP BY n),
+e{j} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e
+         JOIN d{j - 1} da ON da.n = e.a JOIN d{j - 1} db ON db.n = e.b
+         WHERE da.d >= {k} AND db.d >= {k})"""
+        )
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p){"".join(steps)},
+df AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+    (SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) GROUP BY n)
+SELECT n AS part, d AS deg FROM df WHERE d >= {k}
+"""
+
+
+_SQL_K_CORE = _sql_k_core()
+
+
 QUERIES = {
+    "k_core": q_k_core,
     "copurchase_components": q_copurchase_components,
     "purchase_pagerank": q_purchase_pagerank,
     "triangle_count": q_triangle_count,
@@ -1153,6 +1248,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "k_core": _SQL_K_CORE,
     "copurchase_components": _SQL_COPURCHASE_COMPONENTS,
     "purchase_pagerank": _SQL_PAGERANK,
     "triangle_count": _SQL_TRIANGLES,

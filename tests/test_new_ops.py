@@ -3934,3 +3934,44 @@ class TestProximitySearch:
         assert got.index.tolist() == [0, 4]
         assert got.loc[0, "n_pairs"] == 2 and got.loc[0, "min_dist"] == 2
         assert got.loc[4, "n_pairs"] == 4 and got.loc[4, "min_dist"] == 1
+
+
+class TestKCore:
+    def test_cascading_peel(self, ray_session, tmp_path_factory):
+        """Path 1–2–3–4–5 hanging off triangle {5,6,7} with k=2: the
+        pendant chain peels one node per synchronous round (4 rounds),
+        leaving exactly the triangle with all degrees 2."""
+        from pdf_parser_ray.stages.graph import q_k_core
+
+        d = tmp_path_factory.mktemp("kcore_sf")
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (5, 7)]
+        ok = [i + 1 for i in range(len(edges)) for _ in range(2)]
+        pk = [p for e in edges for p in e]
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(ok, pa.int64()),
+                    "l_partkey": pa.array(pk, pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        got = q_k_core(str(d), k=2, n_buckets=4).set_index("part").sort_index()
+        assert got.index.tolist() == [5, 6, 7]
+        assert (got["deg"] == 2).all()
+
+    def test_empty_core(self, ray_session, tmp_path_factory):
+        """A bare path has no 2-core — everything peels away."""
+        from pdf_parser_ray.stages.graph import q_k_core
+
+        d = tmp_path_factory.mktemp("kcore_empty_sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+                    "l_partkey": pa.array([1, 2, 2, 3, 3, 4], pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        assert len(q_k_core(str(d), k=2, n_buckets=4)) == 0
