@@ -465,14 +465,146 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# event_type_xcorr — lagged cross-correlation between two event-type series
+# ---------------------------------------------------------------------------
+
+def q_event_type_xcorr(
+    sf_dir: str, type_a: str = "view", type_b: str = "purchase", max_lag: int = 7
+):
+    """Lead/lag coupling between two event-type daily series — for
+    each lag in ``[-max_lag, +max_lag]``, the Pearson moments of
+    ``(x_t, y_{t+lag})`` where x is the ``type_a`` daily count and y
+    the ``type_b`` daily count over the GAP-FILLED calendar span
+    (missing days count 0, so alignment is positional on real
+    calendar days, not on observed-row order). The classic "does
+    browsing lead buying, and by how many days?" diagnostic: the lag
+    whose correlation peaks is the conversion latency at the
+    population grain, complementing the per-user
+    ``time_to_convert``.
+
+    Output is DIVISION-FREE (the ``revenue_autocorr`` house pattern):
+    per lag ``(lag, n_pairs, num, dx, dy, corr_sign)`` with
+    ``r = num/√(dx·dy)`` — exact BIGINT integers (daily counts are
+    small; moments stay far inside int64 at any corpus scale since
+    the series length is calendar-bounded).
+
+    Shape: per-batch (day, type) count partials → ONE ≤ days×2-row
+    exchange → a bounded driver fold over the gap-filled span (the
+    day span is calendar-bounded at any corpus size)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .ops import _read as _read2
+
+    events = _read2(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = _ts_us(batch["ts"]) // 86_400_000_000
+        et = batch["event_type"].to_pandas().to_numpy()
+        side = np.where(et == type_a, 0, np.where(et == type_b, 1, -1))
+        keep = side >= 0
+        agg = (
+            pd.DataFrame({"day": day[keep], "side": side[keep]})
+            .groupby(["day", "side"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "day": pa.array(agg["day"].to_numpy(np.int64), pa.int64()),
+                "side": pa.array(agg["side"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cnt = (
+        events.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["day", "side"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: ≤ 2 rows per calendar day
+    )
+    out_cols = ["lag", "n_pairs", "num", "dx", "dy", "corr_sign"]
+    if not len(cnt):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in out_cols})
+    d0, d1 = int(cnt["day"].min()), int(cnt["day"].max())
+    span = d1 - d0 + 1
+    x = np.zeros(span, dtype=np.int64)
+    y = np.zeros(span, dtype=np.int64)
+    for _, r in cnt.iterrows():
+        (x if r["side"] == 0 else y)[int(r["day"]) - d0] = int(r["n"])
+    rows = []
+    for lag in range(-max_lag, max_lag + 1):
+        lo, hi = max(0, -lag), min(span, span - lag)
+        xs = [int(v) for v in x[lo:hi]]
+        ys = [int(v) for v in y[lo + lag : hi + lag]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        num = n * sxy - sx * sy
+        rows.append(
+            (
+                lag, n, num, n * sxx - sx * sx, n * syy - sy * sy,
+                0 if num == 0 else (1 if num > 0 else -1),
+            )
+        )
+    return pd.DataFrame(rows, columns=out_cols).astype(np.int64)
+
+
+def _sql_event_type_xcorr(
+    type_a: str = "view", type_b: str = "purchase", max_lag: int = 7
+) -> str:
+    return f"""
+WITH c AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS day,
+           CAST(COUNT(*) FILTER (event_type = '{type_a}') AS BIGINT) AS xa,
+           CAST(COUNT(*) FILTER (event_type = '{type_b}') AS BIGINT) AS yb
+    FROM events WHERE event_type IN ('{type_a}', '{type_b}')
+    GROUP BY 1),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM c),
+days AS (SELECT CAST(UNNEST(range(bounds.d0, bounds.d1 + 1)) AS BIGINT)
+                AS day
+         FROM bounds),
+f AS (SELECT days.day, COALESCE(c.xa, 0) AS x, COALESCE(c.yb, 0) AS y
+      FROM days LEFT JOIN c ON c.day = days.day),
+lags AS (SELECT CAST(r.range AS BIGINT) AS lag
+         FROM range({-max_lag}, {max_lag + 1}) r),
+p AS (SELECT l.lag, a.x, b.y
+      FROM lags l JOIN f a ON TRUE JOIN f b ON b.day = a.day + l.lag),
+s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM p GROUP BY lag)
+SELECT lag, n AS n_pairs,
+       CAST(n*sxy - sx*sy AS BIGINT) AS num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS dx,
+       CAST(n*syy - sy*sy AS BIGINT) AS dy,
+       CAST(CASE WHEN n*sxy - sx*sy = 0 THEN 0
+                 WHEN n*sxy - sx*sy > 0 THEN 1 ELSE -1 END
+            AS BIGINT) AS corr_sign
+FROM s
+"""
+
+
+_SQL_EVENT_TYPE_XCORR = _sql_event_type_xcorr()
+
+
+
 QUERIES = {
     "revenue_changepoint": q_revenue_changepoint,
     "seasonal_strength": q_seasonal_strength,
     "rfm_segments": q_rfm_segments,
+    "event_type_xcorr": q_event_type_xcorr,
 }
 
 ORACLE_SQL = {
     "revenue_changepoint": _SQL_CHANGEPOINT,
     "seasonal_strength": _SQL_SEASONAL_STRENGTH,
     "rfm_segments": _SQL_RFM,
+    "event_type_xcorr": _SQL_EVENT_TYPE_XCORR,
 }

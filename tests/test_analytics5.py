@@ -170,3 +170,45 @@ class TestRfmSegments:
         monkeypatch.setattr(cu, "pin_fits", lambda hint, budget_bytes=0: False)
         unpinned = a5.q_rfm_segments(str(tmp_path))
         assert _canon(pinned) == _canon(unpinned)
+
+
+class TestEventTypeXcorr:
+    def test_shifted_series_peaks_at_lag(self, tmp_path):
+        """view counts [5,0,0,5,0,0,...] and purchase the same pattern
+        shifted +2 days: at lag=2 the aligned pair is perfectly
+        correlated (num > 0, num² = dx·dy); at lag=0 the overlap is
+        anti-aligned."""
+        n_days = 12
+        views = [5 if i % 3 == 0 else 0 for i in range(n_days)]
+        buys = [5 if (i - 2) % 3 == 0 else 0 for i in range(n_days)]
+        ts, et = [], []
+        base = np.datetime64("2024-01-01", "us")
+        for i in range(n_days):
+            for _ in range(views[i]):
+                ts.append(base + i * np.timedelta64(86400, "s"))
+                et.append("view")
+            for _ in range(buys[i]):
+                ts.append(base + i * np.timedelta64(86400, "s"))
+                et.append("purchase")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(np.arange(len(ts)), pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "event_type": pa.array(et, pa.string()),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        got = a5.q_event_type_xcorr(str(tmp_path), max_lag=3).set_index("lag")
+        r2 = got.loc[2]
+        assert r2["corr_sign"] == 1
+        assert int(r2["num"]) ** 2 == int(r2["dx"]) * int(r2["dy"])  # r = +1
+        assert got.loc[0, "corr_sign"] == -1
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        oracle = con.sql(a5._sql_event_type_xcorr(max_lag=3)).df()
+        assert _canon(got.reset_index()) == _canon(oracle)
