@@ -595,11 +595,377 @@ _SQL_EVENT_TYPE_XCORR = _sql_event_type_xcorr()
 
 
 
+# ---------------------------------------------------------------------------
+# revenue_acf — autocorrelation function table out to lag 12
+# ---------------------------------------------------------------------------
+
+def q_revenue_acf(sf_dir: str, max_lag: int = 12):
+    """The full autocorrelation TABLE of monthly revenue (lags
+    1..``max_lag``) — :func:`analytics3.q_revenue_autocorr` is the
+    lag-1 scalar; forecasting triage reads the whole curve (a spike
+    at lag 12 = yearly seasonality, slow decay = trend, cutoffs pick
+    the AR order). Same division-free contract per lag: ``(lag,
+    n_pairs, num, dx, dy, corr_sign)`` over min-centered whole-k$
+    values, pairs POSITIONAL on the month-sorted series, exact
+    Python-bigint moments.
+
+    Shape: the shared ONE month-grain exchange
+    (:func:`_monthly_rev_k`) and a calendar-bounded driver fold —
+    max_lag passes over a ≤ dozens-entry list."""
+    import pandas as pd
+
+    m = _monthly_rev_k(sf_dir)
+    rev = [int(v) for v in m["rev_k"]]
+    t = len(rev)
+    c0 = min(rev) if rev else 0
+    y = [v - c0 for v in rev]
+    rows = []
+    for lag in range(1, max_lag + 1):
+        xs, ys = y[: t - lag], y[lag:]
+        n = len(xs)
+        if n:
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sxx = sum(a * a for a in xs)
+            syy = sum(b * b for b in ys)
+            num = n * sxy - sx * sy
+            dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        else:
+            num = dx = dy = 0
+        rows.append(
+            (lag, n, num, dx, dy,
+             0 if num == 0 else (1 if num > 0 else -1))
+        )
+    return pd.DataFrame(
+        rows, columns=["lag", "n_pairs", "num", "dx", "dy", "corr_sign"]
+    ).astype(np.int64)
+
+
+def _sql_revenue_acf(max_lag: int = 12) -> str:
+    return f"""
+WITH m AS (
+    SELECT (year(date_trunc('month', o_orderdate)) - 1970) * 12
+           + (month(date_trunc('month', o_orderdate)) - 1) AS mo,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) // 100000
+                AS BIGINT) AS rev
+    FROM orders GROUP BY 1),
+c AS (SELECT MIN(rev) AS c0 FROM m),
+s AS (SELECT CAST(rev - (SELECT c0 FROM c) AS HUGEINT) AS yv,
+             ROW_NUMBER() OVER (ORDER BY mo) AS rn
+      FROM m),
+lags AS (SELECT CAST(UNNEST(range(1, {max_lag + 1})) AS BIGINT) AS lag),
+p AS (SELECT l.lag, a.yv AS x, b.yv AS y
+      FROM lags l JOIN s a ON TRUE JOIN s b ON b.rn = a.rn + l.lag),
+t AS (SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM p GROUP BY lag)
+SELECT l.lag,
+       CAST(COALESCE(t.n, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(t.n*t.sxy - t.sx*t.sy, 0) AS BIGINT) AS num,
+       CAST(COALESCE(t.n*t.sxx - t.sx*t.sx, 0) AS BIGINT) AS dx,
+       CAST(COALESCE(t.n*t.syy - t.sy*t.sy, 0) AS BIGINT) AS dy,
+       CAST(CASE WHEN t.n IS NULL OR t.n*t.sxy - t.sx*t.sy = 0 THEN 0
+                 WHEN t.n*t.sxy - t.sx*t.sy > 0 THEN 1 ELSE -1 END
+            AS BIGINT) AS corr_sign
+FROM lags l LEFT JOIN t ON t.lag = l.lag
+"""
+
+
+_SQL_REVENUE_ACF = _sql_revenue_acf()
+
+
+
+# ---------------------------------------------------------------------------
+# brand_rank_stability — Kendall concordance of brand revenue across halves
+# ---------------------------------------------------------------------------
+
+def q_brand_rank_stability(sf_dir: str):
+    """How stable is the brand revenue RANKING over time? The ship
+    timeline splits at its midpoint month (inclusive left), each half
+    folds to per-brand revenue, and the two vectors compare by
+    Kendall pair concordance (tau-a; Kendall 1938) — the standard
+    rank-stability check a merchandising dashboard runs before
+    trusting "top brands" cards, and distribution-free unlike a
+    Pearson on the raw revenues. Division-free contract:
+    ``(n_brands, n_pairs, concordant, discordant, ties, tau_num)``
+    with ``tau_num = C − D`` over brands present in BOTH halves
+    (exact integers; a pair is a tie when either half's revenues are
+    equal).
+
+    Shape: the month bounds come from footer statistics (no scan;
+    aggregate fallback); per-batch partials fold revenue cents per
+    (partkey, half) before ONE brand-dimension join-free exchange —
+    the partkey→brand map is a dimension-table broadcast (the
+    ``brand_momentum`` discipline) — and the ≤ brands×2 result
+    resolves pairwise on the driver (brand count is
+    dimension-bounded)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Max, Min, Sum
+
+    def month_of(us: np.ndarray) -> np.ndarray:
+        m = us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        return m + 1970 * 12
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    from ..stages.zorder import _footer_max, _footer_min
+
+    mn = _footer_min(path, ["l_shipdate"]) if os.path.isfile(path) else None
+    mx = _footer_max(path, ["l_shipdate"]) if os.path.isfile(path) else None
+    if mn is not None and mx is not None:
+        lo = int(month_of(np.array([np.datetime64(mn[0], "us")], "datetime64[us]").astype(np.int64))[0])
+        hi = int(month_of(np.array([np.datetime64(mx[0], "us")], "datetime64[us]").astype(np.int64))[0])
+    else:  # statistics absent: one column-pruned aggregate pass
+        ds0 = _read(sf_dir, "lineitem", ["l_shipdate"])
+
+        def to_m(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"m": pa.array(month_of(_ts_us(b["l_shipdate"])), pa.int64())}
+            )
+
+        row = ds0.map_batches(to_m, batch_format="pyarrow", batch_size=None).aggregate(
+            Min("m"), Max("m")
+        )
+        lo, hi = int(row["min(m)"]), int(row["max(m)"])
+    mid = (lo + hi) // 2
+
+    part = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk)
+    pk_sorted = pk[order]
+    brands = part["p_brand"].to_pandas().to_numpy()[order]
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        half = (month_of(_ts_us(b["l_shipdate"])) > mid).astype(np.int64)
+        br = brands[np.searchsorted(pk_sorted, key)]
+        agg = (
+            pd.DataFrame({"brand": br, "half": half, "cents": cents})
+            .groupby(["brand", "half"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "brand": pa.array(agg["brand"].tolist(), pa.string()),
+                "half": pa.array(agg["half"].to_numpy(np.int64), pa.int64()),
+                "cents": pa.array(agg["cents"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    folded = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["brand", "half"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()  # ≤ brands × 2 rows
+    )
+    wide = folded.pivot_table(
+        index="brand", columns="half", values="cents", aggfunc="sum"
+    )
+    both = wide.dropna()
+    r1 = [int(v) for v in both.get(0, pd.Series(dtype=float)).fillna(0)]
+    r2 = [int(v) for v in both.get(1, pd.Series(dtype=float)).fillna(0)]
+    nb = len(r1)
+    conc = disc = ties = 0
+    for i in range(nb):
+        for j in range(i + 1, nb):
+            s = (r1[i] - r1[j]) * (r2[i] - r2[j])
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+            else:
+                ties += 1
+    return pd.DataFrame(
+        {
+            "n_brands": [nb],
+            "n_pairs": [nb * (nb - 1) // 2],
+            "concordant": [conc],
+            "discordant": [disc],
+            "ties": [ties],
+            "tau_num": [conc - disc],
+        }
+    ).astype(np.int64)
+
+
+_SQL_BRAND_RANK_STABILITY = """
+WITH b AS (SELECT MIN(CAST(year(l_shipdate) AS BIGINT) * 12
+                      + CAST(month(l_shipdate) AS BIGINT) - 1) AS lo,
+                  MAX(CAST(year(l_shipdate) AS BIGINT) * 12
+                      + CAST(month(l_shipdate) AS BIGINT) - 1) AS hi
+           FROM lineitem),
+r AS (SELECT p.p_brand AS brand,
+             CAST(CAST(year(l.l_shipdate) AS BIGINT) * 12
+                  + CAST(month(l.l_shipdate) AS BIGINT) - 1
+                  > (b.lo + b.hi) // 2 AS BIGINT) AS half,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey, b
+      GROUP BY 1, 2),
+w AS (SELECT a.brand, a.cents AS c1, bb.cents AS c2
+      FROM r a JOIN r bb ON bb.brand = a.brand
+      WHERE a.half = 0 AND bb.half = 1),
+p AS (SELECT (x.c1 - y.c1) * (x.c2 - y.c2) AS s
+      FROM w x JOIN w y ON x.brand < y.brand)
+SELECT CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_brands,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(CASE WHEN s > 0 THEN 1 END), 0) AS BIGINT)
+           AS concordant,
+       CAST(COALESCE(SUM(CASE WHEN s < 0 THEN 1 END), 0) AS BIGINT)
+           AS discordant,
+       CAST(COALESCE(SUM(CASE WHEN s = 0 THEN 1 END), 0) AS BIGINT) AS ties,
+       CAST(COALESCE(SUM(CASE WHEN s > 0 THEN 1 END), 0)
+            - COALESCE(SUM(CASE WHEN s < 0 THEN 1 END), 0) AS BIGINT)
+           AS tau_num
+FROM p
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# basket_triples — frequent 3-itemsets over order baskets
+# ---------------------------------------------------------------------------
+
+def q_basket_triples(
+    sf_dir: str, min_support: int = 2, top_k: int = 100, n_buckets: int = 32
+):
+    """Frequent 3-itemsets over order baskets — the lattice level
+    above :func:`analytics4.q_basket_lift`'s pairs (the Apriori /
+    market-basket family, Agrawal & Srikant VLDB'94): every id-ordered
+    part triple co-present in ≥ ``min_support`` baskets, top-k by
+    (support DESC, then the triple). Pair lift finds affinities;
+    triples find BUNDLES — the difference between "printers and ink
+    correlate" and "printer+ink+paper is a package".
+
+    Shape: per-batch distinct (order, part) rows → ONE orderkey-bucket
+    exchange where each basket expands to its id-ordered triples
+    VECTORIZED (two pandas self-merges with ``<`` guards — triple
+    count per basket is C(|basket|, 3), bounded by the basket-size
+    cap, never corpus-quadratic) and pre-aggregates per bucket → ONE
+    triple-key exchange summing supports, filtering, and folding a
+    per-bucket top-k → a ≤ B·k driver merge. Part keys ship as three
+    int64 columns (no packing: 3×28-bit ids overflow one word at
+    sf1000)."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def op_rows(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o": b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "p": b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(df["o"].to_numpy() % n_buckets),
+                "o": pa.array(df["o"].to_numpy()),
+                "p": pa.array(df["p"].to_numpy()),
+            }
+        )
+
+    def basket_triples(g: pd.DataFrame) -> pa.Table:
+        df = g[["o", "p"]].drop_duplicates()
+        j = df.merge(df, on="o")
+        j = j[j["p_x"] < j["p_y"]]
+        j = j.merge(df, on="o")
+        j = j[j["p_y"] < j["p"]]
+        agg = (
+            j.groupby(["p_x", "p_y", "p"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        key = (
+            agg["p_x"].to_numpy(np.int64) * 1_000_003
+            + agg["p_y"].to_numpy(np.int64) * 10_007
+            + agg["p"].to_numpy(np.int64)
+        )
+        return pa.table(
+            {
+                "tbucket": pa.array(key % n_buckets),
+                "p1": pa.array(agg["p_x"].to_numpy(np.int64)),
+                "p2": pa.array(agg["p_y"].to_numpy(np.int64)),
+                "p3": pa.array(agg["p"].to_numpy(np.int64)),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        agg = (
+            g.groupby(["p1", "p2", "p3"], sort=False)["n"].sum().reset_index()
+        )
+        agg = agg[agg["n"] >= min_support]
+        top = agg.sort_values(
+            ["n", "p1", "p2", "p3"], ascending=[False, True, True, True],
+            kind="stable",
+        ).head(top_k)
+        return pa.table(
+            {
+                "p1": pa.array(top["p1"].to_numpy(np.int64)),
+                "p2": pa.array(top["p2"].to_numpy(np.int64)),
+                "p3": pa.array(top["p3"].to_numpy(np.int64)),
+                "support": pa.array(top["n"].to_numpy(np.int64)),
+            }
+        )
+
+    tops = (
+        li.map_batches(op_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(basket_triples, batch_format="pandas")
+        .groupby("tbucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ n_buckets·top_k rows
+    )
+    cols = ["p1", "p2", "p3", "support"]
+    if tops.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    return (
+        tops.sort_values(
+            ["support", "p1", "p2", "p3"], ascending=[False, True, True, True],
+            kind="stable",
+        )
+        .head(top_k)[cols]
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+
+
+def _sql_basket_triples(min_support: int = 2, top_k: int = 100) -> str:
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+t AS (SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+                JOIN op c ON c.o = a.o AND b.p < c.p
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= {min_support})
+SELECT p1, p2, p3, support FROM t
+ORDER BY support DESC, p1, p2, p3
+LIMIT {top_k}
+"""
+
+
+_SQL_BASKET_TRIPLES = _sql_basket_triples()
+
+
+
 QUERIES = {
     "revenue_changepoint": q_revenue_changepoint,
     "seasonal_strength": q_seasonal_strength,
     "rfm_segments": q_rfm_segments,
     "event_type_xcorr": q_event_type_xcorr,
+    "revenue_acf": q_revenue_acf,
+    "brand_rank_stability": q_brand_rank_stability,
+    "basket_triples": q_basket_triples,
 }
 
 ORACLE_SQL = {
@@ -607,4 +973,7 @@ ORACLE_SQL = {
     "seasonal_strength": _SQL_SEASONAL_STRENGTH,
     "rfm_segments": _SQL_RFM,
     "event_type_xcorr": _SQL_EVENT_TYPE_XCORR,
+    "revenue_acf": _SQL_REVENUE_ACF,
+    "brand_rank_stability": _SQL_BRAND_RANK_STABILITY,
+    "basket_triples": _SQL_BASKET_TRIPLES,
 }

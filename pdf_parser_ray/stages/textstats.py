@@ -92,6 +92,71 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# readability — Flesch reading-ease in exact integer micro-units
+# ---------------------------------------------------------------------------
+
+def q_readability(sf_dir: str):
+    """Flesch reading ease per document (Flesch 1948, the classic
+    readability screen every text-quality stack carries next to
+    length/punctuation gates): ``206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/word)``, with the standard heuristic proxies —
+    sentences are ``[.!?]+`` runs, syllables are vowel runs
+    (``[aeiouyAEIOUY]+``). Reported in exact integer micro-units with
+    the two ratios floor-snapped (that IS the spec, so engine and
+    oracle agree bit-for-bit): ``flesch_micro = 206835000 −
+    (1015000·W) // max(S,1) − (84600000·Y) // max(W,1)``. Corpus
+    curation buckets on this to drop both word-salad (very low) and
+    trivial boilerplate (very high).
+
+    Shape: a ZERO-shuffle vectorized map — three RE2 count kernels
+    per batch, integer arithmetic, one output row per doc."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w = pc.cast(
+            pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        s = pc.cast(
+            pc.count_substring_regex(batch["text"], r"[.!?]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        y = pc.cast(
+            pc.count_substring_regex(batch["text"], r"[aeiouyAEIOUY]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        flesch = (
+            206_835_000
+            - (1_015_000 * w) // np.maximum(s, 1)
+            - (84_600_000 * y) // np.maximum(w, 1)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(w, pa.int64()),
+                "n_sentences": pa.array(s, pa.int64()),
+                "n_syllables": pa.array(y, pa.int64()),
+                "flesch_micro": pa.array(flesch, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_READABILITY = r"""
+WITH c AS (
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+           CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+           CAST(length(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                AS BIGINT) AS y
+    FROM documents)
+SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+       CAST(206835000 - (1015000 * w) // GREATEST(s, 1)
+                      - (84600000 * y) // GREATEST(w, 1)
+            AS BIGINT) AS flesch_micro
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Language ID (stopword-profile heuristic; ties broken by fixed priority)
 # ---------------------------------------------------------------------------
 
@@ -3785,11 +3850,13 @@ QUERIES = {
     "dup_rate_by_source": q_dup_rate_by_source,
     "g2_collocations": q_g2_collocations,
     "proximity_search": q_proximity_search,
+    "readability": q_readability,
 }
 
 ORACLE_SQL = {
     "g2_collocations": _SQL_G2,
     "proximity_search": _SQL_PROXIMITY,
+    "readability": _SQL_READABILITY,
     "bigram_entropy_rate": _SQL_BIGRAM_ENTROPY,
     "token_freq_spectrum": _SQL_FREQ_SPECTRUM,
     "lm_doc_bigram_nll": _SQL_LM_BIGRAM_NLL,

@@ -79,6 +79,28 @@ def _footer_max(path: str, columns: list[str]) -> list | None:
     return maxes
 
 
+def _footer_min(path: str, columns: list[str]) -> list | None:
+    """Exact per-column MIN from the Parquet footer — the mirror of
+    :func:`_footer_max` (same statistics contract, same ``None``
+    fallback signal)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    mins: list = []
+    for name in columns:
+        best = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[name]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            best = st.min if best is None else min(best, st.min)
+        if best is None:
+            return None
+        mins.append(best)
+    return mins
+
+
 def _spread16(v: np.ndarray) -> np.ndarray:
     """Spread the low 16 bits of ``v`` onto the even bit positions of
     a 32-bit lane (classic Morton magic masks) — fully vectorized."""

@@ -212,3 +212,121 @@ class TestEventTypeXcorr:
         )
         oracle = con.sql(a5._sql_event_type_xcorr(max_lag=3)).df()
         assert _canon(got.reset_index()) == _canon(oracle)
+
+
+class TestRevenueAcf:
+    def test_period_two_alternation(self, tmp_path):
+        """Alternating [1,9,1,9,...]: every odd lag is perfectly
+        anti-correlated, every even lag perfectly correlated —
+        num² = dx·dy with the matching sign throughout."""
+        _monthly_orders(tmp_path, [1, 9] * 8)
+        got = a5.q_revenue_acf(str(tmp_path), max_lag=4).set_index("lag")
+        for lag in (1, 3):
+            assert got.loc[lag, "corr_sign"] == -1
+            assert int(got.loc[lag, "num"]) ** 2 == int(
+                got.loc[lag, "dx"]
+            ) * int(got.loc[lag, "dy"])
+        for lag in (2, 4):
+            assert got.loc[lag, "corr_sign"] == 1
+        oracle = _oracle(tmp_path, a5._sql_revenue_acf(4))
+        assert _canon(got.reset_index()) == _canon(oracle)
+
+
+class TestReadability:
+    def test_hand_counts(self, ray_session, tmp_path_factory):
+        import pyarrow.parquet as pq2
+
+        from pdf_parser_ray.stages.textstats import q_readability
+
+        d = tmp_path_factory.mktemp("read_sf")
+        pq2.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    # doc 1: 5 words, 2 sentence runs, syllable runs:
+                    # "the cat sat. it ran!" → e|a|a|i|a = 5 vowel runs
+                    "text": pa.array(
+                        ["the cat sat. it ran!", "zzz qqq"], pa.string()
+                    ),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        got = q_readability(str(d)).to_pandas().set_index("doc_id")
+        assert got.loc[1, "n_words"] == 5
+        assert got.loc[1, "n_sentences"] == 2
+        assert got.loc[1, "n_syllables"] == 5
+        w, s, y = 5, 2, 5
+        assert got.loc[1, "flesch_micro"] == (
+            206_835_000 - (1_015_000 * w) // s - (84_600_000 * y) // w
+        )
+        # no vowels, no sentence marks: the max(,1) guards hold
+        assert got.loc[2, "n_sentences"] == 0 and got.loc[2, "n_syllables"] == 0
+
+
+class TestBrandRankStability:
+    def test_flip_and_stable(self, tmp_path):
+        """Two brands whose revenue ranking flips between halves →
+        one discordant pair; oracle hash-equal on the same fixture."""
+        import pyarrow.parquet as pq2
+
+        part = pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_brand": pa.array(["A", "B"], pa.string()),
+            }
+        )
+        # months 1995-01 (half 0) and 1995-12 (half 1): A dominates
+        # early, B dominates late
+        ship = [
+            np.datetime64("1995-01-05", "us"), np.datetime64("1995-01-06", "us"),
+            np.datetime64("1995-12-05", "us"), np.datetime64("1995-12-06", "us"),
+        ]
+        li = pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "l_partkey": pa.array([1, 2, 1, 2], pa.int64()),
+                "l_extendedprice": pa.array([100.0, 10.0, 10.0, 100.0]),
+                "l_shipdate": pa.array(ship, pa.timestamp("us")),
+            }
+        )
+        pq2.write_table(part, str(tmp_path / "part.parquet"))
+        pq2.write_table(li, str(tmp_path / "lineitem.parquet"))
+        got = a5.q_brand_rank_stability(str(tmp_path))
+        assert got.loc[0, "n_brands"] == 2 and got.loc[0, "n_pairs"] == 1
+        assert got.loc[0, "discordant"] == 1 and got.loc[0, "tau_num"] == -1
+        con = duckdb.connect()
+        for t in ("part", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'"
+            )
+        assert _canon(got) == _canon(
+            con.sql(a5._SQL_BRAND_RANK_STABILITY).df()
+        )
+
+
+class TestBasketTriples:
+    def test_hand_supports(self, ray_session, tmp_path_factory):
+        import pyarrow.parquet as pq2
+
+        d = tmp_path_factory.mktemp("triples_sf")
+        # baskets: {1,2,3,4} ×2, {1,2,3} ×1, {1,2} (no triple)
+        baskets = [[1, 2, 3, 4], [1, 2, 3, 4], [1, 2, 3], [1, 2]]
+        ok = [i + 1 for i, b in enumerate(baskets) for _ in b]
+        pk = [p for b in baskets for p in b]
+        pq2.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(ok, pa.int64()),
+                    "l_partkey": pa.array(pk, pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        got = a5.q_basket_triples(str(d), min_support=2, n_buckets=4)
+        want = {(1, 2, 3): 3, (1, 2, 4): 2, (1, 3, 4): 2, (2, 3, 4): 2}
+        assert {
+            (r.p1, r.p2, r.p3): r.support for r in got.itertuples()
+        } == want
+        # ordering: support desc then triple asc
+        assert tuple(got.iloc[0][["p1", "p2", "p3"]]) == (1, 2, 3)
