@@ -958,6 +958,221 @@ _SQL_BASKET_TRIPLES = _sql_basket_triples()
 
 
 
+# ---------------------------------------------------------------------------
+# order_price_cvm — two-sample Cramér–von Mises criterion
+# ---------------------------------------------------------------------------
+
+def q_order_price_cvm(sf_dir: str):
+    """Two-sample Cramér–von Mises criterion between expedited and
+    regular order-total distributions — the INTEGRATED-gap member of
+    the drift family (:func:`analytics2.q_order_price_drift` is the
+    max gap, :func:`analytics2.q_order_price_ranksum` the location
+    shift; CvM catches broad shape drift a single KS crossing point
+    understates). Same samples, same value-count-summary discipline.
+
+    Integer SPEC (shared verbatim with the oracle): per distinct
+    value, the CDF gap snaps once to ppm — ``d_ppm(v) = |cum_a·n_b −
+    cum_b·n_a|·10⁶ // (n_a·n_b)`` — and the criterion is its pooled
+    second moment ``cvm_num = Σ d_ppm(v)²·(cnt_a+cnt_b)(v)`` with
+    ``t_micro = (n_a·n_b·cvm_num) // (N²·10⁶)`` ≈ the classic
+    ``T·10⁶`` (Anderson 1962). Python-bigint driver fold / HUGEINT
+    oracle — envelope ≈ sf100, the drift-family rule.
+
+    Shape: the SHARED drift-family exchange (one ``groupby(cents)``
+    Sum on the value domain) and a bounded driver scan."""
+    import pandas as pd
+
+    from .analytics2 import _expedited_price_hist
+
+    hist = _expedited_price_hist(sf_dir)
+    n_a = int(hist["cnt_a"].sum())
+    n_b = int(hist["cnt_b"].sum())
+    n = n_a + n_b
+    cvm = 0
+    if n_a and n_b:
+        cum_a = cum_b = 0
+        for ca, cb in zip(
+            hist["cnt_a"].to_numpy().tolist(), hist["cnt_b"].to_numpy().tolist()
+        ):
+            cum_a += ca
+            cum_b += cb
+            d_ppm = (abs(cum_a * n_b - cum_b * n_a) * 1_000_000) // (n_a * n_b)
+            cvm += d_ppm * d_ppm * (ca + cb)
+        t_micro = (n_a * n_b * cvm) // (n * n * 1_000_000)
+    else:
+        t_micro = 0
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([n_a], dtype=np.int64),
+            "n_b": pd.Series([n_b], dtype=np.int64),
+            "cvm_num": pd.Series([cvm], dtype=np.int64),
+            "t_micro": pd.Series([t_micro], dtype=np.int64),
+        }
+    )
+
+
+_SQL_ORDER_PRICE_CVM = """
+WITH s AS (
+    SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS a
+    FROM orders),
+h AS (SELECT cents, SUM(a) AS ca, SUM(1 - a) AS cb FROM s GROUP BY cents),
+t AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+             CAST(SUM(cb) AS HUGEINT) AS nb FROM h),
+c AS (SELECT cents, ca, cb,
+             SUM(ca) OVER (ORDER BY cents) AS cum_a,
+             SUM(cb) OVER (ORDER BY cents) AS cum_b
+      FROM h),
+g AS (SELECT (ABS(CAST(c.cum_a AS HUGEINT) * t.nb
+                  - CAST(c.cum_b AS HUGEINT) * t.na) * 1000000)
+             // (t.na * t.nb) AS d_ppm,
+             CAST(c.ca + c.cb AS HUGEINT) AS w
+      FROM c, t WHERE t.na > 0 AND t.nb > 0),
+v AS (SELECT CAST(COALESCE(SUM(d_ppm * d_ppm * w), 0) AS HUGEINT) AS cvm
+      FROM g)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(v.cvm AS BIGINT) AS cvm_num,
+       CAST(CASE WHEN t.na > 0 AND t.nb > 0
+                 THEN (t.na * t.nb * v.cvm)
+                      // ((t.na + t.nb) * (t.na + t.nb) * 1000000)
+                 ELSE 0 END AS BIGINT) AS t_micro
+FROM t, v
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# event_trigrams — second-order sequence patterns over user streams
+# ---------------------------------------------------------------------------
+
+def q_event_trigrams(sf_dir: str, n_buckets: int = 32):
+    """Consecutive event-type TRIGRAMS per user stream with global
+    counts and the second-order conditional probability
+    ``P(c | a, b)`` in exact micro units — the sequence-lattice level
+    above :func:`~.ops.q_event_transitions` (same reasoning as
+    :func:`q_basket_triples` over baskets): first-order transitions
+    miss pattern asymmetries like view→click→purchase vs
+    click→view→purchase, exactly what session-model features and
+    funnel-anomaly monitors key on.
+
+    Shape: the ``q_event_transitions`` discipline one step wider —
+    each event row moves ONCE through the coarse ``user % B``
+    exchange; inside a bucket the two shifted neighbors and the
+    trigram counts resolve vectorized, so the second exchange carries
+    O(types³ × buckets) count partials and the driver reads the
+    ≤ types³ matrix. Ordering ties break by ``(ts, event_id)`` on
+    both sides; null-typed events drop with their window (the lag-
+    NULL ambiguity rule documented on the transitions op)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .ops import _rhalf
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n_buckets, pa.int64()),
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def trigrams_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        n = len(uid)
+        if n < 3:
+            return pa.table(
+                {
+                    "t1": pa.array([], pa.string()),
+                    "t2": pa.array([], pa.string()),
+                    "t3": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        a, b, c = et[:-2], et[1:-1], et[2:]
+        ok = (
+            same
+            & pd.notna(a)
+            & pd.notna(b)
+            & pd.notna(c)
+        )
+        agg = (
+            pd.DataFrame({"t1": a[ok], "t2": b[ok], "t3": c[ok]})
+            .groupby(["t1", "t2", "t3"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "t1": pa.array(agg["t1"].tolist(), pa.string()),
+                "t2": pa.array(agg["t2"].tolist(), pa.string()),
+                "t3": pa.array(agg["t3"].tolist(), pa.string()),
+                "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(trigrams_bucket, batch_format="pandas")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n_steps"))
+        .to_pandas()  # bounded: ≤ types³ rows by construction
+    )
+    if not len(folded):
+        return pd.DataFrame(
+            {
+                "t1": pd.Series([], dtype=object),
+                "t2": pd.Series([], dtype=object),
+                "t3": pd.Series([], dtype=object),
+                "n_steps": pd.Series([], dtype=np.int64),
+                "prob_micro": pd.Series([], dtype=np.int64),
+            }
+        )
+    totals = folded.groupby(["t1", "t2"])["n_steps"].transform("sum")
+    folded["prob_micro"] = [
+        _rhalf(10**6 * int(c), int(t))
+        for c, t in zip(folded["n_steps"], totals)
+    ]
+    folded["n_steps"] = folded["n_steps"].astype(np.int64)
+    folded["prob_micro"] = folded["prob_micro"].astype(np.int64)
+    return folded.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+_SQL_EVENT_TRIGRAMS = """
+WITH p AS (
+    SELECT event_type AS t3,
+           lag(event_type, 1) OVER w AS t2,
+           lag(event_type, 2) OVER w AS t1,
+           lag(user_id, 2) OVER w AS u1,
+           user_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_steps
+    FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, n_steps,
+       CAST((2*1000000*n_steps
+             + SUM(n_steps) OVER (PARTITION BY t1, t2))
+            // (2*SUM(n_steps) OVER (PARTITION BY t1, t2))
+            AS BIGINT) AS prob_micro
+FROM c
+"""
+
+
+
 QUERIES = {
     "revenue_changepoint": q_revenue_changepoint,
     "seasonal_strength": q_seasonal_strength,
@@ -966,6 +1181,8 @@ QUERIES = {
     "revenue_acf": q_revenue_acf,
     "brand_rank_stability": q_brand_rank_stability,
     "basket_triples": q_basket_triples,
+    "order_price_cvm": q_order_price_cvm,
+    "event_trigrams": q_event_trigrams,
 }
 
 ORACLE_SQL = {
@@ -976,4 +1193,6 @@ ORACLE_SQL = {
     "revenue_acf": _SQL_REVENUE_ACF,
     "brand_rank_stability": _SQL_BRAND_RANK_STABILITY,
     "basket_triples": _SQL_BASKET_TRIPLES,
+    "order_price_cvm": _SQL_ORDER_PRICE_CVM,
+    "event_trigrams": _SQL_EVENT_TRIGRAMS,
 }

@@ -330,3 +330,82 @@ class TestBasketTriples:
         } == want
         # ordering: support desc then triple asc
         assert tuple(got.iloc[0][["p1", "p2", "p3"]]) == (1, 2, 3)
+
+
+class TestOrderPriceCvm:
+    def test_identical_and_disjoint(self, tmp_path):
+        """Identical A/B samples → zero criterion; fully separated
+        samples → the between-region gap is 10⁶ ppm at every pooled
+        point strictly between them."""
+        import pyarrow.parquet as pq2
+
+        def orders(prices, prios):
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        np.arange(1, len(prices) + 1), pa.int64()
+                    ),
+                    "o_totalprice": pa.array(prices, pa.float64()),
+                    "o_orderpriority": pa.array(prios, pa.string()),
+                }
+            )
+
+        # identical distributions
+        pq2.write_table(
+            orders([10.0, 20.0, 10.0, 20.0],
+                   ["1-URGENT", "1-URGENT", "3-MEDIUM", "3-MEDIUM"]),
+            str(tmp_path / "orders.parquet"),
+        )
+        got = a5.q_order_price_cvm(str(tmp_path))
+        assert got.loc[0, "cvm_num"] == 0 and got.loc[0, "t_micro"] == 0
+        assert _canon(got) == _canon(_oracle(tmp_path, a5._SQL_ORDER_PRICE_CVM))
+
+        # disjoint supports: A = {10, 20}, B = {30, 40}
+        pq2.write_table(
+            orders([10.0, 20.0, 30.0, 40.0],
+                   ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+            str(tmp_path / "orders.parquet"),
+        )
+        got2 = a5.q_order_price_cvm(str(tmp_path))
+        # gaps at the four pooled values: 500000, 1000000, 500000, 0 ppm
+        want = (500_000**2) * 1 + (1_000_000**2) * 1 + (500_000**2) * 1
+        assert got2.loc[0, "cvm_num"] == want
+        assert _canon(got2) == _canon(_oracle(tmp_path, a5._SQL_ORDER_PRICE_CVM))
+
+
+class TestEventTrigrams:
+    def test_hand_sequences(self, tmp_path):
+        """User 1: v,c,p,v → trigrams (v,c,p), (c,p,v); user 2: v,c
+        contributes nothing. Conditional prob is per (t1,t2) prefix."""
+        import pyarrow.parquet as pq2
+
+        base = np.datetime64("2024-01-01", "us")
+        rows = [
+            (1, 1, 0, "view"), (2, 1, 1, "click"), (3, 1, 2, "purchase"),
+            (4, 1, 3, "view"), (5, 2, 0, "view"), (6, 2, 1, "click"),
+        ]
+        pq2.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [base + r[2] * np.timedelta64(60, "s") for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        got = a5.q_event_trigrams(str(tmp_path), n_buckets=4)
+        key = got.set_index(["t1", "t2", "t3"])
+        assert len(got) == 2
+        assert key.loc[("view", "click", "purchase"), "n_steps"] == 1
+        assert key.loc[("click", "purchase", "view"), "n_steps"] == 1
+        assert (got["prob_micro"] == 1_000_000).all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        assert _canon(got) == _canon(con.sql(a5._SQL_EVENT_TRIGRAMS).df())
