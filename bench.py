@@ -85,6 +85,14 @@ def _bench_queries():
     )
     from pdf_parser_ray.stages.textstats import q_bigram_entropy_rate
     from pdf_parser_ray.pipelines.extract import extract_kind_transitions
+    from pdf_parser_ray.stages.linkpred import q_adamic_adar
+    from pdf_parser_ray.stages.textstats import q_g2_collocations
+    from pdf_parser_ray.stages.tokenize import q_bpe_train
+    from pdf_parser_ray.stages.graph import q_k_core
+    from pdf_parser_ray.relational.analytics5 import (
+        q_basket_triples,
+        q_rfm_segments,
+    )
 
     return {
         "pricing_summary": q_pricing_summary,
@@ -158,6 +166,17 @@ def _bench_queries():
         # gated broadcast/shuffle fact join with exact percentiles
         "user_activity_streaks": q_user_activity_streaks,
         "ship_latency_percentiles": q_ship_latency_percentiles,
+        # session-4 additions: the wedge-family link scorer (pair-key
+        # exchange + co-located anti-join), the two-exchange bigram
+        # G2, the iterative BPE trainer (vocab-bounded state loop),
+        # the peeling fixpoint, the quartile-coded RFM matrix, and
+        # the triple-lattice basket expansion
+        "adamic_adar": q_adamic_adar,
+        "g2_collocations": q_g2_collocations,
+        "bpe_train": q_bpe_train,
+        "k_core": q_k_core,
+        "rfm_segments": q_rfm_segments,
+        "basket_triples": q_basket_triples,
     }
 
 

@@ -26,8 +26,15 @@ top-degree centers for exactly this cost reason. Three exchanges
 total: the shared edge build's two (orderkey basket expansion +
 edge-hash dedup, reused materialized from `_copurchase_edges`) plus
 ONE pair-key exchange that carries per-bucket pre-aggregated
-``(pair, Σw, cn)`` partials and the 8-byte edge keys for the
-co-located anti-join — never raw wedges. Degrees are
+``(pair, Σw, cn)`` partials — never raw wedges. The existing-edge
+anti-join rides the triangle-family broadcast gate: within the
+budget the sorted 8-byte edge-key set ships once and closed pairs
+die at the wedge task, so the pair exchange carries survivors only
+(at sf0.1 the two paths measure at parity — 12.5 vs 12.8 s
+steady-state, the shared edge build dominates and eligible-center
+wedges are few; the gate pays when hub-free wedge volume is large);
+past the budget, edge keys ride the pair-key exchange for a
+co-located check. Degrees are
 dimension-bounded (one row per part) and broadcast; the final top-k
 is a per-bucket top-k merged on the driver (≤ n_buckets·k rows).
 
@@ -49,6 +56,7 @@ def q_adamic_adar(
     n_buckets: int = 32,
     max_center_deg: int = 64,
     top_k: int = 100,
+    broadcast_probe: bool | None = None,
 ):
     """Top-``top_k`` non-adjacent part pairs by Adamic–Adar score.
 
@@ -95,6 +103,37 @@ def q_adamic_adar(
             }
         )
 
+    # anti-join gate (the triangle_count crossover rule): when the
+    # 8-byte edge-key set fits the broadcast budget, ship it ONCE to
+    # the wedge tasks — existing-edge pairs die where they are born
+    # and the pair exchange carries only surviving partials; past the
+    # budget, edge keys ride the pair-key exchange for a co-located
+    # anti-join instead.
+    from ..core.util import BROADCAST_BUDGET_BYTES
+
+    n_edges_total = edges.count()  # materialized → metadata read
+    if broadcast_probe is None:
+        broadcast_probe = n_edges_total * 8 <= BROADCAST_BUDGET_BYTES
+    if broadcast_probe:
+        bkeys = np.sort(
+            edges.map_batches(
+                lambda b: pa.table(
+                    {
+                        "key": pa.array(
+                            (b["a"].to_numpy(zero_copy_only=False) << 32)
+                            | b["b"].to_numpy(zero_copy_only=False)
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .to_pandas()["key"]
+            .to_numpy(dtype=np.int64)
+        )
+    else:
+        bkeys = None
+
     def pair_partials(g: pd.DataFrame) -> pa.Table:
         # stride-offset wedge sweep (see graph._wedges): after sorting
         # by (c, n), positions t and t+d share a center iff
@@ -120,6 +159,15 @@ def q_adamic_adar(
         else:
             key_all = np.concatenate(keys)
             w_all = np.concatenate(ws)
+            if bkeys is not None:
+                # broadcast anti-join at the source: drop wedges that
+                # close an existing edge before anything ships
+                pos = np.searchsorted(bkeys, key_all)
+                ok = pos < len(bkeys)
+                is_edge = np.zeros(len(key_all), dtype=bool)
+                if len(bkeys):
+                    is_edge[ok] = bkeys[np.where(ok, pos, 0)][ok] == key_all[ok]
+                key_all, w_all = key_all[~is_edge], w_all[~is_edge]
             # in-bucket pre-aggregation: the exchange carries pair
             # partials, never wedges
             agg = pd.DataFrame({"k": key_all, "w": w_all}).groupby("k", sort=False)[
@@ -157,8 +205,11 @@ def q_adamic_adar(
         edges.map_batches(center_rows, batch_format="pyarrow", batch_size=None)
         .groupby("cbucket")
         .map_groups(pair_partials, batch_format="pandas")
-        .union(edges.map_batches(edge_key_rows, batch_format="pyarrow", batch_size=None))
     )
+    if bkeys is None:
+        tagged = tagged.union(
+            edges.map_batches(edge_key_rows, batch_format="pyarrow", batch_size=None)
+        )
 
     def resolve_bucket(g: pd.DataFrame) -> pa.Table:
         s = g[g["side"] == 0]

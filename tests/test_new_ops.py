@@ -3975,3 +3975,34 @@ class TestKCore:
             str(d / "lineitem.parquet"),
         )
         assert len(q_k_core(str(d), k=2, n_buckets=4)) == 0
+
+
+class TestAdamicAdarGate:
+    def test_broadcast_and_exchange_paths_agree(
+        self, ray_session, tmp_path_factory
+    ):
+        """The gated broadcast anti-join and the co-located exchange
+        fallback must produce identical predictions."""
+        from pdf_parser_ray.stages.linkpred import q_adamic_adar
+
+        d = tmp_path_factory.mktemp("aa_gate_sf")
+        rng = np.random.RandomState(7)
+        ok, pk = [], []
+        for o in range(1, 60):
+            parts = rng.choice(np.arange(1, 25), size=rng.randint(2, 5),
+                               replace=False)
+            ok.extend([o] * len(parts))
+            pk.extend(parts.tolist())
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(ok, pa.int64()),
+                    "l_partkey": pa.array(pk, pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        a = q_adamic_adar(str(d), n_buckets=4, broadcast_probe=True)
+        b = q_adamic_adar(str(d), n_buckets=4, broadcast_probe=False)
+        assert a.equals(b)
+        assert len(a) > 0
