@@ -1173,6 +1173,232 @@ FROM c
 
 
 
+# ---------------------------------------------------------------------------
+# theil_decomposition — within/between-nation spend inequality
+# ---------------------------------------------------------------------------
+
+def q_theil_decomposition(sf_dir: str, n_buckets: int = 32):
+    """Theil-T inequality of customer spend decomposed across nations
+    (Theil 1967; the standard additive inequality decomposition —
+    Gini, which the engine already carries per segment, does NOT
+    decompose): total ``T = (1/N)·Σ (xᵢ/μ)·ln(xᵢ/μ)`` splits into a
+    BETWEEN-nation term (are some nations richer?) and a WITHIN term
+    (how unequal inside each nation?). Corpus curation reads the same
+    decomposition over per-source token counts: "is the skew across
+    sources or inside them?" decides whether to rebalance the mix or
+    dedup within a source.
+
+    Integer SPEC (every logarithm has an integer argument, the
+    ``source_js_divergence`` discipline)::
+
+        t_num = Σᵢ xᵢ·(lnm(xᵢ·N)  − lnm(X))
+        w_num = Σᵢ xᵢ·(lnm(xᵢ·N_g) − lnm(X_g))     (g = i's nation)
+        b_num = Σ_g X_g·(lnm(X_g·N) − lnm(X·N_g))
+
+    reported with ``*_micro = num / X`` in TRUNCATING integer
+    division (DuckDB ``//`` truncates toward zero where Python
+    floors — the sign is handled explicitly so both sides agree on
+    the near-zero negatives the ln snap can produce). Envelope:
+    ``xᵢ·N < 2⁶³`` (≈ sf100 in cents; rescale the unit past that,
+    the ``revenue_autocorr`` rule).
+
+    Shape: ONE custkey-bucket tagged exchange resolves per-customer
+    spend WITH its nation (the ``spend_gini`` join pattern); the
+    ≤ nations-row (N_g, X_g) aggregate folds on the driver; the term
+    pass streams the per-customer grain once against the broadcast
+    nation table, pre-summing per (batch, nation) in exact Python
+    ints shipped as two int64 limbs (the gini limb rule). The
+    customer grain is pinned under the ``pin_fits`` gate with a
+    rebuild fallback."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from ..core.util import pin_fits
+    from ..stages.textstats import lnm_micro, _lnm_vec
+
+    def build_cust():
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+        def o_rows(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "key": b["o_custkey"].to_numpy(zero_copy_only=False),
+                    "cents": _cents(b["o_totalprice"]).to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            ).groupby("key", as_index=False)["cents"].sum()
+            k = df["key"].to_numpy(np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(k % n_buckets),
+                    "side": pa.array(np.zeros(len(k), np.int8)),
+                    "key": pa.array(k),
+                    "val": pa.array(df["cents"].to_numpy(np.int64)),
+                }
+            )
+
+        def c_rows(b: pa.Table) -> pa.Table:
+            k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(k % n_buckets),
+                    "side": pa.array(np.ones(len(k), np.int8)),
+                    "key": pa.array(k),
+                    "val": pa.array(
+                        b["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+                            np.int64
+                        )
+                    ),
+                }
+            )
+
+        def resolve(g: pd.DataFrame) -> pa.Table:
+            s = g[g["side"] == 0].groupby("key", as_index=False)["val"].sum()
+            nat = g[g["side"] == 1][["key", "val"]].rename(
+                columns={"val": "nation"}
+            )
+            j = s.merge(nat, on="key")
+            return pa.table(
+                {
+                    "nation": pa.array(j["nation"].to_numpy(np.int64)),
+                    "x": pa.array(j["val"].to_numpy(np.int64)),
+                }
+            )
+
+        orders_ds = orders.map_batches(o_rows, batch_format="pyarrow", batch_size=None)
+        cust_ds = customer.map_batches(c_rows, batch_format="pyarrow", batch_size=None)
+        return (
+            orders_ds.union(cust_ds)
+            .groupby("bucket")
+            .map_groups(resolve, batch_format="pandas")
+        )
+
+    n_rows_hint = pq_.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if pin_fits(n_rows_hint * 16):
+        cust = build_cust().materialize()  # O(customers), spillable
+        cust2 = cust
+    else:
+        cust, cust2 = build_cust(), build_cust()
+
+    from ray.data.aggregate import Count, Sum
+
+    groups = (
+        cust.groupby("nation")
+        .aggregate(Count(alias_name="n_g"), Sum("x", alias_name="x_g"))
+        .to_pandas()  # ≤ nations rows
+    )
+    n_tot = int(groups["n_g"].sum())
+    x_tot = int(groups["x_g"].sum())
+    out_cols = [
+        "n_customers", "n_groups", "total_cents",
+        "theil_micro", "between_micro", "within_micro",
+    ]
+    if n_tot == 0 or x_tot == 0:
+        return pd.DataFrame({c: pd.Series([0], dtype=np.int64) for c in out_cols})
+
+    ng_map = {
+        int(r.nation): (int(r.n_g), int(r.x_g)) for r in groups.itertuples()
+    }
+    ln_x = lnm_micro(x_tot)
+    _limb = 62
+
+    def term_partials(b: pa.Table) -> pa.Table:
+        nat = b["nation"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        lt_all = _lnm_vec(x * n_tot) - ln_x
+        rows = {"nation": [], "t_lo": [], "t_hi": [], "w_lo": [], "w_hi": []}
+        for g in np.unique(nat):
+            m = nat == g
+            n_g, x_g = ng_map[int(g)]
+            lw = _lnm_vec(x[m] * n_g) - lnm_micro(x_g)
+            t = sum(int(a) * int(c) for a, c in zip(x[m], lt_all[m]))
+            w = sum(int(a) * int(c) for a, c in zip(x[m], lw))
+            rows["nation"].append(int(g))
+            for name, v in (("t", t), ("w", w)):
+                rows[f"{name}_lo"].append(v & ((1 << _limb) - 1) if v >= 0 else -((-v) & ((1 << _limb) - 1)))
+                rows[f"{name}_hi"].append(v >> _limb if v >= 0 else -((-v) >> _limb))
+        return pa.table(
+            {k: pa.array(np.array(v, dtype=np.int64)) for k, v in rows.items()}
+        )
+
+    parts = cust2.map_batches(
+        term_partials, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # bounded: ≤ batches × nations fixed-width rows
+    t_num = sum((int(h) << _limb) + int(l) for h, l in zip(parts["t_hi"], parts["t_lo"]))
+    w_num = sum((int(h) << _limb) + int(l) for h, l in zip(parts["w_hi"], parts["w_lo"]))
+    b_num = sum(
+        int(r.x_g) * (lnm_micro(int(r.x_g) * n_tot) - lnm_micro(x_tot * int(r.n_g)))
+        for r in groups.itertuples()
+    )
+
+    def trunc_div(a: int, b: int) -> int:
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    return pd.DataFrame(
+        {
+            "n_customers": [n_tot],
+            "n_groups": [len(groups)],
+            "total_cents": [x_tot],
+            "theil_micro": [trunc_div(t_num, x_tot)],
+            "between_micro": [trunc_div(b_num, x_tot)],
+            "within_micro": [trunc_div(w_num, x_tot)],
+        }
+    ).astype(np.int64)
+
+
+def _sql_theil() -> str:
+    from ..stages.textstats import _shared_ln_cte
+
+    lnm = "CAST(FLOOR(lnk * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    cte = _shared_ln_cte("(SELECT DISTINCT kint FROM lnargs WHERE kint >= 1)", "kint")
+    return f"""
+WITH cu AS (
+    SELECT c.c_nationkey AS nation,
+           CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS x
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY o.o_custkey, c.c_nationkey),
+g AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x) AS BIGINT) AS x_g
+      FROM cu GROUP BY nation),
+t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(x_g) AS BIGINT) AS x
+      FROM g),
+lnargs AS (SELECT cu.x * t.n AS kint FROM cu, t
+           UNION SELECT x FROM t
+           UNION SELECT cu.x * g.n_g FROM cu JOIN g USING (nation)
+           UNION SELECT x_g FROM g
+           UNION SELECT g.x_g * t.n FROM g, t
+           UNION SELECT t.x * g.n_g FROM g, t),
+lns AS (SELECT kint, {lnm} AS lnm FROM {cte} q),
+tw AS (SELECT CAST(SUM(CAST(cu.x AS HUGEINT) * (la.lnm - lb.lnm)) AS HUGEINT)
+                  AS t_num,
+              CAST(SUM(CAST(cu.x AS HUGEINT) * (lc.lnm - ld.lnm)) AS HUGEINT)
+                  AS w_num
+       FROM cu JOIN g USING (nation), t
+       JOIN lns la ON la.kint = cu.x * t.n
+       JOIN lns lb ON lb.kint = t.x
+       JOIN lns lc ON lc.kint = cu.x * g.n_g
+       JOIN lns ld ON ld.kint = g.x_g),
+bw AS (SELECT CAST(SUM(CAST(g.x_g AS HUGEINT) * (le.lnm - lf.lnm)) AS HUGEINT)
+                  AS b_num
+       FROM g, t
+       JOIN lns le ON le.kint = g.x_g * t.n
+       JOIN lns lf ON lf.kint = t.x * g.n_g)
+SELECT t.n AS n_customers,
+       CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_groups,
+       t.x AS total_cents,
+       CAST(tw.t_num // CAST(t.x AS HUGEINT) AS BIGINT) AS theil_micro,
+       CAST(bw.b_num // CAST(t.x AS HUGEINT) AS BIGINT) AS between_micro,
+       CAST(tw.w_num // CAST(t.x AS HUGEINT) AS BIGINT) AS within_micro
+FROM t, tw, bw
+"""
+
+
+_SQL_THEIL = _sql_theil()
+
+
+
 QUERIES = {
     "revenue_changepoint": q_revenue_changepoint,
     "seasonal_strength": q_seasonal_strength,
@@ -1183,6 +1409,7 @@ QUERIES = {
     "basket_triples": q_basket_triples,
     "order_price_cvm": q_order_price_cvm,
     "event_trigrams": q_event_trigrams,
+    "theil_decomposition": q_theil_decomposition,
 }
 
 ORACLE_SQL = {
@@ -1195,4 +1422,5 @@ ORACLE_SQL = {
     "basket_triples": _SQL_BASKET_TRIPLES,
     "order_price_cvm": _SQL_ORDER_PRICE_CVM,
     "event_trigrams": _SQL_EVENT_TRIGRAMS,
+    "theil_decomposition": _SQL_THEIL,
 }

@@ -409,3 +409,54 @@ class TestEventTrigrams:
             f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
         )
         assert _canon(got) == _canon(con.sql(a5._SQL_EVENT_TRIGRAMS).df())
+
+
+class TestTheilDecomposition:
+    def _fixture(self, tmp_path, spends_by_nation):
+        rows = []
+        ck = 1
+        for nation, spends in spends_by_nation.items():
+            for s in spends:
+                rows.append((ck, nation, s))
+                ck += 1
+        customer = pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_nationkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(1, len(rows) + 1), pa.int64()),
+                "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_totalprice": pa.array([float(r[2]) for r in rows]),
+            }
+        )
+        pq.write_table(customer, str(tmp_path / "customer.parquet"))
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+
+    def test_between_dominates_level_shift(self, tmp_path):
+        """Equal spend inside each nation, 4x level shift between
+        them: within ≈ 0 (exactly 0 — identical values snap to the
+        same lnm), between > 0, and total ≈ between."""
+        self._fixture(tmp_path, {0: [100.0] * 4, 1: [400.0] * 4})
+        got = a5.q_theil_decomposition(str(tmp_path))
+        assert got.loc[0, "within_micro"] == 0
+        assert got.loc[0, "between_micro"] > 0
+        assert abs(
+            int(got.loc[0, "theil_micro"]) - int(got.loc[0, "between_micro"])
+        ) <= 2  # ln-snap slack
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'"
+            )
+        assert _canon(got) == _canon(con.sql(a5._SQL_THEIL).df())
+
+    def test_uniform_is_zero(self, tmp_path):
+        """Identical spend everywhere: all three components are 0."""
+        self._fixture(tmp_path, {0: [250.0] * 3, 1: [250.0] * 5})
+        got = a5.q_theil_decomposition(str(tmp_path))
+        assert got.loc[0, "theil_micro"] == 0
+        assert got.loc[0, "between_micro"] == 0
+        assert got.loc[0, "within_micro"] == 0
