@@ -231,6 +231,100 @@ FROM ex GROUP BY 1, 2
 """
 
 
+
+
+def q_label_centroid_affinity(sf_dir: str):
+    """Pairwise geometry of the per-label centroids — for every label
+    pair, the exact integer ingredients of the centroid cosine:
+    ``(dot_num, sq_a, sq_b)`` plus ``cos2_sign_ppm =
+    sign(dot)·(dot²·10⁶ // (sq_a·sq_b))`` (signed squared cosine in
+    ppm — division-free up to one final snap, no square root). The
+    embedding-space drift monitor a curation pipeline runs between
+    class prototypes: collapsing affinity (cos² → 1) means two
+    labels' populations are merging, the vector-space counterpart of
+    :func:`~pdf_parser_ray.stages.textstats.q_source_js_divergence`.
+
+    Exactness: consumes :func:`q_label_centroids`' long-format
+    exchange (micro-snapped element sums — already order-free), snaps
+    each centroid element ONCE with truncating division
+    ``c = sign(s)·(|s| // n)`` (DuckDB ``//`` truncates; the spec
+    says so explicitly), and all pair arithmetic is exact Python int
+    on the ≤ labels×dim driver grain. Envelope: |c| ≤ 10⁶·|x|ₘₐₓ, so
+    dot² ≲ (dim·10¹²·|x|²)² — HUGEINT-safe for unit-scale embeddings
+    at any corpus size (the magnitudes are data-scale-free).
+
+    Shape: ONE ``groupby(label, dim)`` exchange (inherited) and a
+    label-bounded driver fold — pairs are O(labels²), the same grain
+    class as the JSD matrix."""
+    import pandas as pd
+
+    long = q_label_centroids(sf_dir).to_pandas()  # ≤ labels × dim rows
+
+    def tdiv(a: int, b: int) -> int:
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    cents: dict[int, list[int]] = {}
+    counts: dict[int, int] = {}
+    for lb, grp in long.groupby("label"):
+        g = grp.sort_values("dim")
+        n = int(g["n"].iloc[0])
+        counts[int(lb)] = n
+        cents[int(lb)] = [tdiv(int(s), n) for s in g["sum_micro"]]
+    labels = sorted(cents)
+    rows = []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1 :]:
+            ca, cb = cents[a], cents[b]
+            dot = sum(x * y for x, y in zip(ca, cb))
+            sa = sum(x * x for x in ca)
+            sb = sum(y * y for y in cb)
+            if sa and sb:
+                c2 = (dot * dot * 1_000_000) // (sa * sb)
+                c2 = c2 if dot >= 0 else -c2
+            else:
+                c2 = 0
+            rows.append((a, b, counts[a], counts[b], dot, sa, sb, c2))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "label_a", "label_b", "n_a", "n_b",
+            "dot_num", "sq_a", "sq_b", "cos2_sign_ppm",
+        ],
+    ).astype(np.int64)
+
+
+_SQL_LABEL_CENTROID_AFFINITY = """
+WITH ex AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           UNNEST(embedding) AS e
+    FROM embeddings
+),
+p AS (SELECT label, dim,
+             CAST(SUM(CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY 1, 2),
+c AS (SELECT label, dim, n, CAST(s // n AS BIGINT) AS c FROM p),
+pr AS (SELECT a.label AS la, b.label AS lb,
+              MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+              CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS dot,
+              CAST(SUM(CAST(a.c AS HUGEINT) * a.c) AS HUGEINT) AS sa,
+              CAST(SUM(CAST(b.c AS HUGEINT) * b.c) AS HUGEINT) AS sb
+       FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+       GROUP BY 1, 2)
+SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(dot AS BIGINT) AS dot_num,
+       CAST(sa AS BIGINT) AS sq_a, CAST(sb AS BIGINT) AS sq_b,
+       CAST(CASE WHEN sa > 0 AND sb > 0
+                 THEN (CASE WHEN dot >= 0 THEN 1 ELSE -1 END)
+                      * ((dot * dot * 1000000) // (sa * sb))
+                 ELSE 0 END AS BIGINT) AS cos2_sign_ppm
+FROM pr
+"""
+
+
 def q_label_token_stats(sf_dir: str, n_buckets: int = 16):
     """Cross-modal join — the one table pair no other query touches:
     ``documents.text`` statistics aggregated per ``embeddings.label``
@@ -1015,6 +1109,7 @@ QUERIES = {
     "ann_recall_sweep": q_ann_recall_sweep,
     "ann_topk_filtered": q_ann_topk_filtered,
     "label_centroids": q_label_centroids,
+    "label_centroid_affinity": q_label_centroid_affinity,
     "label_token_stats": q_label_token_stats,
     "knn_join": q_knn_join,
     "ann_ivf": q_ann_ivf,
@@ -1030,6 +1125,7 @@ ORACLE_SQL = {
     "hybrid_search_rrf": _sql_hybrid_rrf(),
     "ann_topk_filtered": _SQL_ANN_TOPK_FILTERED,
     "label_centroids": _SQL_LABEL_CENTROIDS,
+    "label_centroid_affinity": _SQL_LABEL_CENTROID_AFFINITY,
     "label_token_stats": _SQL_LABEL_TOKEN_STATS,
     "knn_join": _SQL_KNN_JOIN,
     "embed_near_dup": _SQL_EMBED_NEAR_DUP,

@@ -4006,3 +4006,35 @@ class TestAdamicAdarGate:
         b = q_adamic_adar(str(d), n_buckets=4, broadcast_probe=False)
         assert a.equals(b)
         assert len(a) > 0
+
+
+class TestLabelCentroidAffinity:
+    def test_aligned_and_orthogonal(self, ray_session, tmp_path_factory):
+        """Labels with parallel centroids score cos² = 10⁶ ppm;
+        orthogonal centroids score 0; anti-parallel carry sign −1."""
+        from pdf_parser_ray.stages.embed import q_label_centroid_affinity
+
+        d = tmp_path_factory.mktemp("aff_sf")
+        vecs = [
+            (0, [1.0, 0.0]), (0, [1.0, 0.0]),
+            (1, [2.0, 0.0]),                   # parallel to 0
+            (2, [0.0, 3.0]),                   # orthogonal to 0, 1
+            (3, [-1.0, 0.0]),                  # anti-parallel to 0
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+                    "embedding": pa.array(
+                        [v for _, v in vecs], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([l for l, _ in vecs], pa.int32()),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        got = q_label_centroid_affinity(str(d)).set_index(["label_a", "label_b"])
+        assert got.loc[(0, 1), "cos2_sign_ppm"] == 1_000_000
+        assert got.loc[(0, 2), "cos2_sign_ppm"] == 0
+        assert got.loc[(0, 3), "cos2_sign_ppm"] == -1_000_000
+        assert got.loc[(0, 1), "n_a"] == 2 and got.loc[(0, 1), "n_b"] == 1
