@@ -1399,6 +1399,97 @@ _SQL_THEIL = _sql_theil()
 
 
 
+# ---------------------------------------------------------------------------
+# return_rate_pchart — weekly return-rate control chart (SPC p-chart)
+# ---------------------------------------------------------------------------
+
+def q_return_rate_pchart(sf_dir: str):
+    """Shewhart p-chart over the weekly returned-line rate — the
+    classic statistical-process-control monitor (3σ binomial limits)
+    applied to the ``l_returnflag = 'R'`` proportion per ship week: a
+    week is OUT OF CONTROL when its rate leaves the ±3σ band around
+    the corpus-wide rate. A corpus-QA suite runs the identical chart
+    on per-snapshot defect rates (PII hits, parse failures, dedup
+    collisions) — the flag is the alert bit.
+
+    Integer SPEC (no square root ever happens): the band test
+    ``(p_w − p̄)² > 9·p̄(1−p̄)/n_w`` cross-multiplies to::
+
+        flag_w = 1  iff  (x_w·N − n_w·X)² > 9·X·(N−X)·n_w
+
+    with N, X the global line/returned counts — exact int comparison
+    on both sides (Python bigint / HUGEINT; products stay far inside
+    HUGEINT through sf1000). ``rate_ppm = x_w·10⁶ // n_w``.
+
+    Shape: per-batch (week, n, x) partials → ONE calendar-bounded
+    week exchange → a driver fold that derives the global totals from
+    the same weekly rows (no second pass)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_shipdate", "l_returnflag"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        week = (_ts_us(b["l_shipdate"]) // 86_400_000_000) // 7
+        ret = (b["l_returnflag"].to_pandas().to_numpy() == "R").astype(np.int64)
+        agg = (
+            pd.DataFrame({"week": week, "n": 1, "x": ret})
+            .groupby("week", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "week": pa.array(agg["week"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+                "x": pa.array(agg["x"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    weekly = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("week")
+        .aggregate(Sum("n", alias_name="n"), Sum("x", alias_name="x"))
+        .to_pandas()  # bounded: one row per calendar week
+        .sort_values("week", kind="stable")
+    )
+    n_tot = int(weekly["n"].sum())
+    x_tot = int(weekly["x"].sum())
+    rows = []
+    for r in weekly.itertuples():
+        n_w, x_w = int(r.n), int(r.x)
+        lhs = (x_w * n_tot - n_w * x_tot) ** 2
+        rhs = 9 * x_tot * (n_tot - x_tot) * n_w
+        rows.append(
+            (int(r.week), n_w, x_w, x_w * 1_000_000 // n_w, int(lhs > rhs))
+        )
+    return pd.DataFrame(
+        rows, columns=["week", "n_lines", "n_returned", "rate_ppm", "ooc_flag"]
+    ).astype(np.int64)
+
+
+_SQL_RETURN_RATE_PCHART = """
+WITH w AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(l_shipdate AS DATE)) AS BIGINT) // 7 AS week,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (l_returnflag = 'R') AS BIGINT) AS x
+    FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS HUGEINT) AS nt, CAST(SUM(x) AS HUGEINT) AS xt
+      FROM w)
+SELECT w.week, w.n AS n_lines, w.x AS n_returned,
+       CAST(w.x * 1000000 // w.n AS BIGINT) AS rate_ppm,
+       CAST(CASE WHEN (CAST(w.x AS HUGEINT) * t.nt
+                       - CAST(w.n AS HUGEINT) * t.xt)
+                      * (CAST(w.x AS HUGEINT) * t.nt
+                         - CAST(w.n AS HUGEINT) * t.xt)
+                      > 9 * t.xt * (t.nt - t.xt) * w.n
+                 THEN 1 ELSE 0 END AS BIGINT) AS ooc_flag
+FROM w, t
+"""
+
+
+
 QUERIES = {
     "revenue_changepoint": q_revenue_changepoint,
     "seasonal_strength": q_seasonal_strength,
@@ -1410,6 +1501,7 @@ QUERIES = {
     "order_price_cvm": q_order_price_cvm,
     "event_trigrams": q_event_trigrams,
     "theil_decomposition": q_theil_decomposition,
+    "return_rate_pchart": q_return_rate_pchart,
 }
 
 ORACLE_SQL = {
@@ -1423,4 +1515,5 @@ ORACLE_SQL = {
     "order_price_cvm": _SQL_ORDER_PRICE_CVM,
     "event_trigrams": _SQL_EVENT_TRIGRAMS,
     "theil_decomposition": _SQL_THEIL,
+    "return_rate_pchart": _SQL_RETURN_RATE_PCHART,
 }

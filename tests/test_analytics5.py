@@ -460,3 +460,40 @@ class TestTheilDecomposition:
         assert got.loc[0, "theil_micro"] == 0
         assert got.loc[0, "between_micro"] == 0
         assert got.loc[0, "within_micro"] == 0
+
+
+class TestReturnRatePchart:
+    def test_planted_spike_flags(self, tmp_path):
+        """Many in-control weeks at 10% return rate plus one planted
+        100% week: only the spike leaves the 3σ band."""
+        import pyarrow.parquet as pq2
+
+        days, flags = [], []
+        base = np.datetime64("1995-01-05", "us")  # Thursday, week anchor
+        for wk in range(10):
+            for i in range(30):
+                days.append(base + wk * np.timedelta64(7, "D"))
+                flags.append("R" if i < 3 else "N")
+        for i in range(30):  # spike week: all returned
+            days.append(base + 10 * np.timedelta64(7, "D"))
+            flags.append("R")
+        pq2.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(np.arange(len(days)), pa.int64()),
+                    "l_shipdate": pa.array(days, pa.timestamp("us")),
+                    "l_returnflag": pa.array(flags, pa.string()),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        got = a5.q_return_rate_pchart(str(tmp_path))
+        assert len(got) == 11
+        flagged = got[got["ooc_flag"] == 1]
+        assert len(flagged) == 1
+        assert int(flagged.iloc[0]["rate_ppm"]) == 1_000_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+        )
+        assert _canon(got) == _canon(con.sql(a5._SQL_RETURN_RATE_PCHART).df())
