@@ -1237,8 +1237,290 @@ SELECT n AS part, d AS deg FROM df WHERE d >= {k}
 _SQL_K_CORE = _sql_k_core()
 
 
+# ---------------------------------------------------------------------------
+# hits_scores — hubs & authorities on the directed purchase graph
+# ---------------------------------------------------------------------------
+
+_HITS_ITER = 5
+
+
+def q_hits_scores(sf_dir: str, n_buckets: int = 16):
+    """HITS (Kleinberg JACM'99) over the directed customer→supplier
+    purchase graph: customers are HUBS (their score flows to the
+    suppliers they buy from), suppliers are AUTHORITIES. Five
+    synchronous iterations of ``a = Eᵀh``, ``h = E a`` with an exact
+    integer max-normalization after every half-step — ``x' = x·10⁶ //
+    max(x)`` replaces the classic L2 normalization (same fixpoint
+    direction, and floor-exact on both engines where an L2 norm would
+    need a square root). PageRank ranks by random-surfer mass; HITS
+    separates "buys broadly" from "is bought broadly" — the two-sided
+    importance signal a marketplace-quality pipeline wants.
+
+    Shape (the PageRank message-passing discipline on a DIRECTED
+    graph): the distinct edge set materializes once; each half-step
+    is ONE bucket exchange of pre-aggregated contributions (partials
+    fold per destination inside the map before shipping) plus a
+    dimension-bounded Max read-off for the normalizer; per-iteration
+    state is O(nodes), in the object store, never on the driver.
+
+    Returns one row per node: ``(node_type, node, score_micro)`` with
+    node_type 0 = customer hub, 1 = supplier authority."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "val": b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(df["key"].to_numpy() % n_buckets),
+                "side": pa.array(np.zeros(len(df), dtype=np.int8)),
+                "key": pa.array(df["key"].to_numpy()),
+                "val": pa.array(df["val"].to_numpy()),
+            }
+        )
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ok % n_buckets),
+                "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+                "key": pa.array(ok),
+                "val": pa.array(
+                    b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    def to_edges(g: pd.DataFrame) -> pa.Table:
+        li = g[g["side"] == 0][["key", "val"]].rename(columns={"val": "s"})
+        o = g[g["side"] == 1][["key", "val"]].rename(columns={"val": "c"})
+        j = li.merge(o, on="key")[["c", "s"]].drop_duplicates()
+        c = j["c"].to_numpy(dtype=np.int64)
+        s = j["s"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "cbucket": pa.array(c % n_buckets),
+                "c": pa.array(c),
+                "s": pa.array(s),
+            }
+        )
+
+    def dedup_edges(g: pd.DataFrame) -> pa.Table:
+        # the orderkey buckets dedup only within an order — the same
+        # (c, s) pair recurs across orders, so one cbucket exchange
+        # dedups globally (all copies share c, hence the bucket)
+        d = g.drop_duplicates(["c", "s"])
+        return pa.table(
+            {
+                "cbucket": pa.array(d["c"].to_numpy(np.int64) % n_buckets),
+                "c": pa.array(d["c"].to_numpy(np.int64)),
+                "s": pa.array(d["s"].to_numpy(np.int64)),
+            }
+        )
+
+    edges = (
+        lineitem.map_batches(li_rows, batch_format="pyarrow", batch_size=None)
+        .union(orders.map_batches(o_rows, batch_format="pyarrow", batch_size=None))
+        .groupby("bucket")
+        .map_groups(to_edges, batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(dedup_edges, batch_format="pandas")
+        .materialize()  # O(edges) pin, reused by all 2·ITER half-steps
+    )
+
+    def scores_from(g: pd.DataFrame, key: str, out_bucket: str) -> pa.Table:
+        agg = g.groupby(key, sort=False)["contrib"].sum()
+        node = agg.index.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                out_bucket: pa.array(node % n_buckets),
+                "node": pa.array(node),
+                "val": pa.array(agg.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    # h₀ = 10⁶ per customer (derived from the edge set itself)
+    def h0_rows(b: pa.Table) -> pa.Table:
+        c = np.unique(b["c"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "cbucket": pa.array(c % n_buckets),
+                "node": pa.array(c),
+                "val": pa.array(np.full(len(c), 1_000_000, np.int64)),
+            }
+        )
+
+    def dedup_nodes(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates("node")
+        return pa.table(
+            {
+                "cbucket": pa.array(d["node"].to_numpy(np.int64) % n_buckets),
+                "node": pa.array(d["node"].to_numpy(np.int64)),
+                "val": pa.array(d["val"].to_numpy(np.int64)),
+            }
+        )
+
+    h = (
+        edges.map_batches(h0_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("cbucket")
+        .map_groups(dedup_nodes, batch_format="pandas")
+        .materialize()
+    )
+
+    def half_step(state, state_bucket, join_key, emit_key, emit_bucket):
+        """One E/Eᵀ application: co-locate state with edges on
+        ``join_key``, pre-sum contributions per ``emit_key`` inside
+        the map, exchange once, fold."""
+
+        def contribs(g: pd.DataFrame) -> pa.Table:
+            e = g[g["is_edge"] == 1]
+            st = g[g["is_edge"] == 0][["node", "val"]].rename(
+                columns={"node": join_key, "val": "r"}
+            )
+            j = e.merge(st, on=join_key)
+            agg = j.groupby(emit_key, sort=False)["r"].sum()
+            node = agg.index.to_numpy(dtype=np.int64)
+            return pa.table(
+                {
+                    "ebucket": pa.array(node % n_buckets),
+                    "node": pa.array(node),
+                    "contrib": pa.array(agg.to_numpy(dtype=np.int64)),
+                }
+            )
+
+        def edge_tag(b: pa.Table) -> pa.Table:
+            k = b[join_key].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "jbucket": pa.array(k % n_buckets),
+                    "is_edge": pa.array(np.ones(b.num_rows, np.int8)),
+                    "c": b["c"],
+                    "s": b["s"],
+                    "node": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "val": pa.array(np.zeros(b.num_rows, np.int64)),
+                }
+            )
+
+        def state_tag(b: pa.Table) -> pa.Table:
+            z = np.zeros(b.num_rows, np.int64)
+            return pa.table(
+                {
+                    "jbucket": pa.array(
+                        b["node"].to_numpy(zero_copy_only=False) % n_buckets
+                    ),
+                    "is_edge": pa.array(np.zeros(b.num_rows, np.int8)),
+                    "c": pa.array(z),
+                    "s": pa.array(z),
+                    "node": b["node"],
+                    "val": b["val"],
+                }
+            )
+
+        def fold(g: pd.DataFrame) -> pa.Table:
+            agg = g.groupby("node", sort=False)["contrib"].sum()
+            node = agg.index.to_numpy(dtype=np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(node),
+                    "val": pa.array(agg.to_numpy(dtype=np.int64)),
+                }
+            )
+
+        raw = (
+            edges.map_batches(edge_tag, batch_format="pyarrow", batch_size=None)
+            .union(state.map_batches(state_tag, batch_format="pyarrow", batch_size=None))
+            .groupby("jbucket")
+            .map_groups(contribs, batch_format="pandas")
+            .groupby("ebucket")
+            .map_groups(fold, batch_format="pandas")
+            .materialize()
+        )
+        mx = int(raw.max("val"))
+
+        def scale(b: pa.Table) -> pa.Table:
+            v = b["val"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "val": pa.array(v * 1_000_000 // mx),
+                }
+            )
+
+        return raw.map_batches(scale, batch_format="pyarrow", batch_size=None).materialize()
+
+    a = None
+    for _ in range(_HITS_ITER):
+        a = half_step(h, "cbucket", "c", "s", "sbucket")
+        h = half_step(a, "sbucket", "s", "c", "cbucket")
+
+    def finish(node_type: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node_type": pa.array(
+                        np.full(b.num_rows, node_type, np.int64)
+                    ),
+                    "node": b["node"],
+                    "score_micro": b["val"],
+                }
+            )
+
+        return fn
+
+    return h.map_batches(finish(0), batch_format="pyarrow", batch_size=None).union(
+        a.map_batches(finish(1), batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _render_hits_sql() -> str:
+    head = """
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+h0 AS MATERIALIZED (SELECT DISTINCT c AS node,
+                    CAST(1000000 AS BIGINT) AS v FROM e)"""
+    steps = []
+    for i in range(1, _HITS_ITER + 1):
+        steps.append(f""",
+ar{i} AS MATERIALIZED (
+    SELECT e.s AS node, CAST(SUM(h.v) AS BIGINT) AS v
+    FROM e JOIN h{i - 1} h ON h.node = e.c GROUP BY e.s),
+a{i} AS MATERIALIZED (
+    SELECT node, v * 1000000 // (SELECT MAX(v) FROM ar{i}) AS v FROM ar{i}),
+hr{i} AS MATERIALIZED (
+    SELECT e.c AS node, CAST(SUM(a.v) AS BIGINT) AS v
+    FROM e JOIN a{i} a ON a.node = e.s GROUP BY e.c),
+h{i} AS MATERIALIZED (
+    SELECT node, v * 1000000 // (SELECT MAX(v) FROM hr{i}) AS v FROM hr{i})"""
+        )
+    n = _HITS_ITER
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT CAST(0 AS BIGINT) AS node_type, node, v AS score_micro FROM h{n}
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS node_type, node, v AS score_micro FROM a{n}
+"""
+    )
+
+
+_SQL_HITS = _render_hits_sql()
+
+
+
 QUERIES = {
     "k_core": q_k_core,
+    "hits_scores": q_hits_scores,
     "copurchase_components": q_copurchase_components,
     "purchase_pagerank": q_purchase_pagerank,
     "triangle_count": q_triangle_count,
@@ -1249,6 +1531,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "k_core": _SQL_K_CORE,
+    "hits_scores": _SQL_HITS,
     "copurchase_components": _SQL_COPURCHASE_COMPONENTS,
     "purchase_pagerank": _SQL_PAGERANK,
     "triangle_count": _SQL_TRIANGLES,

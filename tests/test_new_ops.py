@@ -4038,3 +4038,42 @@ class TestLabelCentroidAffinity:
         assert got.loc[(0, 2), "cos2_sign_ppm"] == 0
         assert got.loc[(0, 3), "cos2_sign_ppm"] == -1_000_000
         assert got.loc[(0, 1), "n_a"] == 2 and got.loc[(0, 1), "n_b"] == 1
+
+
+class TestHitsScores:
+    def test_star_graph_authorities(self, ray_session, tmp_path_factory):
+        """Two customers both buy from supplier 1; one also buys from
+        supplier 2: supplier 1 is the max authority (10⁶ after
+        normalization), supplier 2 strictly lower; the broad-buying
+        customer is the top hub."""
+        from pdf_parser_ray.stages.graph import q_hits_scores
+
+        d = tmp_path_factory.mktemp("hits_sf")
+        # orders: o1 (cust 1) → supp 1; o2 (cust 2) → supp 1, supp 2
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 2, 2], pa.int64()),
+                    "l_suppkey": pa.array([1, 1, 2], pa.int64()),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2], pa.int64()),
+                    "o_custkey": pa.array([1, 2], pa.int64()),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        got = (
+            q_hits_scores(str(d), n_buckets=4)
+            .to_pandas()
+            .set_index(["node_type", "node"])
+        )
+        auth = got.loc[1]["score_micro"]
+        hub = got.loc[0]["score_micro"]
+        assert auth.loc[1] == 1_000_000 and auth.loc[2] < 1_000_000
+        assert hub.loc[2] == 1_000_000 and hub.loc[1] < 1_000_000
