@@ -1490,6 +1490,222 @@ FROM w, t
 
 
 
+# ---------------------------------------------------------------------------
+# k_anonymity_audit — quasi-identifier equivalence-class sizes
+# ---------------------------------------------------------------------------
+
+def q_k_anonymity_audit(sf_dir: str, k: int = 5):
+    """k-anonymity audit of the customer table (Sweeney 2002 — the
+    baseline re-identification check every data-release pipeline runs
+    before shipping "anonymized" records): rows are grouped by the
+    quasi-identifier tuple ``(nation, market segment, account-balance
+    k$ band)`` and any equivalence class smaller than ``k`` is a
+    re-identification risk. The released-corpus counterpart audits
+    (source, language, length-band) tuples before publishing
+    documents with metadata attached.
+
+    Output (one row): total rows, class count, the minimum class
+    size, and the violating class/row counts at the ``k`` threshold —
+    all exact integers off one bounded exchange.
+
+    Shape: per-batch QI-tuple partial counts → ONE domain-bounded
+    ``groupby`` exchange (nations × segments × balance bands) → a
+    driver fold of the class-size table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    cust = _read(
+        sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        bal = _cents(b["c_acctbal"]).to_numpy(zero_copy_only=False)
+        band = bal // 100_000  # whole-k$ balance bands
+        agg = (
+            pd.DataFrame(
+                {
+                    "nation": b["c_nationkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "seg": b["c_mktsegment"].to_pandas().to_numpy(),
+                    "band": band,
+                }
+            )
+            .groupby(["nation", "seg", "band"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "nation": pa.array(agg["nation"].to_numpy(np.int64)),
+                "seg": pa.array(agg["seg"].tolist(), pa.string()),
+                "band": pa.array(agg["band"].to_numpy(np.int64)),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+            }
+        )
+
+    classes = (
+        cust.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["nation", "seg", "band"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # domain-bounded class table
+    )
+    sizes = classes["n"].to_numpy(np.int64)
+    viol = sizes < k
+    return pd.DataFrame(
+        {
+            "n_rows": [int(sizes.sum())],
+            "n_classes": [len(sizes)],
+            "min_class_size": [int(sizes.min()) if len(sizes) else 0],
+            "k_threshold": [k],
+            "n_violating_classes": [int(viol.sum())],
+            "n_violating_rows": [int(sizes[viol].sum())],
+        }
+    ).astype(np.int64)
+
+
+def _sql_k_anonymity(k: int = 5) -> str:
+    return f"""
+WITH c AS (
+    SELECT c_nationkey AS nation, c_mktsegment AS seg,
+           -- FLOOR division (balances go negative; DuckDB // truncates
+           -- where the engine's numpy // floors)
+           CASE WHEN CAST(ROUND(c_acctbal*100) AS BIGINT) >= 0
+                THEN CAST(ROUND(c_acctbal*100) AS BIGINT) // 100000
+                ELSE -((-CAST(ROUND(c_acctbal*100) AS BIGINT) + 99999)
+                       // 100000)
+           END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1, 2, 3)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(n) AS BIGINT) AS min_class_size,
+       CAST({k} AS BIGINT) AS k_threshold,
+       CAST(COALESCE(SUM(CASE WHEN n < {k} THEN 1 END), 0) AS BIGINT)
+           AS n_violating_classes,
+       CAST(COALESCE(SUM(CASE WHEN n < {k} THEN n END), 0) AS BIGINT)
+           AS n_violating_rows
+FROM c
+"""
+
+
+_SQL_K_ANONYMITY = _sql_k_anonymity()
+
+
+# ---------------------------------------------------------------------------
+# encoding_advisor — column cardinality / dictionary-encoding profiler
+# ---------------------------------------------------------------------------
+
+def q_encoding_advisor(sf_dir: str, dict_ratio_den: int = 1000):
+    """Storage-layout advisor over the orders table's bounded-domain
+    columns (status, priority, order month, price k$ band): exact
+    distinct count, the heaviest value's share in ppm, and a
+    dictionary-encoding recommendation flag (``n_distinct ≤ n_rows //
+    dict_ratio_den`` — the classic cardinality-ratio rule every
+    columnar writer applies). The engine's Z-order optimizer picks
+    SORT keys; this picks ENCODINGS — together they are the
+    write-path tuning pair for the resumable Parquet/Lance sink.
+
+    Shape: per-batch (column, value) partial counts — values
+    canonicalized to strings so one exchange carries every column —
+    → ONE domain-bounded ``groupby`` exchange → a ≤ Σ|domains| driver
+    fold. (Unbounded-domain columns like the order key are exactly
+    the ones the rule would reject; they profile through the HLL
+    sketch family instead of an exact exchange.)"""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderstatus", "o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        month = (
+            _ts_us(b["o_orderdate"])
+            .astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        band = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False) // 100_000
+        cols = {
+            "o_orderstatus": b["o_orderstatus"].to_pandas().to_numpy(),
+            "o_orderpriority": b["o_orderpriority"].to_pandas().to_numpy(),
+            "order_month": month.astype(str),
+            "price_kband": band.astype(str),
+        }
+        names, vals, cnts = [], [], []
+        for cname, arr in cols.items():
+            v, c = np.unique(arr, return_counts=True)
+            names.extend([cname] * len(v))
+            vals.extend([str(x) for x in v])
+            cnts.extend(c.tolist())
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "value": pa.array(vals, pa.string()),
+                "n": pa.array(np.array(cnts, dtype=np.int64)),
+            }
+        )
+
+    vt = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["col", "value"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # domain-bounded value table
+    )
+    rows = []
+    for col, g in vt.groupby("col"):
+        n_rows = int(g["n"].sum())
+        n_distinct = len(g)
+        top = int(g["n"].max())
+        rows.append(
+            (
+                col, n_rows, n_distinct, top * 1_000_000 // n_rows,
+                int(n_distinct <= n_rows // dict_ratio_den),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["col", "n_rows", "n_distinct", "top_share_ppm", "dict_flag"],
+    ).sort_values("col").reset_index(drop=True)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _sql_encoding_advisor(dict_ratio_den: int = 1000) -> str:
+    return f"""
+WITH v AS (
+    SELECT 'o_orderstatus' AS col, o_orderstatus AS value FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM orders
+    UNION ALL
+    SELECT 'order_month',
+           CAST((year(date_trunc('month', o_orderdate)) - 1970) * 12
+                + (month(date_trunc('month', o_orderdate)) - 1) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'price_kband',
+           CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) // 100000 AS VARCHAR)
+    FROM orders),
+c AS (SELECT col, value, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1, 2),
+s AS (SELECT col, CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(n) AS BIGINT) AS top
+      FROM c GROUP BY col)
+SELECT col, n_rows, n_distinct,
+       CAST(top * 1000000 // n_rows AS BIGINT) AS top_share_ppm,
+       CAST(CASE WHEN n_distinct <= n_rows // {dict_ratio_den}
+                 THEN 1 ELSE 0 END AS BIGINT) AS dict_flag
+FROM s
+"""
+
+
+_SQL_ENCODING_ADVISOR = _sql_encoding_advisor()
+
+
+
 QUERIES = {
     "revenue_changepoint": q_revenue_changepoint,
     "seasonal_strength": q_seasonal_strength,
@@ -1502,6 +1718,8 @@ QUERIES = {
     "event_trigrams": q_event_trigrams,
     "theil_decomposition": q_theil_decomposition,
     "return_rate_pchart": q_return_rate_pchart,
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "encoding_advisor": q_encoding_advisor,
 }
 
 ORACLE_SQL = {
@@ -1516,4 +1734,6 @@ ORACLE_SQL = {
     "event_trigrams": _SQL_EVENT_TRIGRAMS,
     "theil_decomposition": _SQL_THEIL,
     "return_rate_pchart": _SQL_RETURN_RATE_PCHART,
+    "k_anonymity_audit": _SQL_K_ANONYMITY,
+    "encoding_advisor": _SQL_ENCODING_ADVISOR,
 }

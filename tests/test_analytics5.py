@@ -497,3 +497,74 @@ class TestReturnRatePchart:
             f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
         )
         assert _canon(got) == _canon(con.sql(a5._SQL_RETURN_RATE_PCHART).df())
+
+
+class TestKAnonymityAudit:
+    def test_planted_singleton(self, tmp_path):
+        """A lone customer in a unique (nation, segment, band) tuple
+        is the one violating class at k=2."""
+        import pyarrow.parquet as pq2
+
+        cust = pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "c_nationkey": pa.array([0, 0, 0, 0, 9], pa.int64()),
+                "c_mktsegment": pa.array(
+                    ["AUTO", "AUTO", "AUTO", "AUTO", "RARE"], pa.string()
+                ),
+                "c_acctbal": pa.array([100.0, 150.0, 120.0, 180.0, -50.0]),
+            }
+        )
+        pq2.write_table(cust, str(tmp_path / "customer.parquet"))
+        got = a5.q_k_anonymity_audit(str(tmp_path), k=2)
+        assert got.loc[0, "n_rows"] == 5
+        assert got.loc[0, "n_classes"] == 2
+        assert got.loc[0, "min_class_size"] == 1
+        assert got.loc[0, "n_violating_classes"] == 1
+        assert got.loc[0, "n_violating_rows"] == 1
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW customer AS SELECT * FROM '{tmp_path}/customer.parquet'"
+        )
+        assert _canon(got) == _canon(con.sql(a5._sql_k_anonymity(2)).df())
+
+
+class TestEncodingAdvisor:
+    def test_flags_low_cardinality(self, tmp_path):
+        """2000 orders with 2 statuses (dict-encodable at den=100) vs
+        near-unique price bands (rejected)."""
+        import pyarrow.parquet as pq2
+
+        n = 2000
+        rng = np.random.RandomState(3)
+        months = (
+            np.datetime64("1995-01", "M") + rng.randint(0, 3, n)
+        ).astype("datetime64[us]")
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(1, n + 1), pa.int64()),
+                "o_orderstatus": pa.array(
+                    np.where(np.arange(n) % 2 == 0, "O", "F"), pa.string()
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+                "o_orderdate": pa.array(months),
+                "o_totalprice": pa.array(
+                    (np.arange(n) * 1000.0 + 5.0), pa.float64()
+                ),
+            }
+        )
+        pq2.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = a5.q_encoding_advisor(str(tmp_path), dict_ratio_den=100).set_index(
+            "col"
+        )
+        assert got.loc["o_orderstatus", "n_distinct"] == 2
+        assert got.loc["o_orderstatus", "dict_flag"] == 1
+        assert got.loc["o_orderpriority", "top_share_ppm"] == 1_000_000
+        assert got.loc["price_kband", "dict_flag"] == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+        )
+        assert _canon(got.reset_index()) == _canon(
+            con.sql(a5._sql_encoding_advisor(100)).df()
+        )
