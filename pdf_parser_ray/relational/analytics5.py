@@ -813,7 +813,8 @@ r AS (SELECT p.p_brand AS brand,
 w AS (SELECT a.brand, a.cents AS c1, bb.cents AS c2
       FROM r a JOIN r bb ON bb.brand = a.brand
       WHERE a.half = 0 AND bb.half = 1),
-p AS (SELECT (x.c1 - y.c1) * (x.c2 - y.c2) AS s
+p AS (SELECT (CAST(x.c1 AS HUGEINT) - y.c1)
+             * (CAST(x.c2 AS HUGEINT) - y.c2) AS s
       FROM w x JOIN w y ON x.brand < y.brand)
 SELECT CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_brands,
        CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_pairs,
