@@ -1707,6 +1707,392 @@ _SQL_ENCODING_ADVISOR = _sql_encoding_advisor()
 
 
 
+# ---------------------------------------------------------------------------
+# cohort_ltv — cumulative lifetime value by acquisition cohort
+# ---------------------------------------------------------------------------
+
+def q_cohort_ltv(sf_dir: str, n_buckets: int = 32):
+    """Cumulative revenue per customer by acquisition cohort — the
+    LTV curve next to :func:`~.ops` cohort retention: customers
+    cohort by their FIRST order month; each (cohort, months-since)
+    cell carries that month's revenue and the running cumulative
+    floor-average per cohort member ("a 1995-03 customer is worth
+    X cents by month 6"). The curve a growth model calibrates
+    against, and the spend-side complement of retention's activity
+    counts.
+
+    Shape: ONE custkey-bucket exchange co-locates each customer's
+    orders, so the first-month anchor and every (cohort, age) cell
+    resolve vectorized in the group; cells pre-aggregate before ONE
+    calendar²-bounded (cohort, age) exchange, and the cumulative scan
+    + per-member division run on the ≤ months² driver grid."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        month = (
+            _ts_us(b["o_orderdate"])
+            .astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        cents = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % n_buckets),
+                "ck": pa.array(ck),
+                "month": pa.array(month),
+                "cents": pa.array(cents),
+            }
+        )
+
+    def cells(g: pd.DataFrame) -> pa.Table:
+        first = g.groupby("ck", sort=False)["month"].transform("min")
+        age = g["month"].to_numpy(np.int64) - first.to_numpy(np.int64)
+        agg = (
+            pd.DataFrame(
+                {"cohort": first.to_numpy(np.int64), "age": age,
+                 "cents": g["cents"].to_numpy(np.int64)}
+            )
+            .groupby(["cohort", "age"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        heads = (
+            g.drop_duplicates("ck")
+            .assign(cohort=first[~g["ck"].duplicated()].to_numpy(np.int64))
+            .groupby("cohort", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "cohort": pa.array(
+                    np.concatenate(
+                        [agg["cohort"].to_numpy(np.int64),
+                         heads["cohort"].to_numpy(np.int64)]
+                    )
+                ),
+                "age": pa.array(
+                    np.concatenate(
+                        [agg["age"].to_numpy(np.int64),
+                         np.full(len(heads), -1, np.int64)]
+                    )
+                ),
+                "v": pa.array(
+                    np.concatenate(
+                        [agg["cents"].to_numpy(np.int64),
+                         heads["n"].to_numpy(np.int64)]
+                    )
+                ),
+            }
+        )
+
+    folded = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(cells, batch_format="pandas")
+        .groupby(["cohort", "age"])
+        .aggregate(Sum("v", alias_name="v"))
+        .to_pandas()  # bounded: ≤ months² cells + months head rows
+    )
+    heads = folded[folded["age"] == -1].set_index("cohort")["v"]
+    cells_df = folded[folded["age"] >= 0].sort_values(
+        ["cohort", "age"], kind="stable"
+    )
+    rows = []
+    for cohort, g in cells_df.groupby("cohort"):
+        n = int(heads.loc[cohort])
+        cum = 0
+        for r in g.itertuples():
+            cum += int(r.v)
+            rows.append(
+                (int(cohort), int(r.age), n, int(r.v), cum, cum // n)
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["cohort_month", "age_months", "n_customers",
+                 "rev_cents", "cum_rev_cents", "ltv_cents"],
+    ).astype(np.int64)
+
+
+_SQL_COHORT_LTV = """
+WITH o AS (
+    SELECT o_custkey AS ck,
+           (year(date_trunc('month', o_orderdate)) - 1970) * 12
+           + (month(date_trunc('month', o_orderdate)) - 1) AS mo,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+    FROM orders),
+f AS (SELECT ck, MIN(mo) AS cohort FROM o GROUP BY ck),
+n AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM f GROUP BY cohort),
+c AS (SELECT f.cohort, o.mo - f.cohort AS age,
+             CAST(SUM(o.cents) AS BIGINT) AS rev
+      FROM o JOIN f USING (ck) GROUP BY 1, 2),
+cum AS (SELECT cohort, age, rev,
+               CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age)
+                    AS BIGINT) AS cum_rev
+        FROM c)
+SELECT CAST(cum.cohort AS BIGINT) AS cohort_month,
+       CAST(cum.age AS BIGINT) AS age_months,
+       n.n_customers,
+       cum.rev AS rev_cents,
+       cum.cum_rev AS cum_rev_cents,
+       CAST(cum.cum_rev // n.n_customers AS BIGINT) AS ltv_cents
+FROM cum JOIN n USING (cohort)
+"""
+
+
+# ---------------------------------------------------------------------------
+# price_volume_decomposition — index-number revenue bridge across halves
+# ---------------------------------------------------------------------------
+
+def q_price_volume_decomposition(sf_dir: str, n_buckets: int = 32):
+    """The revenue bridge between the two halves of the ship
+    timeline, decomposed per part into price, volume, and interaction
+    effects (the Laspeyres/Paasche index-number identity every
+    finance review runs on "why did revenue move?"): with snapped
+    unit values ``v_h = C_h·10⁶ // Q_h`` (micro-cents per unit,
+    the ONE floor snap — spec'd, so both engines agree)::
+
+        price_effect  = Σ (v₁−v₀)·Q₀        (micro-cents)
+        volume_effect = Σ v₀·(Q₁−Q₀)
+        interaction   = Σ (v₁−v₀)·(Q₁−Q₀)
+
+    over parts traded in BOTH halves, plus entry/exit revenue for
+    parts present in only one (so the bridge is complete). Output is
+    one row of exact integers.
+
+    Shape: footer-statistics month bounds (the
+    ``brand_rank_stability`` rule); per-batch (part, half) partials
+    fold cents and quantity before ONE part-grain exchange; the
+    bridge arithmetic runs per part inside the final groups and
+    re-aggregates to ≤ n_buckets partial rows (Python-int limbs not
+    needed: v ≤ 10¹² micro-cents and Q ≤ 10⁹ keep terms < 2⁶² at any
+    tested sf — envelope documented)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Sum
+
+    from ..stages.zorder import _footer_max, _footer_min
+
+    def month_of(us: np.ndarray) -> np.ndarray:
+        return us.astype("datetime64[us]").astype("datetime64[M]").astype(
+            np.int64
+        ) + 1970 * 12
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    mn = _footer_min(path, ["l_shipdate"])
+    mx = _footer_max(path, ["l_shipdate"])
+    lo = int(month_of(np.array([np.datetime64(mn[0], "us")], "datetime64[us]").astype(np.int64))[0])
+    hi = int(month_of(np.array([np.datetime64(mx[0], "us")], "datetime64[us]").astype(np.int64))[0])
+    mid = (lo + hi) // 2
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_quantity", "l_shipdate"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        half = (month_of(_ts_us(b["l_shipdate"])) > mid).astype(np.int64)
+        agg = (
+            pd.DataFrame({"pk": pk, "half": half, "c": cents, "q": qty})
+            .groupby(["pk", "half"], sort=False)[["c", "q"]]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "pbucket": pa.array(agg["pk"].to_numpy(np.int64) % n_buckets),
+                "pk": pa.array(agg["pk"].to_numpy(np.int64)),
+                "half": pa.array(agg["half"].to_numpy(np.int64)),
+                "c": pa.array(agg["c"].to_numpy(np.int64)),
+                "q": pa.array(agg["q"].to_numpy(np.int64)),
+            }
+        )
+
+    def bridge(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["pk", "half"], sort=False)[["c", "q"]].sum().reset_index()
+        w = s.pivot_table(index="pk", columns="half", values=["c", "q"],
+                          aggfunc="sum")
+        c0 = w.get(("c", 0), pd.Series(dtype=float)).reindex(w.index)
+        c1 = w.get(("c", 1), pd.Series(dtype=float)).reindex(w.index)
+        q0 = w.get(("q", 0), pd.Series(dtype=float)).reindex(w.index)
+        q1 = w.get(("q", 1), pd.Series(dtype=float)).reindex(w.index)
+        both = c0.notna() & c1.notna()
+        entry = int(c1[c0.isna() & c1.notna()].sum())
+        exit_ = int(c0[c1.notna().eq(False) & c0.notna()].sum())
+        pe = ve = ix = 0
+        for a0, a1, b0, b1 in zip(
+            c0[both].astype(np.int64), c1[both].astype(np.int64),
+            q0[both].astype(np.int64), q1[both].astype(np.int64),
+        ):
+            v0 = int(a0) * 1_000_000 // int(b0)
+            v1 = int(a1) * 1_000_000 // int(b1)
+            pe += (v1 - v0) * int(b0)
+            ve += v0 * (int(b1) - int(b0))
+            ix += (v1 - v0) * (int(b1) - int(b0))
+        return pa.table(
+            {
+                "one": pa.array([0], pa.int64()),
+                "pe": pa.array([pe], pa.int64()),
+                "ve": pa.array([ve], pa.int64()),
+                "ix": pa.array([ix], pa.int64()),
+                "entry": pa.array([entry], pa.int64()),
+                "exit_": pa.array([exit_], pa.int64()),
+                "npb": pa.array([int(both.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("pbucket")
+        .map_groups(bridge, batch_format="pandas")
+        .to_pandas()  # ≤ n_buckets summary rows
+    )
+    return pd.DataFrame(
+        {
+            "n_parts_both": [int(parts["npb"].sum())],
+            "price_effect_microcents": [int(parts["pe"].sum())],
+            "volume_effect_microcents": [int(parts["ve"].sum())],
+            "interaction_microcents": [int(parts["ix"].sum())],
+            "entry_rev_cents": [int(parts["entry"].sum())],
+            "exit_rev_cents": [int(parts["exit_"].sum())],
+        }
+    ).astype(np.int64)
+
+
+_SQL_PRICE_VOLUME = """
+WITH b AS (SELECT MIN(CAST(year(l_shipdate) AS BIGINT) * 12
+                      + CAST(month(l_shipdate) AS BIGINT) - 1) AS lo,
+                  MAX(CAST(year(l_shipdate) AS BIGINT) * 12
+                      + CAST(month(l_shipdate) AS BIGINT) - 1) AS hi
+           FROM lineitem),
+s AS (SELECT l_partkey AS pk,
+             CAST(CAST(year(l_shipdate) AS BIGINT) * 12
+                  + CAST(month(l_shipdate) AS BIGINT) - 1
+                  > (b.lo + b.hi) // 2 AS BIGINT) AS half,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                  AS BIGINT) AS c,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem, b GROUP BY 1, 2),
+w AS (SELECT a.pk, a.c AS c0, a.q AS q0, d.c AS c1, d.q AS q1
+      FROM s a JOIN s d ON d.pk = a.pk AND a.half = 0 AND d.half = 1),
+v AS (SELECT pk, q0, q1,
+             c0 * 1000000 // q0 AS v0, c1 * 1000000 // q1 AS v1
+      FROM w),
+eff AS (SELECT CAST(COUNT(*) AS BIGINT) AS npb,
+               CAST(COALESCE(SUM((v1 - v0) * q0), 0) AS BIGINT) AS pe,
+               CAST(COALESCE(SUM(v0 * (q1 - q0)), 0) AS BIGINT) AS ve,
+               CAST(COALESCE(SUM((v1 - v0) * (q1 - q0)), 0) AS BIGINT) AS ix
+        FROM v),
+io AS (SELECT
+         CAST(COALESCE(SUM(CASE WHEN half = 1 THEN c END), 0) AS BIGINT)
+             AS entry,
+         CAST(COALESCE(SUM(CASE WHEN half = 0 THEN c END), 0) AS BIGINT)
+             AS exit_
+       FROM s WHERE pk NOT IN (SELECT pk FROM w))
+SELECT eff.npb AS n_parts_both,
+       eff.pe AS price_effect_microcents,
+       eff.ve AS volume_effect_microcents,
+       eff.ix AS interaction_microcents,
+       io.entry AS entry_rev_cents,
+       io.exit_ AS exit_rev_cents
+FROM eff, io
+"""
+
+
+# ---------------------------------------------------------------------------
+# basket_dispersion — variance-to-mean overdispersion of basket sizes
+# ---------------------------------------------------------------------------
+
+def q_basket_dispersion(sf_dir: str):
+    """Index of dispersion (variance-to-mean ratio) of order basket
+    sizes — the one-number Poisson check: VMR ≈ 1 means line counts
+    arrive Poisson-like, VMR > 1 flags clumping (bulk orders /
+    bot-like carts), VMR < 1 regularity (quota-capped baskets). The
+    same statistic a corpus monitor runs on per-document span counts
+    to catch template explosions.
+
+    Division-free until one snap: ``vmr_ppm = (n·Σx² − (Σx)²)·10⁶ //
+    ((n−1)·Σx)`` over per-order line counts (exact sample-variance ÷
+    mean cross-multiplication; HUGEINT / Python-int safe through
+    sf1000).
+
+    Shape: per-batch (orderkey → lines) partials → ONE order-grain
+    exchange → three scalar moments folded per bucket → driver snap."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok, cnt = np.unique(
+            b["l_orderkey"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "ok": pa.array(ok.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cnt": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sx2": pa.array([int((x * x).sum())], pa.int64()),
+            }
+        )
+
+    m = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("ok")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(moments, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # ≤ blocks moment rows
+    )
+    n = int(m["cnt"].sum())
+    sx = int(m["sx"].sum())
+    sx2 = int(m["sx2"].sum())
+    vmr = ((n * sx2 - sx * sx) * 1_000_000) // ((n - 1) * sx) if n > 1 and sx else 0
+    return pd.DataFrame(
+        {
+            "n_orders": [n],
+            "sum_lines": [sx],
+            "sum_lines_sq": [sx2],
+            "vmr_ppm": [vmr],
+        }
+    ).astype(np.int64)
+
+
+_SQL_BASKET_DISPERSION = """
+WITH o AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(n) AS HUGEINT) AS sx,
+             CAST(SUM(n*n) AS HUGEINT) AS sx2
+      FROM o)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(sx AS BIGINT) AS sum_lines,
+       CAST(sx2 AS BIGINT) AS sum_lines_sq,
+       CAST(CASE WHEN n > 1 AND sx > 0
+                 THEN ((n * sx2 - sx * sx) * 1000000) // ((n - 1) * sx)
+                 ELSE 0 END AS BIGINT) AS vmr_ppm
+FROM m
+"""
+
+
+
 QUERIES = {
     "revenue_changepoint": q_revenue_changepoint,
     "seasonal_strength": q_seasonal_strength,
@@ -1721,6 +2107,9 @@ QUERIES = {
     "return_rate_pchart": q_return_rate_pchart,
     "k_anonymity_audit": q_k_anonymity_audit,
     "encoding_advisor": q_encoding_advisor,
+    "cohort_ltv": q_cohort_ltv,
+    "price_volume_decomposition": q_price_volume_decomposition,
+    "basket_dispersion": q_basket_dispersion,
 }
 
 ORACLE_SQL = {
@@ -1737,4 +2126,7 @@ ORACLE_SQL = {
     "return_rate_pchart": _SQL_RETURN_RATE_PCHART,
     "k_anonymity_audit": _SQL_K_ANONYMITY,
     "encoding_advisor": _SQL_ENCODING_ADVISOR,
+    "cohort_ltv": _SQL_COHORT_LTV,
+    "price_volume_decomposition": _SQL_PRICE_VOLUME,
+    "basket_dispersion": _SQL_BASKET_DISPERSION,
 }

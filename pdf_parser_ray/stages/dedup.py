@@ -1689,8 +1689,61 @@ FROM pairs
 WHERE {_CONTAIN_DEN} * inter >= {_CONTAIN_NUM} * na
 """
 
+
+def q_dup_cluster_histogram(sf_dir: str):
+    """Size distribution of exact-duplicate clusters — the dedup
+    family's SUMMARY view: per cluster size k, how many fingerprint
+    clusters and how many documents sit in k-fold duplication. Corpus
+    reports lead with exactly this table ("X% of docs are in 2+
+    clusters; the largest cluster has k copies") before any dedup
+    pass runs; the singleton row doubles as the unique-content count.
+
+    Shape: the shared fingerprint bucket exchange (md5 keys on the
+    wire, never text) → per-bucket cluster sizes fold to (size →
+    count) partials → ONE tiny (≤ max-cluster-size) exchange → the
+    bounded histogram. Same grain class as the sketch read-offs."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _with_fp(augmented_corpus(sf_dir))
+
+    def size_partials(g: pd.DataFrame) -> pa.Table:
+        sizes = g.groupby("fp", sort=False).size()
+        hist = sizes.value_counts()
+        k = hist.index.to_numpy(np.int64)
+        return pa.table(
+            {
+                "cluster_size": pa.array(k),
+                "n_clusters": pa.array(hist.to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        ds.groupby("fp_bucket")
+        .map_groups(size_partials, batch_format="pandas")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+        .to_pandas()  # bounded: one row per distinct cluster size
+        .sort_values("cluster_size")
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["cluster_size"] * out["n_clusters"]
+    return out.astype(np.int64)
+
+
+_SQL_DUP_CLUSTER_HISTOGRAM = f"""
+WITH aug AS ({_AUG_SQL}),
+c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS k FROM aug GROUP BY text)
+SELECT k AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(k * COUNT(*) AS BIGINT) AS n_docs
+FROM c GROUP BY k
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dup_cluster_histogram": q_dup_cluster_histogram,
     "dedup_incremental": q_dedup_incremental,
     "dup_pairs_exact": q_dup_pairs_exact,
     "near_dup_incremental": q_near_dup_incremental,
@@ -1705,6 +1758,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dup_cluster_histogram": _SQL_DUP_CLUSTER_HISTOGRAM,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
     "dup_pairs_exact": _SQL_DUP_PAIRS,

@@ -568,3 +568,105 @@ class TestEncodingAdvisor:
         assert _canon(got.reset_index()) == _canon(
             con.sql(a5._sql_encoding_advisor(100)).df()
         )
+
+
+class TestCohortLtv:
+    def test_two_cohorts_hand_check(self, tmp_path):
+        """Cohort A (2 customers, months 0/1 spend 100+300, then 200)
+        and cohort B (1 customer, one order): cumulative and per-member
+        floor averages pinned."""
+        import pyarrow.parquet as pq2
+
+        rows = [  # (custkey, month-offset, dollars)
+            (1, 0, 100.0), (2, 0, 300.0), (1, 1, 200.0), (3, 2, 50.0),
+        ]
+        months = (np.datetime64("1995-01", "M") + np.array([r[1] for r in rows])).astype("datetime64[us]")
+        pq2.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(np.arange(1, 5), pa.int64()),
+                    "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "o_orderdate": pa.array(months),
+                    "o_totalprice": pa.array([r[2] for r in rows]),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        got = a5.q_cohort_ltv(str(tmp_path), n_buckets=4).set_index(
+            ["cohort_month", "age_months"]
+        )
+        base = (1995 - 1970) * 12
+        a0 = got.loc[(base, 0)]
+        assert a0["n_customers"] == 2 and a0["rev_cents"] == 40000
+        assert a0["ltv_cents"] == 20000
+        a1 = got.loc[(base, 1)]
+        assert a1["cum_rev_cents"] == 60000 and a1["ltv_cents"] == 30000
+        b0 = got.loc[(base + 2, 0)]
+        assert b0["n_customers"] == 1 and b0["ltv_cents"] == 5000
+        assert _canon(got.reset_index()) == _canon(
+            _oracle(tmp_path, a5._SQL_COHORT_LTV)
+        )
+
+
+class TestPriceVolumeDecomposition:
+    def test_pure_price_rise_and_entry(self, tmp_path):
+        """Part 1 doubles its unit value at constant volume → pure
+        price effect; part 2 exists only in half 1 → entry revenue."""
+        import pyarrow.parquet as pq2
+
+        ship = [
+            np.datetime64("1995-01-05", "us"), np.datetime64("1995-12-05", "us"),
+            np.datetime64("1995-12-06", "us"),
+        ]
+        li = pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "l_partkey": pa.array([1, 1, 2], pa.int64()),
+                "l_extendedprice": pa.array([100.0, 200.0, 70.0]),
+                "l_quantity": pa.array([10.0, 10.0, 7.0]),
+                "l_shipdate": pa.array(ship, pa.timestamp("us")),
+            }
+        )
+        pq2.write_table(li, str(tmp_path / "lineitem.parquet"))
+        got = a5.q_price_volume_decomposition(str(tmp_path), n_buckets=4)
+        # v0 = 10000*1e6//10 = 1e9; v1 = 2e9 → price effect 1e9·10
+        assert got.loc[0, "n_parts_both"] == 1
+        assert got.loc[0, "price_effect_microcents"] == 10_000_000_000
+        assert got.loc[0, "volume_effect_microcents"] == 0
+        assert got.loc[0, "interaction_microcents"] == 0
+        assert got.loc[0, "entry_rev_cents"] == 7000
+        assert got.loc[0, "exit_rev_cents"] == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+        )
+        assert _canon(got) == _canon(con.sql(a5._SQL_PRICE_VOLUME).df())
+
+
+class TestBasketDispersion:
+    def test_constant_and_overdispersed(self, tmp_path):
+        """Equal basket sizes → VMR 0; a planted bulk order drives
+        VMR above 10⁶."""
+        import pyarrow.parquet as pq2
+
+        ok = [1] * 3 + [2] * 3 + [3] * 3
+        pq2.write_table(
+            pa.table({"l_orderkey": pa.array(ok, pa.int64())}),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        got = a5.q_basket_dispersion(str(tmp_path))
+        assert got.loc[0, "vmr_ppm"] == 0
+
+        ok2 = [1] * 1 + [2] * 1 + [3] * 10
+        pq2.write_table(
+            pa.table({"l_orderkey": pa.array(ok2, pa.int64())}),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        got2 = a5.q_basket_dispersion(str(tmp_path))
+        # x = (1,1,10): n=3, sx=12, sx2=102 → (306−144)·1e6 // 24
+        assert got2.loc[0, "vmr_ppm"] == 162 * 1_000_000 // 24
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+        )
+        assert _canon(got2) == _canon(con.sql(a5._SQL_BASKET_DISPERSION).df())

@@ -4077,3 +4077,23 @@ class TestHitsScores:
         hub = got.loc[0]["score_micro"]
         assert auth.loc[1] == 1_000_000 and auth.loc[2] < 1_000_000
         assert hub.loc[2] == 1_000_000 and hub.loc[1] < 1_000_000
+
+
+class TestDupClusterHistogram:
+    def test_identities_vs_dedup_exact(self, ray_session):
+        """Cross-operator identities on the shared augmented corpus:
+        Σ size·clusters = corpus rows, Σ clusters = dedup_exact's
+        kept-row count (one survivor per cluster)."""
+        from pdf_parser_ray.stages.dedup import (
+            augmented_corpus,
+            q_dedup_exact,
+            q_dup_cluster_histogram,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        hist = q_dup_cluster_histogram(sf)
+        n_aug = augmented_corpus(sf).count()
+        n_kept = q_dedup_exact(sf).count()
+        assert int(hist["n_docs"].sum()) == n_aug
+        assert int(hist["n_clusters"].sum()) == n_kept
+        assert (hist["n_docs"] == hist["cluster_size"] * hist["n_clusters"]).all()
