@@ -2093,6 +2093,189 @@ FROM m
 
 
 
+# ---------------------------------------------------------------------------
+# source_length_drift — per-source KS distance vs the rest of the corpus
+# ---------------------------------------------------------------------------
+
+def q_source_length_drift(sf_dir: str):
+    """Grouped drift screen: for EVERY source, the exact two-sample
+    Kolmogorov–Smirnov distance between its document-length
+    (``n_chars``) distribution and the rest of the corpus — the
+    one-vs-rest fan-out of :func:`analytics2.q_order_price_drift`,
+    and the per-source table a corpus-QA dashboard sorts by
+    ``ks_micro`` to find the shard whose crawler changed behavior.
+
+    Same integer spec per source: ``d_num = max_v |cum_s·n_rest −
+    cum_rest·n_s|``, ``ks_micro = d_num·10⁶ // (n_s·n_rest)``,
+    ``at_value`` the smallest length attaining the max (Python-bigint
+    scan, HUGEINT oracle).
+
+    Shape: per-batch (length, source) count partials → ONE
+    domain-bounded exchange (distinct lengths × sources) → a driver
+    pivot + per-source cumulative scan over the bounded grid."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _docs
+
+    ds = _docs(sf_dir, ["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = (
+            pd.DataFrame(
+                {
+                    "v": b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    "s": b["source"].to_pandas().to_numpy(),
+                }
+            )
+            .groupby(["v", "s"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "v": pa.array(agg["v"].to_numpy(np.int64)),
+                "s": pa.array(agg["s"].tolist(), pa.string()),
+                "c": pa.array(agg["c"].to_numpy(np.int64)),
+            }
+        )
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["v", "s"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded: distinct lengths × sources
+    )
+    pivot = h.pivot_table(index="v", columns="s", values="c", aggfunc="sum").fillna(0).sort_index()
+    n_total = int(pivot.to_numpy().sum())
+    rows = []
+    for s in sorted(pivot.columns):
+        cs = pivot[s].to_numpy(np.int64)
+        call = pivot.sum(axis=1).to_numpy(np.int64)
+        n_s = int(cs.sum())
+        n_r = n_total - n_s
+        cum_s = cum_all = 0
+        d_num, at_v = 0, 0
+        for v, a, t in zip(pivot.index.to_numpy(np.int64), cs, call):
+            cum_s += int(a)
+            cum_all += int(t)
+            gap = abs(cum_s * n_r - (cum_all - cum_s) * n_s)
+            if gap > d_num:
+                d_num, at_v = gap, int(v)
+        ks = (d_num * 1_000_000) // (n_s * n_r) if n_s and n_r else 0
+        rows.append((s, n_s, n_r, d_num, ks, at_v))
+    return pd.DataFrame(
+        rows,
+        columns=["source", "n_s", "n_rest", "d_num", "ks_micro", "at_value"],
+    ).astype({c: np.int64 for c in ["n_s", "n_rest", "d_num", "ks_micro", "at_value"]})
+
+
+_SQL_SOURCE_LENGTH_DRIFT = """
+WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, source AS s,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+srcs AS (SELECT s, CAST(SUM(c) AS HUGEINT) AS n_s FROM h GROUP BY s),
+t AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM h),
+grid AS (SELECT srcs.s, vv.v FROM srcs, (SELECT DISTINCT v FROM h) vv),
+cum AS (SELECT g.s, g.v,
+               SUM(COALESCE(h.c, 0)) OVER (PARTITION BY g.s ORDER BY g.v)
+                   AS cum_s,
+               SUM(COALESCE(ha.c, 0)) OVER (PARTITION BY g.s ORDER BY g.v)
+                   AS cum_all
+        FROM grid g
+        LEFT JOIN h ON h.s = g.s AND h.v = g.v
+        LEFT JOIN (SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM h GROUP BY v)
+            ha ON ha.v = g.v),
+gaps AS (SELECT cum.s, cum.v,
+                ABS(CAST(cum.cum_s AS HUGEINT) * (t.n - srcs.n_s)
+                    - (CAST(cum.cum_all AS HUGEINT) - cum.cum_s) * srcs.n_s)
+                    AS gap
+         FROM cum JOIN srcs USING (s), t),
+mx AS (SELECT s, MAX(gap) AS d FROM gaps GROUP BY s),
+at_ AS (SELECT g.s, MIN(g.v) AS at_value
+        FROM gaps g JOIN mx ON mx.s = g.s AND g.gap = mx.d
+        GROUP BY g.s)
+SELECT mx.s AS source,
+       CAST(srcs.n_s AS BIGINT) AS n_s,
+       CAST(t.n - srcs.n_s AS BIGINT) AS n_rest,
+       CAST(mx.d AS BIGINT) AS d_num,
+       CAST(CASE WHEN srcs.n_s > 0 AND t.n - srcs.n_s > 0
+                 THEN (mx.d * 1000000) // (srcs.n_s * (t.n - srcs.n_s))
+                 ELSE 0 END AS BIGINT) AS ks_micro,
+       CAST(at_.at_value AS BIGINT) AS at_value
+FROM mx JOIN srcs USING (s) JOIN at_ USING (s), t
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue_outlier_days — robust MAD z-score flags on the daily series
+# ---------------------------------------------------------------------------
+
+def q_revenue_outlier_days(sf_dir: str):
+    """Robust outlier days in the daily revenue series — the
+    MAD-based z-score screen (Iglewicz–Hoaglin modified z, |z| > 3.5)
+    that survives the very outliers a mean/σ rule would absorb.
+    Integer SPEC: median and MAD are LOWER medians (the value at rank
+    ``(n+1)//2`` — PERCENTILE_DISC semantics, exact on both sides)
+    and the flag cross-multiplies to ``|x − med|·6745 > 35000·MAD``
+    (z = 0.6745·|x−med|/MAD scaled by 10⁴); a zero MAD degenerates to
+    ``|x − med| > 0`` (any deviation from a constant series is an
+    outlier), spec'd identically in SQL.
+
+    Output: one row per OUTLIER day ``(day, rev_cents,
+    abs_dev_cents)`` — bounded by the calendar like every
+    daily-series op.
+
+    Shape: the ``revenue_cusum`` day-grain exchange and a
+    calendar-bounded driver scan."""
+    import pandas as pd
+
+    from .analytics4 import _daily_revenue
+
+    daily = _daily_revenue(sf_dir)
+    x = daily["rev"].to_numpy(np.int64)
+    days = daily["day"].to_numpy(np.int64)
+    out_cols = ["day", "rev_cents", "abs_dev_cents"]
+    if not len(x):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in out_cols})
+    n = len(x)
+    med = int(np.sort(x)[(n + 1) // 2 - 1])
+    dev = np.abs(x - med)
+    mad = int(np.sort(dev)[(n + 1) // 2 - 1])
+    if mad > 0:
+        flag = dev * 6745 > 35000 * mad
+    else:
+        flag = dev > 0
+    return pd.DataFrame(
+        {
+            "day": days[flag],
+            "rev_cents": x[flag],
+            "abs_dev_cents": dev[flag],
+        }
+    ).sort_values("day").reset_index(drop=True).astype(np.int64)
+
+
+_SQL_REVENUE_OUTLIER_DAYS = """
+WITH d AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+    FROM orders GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev) AS rn FROM d),
+med AS (SELECT rev AS m FROM r, t WHERE rn = (t.n + 1) // 2),
+dev AS (SELECT d.day, d.rev, ABS(d.rev - med.m) AS ad FROM d, med),
+r2 AS (SELECT ad, ROW_NUMBER() OVER (ORDER BY ad) AS rn FROM dev),
+mad AS (SELECT ad AS m FROM r2, t WHERE rn = (t.n + 1) // 2)
+SELECT dev.day, dev.rev AS rev_cents, dev.ad AS abs_dev_cents
+FROM dev, mad
+WHERE CASE WHEN mad.m > 0
+           THEN CAST(dev.ad AS HUGEINT) * 6745 > 35000 * CAST(mad.m AS HUGEINT)
+           ELSE dev.ad > 0 END
+"""
+
+
+
 QUERIES = {
     "revenue_changepoint": q_revenue_changepoint,
     "seasonal_strength": q_seasonal_strength,
@@ -2110,6 +2293,8 @@ QUERIES = {
     "cohort_ltv": q_cohort_ltv,
     "price_volume_decomposition": q_price_volume_decomposition,
     "basket_dispersion": q_basket_dispersion,
+    "source_length_drift": q_source_length_drift,
+    "revenue_outlier_days": q_revenue_outlier_days,
 }
 
 ORACLE_SQL = {
@@ -2129,4 +2314,6 @@ ORACLE_SQL = {
     "cohort_ltv": _SQL_COHORT_LTV,
     "price_volume_decomposition": _SQL_PRICE_VOLUME,
     "basket_dispersion": _SQL_BASKET_DISPERSION,
+    "source_length_drift": _SQL_SOURCE_LENGTH_DRIFT,
+    "revenue_outlier_days": _SQL_REVENUE_OUTLIER_DAYS,
 }

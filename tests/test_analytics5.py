@@ -670,3 +670,87 @@ class TestBasketDispersion:
             f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
         )
         assert _canon(got2) == _canon(con.sql(a5._SQL_BASKET_DISPERSION).df())
+
+
+class TestSourceLengthDrift:
+    def test_shifted_source_dominates(self, tmp_path):
+        """Three sources with identical length profiles plus one
+        shifted by +1000 chars: the shifted source carries the max
+        ks_micro (disjoint supports → 10⁶) and the identical ones sit
+        near zero."""
+        import pyarrow.parquet as pq2
+
+        lens, srcs = [], []
+        for s in ("a", "b", "c"):
+            for v in (100, 200, 300) * 4:
+                lens.append(v)
+                srcs.append(s)
+        for v in (1100, 1200, 1300) * 4:
+            lens.append(v)
+            srcs.append("weird")
+        pq2.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(len(lens)), pa.int64()),
+                    "text": pa.array(["x"] * len(lens), pa.string()),
+                    "source": pa.array(srcs, pa.string()),
+                    "n_chars": pa.array(lens, pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = a5.q_source_length_drift(str(tmp_path)).set_index("source")
+        assert got.loc["weird", "ks_micro"] == 1_000_000
+        assert got.loc["weird", "at_value"] == 300  # last value before the jump
+        for s in ("a", "b", "c"):
+            assert got.loc[s, "ks_micro"] < got.loc["weird", "ks_micro"]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        assert _canon(got.reset_index()) == _canon(
+            con.sql(a5._SQL_SOURCE_LENGTH_DRIFT).df()
+        )
+
+
+class TestRevenueOutlierDays:
+    def test_planted_spike_and_constant_series(self, tmp_path):
+        """A flat 30-day series with one 10× day flags exactly that
+        day; a perfectly constant series flags nothing (MAD = 0 path
+        guards the degenerate case)."""
+        import pyarrow.parquet as pq2
+
+        days = (
+            np.datetime64("1995-01-01", "us")
+            + np.arange(30) * np.timedelta64(1, "D")
+        )
+        prices = np.full(30, 100.0)
+        prices[17] = 1000.0
+        pq2.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(np.arange(1, 31), pa.int64()),
+                    "o_orderdate": pa.array(days),
+                    "o_totalprice": pa.array(prices),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        got = a5.q_revenue_outlier_days(str(tmp_path))
+        assert len(got) == 1
+        assert got.loc[0, "rev_cents"] == 100_000
+        assert _canon(got) == _canon(
+            _oracle(tmp_path, a5._SQL_REVENUE_OUTLIER_DAYS)
+        )
+
+        pq2.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(np.arange(1, 31), pa.int64()),
+                    "o_orderdate": pa.array(days),
+                    "o_totalprice": pa.array(np.full(30, 100.0)),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        assert len(a5.q_revenue_outlier_days(str(tmp_path))) == 0
