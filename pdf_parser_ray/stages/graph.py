@@ -1442,6 +1442,13 @@ def q_hits_scores(sf_dir: str, n_buckets: int = 16):
             .map_groups(contribs, batch_format="pandas")
             .groupby("ebucket")
             .map_groups(fold, batch_format="pandas")
+            # pin the loop state at n_buckets blocks: the sort shuffle
+            # emits one output partition per input block, so left
+            # uncapped each half-step's block count feeds the next
+            # union and compounds across 10 steps (the PageRank
+            # repartition rule — without it sf0.1 runs minutes, not
+            # seconds)
+            .repartition(n_buckets)
             .materialize()
         )
         mx = int(raw.max("val"))
