@@ -1462,7 +1462,11 @@ def q_hits_scores(sf_dir: str, n_buckets: int = 16):
                 }
             )
 
-        return raw.map_batches(scale, batch_format="pyarrow", batch_size=None).materialize()
+        # the scale map stays LAZY: raw is already materialized (the
+        # Max read-off executed it), and the next half-step is the
+        # single consumer — pinning it again would double the
+        # per-iteration object-store writes
+        return raw.map_batches(scale, batch_format="pyarrow", batch_size=None)
 
     a = None
     for _ in range(_HITS_ITER):
