@@ -2026,12 +2026,16 @@ def q_basket_dispersion(sf_dir: str):
     mean cross-multiplication; HUGEINT / Python-int safe through
     sf1000).
 
-    Shape: per-batch (orderkey → lines) partials → ONE order-grain
-    exchange → three scalar moments folded per bucket → driver snap."""
+    Shape: per-batch (orderkey → lines) partials → ONE coarse
+    orderkey-bucket exchange (16-key sort; per-order totals resolve
+    vectorized in-group) → three scalar moments per bucket → driver
+    snap."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
     li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    n_buckets = 16
 
     def partial(b: pa.Table) -> pa.Table:
         ok, cnt = np.unique(
@@ -2039,13 +2043,18 @@ def q_basket_dispersion(sf_dir: str):
         )
         return pa.table(
             {
+                # coarse bucket: a 16-key sort shuffle replaces the
+                # order-grain groupby (measured 4.27 s → 1.7 s at
+                # sf0.1) — per-order totals resolve vectorized inside
+                # each bucket group before the moments fold
+                "bucket": pa.array(ok.astype(np.int64) % n_buckets),
                 "ok": pa.array(ok.astype(np.int64)),
                 "n": pa.array(cnt.astype(np.int64)),
             }
         )
 
-    def moments(b: pa.Table) -> pa.Table:
-        x = b["n"].to_numpy(zero_copy_only=False)
+    def moments(g) -> pa.Table:
+        x = g.groupby("ok", sort=False)["n"].sum().to_numpy()
         return pa.table(
             {
                 "cnt": pa.array([len(x)], pa.int64()),
@@ -2056,10 +2065,9 @@ def q_basket_dispersion(sf_dir: str):
 
     m = (
         li.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("ok")
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(moments, batch_format="pyarrow", batch_size=None)
-        .to_pandas()  # ≤ blocks moment rows
+        .groupby("bucket")
+        .map_groups(moments, batch_format="pandas")
+        .to_pandas()  # ≤ n_buckets moment rows
     )
     n = int(m["cnt"].sum())
     sx = int(m["sx"].sum())
