@@ -91,7 +91,9 @@ def _bench_queries():
     from pdf_parser_ray.stages.graph import q_k_core
     from pdf_parser_ray.relational.analytics5 import (
         q_basket_triples,
+        q_cohort_ltv,
         q_rfm_segments,
+        q_source_length_drift,
     )
 
     return {
@@ -177,6 +179,10 @@ def _bench_queries():
         "k_core": q_k_core,
         "rfm_segments": q_rfm_segments,
         "basket_triples": q_basket_triples,
+        # closing batch: the calendar-squared LTV grid and the
+        # one-vs-rest grouped KS fan-out
+        "cohort_ltv": q_cohort_ltv,
+        "source_length_drift": q_source_length_drift,
     }
 
 
